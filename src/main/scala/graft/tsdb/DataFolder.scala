@@ -1,0 +1,268 @@
+package graft.tsdb
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+
+/** A data folder: a directory tree holding table data plus a JSON catalog,
+  * addressable through any Hadoop filesystem (file://, s3a://, abfss://).
+  *
+  * Layout:
+  * {{{
+  *   <root>/metadata/<table>.json                          catalog entry
+  *   <root>/tables/<table>/field_column=<i>/part-....parquet  segments
+  *   <root>/tables/<table>/part-....parquet                normal table rows
+  * }}}
+  *
+  * Query-facing behavior mirrors the reference's DataFolder operations
+  * (/root/reference/crates/modelardb_embedded/src/operations/data_folder.rs)
+  * re-expressed on partitioned Parquet: segments are partitioned by
+  * `field_column` so scans of a subset of fields prune partitions, and files
+  * are written sorted by (tags..., start_time) for Parquet min/max locality.
+  */
+final class DataFolder(val spark: SparkSession, val root: String) {
+  import DataFolder._
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metadataPath(table: String) = new Path(s"$root/metadata/$table.json")
+  def tableDir(table: String): String = s"$root/tables/$table"
+
+  // ---------------------------------------------------------------- catalog
+
+  def create(meta: TableMetadata): Unit = {
+    meta.validate()
+    require(!tableExists(meta.name), s"Table ${meta.name} already exists.")
+    val out = fs.create(metadataPath(meta.name), false)
+    try out.write(TableMetadata.toJson(meta).getBytes("UTF-8"))
+    finally out.close()
+    fs.mkdirs(new Path(tableDir(meta.name)))
+  }
+
+  def tableExists(table: String): Boolean = fs.exists(metadataPath(table))
+
+  def tables(): Seq[String] = {
+    val dir = new Path(s"$root/metadata")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName).filter(_.endsWith(".json")).map(_.dropRight(5)).sorted
+  }
+
+  def metadata(table: String): TableMetadata = {
+    require(tableExists(table), s"Table $table does not exist.")
+    val in = fs.open(metadataPath(table))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      TableMetadata.fromJson(bytes.toString("UTF-8"))
+    } finally in.close()
+  }
+
+  def drop(table: String): Unit = {
+    require(tableExists(table), s"Table $table does not exist.")
+    fs.delete(new Path(tableDir(table)), true)
+    fs.delete(metadataPath(table), false)
+  }
+
+  def truncate(table: String): Unit = {
+    require(tableExists(table), s"Table $table does not exist.")
+    fs.delete(new Path(tableDir(table)), true)
+    fs.mkdirs(new Path(tableDir(table)))
+  }
+
+  /** Remove leftover temporary/uncommitted artifacts older than the
+    * retention period (plain-Parquet analog of the reference's Delta vacuum;
+    * committed data files are never deleted).
+    */
+  def vacuum(table: String, retentionSeconds: Long = 604800L): Unit = {
+    require(tableExists(table), s"Table $table does not exist.")
+    val cutoff = System.currentTimeMillis() - retentionSeconds * 1000L
+    val dir = new Path(tableDir(table))
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if ((name.startsWith("_temporary") || name.startsWith(".")) &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, true)
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ time series
+
+  /** Compress and append a DataFrame of data points to a time series table.
+    *
+    * Scale shape: one shuffle arranges the points by (tags..., timestamp)
+    * via range repartitioning — series stay contiguous, huge or skewed
+    * series split across partitions (each partition compresses its chunk
+    * independently; segments never span partitions) — then a narrow
+    * mapPartitions runs the compression kernel and the result is appended as
+    * Parquet partitioned by `field_column`.
+    */
+  def write(table: String, df: DataFrame): Unit = {
+    val meta = metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table; use writeNormal.")
+
+    val tsName = meta.timestampColumn
+    val fieldNames = meta.fieldColumns
+    val tagNames = meta.tagColumns
+
+    val tsMicros = df.schema(tsName).dataType match {
+      case TimestampType => unix_micros(col(tsName))
+      case LongType | IntegerType | ShortType => col(tsName).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"Timestamp column $tsName must be TimestampType or integral, got $other.")
+    }
+    val projected = df.select(
+      (tsMicros.as(tsName) +:
+        fieldNames.map(f => col(f).cast(FloatType).as(f))) ++
+        tagNames.map(t => col(t).cast(StringType).as(t)): _*)
+
+    val sortCols = (tagNames :+ tsName).map(col)
+    val arranged = projected
+      .repartitionByRange(sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+
+    val errorBounds = fieldNames.map(meta.errorBoundOf).toArray
+    val nFields = fieldNames.size
+    val nTags = tagNames.size
+    val outSchema = SegmentSchema.forTags(tagNames)
+
+    val segments = arranged.mapPartitions { rows =>
+      new SegmentIterator(rows, nFields, nTags, errorBounds)
+    }(Encoders.row(outSchema))
+
+    segments.write
+      .mode("append")
+      .partitionBy(SegmentSchema.FieldColumn)
+      .parquet(tableDir(table))
+  }
+
+  /** Raw segment scan with partition pruning on `field_column`. */
+  def segments(table: String): DataFrame = {
+    val meta = metadata(table)
+    val dir = tableDir(table)
+    val schema = SegmentSchema.forTags(meta.tagColumns)
+    if (isEmptyTableDir(dir)) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.schema(schema).parquet(dir)
+  }
+
+  private def isEmptyTableDir(dir: String): Boolean = {
+    val p = new Path(dir)
+    !fs.exists(p) || !fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  // ---------------------------------------------------------- normal tables
+
+  def writeNormal(table: String, df: DataFrame): Unit = {
+    val meta = metadata(table)
+    require(!meta.isTimeSeries, s"$table is a time series table; use write.")
+    df.write.mode("append").parquet(tableDir(table))
+  }
+
+  def readNormal(table: String): DataFrame = {
+    val meta = metadata(table)
+    require(!meta.isTimeSeries)
+    val dir = tableDir(table)
+    if (meta.normalSchemaJson.nonEmpty) {
+      val schema = DataType.fromJson(meta.normalSchemaJson).asInstanceOf[StructType]
+      if (isEmptyTableDir(dir))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(dir)
+    } else spark.read.parquet(dir)
+  }
+}
+
+object DataFolder {
+
+  /** Max points buffered per series chunk before segments are cut, matching
+    * the reference's uncompressed buffer capacity
+    * (/root/reference/crates/modelardb_server/src/storage/mod.rs:51-58).
+    */
+  val MaxRunLength: Int = 65536
+
+  /** Streams sorted (ts, fields..., tags...) rows, splits them into per-tag
+    * runs, compresses each run with the kernel, and lazily emits segment
+    * rows. Input rows: [ts: Long, field_0..field_{n-1}: Float, tag_0..: String].
+    */
+  private final class SegmentIterator(
+      rows: Iterator[Row], nFields: Int, nTags: Int,
+      errorBounds: Array[ErrorBound]) extends Iterator[Row] {
+
+    private var tsBuf = new LongBuf(1024)
+    private val valueBufs = Array.fill(nFields)(new FloatBuf(1024))
+    private var runTags: Array[String] = null
+    private val pending = new scala.collection.mutable.Queue[Row]()
+
+    private def sameTags(row: Row): Boolean = {
+      var i = 0
+      while (i < nTags) {
+        if (runTags(i) != row.getString(1 + nFields + i)) return false
+        i += 1
+      }
+      true
+    }
+
+    /** Compress the buffered run into segment rows queued on `pending`. */
+    private def flushRun(): Unit = {
+      if (tsBuf.length == 0) return
+      val ts = tsBuf.toArray
+      val tagValues: Seq[Any] =
+        if (runTags == null) Seq.empty else runTags.toSeq
+      var f = 0
+      while (f < nFields) {
+        val values = valueBufs(f).toArray
+        val segs = Compressor.compressUnivariate(ts, values, errorBounds(f))
+        segs.foreach { s =>
+          pending.enqueue(Row.fromSeq(
+            Seq(s.modelTypeId, s.startTime, s.endTime, s.timestamps,
+              s.minValue, s.maxValue, s.values, s.residuals, s.error) ++
+              tagValues :+ f))
+        }
+        valueBufs(f) = new FloatBuf(1024)
+        f += 1
+      }
+      tsBuf = new LongBuf(1024)
+    }
+
+    private def fill(): Unit = {
+      while (pending.isEmpty && rows.hasNext) {
+        val row = rows.next()
+        if (runTags == null) {
+          runTags = Array.tabulate(nTags)(i => row.getString(1 + nFields + i))
+        } else if ((nTags > 0 && !sameTags(row)) || tsBuf.length >= MaxRunLength) {
+          flushRun()
+          runTags = Array.tabulate(nTags)(i => row.getString(1 + nFields + i))
+        }
+        tsBuf.add(row.getLong(0))
+        var f = 0
+        while (f < nFields) {
+          valueBufs(f).add(row.getFloat(1 + f))
+          f += 1
+        }
+      }
+      if (pending.isEmpty && !rows.hasNext) flushRun()
+    }
+
+    override def hasNext: Boolean = {
+      if (pending.nonEmpty) true
+      else { fill(); pending.nonEmpty }
+    }
+
+    override def next(): Row = {
+      if (!hasNext) throw new NoSuchElementException()
+      pending.dequeue()
+    }
+  }
+}

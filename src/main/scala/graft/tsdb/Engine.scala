@@ -1,0 +1,227 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedded engine facade: the Spark-native equivalent of the reference's
+  * `Operations` trait (create/tables/schema/write/read/copy/truncate/drop/
+  * vacuum, /root/reference/crates/modelardb_embedded/src/operations/mod.rs:72-148)
+  * plus the four SQL statement extensions handled by its custom dialect
+  * (CREATE TIME SERIES TABLE, INCLUDE, TRUNCATE, VACUUM;
+  * /root/reference/crates/modelardb_storage/src/parser.rs:686-708). All other
+  * SQL falls through to Spark SQL over the registered logical views.
+  */
+final class Engine(val spark: SparkSession, val root: String) {
+  val dataFolder = new DataFolder(spark, root)
+
+  sealed trait Aggregate
+  object Aggregate {
+    case object None extends Aggregate
+    case object Count extends Aggregate
+    case object Min extends Aggregate
+    case object Max extends Aggregate
+    case object Sum extends Aggregate
+    case object Avg extends Aggregate
+  }
+
+  // -------------------------------------------------------------------- DDL
+
+  def create(meta: TableMetadata): Unit = dataFolder.create(meta)
+
+  def tables(): Seq[String] = dataFolder.tables()
+
+  def schema(table: String): StructType = {
+    val meta = dataFolder.metadata(table)
+    if (meta.isTimeSeries) meta.querySchema
+    else if (meta.normalSchemaJson.nonEmpty)
+      DataType.fromJson(meta.normalSchemaJson).asInstanceOf[StructType]
+    else dataFolder.readNormal(table).schema
+  }
+
+  def drop(table: String): Unit = dataFolder.drop(table)
+  def truncate(table: String): Unit = dataFolder.truncate(table)
+  def vacuum(table: String, retentionSeconds: Long = 604800L): Unit =
+    dataFolder.vacuum(table, retentionSeconds)
+
+  // -------------------------------------------------------------- write/read
+
+  def write(table: String, df: DataFrame): Unit = {
+    val meta = dataFolder.metadata(table)
+    if (meta.isTimeSeries) dataFolder.write(table, df)
+    else dataFolder.writeNormal(table, df)
+  }
+
+  /** The full logical view of a table as a DataFrame. */
+  def readTable(table: String): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    if (meta.isTimeSeries)
+      GridView.dataPoints(dataFolder.segments(table), meta, meta.fieldColumns)
+    else dataFolder.readNormal(table)
+  }
+
+  /** Structured read of a time series table, the `read_time_series_table`
+    * parity API: column projection, optional aggregate, tag group-by, time
+    * range, and tag-equality filters. Simple aggregates and tag group-bys
+    * are answered segment-natively (no reconstruction) when no time filter
+    * blocks it; everything else goes through the grid.
+    */
+  def readTimeSeriesTable(
+      table: String,
+      fields: Seq[String] = Seq.empty,
+      aggregate: Aggregate = Aggregate.None,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    val selected = if (fields.isEmpty) meta.fieldColumns else fields
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+
+    val tagPred: Option[Column] = tagFilters.map { case (k, v) => col(k) === v }
+      .reduceOption(_ && _)
+
+    val segmentNativeEligible =
+      aggregate != Aggregate.None &&
+        startUs.isEmpty && endUs.isEmpty &&
+        groupByTags.forall(meta.tagColumns.contains)
+
+    if (segmentNativeEligible) {
+      segmentNativeAggregate(meta, selected, aggregate, groupByTags, tagPred)
+    } else {
+      val segments0 = dataFolder.segments(table)
+      val segments = tagPred.map(segments0.where).getOrElse(segments0)
+      val points = GridView.dataPoints(segments, meta, selected, startUs, endUs)
+      aggregate match {
+        case Aggregate.None => points
+        case agg =>
+          val aggs = selected.map(f => gridAggColumn(agg, f))
+          if (groupByTags.isEmpty) points.agg(aggs.head, aggs.tail: _*)
+          else points.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      }
+    }
+  }
+
+  private def gridAggColumn(agg: Aggregate, f: String): Column = agg match {
+    case Aggregate.Count => count(col(f)).as(s"count_$f")
+    case Aggregate.Min => min(col(f)).as(s"min_$f")
+    case Aggregate.Max => max(col(f)).as(s"max_$f")
+    case Aggregate.Sum => sum(col(f)).as(s"sum_$f")
+    case Aggregate.Avg => avg(col(f)).as(s"avg_$f")
+    case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
+  }
+
+  /** COUNT/MIN/MAX/SUM/AVG (optionally grouped by tags) straight from
+    * segment metadata — the Spark shape of the reference's
+    * ModelSimpleAggregates rewrite, extended to tag group-bys (tags are
+    * denormalized into every segment row, so the group-by shuffles the tiny
+    * segment relation, never the reconstructed points).
+    */
+  private def segmentNativeAggregate(
+      meta: TableMetadata, fields: Seq[String], aggregate: Aggregate,
+      groupByTags: Seq[String], tagPred: Option[Column]): DataFrame = {
+    val segments0 = dataFolder.segments(meta.name)
+    val segments = tagPred.map(segments0.where).getOrElse(segments0)
+
+    val perFieldAggs: Seq[(String, Column)] = fields.map { f =>
+      val i = meta.fieldIndex(f)
+      val onField = (c: Column) => when(col(SegmentSchema.FieldColumn) === i, c)
+      import SegmentAggregates.{segmentLen, segmentSum}
+      val lenC = segmentLen(col("start_time"), col("end_time"), col("timestamps"))
+      val sumC = segmentSum(col("model_type_id"), col("start_time"), col("end_time"),
+        col("timestamps"), col("min_value"), col("max_value"), col("values"),
+        col("residuals"))
+      aggregate match {
+        case Aggregate.Count => (s"count_$f", coalesce(sum(onField(lenC)), lit(0L)))
+        case Aggregate.Min => (s"min_$f", min(onField(col("min_value"))))
+        case Aggregate.Max => (s"max_$f", max(onField(col("max_value"))))
+        case Aggregate.Sum => (s"sum_$f", sum(onField(sumC)))
+        case Aggregate.Avg => (s"avg_$f", sum(onField(sumC)) / sum(onField(lenC)))
+        case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
+      }
+    }
+    val aggs = perFieldAggs.map { case (name, c) => c.as(name) }
+    if (groupByTags.isEmpty) segments.agg(aggs.head, aggs.tail: _*)
+    else segments.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Copy the result of a SQL query into a normal table (the reference
+    * restricts copy targets to normal tables to avoid double lossy
+    * compression, operations/mod.rs:88-92).
+    */
+  def copy(sqlText: String, targetTable: String): Unit = {
+    val meta = dataFolder.metadata(targetTable)
+    require(!meta.isTimeSeries, "COPY targets must be normal tables.")
+    dataFolder.writeNormal(targetTable, sql(sqlText))
+  }
+
+  /** Segment-level copy between time series tables with the same schema:
+    * moves compressed segments directly, never re-compressing
+    * (data_folder.rs:335-420). Optional bounds filter on start/end time.
+    */
+  def copyTimeSeriesTable(
+      source: String, target: String,
+      startMicros: Option[Long] = scala.None,
+      endMicros: Option[Long] = scala.None): Unit = {
+    val sourceMeta = dataFolder.metadata(source)
+    val targetMeta = dataFolder.metadata(target)
+    require(sourceMeta.isTimeSeries && targetMeta.isTimeSeries)
+    require(sourceMeta.columns.map(c => (c.name, c.role)) ==
+      targetMeta.columns.map(c => (c.name, c.role)),
+      "Source and target schemas must match for segment-level copy.")
+    val segs = dataFolder.segments(source)
+      .where(GridView.segmentTimePredicate(startMicros, endMicros))
+    segs.write.mode("append").partitionBy(SegmentSchema.FieldColumn)
+      .parquet(dataFolder.tableDir(target))
+  }
+
+  /** Copy-then-truncate (the reference's `move`, data_folder.rs:421+). */
+  def move(source: String, target: String): Unit = {
+    copyTimeSeriesTable(source, target)
+    truncate(source)
+  }
+
+  // ------------------------------------------------------------ SQL surface
+
+  /** Register every catalog table as a temp view for plain Spark SQL. */
+  def registerViews(): Unit =
+    tables().foreach(t => readTable(t).createOrReplaceTempView(t))
+
+  /** Execute SQL: the four extension statements are handled here, all other
+    * statements are delegated to Spark SQL over the registered views.
+    */
+  def sql(text: String): DataFrame = {
+    val trimmed = text.trim.stripSuffix(";")
+    SqlExtensions.parse(trimmed) match {
+      case SqlExtensions.CreateTimeSeriesTable(meta) =>
+        create(meta); emptyOk()
+      case SqlExtensions.DropTables(names) =>
+        names.foreach(drop); emptyOk()
+      case SqlExtensions.TruncateTables(names) =>
+        names.foreach(truncate); emptyOk()
+      case SqlExtensions.Vacuum(names, retention) =>
+        val targets = if (names.isEmpty) tables() else names
+        targets.foreach(t => vacuum(t, retention)); emptyOk()
+      case SqlExtensions.Include(folders, select) =>
+        val local = { registerViews(); spark.sql(select) }
+        val remotes = folders.map { f =>
+          val remote = new Engine(spark, f)
+          remote.registerViews()
+          val df = spark.sql(select)
+          registerViews() // restore local views
+          df
+        }
+        remotes.foldLeft(local)(_ unionAll _)
+      case SqlExtensions.Passthrough =>
+        registerViews()
+        spark.sql(trimmed)
+    }
+  }
+
+  private def emptyOk(): DataFrame = {
+    import spark.implicits._
+    Seq.empty[String].toDF("result")
+  }
+}

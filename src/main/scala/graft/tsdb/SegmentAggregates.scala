@@ -1,0 +1,62 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Models, TimestampCodec}
+
+/** Segment-native aggregates: COUNT/MIN/MAX/SUM/AVG of one field computed
+  * directly from segment metadata and models, skipping reconstruction.
+  *
+  * Spark-first port of the reference's `ModelSimpleAggregates` physical
+  * optimizer rule
+  * (/root/reference/crates/modelardb_storage/src/optimizer/model_simple_aggregates.rs:175-618):
+  * instead of swapping physical operators, the facade emits the aggregate
+  * over the segment DataFrame — MIN/MAX reduce to built-ins over the
+  * metadata columns, COUNT/SUM go through a codegen'd-adjacent UDF per
+  * segment with Spark's native partial aggregation on top.
+  */
+object SegmentAggregates {
+
+  /** Data points represented by a segment, decoded without gridding. */
+  val segmentLen = udf { (startTime: Long, endTime: Long, timestamps: Array[Byte]) =>
+    TimestampCodec.len(startTime, endTime, timestamps).toLong
+  }
+
+  /** Sum of a segment's values from the model's closed form. */
+  val segmentSum = udf {
+    (modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],
+     minValue: Float, maxValue: Float, values: Array[Byte], residuals: Array[Byte]) =>
+      Models.sum(modelTypeId, startTime, endTime, timestamps,
+        minValue, maxValue, values, residuals).toDouble
+  }
+
+  private def lenCol: Column =
+    segmentLen(col("start_time"), col("end_time"), col("timestamps"))
+
+  private def sumCol: Column = segmentSum(
+    col("model_type_id"), col("start_time"), col("end_time"), col("timestamps"),
+    col("min_value"), col("max_value"), col("values"), col("residuals"))
+
+  /** `SELECT count(field) FROM t` on segments of one field column. */
+  def count(segments: DataFrame, fieldIndex: Int): DataFrame =
+    perField(segments, fieldIndex).agg(coalesce(sum(lenCol), lit(0L)).as("count"))
+
+  def min(segments: DataFrame, fieldIndex: Int): DataFrame =
+    perField(segments, fieldIndex)
+      .agg(org.apache.spark.sql.functions.min("min_value").as("min"))
+
+  def max(segments: DataFrame, fieldIndex: Int): DataFrame =
+    perField(segments, fieldIndex)
+      .agg(org.apache.spark.sql.functions.max("max_value").as("max"))
+
+  def sumOf(segments: DataFrame, fieldIndex: Int): DataFrame =
+    perField(segments, fieldIndex).agg(sum(sumCol).as("sum"))
+
+  def avg(segments: DataFrame, fieldIndex: Int): DataFrame =
+    perField(segments, fieldIndex)
+      .agg((sum(sumCol) / sum(lenCol)).as("avg"))
+
+  private def perField(segments: DataFrame, fieldIndex: Int): DataFrame =
+    segments.where(col(SegmentSchema.FieldColumn) === fieldIndex)
+}

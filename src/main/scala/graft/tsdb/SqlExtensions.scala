@@ -1,0 +1,93 @@
+package graft.tsdb
+
+/** Hand-rolled pre-parser for the four statement extensions the reference's
+  * custom dialect intercepts (/root/reference/crates/modelardb_storage/src/parser.rs:686-708);
+  * everything else passes through to Spark SQL — the same strategy the
+  * reference uses with sqlparser-rs/DataFusion.
+  *
+  * Grammar (parser.rs:95-160, 224-312, 452-634):
+  * {{{
+  *   CREATE TIME SERIES TABLE name(
+  *     ts TIMESTAMP, f FIELD [ "(" bound["%"] ")" ] | f FIELD AS (expr), t TAG, ...)
+  *   DROP TABLE t [, t]*
+  *   TRUNCATE [CLUSTER] t [, t]*
+  *   VACUUM [CLUSTER] [t [, t]*] [RETAIN n]
+  *   INCLUDE 'folder' [, 'folder']* SELECT ...
+  * }}}
+  */
+object SqlExtensions {
+  sealed trait Statement
+  final case class CreateTimeSeriesTable(meta: TableMetadata) extends Statement
+  final case class DropTables(names: Seq[String]) extends Statement
+  final case class TruncateTables(names: Seq[String]) extends Statement
+  final case class Vacuum(names: Seq[String], retentionSeconds: Long) extends Statement
+  final case class Include(folders: Seq[String], select: String) extends Statement
+  case object Passthrough extends Statement
+
+  private val CreateTst =
+    """(?is)^\s*CREATE\s+TIME\s+SERIES\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$""".r
+  private val DropRe =
+    """(?is)^\s*DROP\s+TABLE\s+(.+?)\s*$""".r
+  private val TruncateRe =
+    """(?is)^\s*TRUNCATE\s+(?:CLUSTER\s+)?(?:TABLE\s+)?(.+?)\s*$""".r
+  private val VacuumRe =
+    """(?is)^\s*VACUUM(?:\s+CLUSTER)?(?:\s+(?!RETAIN\b)([A-Za-z_][A-Za-z0-9_,\s]*?))?(?:\s+RETAIN\s+(\d+))?\s*$""".r
+  private val IncludeRe =
+    """(?is)^\s*INCLUDE\s+((?:'[^']*'\s*,?\s*)+)(SELECT\b.*)$""".r
+
+  def parse(sqlText: String): Statement = sqlText match {
+    case CreateTst(name, cols) =>
+      CreateTimeSeriesTable(parseTimeSeriesColumns(name, cols))
+    case IncludeRe(folders, select) =>
+      val paths = "'([^']*)'".r.findAllMatchIn(folders).map(_.group(1)).toSeq
+      Include(paths, select)
+    case DropRe(names) => DropTables(splitNames(names))
+    case TruncateRe(names) => TruncateTables(splitNames(names))
+    case VacuumRe(names, retain) =>
+      Vacuum(
+        Option(names).map(splitNames).getOrElse(Seq.empty),
+        Option(retain).map(_.toLong).getOrElse(604800L))
+    case _ => Passthrough
+  }
+
+  private def splitNames(names: String): Seq[String] =
+    names.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Split a column list on top-level commas (parens may nest in AS exprs). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0
+    val current = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; current += '('
+      case ')' => depth -= 1; current += ')'
+      case ',' if depth == 0 => out += current.toString; current.clear()
+      case c => current += c
+    }
+    if (current.nonEmpty) out += current.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val FieldWithBound =
+    """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+FIELD\s*\(\s*([0-9.eE+-]+)\s*(%?)\s*\)$""".r
+  private val FieldGenerated =
+    """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+FIELD\s+AS\s*\((.*)\)$""".r
+  private val FieldPlain = """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+FIELD$""".r
+  private val TimestampCol = """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP$""".r
+  private val TagCol = """(?is)^([A-Za-z_][A-Za-z0-9_]*)\s+TAG$""".r
+
+  private def parseTimeSeriesColumns(name: String, colsText: String): TableMetadata = {
+    val columns = splitTopLevel(colsText).map {
+      case TimestampCol(n) => ColumnSpec(n, "timestamp")
+      case FieldWithBound(n, bound, pct) =>
+        ColumnSpec(n, "field", errorBound = bound + pct)
+      case FieldGenerated(n, genExpr) =>
+        ColumnSpec(n, "generated", generatedExpr = genExpr.trim)
+      case FieldPlain(n) => ColumnSpec(n, "field")
+      case TagCol(n) => ColumnSpec(n, "tag")
+      case other => throw new IllegalArgumentException(
+        s"Cannot parse time series column definition: '$other'")
+    }
+    TableMetadata(name, "time_series", columns).validate()
+  }
+}

@@ -1,0 +1,209 @@
+package graft.tsdb
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.DataGeneration
+
+/** End-to-end engine tests mirroring the reference's integration harness
+  * (/root/reference/crates/modelardb_server/tests/integration_test.rs):
+  * DDL lifecycle, ingest+query round-trips, and segment-vs-gridded
+  * aggregate equivalence (COUNT/MIN/MAX exact, SUM/AVG within 0.001%).
+  */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def newEngine(): Engine =
+    new Engine(spark, Files.createTempDirectory("graft_test").toString)
+
+  private def makePointsDf(n: Int, tags: Seq[String], seed: Long = 42L) = {
+    val rng = new scala.util.Random(seed)
+    val rows = tags.flatMap { tag =>
+      val ts = DataGeneration.generateTimestamps(n, irregular = false, rng)
+      val f1 = DataGeneration.generateValues(n, DataGeneration.Linear, Some(0.05f), rng)
+      val f2 = DataGeneration.generateValues(
+        n, DataGeneration.RandomValues(0f, 100f), None, rng)
+      ts.indices.map(i => (ts(i), f1(i), f2(i), tag))
+    }
+    import spark.implicits._
+    rows.toDF("ts_us", "field_1", "field_2", "tag")
+  }
+
+  test("ddl lifecycle: create, tables, schema, drop") {
+    val engine = newEngine()
+    engine.sql(
+      "CREATE TIME SERIES TABLE tst(timestamp TIMESTAMP, field_1 FIELD, " +
+        "field_2 FIELD(1.0), field_3 FIELD AS (field_1 + 37.0), tag TAG)")
+    assert(engine.tables() == Seq("tst"))
+    val schema = engine.schema("tst")
+    assert(schema.fieldNames.toSeq ==
+      Seq("timestamp", "field_1", "field_2", "field_3", "tag"))
+    engine.sql("DROP TABLE tst")
+    assert(engine.tables().isEmpty)
+  }
+
+  test("lossless ingest round-trips through segments") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE rt(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    val df = makePointsDf(500, Seq("a", "b"))
+    engine.write("rt", df)
+
+    val back = engine.readTable("rt")
+      .select(unix_micros(col("ts_us")).as("ts_us"), col("field_1"),
+        col("field_2"), col("tag"))
+      .orderBy("tag", "ts_us")
+      .collect()
+    val original = df.orderBy("tag", "ts_us").collect()
+    assert(back.length == original.length)
+    back.zip(original).foreach { case (b, o) =>
+      assert(b.getLong(0) == o.getLong(0))
+      assert(b.getFloat(1) == o.getFloat(1))
+      assert(b.getFloat(2) == o.getFloat(2))
+      assert(b.getString(3) == o.getString(3))
+    }
+  }
+
+  test("lossy ingest stays within per-column bounds") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE lossy(ts_us TIMESTAMP, " +
+      "field_1 FIELD(0.5), field_2 FIELD(5.0%), tag TAG)")
+    val df = makePointsDf(400, Seq("x"))
+    engine.write("lossy", df)
+
+    val joined = engine.readTable("lossy")
+      .select(unix_micros(col("ts_us")).as("ts_us"), col("field_1"), col("field_2"))
+      .as("r")
+      .join(df.as("o"), Seq("ts_us"))
+      .select(col("r.field_1"), col("o.field_1"), col("r.field_2"), col("o.field_2"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { row =>
+      assert(math.abs(row.getFloat(0) - row.getFloat(1)) <= 0.5f + 1e-4f)
+      val rel = math.abs((row.getFloat(2) - row.getFloat(3)) / row.getFloat(3))
+      assert(rel * 100.0 <= 5.0 + 1e-3)
+    }
+  }
+
+  test("generated columns are computed at query time") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE gen(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_3 FIELD AS (field_1 + 37.0), tag TAG)")
+    engine.write("gen", makePointsDf(100, Seq("g")).drop("field_2"))
+    val rows = engine.readTable("gen").select("field_1", "field_3").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(math.abs(r.getFloat(1) - (r.getFloat(0) + 37.0f)) < 1e-3f))
+  }
+
+  test("segment-native aggregates match gridded aggregates") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE agg(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD(1.0), tag TAG)")
+    engine.write("agg", makePointsDf(1000, Seq("a", "b", "c")))
+
+    // Segment-native path (no time filter).
+    val native = engine.readTimeSeriesTable("agg", Seq("field_1"),
+      engine.Aggregate.Count).collect().head.getLong(0)
+    val nativeMin = engine.readTimeSeriesTable("agg", Seq("field_1"),
+      engine.Aggregate.Min).collect().head.getFloat(0)
+    val nativeMax = engine.readTimeSeriesTable("agg", Seq("field_1"),
+      engine.Aggregate.Max).collect().head.getFloat(0)
+    val nativeSum = engine.readTimeSeriesTable("agg", Seq("field_1"),
+      engine.Aggregate.Sum).collect().head.getDouble(0)
+    val nativeAvg = engine.readTimeSeriesTable("agg", Seq("field_1"),
+      engine.Aggregate.Avg).collect().head.getDouble(0)
+
+    // Gridded path (forced by a time filter covering everything).
+    val forced = engine.readTimeSeriesTable("agg", Seq("field_1"),
+      engine.Aggregate.None, startTime = Some(java.time.Instant.EPOCH))
+    val gridded = forced.agg(
+      count(col("field_1")), min(col("field_1")), max(col("field_1")),
+      sum(col("field_1")), avg(col("field_1"))).collect().head
+
+    assert(native == gridded.getLong(0), "COUNT must be exact")
+    assert(nativeMin == gridded.getFloat(1), "MIN must be exact")
+    assert(nativeMax == gridded.getFloat(2), "MAX must be exact")
+    val sumRel = math.abs((nativeSum - gridded.getDouble(3)) / gridded.getDouble(3))
+    assert(sumRel <= 1e-5, s"SUM relative error $sumRel exceeds 0.001%")
+    val avgRel = math.abs((nativeAvg - gridded.getDouble(4)) / gridded.getDouble(4))
+    assert(avgRel <= 1e-5, s"AVG relative error $avgRel exceeds 0.001%")
+  }
+
+  test("tag-grouped segment-native aggregates match gridded group-by") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE gagg(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    engine.write("gagg", makePointsDf(600, Seq("a", "b")))
+
+    val native = engine.readTimeSeriesTable("gagg", Seq("field_1"),
+      engine.Aggregate.Count, groupByTags = Seq("tag"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gridded = engine.readTable("gagg").groupBy("tag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(native == gridded)
+  }
+
+  test("time-range query prunes segments and filters exactly") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE ranget(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    val df = makePointsDf(1000, Seq("a"))
+    engine.write("ranget", df)
+
+    val bounds = df.agg(min("ts_us"), max("ts_us")).collect().head
+    val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 4
+    val hi = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 2
+
+    val got = engine.readTimeSeriesTable("ranget",
+      startTime = Some(java.time.Instant.ofEpochSecond(lo / 1000000L, lo % 1000000L * 1000L)),
+      endTime = Some(java.time.Instant.ofEpochSecond(hi / 1000000L, hi % 1000000L * 1000L)))
+      .count()
+    val expected = df.where(col("ts_us") >= lo && col("ts_us") <= hi).count()
+    assert(got == expected)
+  }
+
+  test("sql surface over registered views with truncate") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE sqlt(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    engine.write("sqlt", makePointsDf(200, Seq("a", "b")))
+    val n = engine.sql("SELECT tag, COUNT(*) AS c FROM sqlt GROUP BY tag ORDER BY tag")
+      .collect()
+    assert(n.map(_.getString(0)).toSeq == Seq("a", "b"))
+    assert(n.forall(_.getLong(1) == 200L))
+
+    engine.sql("TRUNCATE sqlt")
+    assert(engine.sql("SELECT * FROM sqlt").count() == 0)
+    assert(engine.tables() == Seq("sqlt"))
+  }
+
+  test("normal tables write and read through the catalog") {
+    val engine = newEngine()
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    engine.create(TableMetadata("plain", "normal", Seq.empty, schema.json))
+    engine.write("plain", Seq((1L, "x"), (2L, "y")).toDF("k", "v"))
+    assert(engine.readTable("plain").count() == 2)
+    assert(engine.sql("SELECT MAX(k) FROM plain").collect().head.getLong(0) == 2L)
+  }
+
+  test("segment copy between matching tables") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE src(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    engine.sql("CREATE TIME SERIES TABLE dst(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    engine.write("src", makePointsDf(300, Seq("a")))
+    engine.copyTimeSeriesTable("src", "dst")
+    assert(engine.readTable("dst").count() == engine.readTable("src").count())
+    engine.move("src", "dst")
+    assert(engine.readTable("src").count() == 0)
+  }
+}
