@@ -153,6 +153,27 @@ object Models {
     }
   }
 
+  /** Segment sum with double accumulation: decodes the same f32 values as
+    * [[grid]] but sums them in f64, so aggregate totals match any engine
+    * summing the reconstructed float values (the f32-accumulating [[sum]]
+    * mirrors the reference and drifts ~1e-4 relative on long segments).
+    */
+  def sumDouble(
+      modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],
+      minValue: Float, maxValue: Float, values: Array[Byte],
+      residuals: Array[Byte]): Double = {
+    val ts = new LongBuf(64)
+    val vs = new FloatBuf(64)
+    grid(modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+      values, residuals, ts, vs)
+    var sum = 0.0
+    var i = 0
+    val n = vs.length
+    val arr = vs.backing
+    while (i < n) { sum += arr(i); i += 1 }
+    sum
+  }
+
   /** Reconstruct all (timestamp, value) pairs of a segment into the buffers. */
   def grid(
       modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],

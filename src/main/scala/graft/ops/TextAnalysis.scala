@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale corpus pipelines: token counting,
+  * language identification, quality scoring, and document fingerprinting.
+  * All are pure column expressions (codegen-friendly, no UDFs) so they scan
+  * at full Parquet-reader speed and never shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword-boundary token count: words, numbers, and individual
+    * punctuation marks each count as one token.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately small: language ID at corpus scale wants a
+    * cheap, shuffle-free signal, not a classifier.
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "den", "ein", "eine", "mit"))
+
+  private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Number of words of `text` that appear in `vocabulary`. */
+  def vocabularyHits(text: Column, vocabulary: Seq[String]): Column = {
+    val vocab = array(vocabulary.map(lit): _*)
+    size(filter(words(text), w => array_contains(vocab, w)))
+  }
+
+  /** Stopword-ratio language ID over the built-in lists; "und" (undetermined)
+    * when no list scores a hit.
+    */
+  def langId(text: Column): Column = {
+    val scores = stopwords.toSeq.sortBy(_._1)
+      .map { case (lang, sw) => lang -> vocabularyHits(text, sw) }
+    val best = greatest(scores.map(_._2): _*)
+    val firstMatch = scores.foldRight(lit("und")) { case ((lang, score), rest) =>
+      when(score === best && best > 0, lit(lang)).otherwise(rest)
+    }
+    firstMatch
+  }
+
+  /** Truncate to 4 decimals via floor scaling: unlike round(), identical in
+    * every engine given bit-identical input doubles (cross-engine round()
+    * implementations disagree on boundary values).
+    */
+  private def trunc4(c: Column): Column = floor(c * 10000.0) / 10000.0
+
+  /** Heuristic quality signals of a document. */
+  def qualityMetrics(text: Column): Seq[(String, Column)] = {
+    val nTokens = tokenCount(text)
+    val nChars = length(text)
+    Seq(
+      "n_tokens" -> nTokens,
+      "n_chars" -> nChars,
+      "mean_word_len" ->
+        trunc4(nChars.cast("double") / greatest(nTokens, lit(1))),
+      "stopword_ratio" ->
+        trunc4(vocabularyHits(text, stopwords("en")).cast("double") /
+          greatest(nTokens, lit(1))),
+      "alpha_ratio" ->
+        trunc4((length(regexp_replace(text, "[^A-Za-z]", "")).cast("double")) /
+          greatest(nChars, lit(1))))
+  }
+
+  /** Scalar quality score in [0, 1]: length sweet-spot x stopword presence x
+    * alphabetic density — the standard cheap pre-filter before expensive
+    * pipeline stages.
+    */
+  def qualityScore(text: Column): Column = {
+    val m = qualityMetrics(text).toMap
+    val lengthScore = least(m("n_tokens").cast("double") / 32.0, lit(1.0))
+    val stopScore = least(m("stopword_ratio") * 5.0, lit(1.0))
+    trunc4(lengthScore * (lit(0.5) + stopScore * 0.25 + m("alpha_ratio") * 0.25))
+  }
+
+  /** Order-sensitive document fingerprint of whitespace-normalized,
+    * lowercased text. MD5-based so any engine can reproduce it.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit rolling-hash fingerprint (xxhash64), cheaper than md5 for
+    * engine-internal dedup keys.
+    */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Convenience: annotate a corpus DataFrame with the full signal set. */
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val withMetrics = qualityMetrics(t).foldLeft(df) {
+      case (acc, (name, c)) => acc.withColumn(name, c)
+    }
+    withMetrics
+      .withColumn("lang_id", langId(t))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

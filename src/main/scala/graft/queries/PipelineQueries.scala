@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import QueryUtil._
+
+/** The training-data-pipeline surface: dedup (exact / MinHash-LSH / SimHash /
+  * n-gram Jaccard / embedding-cosine), similarity search (brute-force +
+  * IVF), text analysis, and the multimodal stub pipeline — each a checked
+  * query over the documents/embeddings tables. SQL-reproducible operators
+  * carry DuckDB oracles; LSH/hash-seeded ones are checked by their exact
+  * counterparts and the ScalaTest suite.
+  */
+object PipelineQueries {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    ("dedup_exact", (s: SparkSession, d: String) => {
+      Dedup.exactGroups(table(s, d, "documents"), "doc_id", Seq("text"))
+        .orderBy("content_hash")
+    }, Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        count(*) AS dup_count
+      FROM documents GROUP BY 1 ORDER BY 1""")),
+
+    // Exact word-level Jaccard pairs (quadratic verification path); capped
+    // to the first 200 docs so the bench stays bounded at larger SFs.
+    ("dedup_ngram_jaccard", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents").where(col("doc_id") < 200)
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 1, threshold = 0.62)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+          list_distinct(list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), w -> w <> '')) AS words
+        FROM documents WHERE doc_id < 200)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.words, b.words))), 4) AS jaccard
+      FROM sh a, sh b
+      WHERE a.doc_id < b.doc_id
+        AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+          len(list_distinct(list_concat(a.words, b.words))) >= 0.62
+      ORDER BY id_a, id_b""")),
+
+    // MinHash LSH near-dup pairs (approximate; engine-seeded hashes, so the
+    // check is rows-only here and exactness is covered by the spec suite +
+    // the exact-Jaccard query above).
+    ("dedup_minhash_lsh", (s: SparkSession, d: String) => {
+      Dedup.minhashDuplicatePairs(
+          table(s, d, "documents"), "doc_id", "text",
+          threshold = 0.7, numHashes = 128, bands = 16, shingleK = 2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }, None),
+
+    ("dedup_simhash", (s: SparkSession, d: String) => {
+      Dedup.simhashDuplicatePairs(
+          table(s, d, "documents"), "doc_id", "text", maxDistance = 12)
+        .orderBy("id_a", "id_b")
+    }, None),
+
+    ("dedup_embedding_lsh", (s: SparkSession, d: String) => {
+      Dedup.embeddingDuplicatePairs(
+          table(s, d, "embeddings"), "vec_id", "embedding",
+          threshold = 0.9, bits = 16, bands = 8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }, None),
+
+    // Exact top-k cosine neighbors; ranks only (cosine stays engine-side so
+    // the comparison is robust to last-ulp float differences).
+    ("ann_brute_topk", (s: SparkSession, d: String) => {
+      val embeddings = table(s, d, "embeddings")
+      val queries = embeddings.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.bruteForceTopK(embeddings, queries,
+          "vec_id", "embedding", "query_id", k = 5)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+              c.vec_id) AS rank
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 10)
+      SELECT query_id, neighbor_id, rank FROM s WHERE rank <= 5
+      ORDER BY query_id, rank""")),
+
+    // IVF-bucketed ANN: same contract, engine-seeded centroids (rows-only;
+    // recall vs the brute-force oracle path is asserted in the spec suite).
+    ("ann_ivf_topk", (s: SparkSession, d: String) => {
+      val embeddings = table(s, d, "embeddings")
+      val centroids = Similarity.sampleCentroids(embeddings, "vec_id", "embedding", 16)
+      val assigned = Similarity.assignCells(embeddings, centroids, "vec_id", "embedding")
+      val queries = embeddings.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.ivfTopK(assigned, centroids, queries,
+          "vec_id", "embedding", "query_id", k = 5, nProbe = 4)
+        .select("query_id", "neighbor_id", "rank")
+        .orderBy("query_id", "rank")
+    }, None),
+
+    ("text_tokens", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      docs.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))
+          AS n_tokens,
+        length(text) AS len_chars,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+      FROM documents ORDER BY doc_id""")),
+
+    ("text_langid", (s: SparkSession, d: String) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))
+        .orderBy("doc_id")
+    }, Some(langIdOracle)),
+
+    ("text_quality", (s: SparkSession, d: String) => {
+      table(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }, Some(qualityOracle)),
+
+    // Multimodal: binary blobs + typed metadata; byte counts are
+    // SQL-checkable, decoded features are engine-defined (spec-tested).
+    ("multimodal_meta", (s: SparkSession, d: String) => {
+      val assets = Multimodal.synthesizeAssets(
+        table(s, d, "documents"), "doc_id", "text", "image")
+      assets.select(col("asset_id"), col("modality"),
+          octet_length(col("blob").cast("string")).as("n_bytes"))
+        .orderBy("asset_id")
+    }, Some("""
+      SELECT doc_id AS asset_id, 'image' AS modality,
+        octet_length(CAST(text AS BLOB)) AS n_bytes
+      FROM documents ORDER BY asset_id""")),
+
+    ("multimodal_decode", (s: SparkSession, d: String) => {
+      val assets = Multimodal.synthesizeAssets(
+        table(s, d, "documents"), "doc_id", "text", "image")
+      Multimodal.decodeAndFeaturize(assets, dim = 16)
+        .select(col("asset_id"), col("n_bytes"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy("asset_id")
+    }, None))
+
+  private def langIdOracle: String = {
+    // Mirror TextAnalysis.langId exactly: stopword hit counts per language
+    // (sorted lang keys), argmax with ties to the alphabetically first.
+    val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val scores = langs.map { case (lang, sw) =>
+      val list = sw.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), " +
+        s"w -> list_contains([$list], w))) AS score_$lang"
+    }.mkString(",\n          ")
+    val best = langs.map(l => s"score_${l._1}").mkString("greatest(", ", ", ")")
+    val cases = langs.map { case (lang, _) =>
+      s"WHEN score_$lang = best AND best > 0 THEN '$lang'"
+    }.mkString("\n          ")
+    s"""
+      WITH scored AS (
+        SELECT doc_id,
+          $scores
+        FROM documents),
+      ranked AS (SELECT doc_id, $best AS best, * FROM scored)
+      SELECT doc_id,
+        CASE $cases ELSE 'und' END AS lang_id
+      FROM ranked ORDER BY doc_id"""
+  }
+
+  private def qualityOracle: String = {
+    val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""
+      WITH m AS (
+        SELECT doc_id,
+          len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))
+            AS n_tokens,
+          length(text) AS n_chars,
+          len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> list_contains([$en], w))) AS sw_hits,
+          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+        FROM documents)
+      SELECT doc_id,
+        floor(least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0) *
+          (0.5 + least((floor(CAST(sw_hits AS DOUBLE) / greatest(n_tokens, 1)
+                * 10000.0) / 10000.0) * 5.0, 1.0) * 0.25 +
+            (floor(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) * 10000.0)
+              / 10000.0) * 0.25) * 10000.0) / 10000.0
+          AS quality
+      FROM m ORDER BY doc_id"""
+  }
+}

@@ -1,0 +1,262 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import QueryUtil._
+
+/** The delegated relational surface (SURVEY.md §2.5): joins, windows,
+  * sorts, set ops, rollups, distinct aggregation, sessionization — all plain
+  * Spark SQL plans over the test star schema, each hash-checked against a
+  * DuckDB oracle. Shapes chosen for 100 TB behavior: selective filters
+  * before joins, broadcast of dimension tables, single-shuffle aggregates.
+  */
+object RelationalQueries {
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    ("q1_pricing_summary", (s: SparkSession, d: String) => {
+      table(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          money(sum(dec(col("l_quantity")))).as("sum_qty"),
+          money(sum(dec(col("l_extendedprice")))).as("sum_base_price"),
+          money(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") -
+            dec(col("l_discount"))))).as("sum_disc_price"),
+          round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 2)
+            .as("avg_qty"),
+          round(sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)), 2)
+            .as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+          AS sum_disc_price,
+        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2) AS avg_qty,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*), 2)
+          AS avg_price,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    ("q3_top_revenue_orders", (s: SparkSession, d: String) => {
+      val customer = table(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val orders = table(s, d, "orders")
+        .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val lineitem = table(s, d, "lineitem")
+        .where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(money(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }, Some("""
+      SELECT l_orderkey, o_orderdate,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+          AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1998-01-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey LIMIT 10""")),
+
+    ("q4_order_priority", (s: SparkSession, d: String) => {
+      val orders = table(s, d, "orders")
+      val lineitem = table(s, d, "lineitem")
+      orders.join(
+          lineitem.select("l_orderkey").distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")),
+
+    ("q5_nation_revenue", (s: SparkSession, d: String) => {
+      val region = table(s, d, "region").where(col("r_name") === "ASIA")
+      val nation = table(s, d, "nation")
+      val customer = table(s, d, "customer")
+      val orders = table(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val lineitem = table(s, d, "lineitem")
+      lineitem
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(money(sum(dec(col("l_extendedprice")) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }, Some("""
+      SELECT n_name,
+        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE), 2)
+          AS revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")),
+
+    ("q6_revenue_forecast", (s: SparkSession, d: String) => {
+      table(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.09) &&
+          col("l_quantity") < 24)
+        .agg(money(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))))
+          .as("revenue"))
+    }, Some("""
+      SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+          CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.09
+        AND l_quantity < 24""")),
+
+    ("q7_running_order_totals", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      table(s, d, "orders")
+        .where(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          money(sum(dec(col("o_totalprice"))).over(w)).as("running_total"))
+        .orderBy("o_custkey", "o_orderkey")
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+          AS running_total
+      FROM orders
+      WHERE o_custkey < 100
+      ORDER BY o_custkey, o_orderkey""")),
+
+    ("q8_status_rollup", (s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .rollup(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          money(sum(dec(col("o_totalprice")))).as("total"))
+        .select(
+          coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("total"))
+        .orderBy("yr", "status")
+    }, Some("""
+      SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+        coalesce(o_orderstatus, 'ALL') AS status,
+        count(*) AS n_orders,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+      FROM orders
+      GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+      ORDER BY yr, status""")),
+
+    ("q9_top_customers", (s: SparkSession, d: String) => {
+      val customer = table(s, d, "customer")
+      val orders = table(s, d, "orders")
+      orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(money(sum(dec(col("o_totalprice")))).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("total_spent").desc, col("c_custkey"))
+        .limit(10)
+    }, Some("""
+      SELECT c_custkey, c_name,
+        round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_spent,
+        count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_name
+      ORDER BY total_spent DESC, c_custkey LIMIT 10""")),
+
+    ("q10_set_ops", (s: SparkSession, d: String) => {
+      val orders = table(s, d, "orders")
+      val open = orders.where(col("o_orderstatus") === "O").select("o_custkey")
+      val filled = orders.where(col("o_orderstatus") === "F").select("o_custkey")
+      val partial = orders.where(col("o_orderstatus") === "P").select("o_custkey")
+      open.intersect(filled).except(partial)
+        .agg(count(lit(1)).as("n_customers"))
+    }, Some("""
+      SELECT count(*) AS n_customers FROM (
+        (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')""")),
+
+    ("q11_distinct_counts", (s: SparkSession, d: String) => {
+      table(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+    }, Some("""
+      SELECT count(DISTINCT l_partkey) AS n_parts,
+        count(DISTINCT l_suppkey) AS n_suppliers,
+        count(DISTINCT l_orderkey) AS n_orders,
+        count(*) AS n_rows
+      FROM lineitem""")),
+
+    ("q12_events_hourly", (s: SparkSession, d: String) => {
+      table(s, d, "events")
+        .select(unix_micros(date_trunc("HOUR", eventsTimestamp)).as("hour_us"),
+          col("event_type"), dec(col("value")).as("v"))
+        .groupBy("hour_us", "event_type")
+        .agg(count(lit(1)).as("n"), money(sum(col("v"))).as("total_value"))
+        .orderBy("hour_us", "event_type")
+    }, Some("""
+      SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_us,
+        event_type, count(*) AS n,
+        round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")),
+
+    ("q13_event_sessions", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      table(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lag(col("ts"), 1).over(w).as("prev_ts"))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            col("ts") - col("prev_ts") > 1800L * 1000000000L, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }, Some("""
+      WITH d AS (
+        SELECT user_id, ts, event_id,
+          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events)
+      SELECT user_id,
+        sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END) AS n_sessions,
+        count(*) AS n_events
+      FROM d GROUP BY user_id ORDER BY user_id""")))
+}

@@ -1,0 +1,174 @@
+package graft.queries
+
+import java.io.File
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.Engine
+import QueryUtil._
+
+/** The ModelarDB-parity surface exercised end-to-end: events.parquet is
+  * ingested into a time series table (per-user tag series), and the checked
+  * queries read it back through the grid view / segment-native aggregates.
+  * A lossless table makes reconstruction the identity, so plain SQL over the
+  * raw events is an exact DuckDB oracle for the whole
+  * compress-write-scan-grid pipeline.
+  */
+object TsQueries {
+
+  private val builtRoots = scala.collection.mutable.Set[String]()
+
+  /** Build (once per JVM x scale factor) a data folder holding the events
+    * time series tables; reused across queries via an on-disk marker.
+    */
+  def engineFor(spark: SparkSession, sfDir: String): Engine = synchronized {
+    val sfName = new File(sfDir).getName
+    val root = s"/tmp/graft_ts_cache/$sfName"
+    val engine = new Engine(spark, root)
+    if (!builtRoots.contains(root)) {
+      val haveAll = Seq("events_lossless", "events_lossy").forall { t =>
+        engine.dataFolder.tableExists(t) &&
+          new File(s"$root/tables/$t/_SUCCESS").exists()
+      }
+      if (!haveAll) {
+        new scala.reflect.io.Directory(new File(root)).deleteRecursively()
+        buildTables(spark, sfDir, engine)
+      }
+      builtRoots += root
+    }
+    engine
+  }
+
+  private def buildTables(spark: SparkSession, sfDir: String, engine: Engine): Unit = {
+    val events = table(spark, sfDir, "events")
+      .select(eventsTsMicros.as("ts"), col("value").cast("float").as("value"),
+        col("user_id").cast("string").as("user"))
+    engine.sql(
+      "CREATE TIME SERIES TABLE events_lossless(ts TIMESTAMP, value FIELD, user TAG)")
+    engine.write("events_lossless", events)
+    engine.sql(
+      "CREATE TIME SERIES TABLE events_lossy(ts TIMESTAMP, value FIELD(1.0%), user TAG)")
+    engine.write("events_lossy", events)
+  }
+
+  val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // Full pipeline: ingest (cached) + grid reconstruction must be the
+    // identity under a lossless bound.
+    ("ts_roundtrip", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.readTable("events_lossless")
+        .select(unix_micros(col("ts")).as("ts_us"), col("value"), col("user"))
+        .orderBy("user", "ts_us")
+    }, Some("""
+      SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        CAST(value AS FLOAT4) AS value,
+        CAST(user_id AS VARCHAR) AS user
+      FROM events ORDER BY user, ts_us""")),
+
+    // COUNT/MIN/MAX computed from segment metadata only (no reconstruction).
+    ("ts_seg_stats", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val c = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Count).collect().head.getLong(0)
+      val mn = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Min).collect().head.getFloat(0)
+      val mx = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Max).collect().head.getFloat(0)
+      import s.implicits._
+      Seq((c, mn, mx)).toDF("n", "mn", "mx")
+    }, Some("""
+      SELECT count(*) AS n, min(CAST(value AS FLOAT4)) AS mn,
+        max(CAST(value AS FLOAT4)) AS mx
+      FROM events""")),
+
+    // SUM/AVG from per-segment closed forms, f64-accumulated.
+    ("ts_seg_sum_avg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val sumv = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Sum).collect().head.getDouble(0)
+      val avgv = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Avg).collect().head.getDouble(0)
+      import s.implicits._
+      Seq((sumv, avgv)).toDF("s", "a")
+        .select(round(col("s"), 2).as("sum_v"), round(col("a"), 4).as("avg_v"))
+    }, Some("""
+      SELECT round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
+        round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS avg_v
+      FROM events""")),
+
+    // Time-range scan: rewritten segment predicate + exact post-grid filter.
+    ("ts_range_query", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val bounds = table(s, d, "events")
+        .agg(min(eventsTsMicros), max(eventsTsMicros)).collect().head
+      val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 3
+      val hi = bounds.getLong(0) + 2 * (bounds.getLong(1) - bounds.getLong(0)) / 3
+      engine.readTimeSeriesTable("events_lossless",
+          startTime = Some(java.time.Instant.ofEpochSecond(
+            lo / 1000000L, lo % 1000000L * 1000L)),
+          endTime = Some(java.time.Instant.ofEpochSecond(
+            hi / 1000000L, hi % 1000000L * 1000L)))
+        .select(unix_micros(col("ts")).as("ts_us"), col("value"), col("user"))
+        .orderBy("user", "ts_us")
+    }, Some("""
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
+      r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo, lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b)
+      SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        CAST(value AS FLOAT4) AS value,
+        CAST(user_id AS VARCHAR) AS user
+      FROM events, r
+      WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi
+      ORDER BY user, ts_us""")),
+
+    // Per-tag aggregates straight from segment metadata (tags denormalized).
+    ("ts_tag_stats", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.readTimeSeriesTable("events_lossless", Seq("value"),
+          engine.Aggregate.Count, groupByTags = Seq("user"))
+        .withColumnRenamed("count_value", "n")
+        .join(
+          engine.readTimeSeriesTable("events_lossless", Seq("value"),
+            engine.Aggregate.Min, groupByTags = Seq("user"))
+            .withColumnRenamed("min_value", "mn"), Seq("user"))
+        .join(
+          engine.readTimeSeriesTable("events_lossless", Seq("value"),
+            engine.Aggregate.Max, groupByTags = Seq("user"))
+            .withColumnRenamed("max_value", "mx"), Seq("user"))
+        .orderBy("user")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user, count(*) AS n,
+        min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Lossy compression preserves exact point counts (len is lossless).
+    ("ts_lossy_count", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val n = engine.readTimeSeriesTable("events_lossy", Seq("value"),
+        engine.Aggregate.Count).collect().head.getLong(0)
+      import s.implicits._
+      Seq(n).toDF("n")
+    }, Some("SELECT count(*) AS n FROM events")),
+
+    // Lossy error-bound adherence, verified in-engine (no SQL oracle: the
+    // approximation is engine-defined); returns the violation count (0) and
+    // compression footprint so the driver's rows-only check sees signal.
+    ("ts_lossy_bound_check", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val lossy = engine.readTable("events_lossy")
+        .select(unix_micros(col("ts")).as("ts_us"), col("user"),
+          col("value").as("lossy_value"))
+      val raw = table(s, d, "events")
+        .select(eventsTsMicros.as("ts_us"),
+          col("user_id").cast("string").as("user"),
+          col("value").cast("float").as("raw_value"))
+      val joined = lossy.join(raw, Seq("ts_us", "user"))
+      val violations = joined.where(
+        abs(col("lossy_value") - col("raw_value")) >
+          abs(col("raw_value")) * 0.01 + 1e-6).count()
+      val segs = engine.dataFolder.segments("events_lossy").count()
+      import s.implicits._
+      Seq((violations, segs)).toDF("bound_violations", "n_segments")
+    }, None))
+}

@@ -23,12 +23,14 @@ object SegmentAggregates {
     TimestampCodec.len(startTime, endTime, timestamps).toLong
   }
 
-  /** Sum of a segment's values from the model's closed form. */
+  /** Sum of a segment's values, f64-accumulated so the cross-segment total
+    * matches an exact engine summing the reconstructed values.
+    */
   val segmentSum = udf {
     (modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],
      minValue: Float, maxValue: Float, values: Array[Byte], residuals: Array[Byte]) =>
-      Models.sum(modelTypeId, startTime, endTime, timestamps,
-        minValue, maxValue, values, residuals).toDouble
+      Models.sumDouble(modelTypeId, startTime, endTime, timestamps,
+        minValue, maxValue, values, residuals)
   }
 
   private def lenCol: Column =

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tsdb.SparkTestSession
+
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+  private lazy val embeddings =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+  test("exact dedup finds planted duplicates") {
+    val withDups = docs.select($"doc_id", $"text")
+      .unionAll(docs.where($"doc_id" < 5)
+        .select($"doc_id" + 10000, $"text"))
+    val groups = Dedup.exactGroups(withDups, "doc_id", Seq("text"))
+    assert(groups.count() == docs.count()) // dups collapse into originals
+    assert(groups.where($"dup_count" === 2).count() == 5)
+    val kept = Dedup.dropExactDuplicates(withDups, "doc_id", Seq("text"))
+    assert(kept.count() == docs.count())
+    assert(kept.where($"doc_id" >= 10000).count() == 0) // min id kept
+  }
+
+  test("minhash lsh finds planted near-duplicates") {
+    // Plant near-dups: copy five docs with one word appended.
+    val nearDups = docs.where($"doc_id" < 5)
+      .select(($"doc_id" + 20000).as("doc_id"),
+        concat($"text", lit(" extra")).as("text"))
+    val corpus = docs.select($"doc_id", $"text").unionAll(nearDups)
+    val pairs = Dedup.minhashDuplicatePairs(corpus, "doc_id", "text",
+      threshold = 0.7)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { i =>
+      assert(found.contains((i.toLong, i + 20000L)),
+        s"expected near-dup pair ($i, ${i + 20000})")
+    }
+  }
+
+  test("simhash distance is zero for identical docs and small for near-dups") {
+    val sig = docs.limit(10).select($"doc_id", Dedup.simhash($"text").as("sig"))
+    val joined = sig.as("a").join(sig.as("b"), $"a.doc_id" === $"b.doc_id")
+      .select(Dedup.hamming($"a.sig", $"b.sig")).collect()
+    assert(joined.forall(_.getInt(0) == 0))
+
+    val nearDups = docs.where($"doc_id" < 3)
+      .select(($"doc_id" + 30000).as("doc_id"),
+        concat($"text", lit(" tail")).as("text"))
+    val pairs = Dedup.simhashDuplicatePairs(
+      docs.select($"doc_id", $"text").unionAll(nearDups),
+      "doc_id", "text", maxDistance = 6)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 3).forall(i => found.contains((i.toLong, i + 30000L))))
+  }
+
+  test("embedding near-dup pairs find planted copies") {
+    val planted = embeddings.where($"vec_id" < 3)
+      .select(($"vec_id" + 40000).as("vec_id"), $"embedding", $"label")
+    val corpus = embeddings.unionAll(planted)
+    val pairs = Dedup.embeddingDuplicatePairs(corpus, "vec_id", "embedding",
+      threshold = 0.999)
+    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0 until 3).forall(i => found.contains((i.toLong, i + 40000L))))
+  }
+
+  test("brute-force ann: self is the nearest neighbor") {
+    val queries = embeddings.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val topk = Similarity.bruteForceTopK(
+      embeddings, queries, "vec_id", "embedding", "query_id", k = 3)
+    val best = topk.where($"rank" === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach(i => assert(best(i.toLong) == i.toLong,
+      s"query $i nearest neighbor should be itself"))
+  }
+
+  test("ivf ann recalls the self-match with enough probes") {
+    val centroids = Similarity.sampleCentroids(embeddings, "vec_id", "embedding", 8)
+    val assigned = Similarity.assignCells(embeddings, centroids, "vec_id", "embedding")
+    assert(assigned.count() == embeddings.count())
+    val queries = embeddings.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val topk = Similarity.ivfTopK(assigned, centroids, queries,
+      "vec_id", "embedding", "query_id", k = 3, nProbe = 8)
+    val best = topk.where($"rank" === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach(i => assert(best(i.toLong) == i.toLong))
+  }
+
+  test("text analysis signals are sane on real documents") {
+    val annotated = TextAnalysis.annotate(docs, "text").cache()
+    val n = annotated.count()
+    assert(annotated.where($"n_tokens" > 0).count() == n)
+    assert(annotated.where($"quality" >= 0 && $"quality" <= 1).count() == n)
+    assert(annotated.where(length($"fingerprint") === 32).count() == n)
+    // The corpus is English word salad: langId should mostly say "en".
+    val en = annotated.where($"lang_id" === "en").count()
+    assert(en > n / 2, s"expected mostly en, got $en of $n")
+    annotated.unpersist()
+  }
+
+  test("token counts match a reference computation") {
+    val rows = docs.limit(50)
+      .select($"text", TextAnalysis.tokenCount($"text").as("tc"))
+      .collect()
+    rows.foreach { r =>
+      val expected = r.getString(0).trim.split("\\s+").count(_.nonEmpty)
+      assert(r.getInt(1) == expected)
+    }
+  }
+
+  test("multimodal stub pipeline preserves schema and determinism") {
+    val assets = Multimodal.synthesizeAssets(docs, "doc_id", "text", "image")
+    // Compare names/types; nullability differs by construction path.
+    assert(assets.schema.map(f => (f.name, f.dataType.simpleString)) ==
+      Multimodal.assetSchema.map(f => (f.name, f.dataType.simpleString)))
+    val decoded = Multimodal.decodeAndFeaturize(assets, dim = 16)
+    val rows = decoded.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val features = r.getSeq[Float](5)
+      assert(features.length == 16)
+      assert(math.abs(features.sum - 1.0f) < 1e-3f) // L1-normalized histogram
+    }
+    // Determinism: second run produces identical features.
+    val again = Multimodal.decodeAndFeaturize(assets, dim = 16).collect()
+    assert(again.map(_.getSeq[Float](5)).toSeq == rows.map(_.getSeq[Float](5)).toSeq)
+
+    val resized = Multimodal.resizePlan(assets, 256)
+    assert(resized.where($"resize.target_width" > 256).count() == 0)
+
+    val videos = Multimodal.synthesizeAssets(docs.limit(10), "doc_id", "text", "video")
+    val frames = Multimodal.frameSamplePlan(videos, everyMs = 1000L)
+    assert(frames.where($"n_frames" < 1).count() == 0)
+  }
+}
