@@ -1,0 +1,132 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
+
+/** Catalyst-level rewrite of whole-table simple aggregates over a time
+  * series view into segment-native aggregates — the Spark counterpart of
+  * the reference's `ModelSimpleAggregates` physical optimizer rule
+  * (/root/reference/crates/modelardb_storage/src/optimizer/model_simple_aggregates.rs:175-334),
+  * applied to the analyzed plan of SQL entering `Engine.sql`.
+  *
+  * Matches `Aggregate(tag-groupings, [COUNT|MIN|MAX|SUM|AVG(field)...],
+  * SubqueryAlias(tst-view))` with no intervening Filter (the reference
+  * requires no predicate and no grouping; tags-only grouping is safe for us
+  * because tags are denormalized into every segment row). On a match the
+  * whole query is answered from segment metadata — reconstruction never
+  * runs.
+  */
+object SegmentAggregateSqlRewrite {
+
+  private sealed trait AggSpec
+  private final case class FieldAgg(kind: String, field: String, outName: String)
+    extends AggSpec
+  private final case class TagRef(tag: String) extends AggSpec
+
+  /** Attempt the rewrite; None leaves the original DataFrame untouched. */
+  def tryRewrite(engine: Engine, df: DataFrame): Option[DataFrame] = {
+    val plan = df.queryExecution.analyzed
+    plan match {
+      case Aggregate(groupings, results, child, _) =>
+        viewTable(engine, child).flatMap { meta =>
+          val tagNames = meta.tagColumns.toSet
+          val groupTags = groupings.flatMap {
+            case a: AttributeReference if tagNames.contains(a.name) => Some(a.name)
+            case _ => None
+          }
+          if (groupTags.size != groupings.size) return None
+
+          val specs = results.map(spec(meta, groupTags.toSet, _))
+          if (specs.exists(_.isEmpty)) None
+          else Some(build(engine, meta, groupTags, specs.flatten))
+        }
+      case _ => None
+    }
+  }
+
+  /** The child must be exactly the registered logical view of a time series
+    * table (a bare SubqueryAlias, optionally over one no-op Project): any
+    * Filter or computed projection blocks the rewrite, mirroring the
+    * reference's no-predicate requirement.
+    */
+  private def viewTable(engine: Engine, child: LogicalPlan): Option[TableMetadata] =
+    child match {
+      case SubqueryAlias(ident, _) =>
+        val name = ident.name
+        if (engine.tables().contains(name)) {
+          val meta = engine.dataFolder.metadata(name)
+          if (meta.isTimeSeries) Some(meta) else None
+        } else None
+      case Project(exprs, inner) if exprs.forall(_.isInstanceOf[AttributeReference]) =>
+        viewTable(engine, inner)
+      case _ => None
+    }
+
+  private def spec(
+      meta: TableMetadata, groupTags: Set[String],
+      expr: org.apache.spark.sql.catalyst.expressions.NamedExpression): Option[AggSpec] =
+    expr match {
+      case a: AttributeReference if groupTags.contains(a.name) => Some(TagRef(a.name))
+      case Alias(AggregateExpression(fn, Complete, false, None, _), outName) =>
+        fn match {
+          case Count(Seq(a: AttributeReference))
+              if meta.fieldColumns.contains(a.name) =>
+            Some(FieldAgg("count", a.name, outName))
+          case Count(Seq(Literal(_, _))) if meta.fieldColumns.size == 1 =>
+            // count(*) == count(field) for a single-field table (rows are
+            // exactly that field's points); ambiguous otherwise.
+            Some(FieldAgg("count", meta.fieldColumns.head, outName))
+          case Min(a: AttributeReference) if meta.fieldColumns.contains(a.name) =>
+            Some(FieldAgg("min", a.name, outName))
+          case Max(a: AttributeReference) if meta.fieldColumns.contains(a.name) =>
+            Some(FieldAgg("max", a.name, outName))
+          case Sum(a: AttributeReference, _) if meta.fieldColumns.contains(a.name) =>
+            Some(FieldAgg("sum", a.name, outName))
+          case Average(a: AttributeReference, _) if meta.fieldColumns.contains(a.name) =>
+            Some(FieldAgg("avg", a.name, outName))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def build(
+      engine: Engine, meta: TableMetadata, groupTags: Seq[String],
+      specs: Seq[AggSpec]): DataFrame = {
+    val segments = engine.dataFolder.segments(meta.name)
+    import SegmentAggregates.{segmentLen, segmentSum}
+    val lenC = segmentLen(col("start_time"), col("end_time"), col("timestamps"))
+    val sumC = segmentSum(col("model_type_id"), col("start_time"), col("end_time"),
+      col("timestamps"), col("min_value"), col("max_value"), col("values"),
+      col("residuals"))
+
+    val aggCols = specs.collect { case FieldAgg(kind, field, outName) =>
+      val i = meta.fieldIndex(field)
+      val onField = (c: org.apache.spark.sql.Column) =>
+        when(col(SegmentSchema.FieldColumn) === i, c)
+      val c = kind match {
+        case "count" => coalesce(sum(onField(lenC)), lit(0L))
+        case "min" => min(onField(col("min_value")))
+        case "max" => max(onField(col("max_value")))
+        case "sum" => sum(onField(sumC))
+        case "avg" => sum(onField(sumC)) / sum(onField(lenC))
+      }
+      c.as(outName)
+    }
+
+    val grouped =
+      if (groupTags.isEmpty) segments.agg(aggCols.head, aggCols.tail: _*)
+      else segments.groupBy(groupTags.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+
+    // Preserve the original result column order (tags may interleave).
+    val ordered = specs.map {
+      case TagRef(tag) => col(tag)
+      case FieldAgg(_, _, outName) => col(outName)
+    }
+    grouped.select(ordered: _*)
+  }
+}

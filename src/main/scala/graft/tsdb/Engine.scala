@@ -205,18 +205,32 @@ final class Engine(val spark: SparkSession, val root: String) {
         val targets = if (names.isEmpty) tables() else names
         targets.foreach(t => vacuum(t, retention)); emptyOk()
       case SqlExtensions.Include(folders, select) =>
-        val local = { registerViews(); spark.sql(select) }
+        val local = sql(select)
         val remotes = folders.map { f =>
           val remote = new Engine(spark, f)
-          remote.registerViews()
-          val df = spark.sql(select)
+          val df = remote.sql(select)
           registerViews() // restore local views
           df
         }
         remotes.foldLeft(local)(_ unionAll _)
+      case SqlExtensions.InsertInto(tableName, source) =>
+        // INSERT routes through the storage engine (compress + append for
+        // time series tables), mirroring the reference's DataSink path.
+        registerViews()
+        val sourceDf = spark.sql(
+          if (source.trim.toUpperCase.startsWith("VALUES")) s"SELECT * FROM $source"
+          else source)
+        val meta = dataFolder.metadata(tableName)
+        val inputCols = meta.columns.filter(_.role != "generated").map(_.name)
+        require(sourceDf.columns.length == inputCols.length,
+          s"INSERT INTO $tableName expects ${inputCols.length} columns " +
+            s"(${inputCols.mkString(", ")}), got ${sourceDf.columns.length}.")
+        write(tableName, sourceDf.toDF(inputCols: _*))
+        emptyOk()
       case SqlExtensions.Passthrough =>
         registerViews()
-        spark.sql(trimmed)
+        val df = spark.sql(trimmed)
+        graft.plans.SegmentAggregateSqlRewrite.tryRewrite(this, df).getOrElse(df)
     }
   }
 

@@ -22,6 +22,7 @@ object SqlExtensions {
   final case class TruncateTables(names: Seq[String]) extends Statement
   final case class Vacuum(names: Seq[String], retentionSeconds: Long) extends Statement
   final case class Include(folders: Seq[String], select: String) extends Statement
+  final case class InsertInto(table: String, sourceSql: String) extends Statement
   case object Passthrough extends Statement
 
   private val CreateTst =
@@ -34,6 +35,8 @@ object SqlExtensions {
     """(?is)^\s*VACUUM(?:\s+CLUSTER)?(?:\s+(?!RETAIN\b)([A-Za-z_][A-Za-z0-9_,\s]*?))?(?:\s+RETAIN\s+(\d+))?\s*$""".r
   private val IncludeRe =
     """(?is)^\s*INCLUDE\s+((?:'[^']*'\s*,?\s*)+)(SELECT\b.*)$""".r
+  private val InsertRe =
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|VALUES)\b.*)$""".r
 
   def parse(sqlText: String): Statement = sqlText match {
     case CreateTst(name, cols) =>
@@ -41,6 +44,7 @@ object SqlExtensions {
     case IncludeRe(folders, select) =>
       val paths = "'([^']*)'".r.findAllMatchIn(folders).map(_.group(1)).toSeq
       Include(paths, select)
+    case InsertRe(tableName, source) => InsertInto(tableName, source)
     case DropRe(names) => DropTables(splitNames(names))
     case TruncateRe(names) => TruncateTables(splitNames(names))
     case VacuumRe(names, retain) =>

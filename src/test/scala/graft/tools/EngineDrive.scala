@@ -89,6 +89,43 @@ object EngineDrive {
       case e: Exception => println(s"probe ddl: rejected (${e.getMessage.take(80)})")
     }
 
+    // SQL INSERT INTO routes through the compression path.
+    engine.sql("INSERT INTO events_ts VALUES " +
+      "(TIMESTAMP '2030-01-01 00:00:00', CAST(1.0 AS FLOAT), 'probe')," +
+      "(TIMESTAMP '2030-01-01 00:00:01', CAST(2.0 AS FLOAT), 'probe')")
+    val probeRows = engine.sql(
+      "SELECT COUNT(*) AS n FROM events_ts WHERE user = 'probe'")
+      .collect().head.getLong(0)
+    println(s"insert into: probe rows=$probeRows (expected 2)")
+
+    // Catalyst segment-aggregate rewrite: whole-table SQL aggregate plan
+    // must not contain a reconstruction (MapPartitions) step.
+    val aggDf = engine.sql("SELECT COUNT(value) AS n, AVG(value) AS a FROM events_ts")
+    val aggPlan = aggDf.queryExecution.executedPlan.toString
+    val aggRow = aggDf.collect().head
+    println(s"sql-agg rewrite: n=${aggRow.getLong(0)} avg=${aggRow.getDouble(1)} " +
+      s"segment_native=${!aggPlan.contains("MapPartitions")}")
+
+    // INCLUDE federation across a second data folder.
+    val rootB = Files.createTempDirectory("graft_drive_b").toString
+    val engineB = new Engine(spark, rootB)
+    engineB.sql("CREATE TIME SERIES TABLE events_ts(" +
+      "ts TIMESTAMP, value FIELD, value_x2 FIELD AS (value * 2.0), user TAG)")
+    engineB.sql("INSERT INTO events_ts VALUES " +
+      "(TIMESTAMP '2031-01-01 00:00:00', CAST(9.0 AS FLOAT), 'remote')")
+    val federated = engine.sql(
+      s"INCLUDE '$rootB' SELECT COUNT(*) AS n FROM events_ts").collect()
+    println(s"include: partial counts=${federated.map(_.getLong(0)).mkString("+")}")
+
+    // Probe: INSERT with wrong arity must fail cleanly.
+    try {
+      engine.sql("INSERT INTO events_ts VALUES (TIMESTAMP '2030-01-01', 1.0)")
+      println("probe insert arity: NO ERROR (unexpected)")
+    } catch {
+      case e: Exception =>
+        println(s"probe insert arity: rejected (${e.getMessage.take(70)})")
+    }
+
     // Probe: truncate then query -> empty, table still present.
     engine.sql("TRUNCATE events_ts")
     println(s"after truncate: rows=${engine.sql("SELECT * FROM events_ts").count()} " +
