@@ -19,12 +19,17 @@ object TsQueries {
 
   private val builtRoots = scala.collection.mutable.Set[String]()
 
+  /** Bump when the segment format or build recipe changes so stale caches
+    * from earlier builds are discarded.
+    */
+  private val CacheVersion = "v2"
+
   /** Build (once per JVM x scale factor) a data folder holding the events
     * time series tables; reused across queries via an on-disk marker.
     */
   def engineFor(spark: SparkSession, sfDir: String): Engine = synchronized {
     val sfName = new File(sfDir).getName
-    val root = s"/tmp/graft_ts_cache/$sfName"
+    val root = s"/tmp/graft_ts_cache/$sfName-$CacheVersion"
     val engine = new Engine(spark, root)
     if (!builtRoots.contains(root)) {
       val haveAll = Seq("events_lossless", "events_lossy").forall { t =>

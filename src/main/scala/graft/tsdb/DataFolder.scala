@@ -141,6 +141,9 @@ final class DataFolder(val spark: SparkSession, val root: String) {
 
     segments.write
       .mode("append")
+      // ZSTD like the reference's segment writer tuning
+      // (/root/reference/crates/modelardb_storage/src/lib.rs:248-261).
+      .option("compression", "zstd")
       .partitionBy(SegmentSchema.FieldColumn)
       .parquet(tableDir(table))
   }

@@ -183,6 +183,19 @@ final class Engine(val spark: SparkSession, val root: String) {
     truncate(source)
   }
 
+  /** Bulk import: a Parquet file/directory of data points into a time
+    * series table (the reference's bulkloader import direction,
+    * /root/reference/crates/modelardb_bulkloader/src/main.rs:33-557).
+    */
+  def importParquet(table: String, path: String): Unit =
+    write(table, spark.read.parquet(path))
+
+  /** Bulk export: reconstructed data points of a time series table to
+    * Parquet (the bulkloader's export direction).
+    */
+  def exportParquet(table: String, path: String): Unit =
+    readTable(table).write.mode("overwrite").parquet(path)
+
   // ------------------------------------------------------------ SQL surface
 
   /** Register every catalog table as a temp view for plain Spark SQL. */

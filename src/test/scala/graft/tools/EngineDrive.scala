@@ -126,6 +126,18 @@ object EngineDrive {
         println(s"probe insert arity: rejected (${e.getMessage.take(70)})")
     }
 
+    // Bulk export -> import round-trip through parquet.
+    val exportDir = Files.createTempDirectory("graft_export") + "/dump"
+    engine.exportParquet("events_ts", exportDir)
+    val engineC = new Engine(spark, Files.createTempDirectory("graft_c").toString)
+    engineC.sql("CREATE TIME SERIES TABLE events_ts(" +
+      "ts TIMESTAMP, value FIELD, value_x2 FIELD AS (value * 2.0), user TAG)")
+    engineC.importParquet("events_ts",
+      // Import the stored columns only (generated columns are query-time).
+      exportDir)
+    println(s"bulk: exported=${spark.read.parquet(exportDir).count()} " +
+      s"reimported=${engineC.readTable("events_ts").count()}")
+
     // Probe: truncate then query -> empty, table still present.
     engine.sql("TRUNCATE events_ts")
     println(s"after truncate: rows=${engine.sql("SELECT * FROM events_ts").count()} " +

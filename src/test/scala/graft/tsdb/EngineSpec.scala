@@ -194,6 +194,21 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.sql("SELECT MAX(k) FROM plain").collect().head.getLong(0) == 2L)
   }
 
+  test("bulk import and export round-trip through parquet") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE bulk(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    val df = makePointsDf(200, Seq("a"))
+    val src = java.nio.file.Files.createTempDirectory("graft_bulk_in").toString
+    df.write.mode("overwrite").parquet(src)
+    engine.importParquet("bulk", src)
+    assert(engine.readTable("bulk").count() == 200)
+
+    val out = java.nio.file.Files.createTempDirectory("graft_bulk_out") + "/export"
+    engine.exportParquet("bulk", out)
+    assert(spark.read.parquet(out).count() == 200)
+  }
+
   test("segment copy between matching tables") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE src(ts_us TIMESTAMP, field_1 FIELD, " +
