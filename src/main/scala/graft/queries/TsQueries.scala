@@ -32,20 +32,21 @@ object TsQueries {
     val root = s"/tmp/graft_ts_cache/$sfName-$CacheVersion"
     val engine = new Engine(spark, root)
     if (!builtRoots.contains(root)) {
-      val haveAll = Seq("events_lossless", "events_lossy").forall { t =>
+      val haveAll = tableNames.forall { t =>
         engine.dataFolder.tableExists(t) &&
           new File(s"$root/tables/$t/_SUCCESS").exists()
       }
-      if (!haveAll) {
-        new scala.reflect.io.Directory(new File(root)).deleteRecursively()
-        buildTables(spark, sfDir, engine)
-      }
+      if (!haveAll) rebuild(spark, sfDir, engine)
       builtRoots += root
     }
     engine
   }
 
-  private def buildTables(spark: SparkSession, sfDir: String, engine: Engine): Unit = {
+  private val tableNames = Seq("events_lossless", "events_lossy", "events_multi")
+
+  /** Wipe and rebuild the cached tables (also the ingest benchmark body). */
+  def rebuild(spark: SparkSession, sfDir: String, engine: Engine): Unit = {
+    new scala.reflect.io.Directory(new File(engine.root)).deleteRecursively()
     val events = table(spark, sfDir, "events")
       .select(eventsTsMicros.as("ts"), col("value").cast("float").as("value"),
         col("user_id").cast("string").as("user"))
@@ -55,9 +56,22 @@ object TsQueries {
     engine.sql(
       "CREATE TIME SERIES TABLE events_lossy(ts TIMESTAMP, value FIELD(1.0%), user TAG)")
     engine.write("events_lossy", events)
+    engine.sql("CREATE TIME SERIES TABLE events_multi(" +
+      "ts TIMESTAMP, value FIELD, value2 FIELD, user TAG)")
+    engine.write("events_multi", events.withColumn("value2", col("value") * 2.0f))
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
+
+    // Ingest benchmark: full wipe + compress + write of all three tables;
+    // later ts queries reuse the result. Returns per-table segment counts.
+    ("ts_ingest", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      rebuild(s, d, engine)
+      import s.implicits._
+      tableNames.map(t => (t, engine.dataFolder.segments(t).count()))
+        .toDF("table_name", "n_segments").orderBy("table_name")
+    }, None),
 
     // Full pipeline: ingest (cached) + grid reconstruction must be the
     // identity under a lossless bound.
@@ -146,6 +160,34 @@ object TsQueries {
       SELECT CAST(user_id AS VARCHAR) AS user, count(*) AS n,
         min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
       FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Multivariate reconstruction: two stored fields reassembled by
+    // (tags, timestamp) in one conditional-aggregation shuffle.
+    ("ts_multifield_roundtrip", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.readTable("events_multi")
+        .select(unix_micros(col("ts")).as("ts_us"), col("value"), col("value2"),
+          col("user"))
+        .orderBy("user", "ts_us")
+    }, Some("""
+      SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        CAST(value AS FLOAT4) AS value,
+        CAST(value AS FLOAT4) * CAST(2 AS FLOAT4) AS value2,
+        CAST(user_id AS VARCHAR) AS user
+      FROM events ORDER BY user, ts_us""")),
+
+    // Segment-native AVG across both fields of a multivariate table.
+    ("ts_multifield_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.readTimeSeriesTable("events_multi", Seq("value", "value2"),
+          engine.Aggregate.Avg)
+        .select(round(col("avg_value"), 4).as("avg_value"),
+          round(col("avg_value2"), 4).as("avg_value2"))
+    }, Some("""
+      SELECT round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS avg_value,
+        round(avg(CAST(CAST(value AS FLOAT4) * CAST(2 AS FLOAT4) AS DOUBLE)), 4)
+          AS avg_value2
+      FROM events""")),
 
     // Lossy compression preserves exact point counts (len is lossless).
     ("ts_lossy_count", (s: SparkSession, d: String) => {

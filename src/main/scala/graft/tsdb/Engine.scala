@@ -210,6 +210,16 @@ final class Engine(val spark: SparkSession, val root: String) {
     SqlExtensions.parse(trimmed) match {
       case SqlExtensions.CreateTimeSeriesTable(meta) =>
         create(meta); emptyOk()
+      case SqlExtensions.CreateNormalTable(name, schemaDdl) =>
+        // Map the reference's SQL type aliases onto Spark DDL types
+        // (parser.rs:840-868) and register a normal catalog table.
+        val normalized = schemaDdl
+          .replaceAll("(?i)\\bREAL\\b", "FLOAT")
+          .replaceAll("(?i)\\bBYTEA\\b", "BINARY")
+          .replaceAll("(?i)\\bTEXT\\b", "STRING")
+        val schema = StructType.fromDDL(normalized)
+        create(TableMetadata(name, "normal", Seq.empty, schema.json))
+        emptyOk()
       case SqlExtensions.DropTables(names) =>
         names.foreach(drop); emptyOk()
       case SqlExtensions.TruncateTables(names) =>
@@ -234,7 +244,9 @@ final class Engine(val spark: SparkSession, val root: String) {
           if (source.trim.toUpperCase.startsWith("VALUES")) s"SELECT * FROM $source"
           else source)
         val meta = dataFolder.metadata(tableName)
-        val inputCols = meta.columns.filter(_.role != "generated").map(_.name)
+        val inputCols =
+          if (meta.isTimeSeries) meta.columns.filter(_.role != "generated").map(_.name)
+          else schema(tableName).fieldNames.toSeq
         require(sourceDf.columns.length == inputCols.length,
           s"INSERT INTO $tableName expects ${inputCols.length} columns " +
             s"(${inputCols.mkString(", ")}), got ${sourceDf.columns.length}.")

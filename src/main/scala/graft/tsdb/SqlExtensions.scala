@@ -18,6 +18,7 @@ package graft.tsdb
 object SqlExtensions {
   sealed trait Statement
   final case class CreateTimeSeriesTable(meta: TableMetadata) extends Statement
+  final case class CreateNormalTable(name: String, schemaDdl: String) extends Statement
   final case class DropTables(names: Seq[String]) extends Statement
   final case class TruncateTables(names: Seq[String]) extends Statement
   final case class Vacuum(names: Seq[String], retentionSeconds: Long) extends Statement
@@ -27,6 +28,8 @@ object SqlExtensions {
 
   private val CreateTst =
     """(?is)^\s*CREATE\s+TIME\s+SERIES\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$""".r
+  private val CreateNormal =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+TABLE\s+(.+?)\s*$""".r
   private val TruncateRe =
@@ -41,6 +44,7 @@ object SqlExtensions {
   def parse(sqlText: String): Statement = sqlText match {
     case CreateTst(name, cols) =>
       CreateTimeSeriesTable(parseTimeSeriesColumns(name, cols))
+    case CreateNormal(name, cols) => CreateNormalTable(name, cols)
     case IncludeRe(folders, select) =>
       val paths = "'([^']*)'".r.findAllMatchIn(folders).map(_.group(1)).toSeq
       Include(paths, select)

@@ -126,6 +126,14 @@ object EngineDrive {
         println(s"probe insert arity: rejected (${e.getMessage.take(70)})")
     }
 
+    // Normal table DDL + INSERT through the catalog.
+    engine.sql("CREATE TABLE nt(k BIGINT, label TEXT, score REAL)")
+    engine.sql("INSERT INTO nt VALUES (1, 'a', CAST(0.5 AS FLOAT)), " +
+      "(2, 'b', CAST(1.5 AS FLOAT))")
+    val ntMax = engine.sql("SELECT MAX(score) AS m, COUNT(*) AS n FROM nt")
+      .collect().head
+    println(s"normal table: max=${ntMax.getFloat(0)} n=${ntMax.getLong(1)}")
+
     // Bulk export -> import round-trip through parquet.
     val exportDir = Files.createTempDirectory("graft_export") + "/dump"
     engine.exportParquet("events_ts", exportDir)

@@ -90,6 +90,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
       engine.readTable("sa").where(col("tag") === "t0").count())
   }
 
+  test("create normal table via SQL with reference type aliases") {
+    val engine = newEngine()
+    engine.sql("CREATE TABLE normal_table(timestamp TIMESTAMP, values REAL, metadata REAL)")
+    assert(engine.tables() == Seq("normal_table"))
+    assert(engine.schema("normal_table").fieldNames.toSeq ==
+      Seq("timestamp", "values", "metadata"))
+    engine.sql("INSERT INTO normal_table SELECT TIMESTAMP '2024-01-01', " +
+      "CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)")
+    assert(engine.sql("SELECT COUNT(*) AS n FROM normal_table")
+      .collect().head.getLong(0) == 1L)
+  }
+
   test("streaming ingest compresses micro-batches into the table") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
