@@ -30,6 +30,12 @@ object Models {
   def fmax(a: Float, b: Float): Float =
     if (a.isNaN) b else if (b.isNaN) a else math.max(a, b)
 
+  def fminD(a: Double, b: Double): Double =
+    if (a.isNaN) b else if (b.isNaN) a else math.min(a, b)
+
+  def fmaxD(a: Double, b: Double): Double =
+    if (a.isNaN) b else if (b.isNaN) a else math.max(a, b)
+
   def equalOrNan(v1: Double, v2: Double): Boolean =
     v1 == v2 || (v1.isNaN && v2.isNaN)
 

@@ -94,7 +94,10 @@ final class Swing(errorBound: ErrorBound) {
     */
   def model: (Float, Float) = {
     val projectedSlope = slopeWithMinimumMseNumerator / slopeWithMinimumMseDenominator
-    val slopeWithMinimumMse = math.max(lowerBoundSlope, math.min(projectedSlope, upperBoundSlope))
+    // NaN-ignoring min/max (IEEE, like Rust f64::min/max): a 0/0 projected
+    // slope must collapse to the bound slopes, not propagate NaN.
+    val slopeWithMinimumMse =
+      Models.fmaxD(lowerBoundSlope, Models.fminD(projectedSlope, upperBoundSlope))
     val lastValue = slopeWithMinimumMse * (endTime - startTime) + firstValue
     (firstValue.toFloat, lastValue.toFloat)
   }

@@ -118,12 +118,15 @@ object TimestampCodec {
       out.add(startTime)
       out.add(endTime)
     } else if (areCompressedTimestampsRegular(residualTimestamps)) {
+      // Count-based decode: also handles a run of identical timestamps
+      // (interval 0), where a bound-based loop would never terminate (the
+      // reference panics on that input, models/timestamps.rs:219-222).
       val length = decodeRegularLength(residualTimestamps)
       val samplingInterval = (endTime - startTime) / (length - 1)
-      var t = startTime
-      while (t <= endTime) {
-        out.add(t)
-        t += samplingInterval
+      var i = 0
+      while (i < length) {
+        out.add(startTime + i * samplingInterval)
+        i += 1
       }
     } else {
       decompressIrregular(startTime, endTime, residualTimestamps, out)

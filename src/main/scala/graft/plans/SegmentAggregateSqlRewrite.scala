@@ -52,13 +52,18 @@ object SegmentAggregateSqlRewrite {
   /** The child must be exactly the registered logical view of a time series
     * table (a bare SubqueryAlias, optionally over one no-op Project): any
     * Filter or computed projection blocks the rewrite, mirroring the
-    * reference's no-predicate requirement.
+    * reference's no-predicate requirement. The alias's child plan is
+    * compared against the registered view plan — a name match alone could
+    * be spoofed by a filtered subquery aliased with the table's name.
     */
   private def viewTable(engine: Engine, child: LogicalPlan): Option[TableMetadata] =
     child match {
-      case SubqueryAlias(ident, _) =>
+      case SubqueryAlias(ident, aliased) =>
         val name = ident.name
-        if (engine.tables().contains(name)) {
+        val isRegisteredView = engine.viewPlan(name).exists { vp =>
+          aliased.sameResult(vp) || stripAliases(aliased).sameResult(stripAliases(vp))
+        }
+        if (isRegisteredView) {
           val meta = engine.dataFolder.metadata(name)
           if (meta.isTimeSeries) Some(meta) else None
         } else None
@@ -66,6 +71,11 @@ object SegmentAggregateSqlRewrite {
         viewTable(engine, inner)
       case _ => None
     }
+
+  private def stripAliases(plan: LogicalPlan): LogicalPlan = plan match {
+    case SubqueryAlias(_, inner) => stripAliases(inner)
+    case other => other
+  }
 
   private def spec(
       meta: TableMetadata, groupTags: Set[String],
@@ -98,24 +108,8 @@ object SegmentAggregateSqlRewrite {
       engine: Engine, meta: TableMetadata, groupTags: Seq[String],
       specs: Seq[AggSpec]): DataFrame = {
     val segments = engine.dataFolder.segments(meta.name)
-    import SegmentAggregates.{segmentLen, segmentSum}
-    val lenC = segmentLen(col("start_time"), col("end_time"), col("timestamps"))
-    val sumC = segmentSum(col("model_type_id"), col("start_time"), col("end_time"),
-      col("timestamps"), col("min_value"), col("max_value"), col("values"),
-      col("residuals"))
-
     val aggCols = specs.collect { case FieldAgg(kind, field, outName) =>
-      val i = meta.fieldIndex(field)
-      val onField = (c: org.apache.spark.sql.Column) =>
-        when(col(SegmentSchema.FieldColumn) === i, c)
-      val c = kind match {
-        case "count" => coalesce(sum(onField(lenC)), lit(0L))
-        case "min" => min(onField(col("min_value")))
-        case "max" => max(onField(col("max_value")))
-        case "sum" => sum(onField(sumC))
-        case "avg" => sum(onField(sumC)) / sum(onField(lenC))
-      }
-      c.as(outName)
+      SegmentAggregates.aggColumnFor(kind, meta.fieldIndex(field)).as(outName)
     }
 
     val grouped =

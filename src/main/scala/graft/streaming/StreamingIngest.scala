@@ -11,9 +11,11 @@ import graft.tsdb.Engine
   * compression threads -> writer threads,
   * /root/reference/crates/modelardb_server/src/storage/mod.rs:246-273)
   * collapses into `foreachBatch`: each micro-batch runs the same
-  * arrange-compress-append job as batch `Engine.write`, with Spark supplying
-  * parallelism, back-pressure, and exactly-once bookkeeping through the
-  * checkpoint. At scale: one micro-batch = one compression job; segment
+  * arrange-compress-append job as batch `Engine.write`. foreachBatch alone
+  * is at-least-once — a crash between the append and the checkpoint commit
+  * replays the batch — so a per-table batch-id marker in the data folder
+  * makes replays no-ops (append-only sink + idempotence = effectively
+  * exactly-once). At scale: one micro-batch = one compression job; segment
   * files accumulate per `field_column` partition exactly as in batch mode.
   */
 object StreamingIngest {
@@ -30,9 +32,32 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) engine.write(table, batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty && !batchSeen(engine, table, batchId)) {
+          engine.write(table, batch)
+          markBatchDone(engine, table, batchId)
+        }
       }
       .start()
+  }
+
+  private def batchMarker(engine: Engine, table: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"${engine.root}/streaming/$table/batch_$batchId")
+
+  /** True if this batch id already committed (a replayed batch). The marker
+    * is written after the append's atomic job commit, so replays are
+    * skipped instead of double-appended; the unprotected window is only the
+    * instant between job commit and marker creation.
+    */
+  private def batchSeen(engine: Engine, table: String, batchId: Long): Boolean = {
+    val path = batchMarker(engine, table, batchId)
+    path.getFileSystem(engine.spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  private def markBatchDone(engine: Engine, table: String, batchId: Long): Unit = {
+    val path = batchMarker(engine, table, batchId)
+    val fs = path.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    out.close()
   }
 }

@@ -15,6 +15,22 @@ import org.apache.spark.sql.types._
 final class Engine(val spark: SparkSession, val root: String) {
   val dataFolder = new DataFolder(spark, root)
 
+  /** Analyzed logical plans of the registered views, used by the Catalyst
+    * rewrite to confirm an aggregate's child really is the unmodified table
+    * view (a name match alone could be spoofed by a filtered subquery
+    * aliased with the table's name).
+    */
+  @volatile private var registeredViewPlans:
+    Map[String, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = Map.empty
+  @volatile private var viewsStale = true
+
+  private[graft] def viewPlan(table: String):
+    Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+    registeredViewPlans.get(table)
+
+  /** Any catalog or data mutation invalidates the registered views. */
+  private def invalidateViews(): Unit = viewsStale = true
+
   sealed trait Aggregate
   object Aggregate {
     case object None extends Aggregate
@@ -27,7 +43,9 @@ final class Engine(val spark: SparkSession, val root: String) {
 
   // -------------------------------------------------------------------- DDL
 
-  def create(meta: TableMetadata): Unit = dataFolder.create(meta)
+  def create(meta: TableMetadata): Unit = {
+    dataFolder.create(meta); invalidateViews()
+  }
 
   def tables(): Seq[String] = dataFolder.tables()
 
@@ -39,8 +57,13 @@ final class Engine(val spark: SparkSession, val root: String) {
     else dataFolder.readNormal(table).schema
   }
 
-  def drop(table: String): Unit = dataFolder.drop(table)
-  def truncate(table: String): Unit = dataFolder.truncate(table)
+  def drop(table: String): Unit = {
+    spark.catalog.dropTempView(table)
+    dataFolder.drop(table); invalidateViews()
+  }
+  def truncate(table: String): Unit = {
+    dataFolder.truncate(table); invalidateViews()
+  }
   def vacuum(table: String, retentionSeconds: Long = 604800L): Unit =
     dataFolder.vacuum(table, retentionSeconds)
 
@@ -50,6 +73,7 @@ final class Engine(val spark: SparkSession, val root: String) {
     val meta = dataFolder.metadata(table)
     if (meta.isTimeSeries) dataFolder.write(table, df)
     else dataFolder.writeNormal(table, df)
+    invalidateViews()
   }
 
   /** The full logical view of a table as a DataFrame. */
@@ -125,24 +149,17 @@ final class Engine(val spark: SparkSession, val root: String) {
     val segments0 = dataFolder.segments(meta.name)
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
 
-    val perFieldAggs: Seq[(String, Column)] = fields.map { f =>
-      val i = meta.fieldIndex(f)
-      val onField = (c: Column) => when(col(SegmentSchema.FieldColumn) === i, c)
-      import SegmentAggregates.{segmentLen, segmentSum}
-      val lenC = segmentLen(col("start_time"), col("end_time"), col("timestamps"))
-      val sumC = segmentSum(col("model_type_id"), col("start_time"), col("end_time"),
-        col("timestamps"), col("min_value"), col("max_value"), col("values"),
-        col("residuals"))
-      aggregate match {
-        case Aggregate.Count => (s"count_$f", coalesce(sum(onField(lenC)), lit(0L)))
-        case Aggregate.Min => (s"min_$f", min(onField(col("min_value"))))
-        case Aggregate.Max => (s"max_$f", max(onField(col("max_value"))))
-        case Aggregate.Sum => (s"sum_$f", sum(onField(sumC)))
-        case Aggregate.Avg => (s"avg_$f", sum(onField(sumC)) / sum(onField(lenC)))
-        case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
-      }
+    val kind = aggregate match {
+      case Aggregate.Count => "count"
+      case Aggregate.Min => "min"
+      case Aggregate.Max => "max"
+      case Aggregate.Sum => "sum"
+      case Aggregate.Avg => "avg"
+      case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
     }
-    val aggs = perFieldAggs.map { case (name, c) => c.as(name) }
+    val aggs = fields.map { f =>
+      SegmentAggregates.aggColumnFor(kind, meta.fieldIndex(f)).as(s"${kind}_$f")
+    }
     if (groupByTags.isEmpty) segments.agg(aggs.head, aggs.tail: _*)
     else segments.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -175,6 +192,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       .where(GridView.segmentTimePredicate(startMicros, endMicros))
     segs.write.mode("append").partitionBy(SegmentSchema.FieldColumn)
       .parquet(dataFolder.tableDir(target))
+    invalidateViews()
   }
 
   /** Copy-then-truncate (the reference's `move`, data_folder.rs:421+). */
@@ -198,9 +216,28 @@ final class Engine(val spark: SparkSession, val root: String) {
 
   // ------------------------------------------------------------ SQL surface
 
-  /** Register every catalog table as a temp view for plain Spark SQL. */
-  def registerViews(): Unit =
-    tables().foreach(t => readTable(t).createOrReplaceTempView(t))
+  /** Register every catalog table as a temp view for plain Spark SQL.
+    * Cached: re-registration only happens after a catalog/data mutation
+    * (each registration re-reads catalog JSON — O(tables) round-trips on an
+    * object store).
+    */
+  def registerViews(): Unit = {
+    // Temp views are session-global but staleness is per engine: another
+    // engine on the same session may have overwritten our views, so also
+    // re-register whenever this engine is not the session's last registrant.
+    if (viewsStale || !Engine.isLastRegistrant(spark, this)) {
+      registeredViewPlans = tables().map { t =>
+        val df = readTable(t)
+        df.createOrReplaceTempView(t)
+        t -> df.queryExecution.analyzed
+      }.toMap
+      viewsStale = false
+      Engine.setLastRegistrant(spark, this)
+    }
+  }
+
+  /** Force re-registration (INCLUDE switches views between folders). */
+  private def forceRegisterViews(): Unit = { viewsStale = true; registerViews() }
 
   /** Execute SQL: the four extension statements are handled here, all other
     * statements are delegated to Spark SQL over the registered views.
@@ -232,7 +269,7 @@ final class Engine(val spark: SparkSession, val root: String) {
         val remotes = folders.map { f =>
           val remote = new Engine(spark, f)
           val df = remote.sql(select)
-          registerViews() // restore local views
+          forceRegisterViews() // restore local views
           df
         }
         remotes.foldLeft(local)(_ unionAll _)
@@ -263,4 +300,15 @@ final class Engine(val spark: SparkSession, val root: String) {
     import spark.implicits._
     Seq.empty[String].toDF("result")
   }
+}
+
+object Engine {
+  private val lastRegistrant =
+    new java.util.WeakHashMap[SparkSession, Engine]()
+
+  private def isLastRegistrant(spark: SparkSession, engine: Engine): Boolean =
+    lastRegistrant.synchronized { lastRegistrant.get(spark) eq engine }
+
+  private def setLastRegistrant(spark: SparkSession, engine: Engine): Unit =
+    lastRegistrant.synchronized { lastRegistrant.put(spark, engine) }
 }

@@ -33,12 +33,29 @@ object SegmentAggregates {
         minValue, maxValue, values, residuals)
   }
 
-  private def lenCol: Column =
+  def lenCol: Column =
     segmentLen(col("start_time"), col("end_time"), col("timestamps"))
 
-  private def sumCol: Column = segmentSum(
+  def sumCol: Column = segmentSum(
     col("model_type_id"), col("start_time"), col("end_time"), col("timestamps"),
     col("min_value"), col("max_value"), col("values"), col("residuals"))
+
+  /** The aggregate column for one kind ("count" | "min" | "max" | "sum" |
+    * "avg") over one field's segments within a mixed-field frame — the
+    * single source of truth shared by the facade and the Catalyst rewrite.
+    */
+  def aggColumnFor(kind: String, fieldIndex: Int): Column = {
+    val onField = (c: Column) =>
+      when(col(SegmentSchema.FieldColumn) === fieldIndex, c)
+    kind match {
+      case "count" => coalesce(sum(onField(lenCol)), lit(0L))
+      case "min" => org.apache.spark.sql.functions.min(onField(col("min_value")))
+      case "max" => org.apache.spark.sql.functions.max(onField(col("max_value")))
+      case "sum" => sum(onField(sumCol))
+      case "avg" => sum(onField(sumCol)) / sum(onField(lenCol))
+      case other => throw new IllegalArgumentException(s"Unknown aggregate $other.")
+    }
+  }
 
   /** `SELECT count(field) FROM t` on segments of one field column. */
   def count(segments: DataFrame, fieldIndex: Int): DataFrame =

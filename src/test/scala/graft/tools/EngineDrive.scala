@@ -126,6 +126,25 @@ object EngineDrive {
         println(s"probe insert arity: rejected (${e.getMessage.take(70)})")
     }
 
+    // Probe: a filtered subquery aliased with the table's name must NOT be
+    // answered whole-table by the segment-aggregate rewrite.
+    val spoof = engine.sql("SELECT COUNT(value) AS n FROM " +
+      "(SELECT value FROM events_ts WHERE user = '1') events_ts")
+    val spoofPlan = spoof.queryExecution.executedPlan.toString
+    val spoofN = spoof.collect().head.getLong(0)
+    val trueN = engine.readTable("events_ts")
+      .where(org.apache.spark.sql.functions.col("user") === "1").count()
+    println(s"spoof probe: n=$spoofN expected=$trueN " +
+      s"rewritten=${!spoofPlan.contains("MapPartitions")}")
+
+    // Probe: duplicate timestamps within a series must round-trip, not hang.
+    engine.sql("CREATE TIME SERIES TABLE dup(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    val dupDf = Seq.fill(10)((1700000000000000L, 5.0f, "d"))
+      .toDF("ts", "v", "tag")
+    engine.write("dup", dupDf)
+    println(s"dup-ts probe: rows=${engine.readTable("dup").count()} (expected 10)")
+
     // Normal table DDL + INSERT through the catalog.
     engine.sql("CREATE TABLE nt(k BIGINT, label TEXT, score REAL)")
     engine.sql("INSERT INTO nt VALUES (1, 'a', CAST(0.5 AS FLOAT)), " +
