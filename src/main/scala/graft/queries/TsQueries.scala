@@ -69,8 +69,16 @@ object TsQueries {
       val engine = engineFor(s, d)
       rebuild(s, d, engine)
       import s.implicits._
-      tableNames.map(t => (t, engine.dataFolder.segments(t).count()))
-        .toDF("table_name", "n_segments").orderBy("table_name")
+      val rawBytes = new File(s"$d/events.parquet").length()
+      tableNames.map { t =>
+        val dir = new File(s"${engine.root}/tables/$t")
+        val tableBytes = Option(dir.listFiles()).map(_.flatMap { p =>
+          if (p.isDirectory) p.listFiles().filter(_.getName.endsWith(".parquet"))
+          else Array.empty[File]
+        }.map(_.length()).sum).getOrElse(0L)
+        (t, engine.dataFolder.segments(t).count(), tableBytes, rawBytes)
+      }.toDF("table_name", "n_segments", "segment_bytes", "raw_parquet_bytes")
+        .orderBy("table_name")
     }, None),
 
     // Full pipeline: ingest (cached) + grid reconstruction must be the
