@@ -51,30 +51,24 @@ object GridView {
       .where(col(SegmentSchema.FieldColumn).isin(fieldIdx.map(i => i: Any): _*))
       .where(segmentTimePredicate(startMicros, endMicros))
 
-    val gridSchema = StructType(
-      StructField("__graft_ts", LongType, nullable = false) +:
-        StructField("__graft_value", FloatType, nullable = false) +:
-        tagNames.map(t => StructField(t, StringType, nullable = false)) :+
-        StructField(SegmentSchema.FieldColumn, IntegerType, nullable = false))
-
-    // Per-segment reconstruction; a narrow flatMap, no shuffle.
-    val gridded = pruned.mapPartitions { rows =>
-      rows.flatMap { row =>
-        val tsBuf = new LongBuf(128)
-        val vBuf = new FloatBuf(128)
-        Models.grid(
-          row.getByte(0), row.getLong(1), row.getLong(2),
-          row.getAs[Array[Byte]](3), row.getFloat(4), row.getFloat(5),
-          row.getAs[Array[Byte]](6), row.getAs[Array[Byte]](7),
-          tsBuf, vBuf)
-        val tags = Array.tabulate[Any](nTags)(i => row.getString(9 + i))
-        val fieldColumn = row.getInt(9 + nTags)
-        val n = tsBuf.length
-        (0 until n).iterator.map { i =>
-          Row.fromSeq(tsBuf(i) +: vBuf(i) +: (tags.toSeq :+ fieldColumn))
-        }
-      }
-    }(Encoders.row(gridSchema))
+    // Per-segment reconstruction: a UDF decodes the whole segment to an
+    // array of (ts, value) pairs which `explode` flattens. Unlike a typed
+    // mapPartitions, this keeps the plan inside whole-stage codegen (no
+    // DeserializeToObject/SerializeFromObject boundary) and the generator's
+    // input is evaluated exactly once per segment row.
+    val gridded = pruned
+      .select(
+        (explode(GridView.gridSegment(
+            col("model_type_id"), col("start_time"), col("end_time"),
+            col("timestamps"), col("min_value"), col("max_value"),
+            col("values"), col("residuals"))).as("__graft_point") +:
+          tagNames.map(col) :+
+          col(SegmentSchema.FieldColumn)): _*)
+      .select(
+        (col("__graft_point._1").as("__graft_ts") +:
+          col("__graft_point._2").as("__graft_value") +:
+          tagNames.map(col) :+
+          col(SegmentSchema.FieldColumn)): _*)
 
     // Exact post-grid re-filter: the segment-level predicate is inexact.
     val exact = (startMicros.map(lo => col("__graft_ts") >= lo).toSeq ++
@@ -128,4 +122,19 @@ object GridView {
   /** Crude identifier scan for generated-column source closure. */
   private def extractIdentifiers(sqlExpr: String): Seq[String] =
     "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sqlExpr).toSeq.distinct
+
+  /** Decode one segment into its (timestamp, value) pairs. */
+  val gridSegment = udf {
+    (modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],
+     minValue: Float, maxValue: Float, values: Array[Byte], residuals: Array[Byte]) =>
+      val tsBuf = new LongBuf(128)
+      val vBuf = new FloatBuf(128)
+      Models.grid(modelTypeId, startTime, endTime, timestamps,
+        minValue, maxValue, values, residuals, tsBuf, vBuf)
+      val n = tsBuf.length
+      val out = new Array[(Long, Float)](n)
+      var i = 0
+      while (i < n) { out(i) = (tsBuf(i), vBuf(i)); i += 1 }
+      out
+  }
 }

@@ -99,12 +99,12 @@ object EngineDrive {
     println(s"insert into: probe rows=$probeRows (expected 2)")
 
     // Catalyst segment-aggregate rewrite: whole-table SQL aggregate plan
-    // must not contain a reconstruction (MapPartitions) step.
+    // must not contain a reconstruction (Generate) step.
     val aggDf = engine.sql("SELECT COUNT(value) AS n, AVG(value) AS a FROM events_ts")
     val aggPlan = aggDf.queryExecution.executedPlan.toString
     val aggRow = aggDf.collect().head
     println(s"sql-agg rewrite: n=${aggRow.getLong(0)} avg=${aggRow.getDouble(1)} " +
-      s"segment_native=${!aggPlan.contains("MapPartitions")}")
+      s"segment_native=${!aggPlan.contains("Generate")}")
 
     // INCLUDE federation across a second data folder.
     val rootB = Files.createTempDirectory("graft_drive_b").toString
@@ -135,7 +135,7 @@ object EngineDrive {
     val trueN = engine.readTable("events_ts")
       .where(org.apache.spark.sql.functions.col("user") === "1").count()
     println(s"spoof probe: n=$spoofN expected=$trueN " +
-      s"rewritten=${!spoofPlan.contains("MapPartitions")}")
+      s"rewritten=${!spoofPlan.contains("Generate")}")
 
     // Probe: duplicate timestamps within a series must round-trip, not hang.
     engine.sql("CREATE TIME SERIES TABLE dup(ts TIMESTAMP, v FIELD, tag TAG)")

@@ -59,7 +59,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "SELECT COUNT(v) AS n, MIN(v) AS mn, MAX(v) AS mx, SUM(v) AS s, AVG(v) AS a FROM sa")
     // The rewritten plan must not reconstruct points.
     val planText = sqlDf.queryExecution.executedPlan.toString
-    assert(!planText.contains("MapPartitions"),
+    assert(!planText.contains("Generate"),
       s"expected segment-native plan, got:\n$planText")
 
     val viaSql = sqlDf.collect().head
@@ -84,7 +84,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // return correct results through the grid.
     val filtered = engine.sql("SELECT COUNT(v) AS n FROM sa WHERE tag = 't0'")
     val filteredPlan = filtered.queryExecution.executedPlan.toString
-    assert(filteredPlan.contains("MapPartitions"),
+    assert(filteredPlan.contains("Generate"),
       "filtered aggregate must go through reconstruction")
     assert(filtered.collect().head.getLong(0) ==
       engine.readTable("sa").where(col("tag") === "t0").count())
