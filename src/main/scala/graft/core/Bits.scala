@@ -39,7 +39,14 @@ final class BitReader(bytes: Array[Byte]) {
 final class BitVecBuilder {
   private var currentByte: Int = 0
   private var remainingBits: Int = 8
-  private val bytes = new java.io.ByteArrayOutputStream()
+  private var bytes = new Array[Byte](16)
+  private var count = 0
+
+  private def push(b: Int): Unit = {
+    if (count == bytes.length) bytes = java.util.Arrays.copyOf(bytes, bytes.length * 2)
+    bytes(count) = b.toByte
+    count += 1
+  }
 
   def appendAZeroBit(): Unit = appendBits(0L, 1)
   def appendAOneBit(): Unit = appendBits(1L, 1)
@@ -62,22 +69,22 @@ final class BitVecBuilder {
       n -= bitsWritten
       remainingBits -= bitsWritten
       if (remainingBits == 0) {
-        bytes.write(currentByte)
+        push(currentByte)
         currentByte = 0
         remainingBits = 8
       }
     }
   }
 
-  def isEmpty: Boolean = bytes.size() == 0 && remainingBits == 8
+  def isEmpty: Boolean = count == 0 && remainingBits == 8
 
   def finish(): Array[Byte] = {
     if (remainingBits != 8) {
-      bytes.write(currentByte)
+      push(currentByte)
       currentByte = 0
       remainingBits = 8
     }
-    bytes.toByteArray
+    java.util.Arrays.copyOf(bytes, count)
   }
 
   /** Pad the trailing partial byte with one bits, then finish. The reader uses

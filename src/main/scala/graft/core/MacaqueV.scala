@@ -141,30 +141,56 @@ final class MacaqueV(errorBound: ErrorBound) {
 
 object MacaqueV {
 
+  /** Stateful XOR decoder used by both sum and grid (allocation-free per
+    * value; decoding is the query-path hot loop).
+    */
+  private final class Decoder(bits: BitReader) {
+    private var leadingZeros = 255
+    private var trailingZeros = 0
+    var lastValue: Int = 0
+
+    /** Decode the next value into `lastValue`. */
+    def next(): Unit = {
+      if (bits.readBit()) {
+        if (bits.readBit()) {
+          // Flag 11: new leading/trailing zero window, then meaningful bits.
+          leadingZeros = bits.readBits(5).toInt
+          val meaningfulBitsStored = bits.readBits(6).toInt
+          trailingZeros = Models.ValueSizeInBits - meaningfulBitsStored - leadingZeros
+          val meaningfulBits = Models.ValueSizeInBits - leadingZeros - trailingZeros
+          var v = bits.readBits(meaningfulBits).toInt
+          v <<= trailingZeros
+          lastValue = v ^ lastValue
+        }
+        // Flag 10: repeat of the previous value; nothing to read.
+      } else {
+        // Flag 0: meaningful bits in the previous window.
+        val meaningfulBits = Models.ValueSizeInBits - leadingZeros - trailingZeros
+        var v = bits.readBits(meaningfulBits).toInt
+        v <<= trailingZeros
+        lastValue = v ^ lastValue
+      }
+    }
+  }
+
   /** Decode-and-sum `length` values; mirrors `grid` without materializing. */
   def sum(
       length: Int, values: Array[Byte],
       hasModelLastValue: Boolean, modelLastValue: Float): Float = {
     val bits = new BitReader(values)
-    var leadingZeros = 255
-    var trailingZeros = 0
-
-    var lastValue = 0
+    val d = new Decoder(bits)
     var sum = 0.0f
     if (hasModelLastValue) {
-      lastValue = java.lang.Float.floatToRawIntBits(modelLastValue)
+      d.lastValue = java.lang.Float.floatToRawIntBits(modelLastValue)
     } else {
-      lastValue = bits.readBits(Models.ValueSizeInBits).toInt
-      sum = java.lang.Float.intBitsToFloat(lastValue)
+      d.lastValue = bits.readBits(Models.ValueSizeInBits).toInt
+      sum = java.lang.Float.intBitsToFloat(d.lastValue)
     }
-
     val toRead = if (hasModelLastValue) length else length - 1
     var i = 0
     while (i < toRead) {
-      lastValue = readNextValue(bits, lastValue, leadingZeros, trailingZeros) match {
-        case (v, lz, tz) => leadingZeros = lz; trailingZeros = tz; v
-      }
-      sum += java.lang.Float.intBitsToFloat(lastValue)
+      d.next()
+      sum += java.lang.Float.intBitsToFloat(d.lastValue)
       i += 1
     }
     sum
@@ -175,55 +201,20 @@ object MacaqueV {
       values: Array[Byte], count: Int, valueOut: FloatBuf,
       hasModelLastValue: Boolean, modelLastValue: Float): Unit = {
     val bits = new BitReader(values)
-    var leadingZeros = 255
-    var trailingZeros = 0
-
-    var lastValue = 0
+    val d = new Decoder(bits)
     if (hasModelLastValue) {
-      lastValue = java.lang.Float.floatToRawIntBits(modelLastValue)
+      d.lastValue = java.lang.Float.floatToRawIntBits(modelLastValue)
     } else {
-      lastValue = bits.readBits(Models.ValueSizeInBits).toInt
-      valueOut.add(java.lang.Float.intBitsToFloat(lastValue))
+      d.lastValue = bits.readBits(Models.ValueSizeInBits).toInt
+      valueOut.add(java.lang.Float.intBitsToFloat(d.lastValue))
     }
-
     val toRead = if (hasModelLastValue) count else count - 1
     var i = 0
     while (i < toRead) {
-      lastValue = readNextValue(bits, lastValue, leadingZeros, trailingZeros) match {
-        case (v, lz, tz) => leadingZeros = lz; trailingZeros = tz; v
-      }
-      valueOut.add(java.lang.Float.intBitsToFloat(lastValue))
+      d.next()
+      valueOut.add(java.lang.Float.intBitsToFloat(d.lastValue))
       i += 1
     }
-  }
-
-  /** Decode one XOR-encoded value; returns (value bits, leading, trailing). */
-  private def readNextValue(
-      bits: BitReader, lastValue: Int,
-      leadingZeros0: Int, trailingZeros0: Int): (Int, Int, Int) = {
-    var leadingZeros = leadingZeros0
-    var trailingZeros = trailingZeros0
-    var value = lastValue
-    if (bits.readBit()) {
-      if (bits.readBit()) {
-        // Flag 11: new leading/trailing zero window, then meaningful bits.
-        leadingZeros = bits.readBits(5).toInt
-        val meaningfulBitsStored = bits.readBits(6).toInt
-        trailingZeros = Models.ValueSizeInBits - meaningfulBitsStored - leadingZeros
-        val meaningfulBits = Models.ValueSizeInBits - leadingZeros - trailingZeros
-        var v = bits.readBits(meaningfulBits).toInt
-        v <<= trailingZeros
-        value = v ^ lastValue
-      }
-      // Flag 10: repeat of the previous value; nothing to read.
-    } else {
-      // Flag 0: meaningful bits in the previous window.
-      val meaningfulBits = Models.ValueSizeInBits - leadingZeros - trailingZeros
-      var v = bits.readBits(meaningfulBits).toInt
-      v <<= trailingZeros
-      value = v ^ lastValue
-    }
-    (value, leadingZeros, trailingZeros)
   }
 
   /** Unbiased IEEE-754 exponent of `value`. */

@@ -222,6 +222,34 @@ object RelationalQueries {
         count(*) AS n_rows
       FROM lineitem""")),
 
+    ("q14_event_pivot", (s: SparkSession, d: String) => {
+      table(s, d, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("click" -> "n_click", "error" -> "n_error",
+          "purchase" -> "n_purchase", "view" -> "n_view"))
+        .orderBy("user_id")
+    }, Some("""
+      SELECT user_id,
+        count(*) FILTER (event_type = 'click') AS n_click,
+        count(*) FILTER (event_type = 'error') AS n_error,
+        count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        count(*) FILTER (event_type = 'view') AS n_view
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    ("q15_anti_join", (s: SparkSession, d: String) => {
+      val customer = table(s, d, "customer")
+      val orders = table(s, d, "orders")
+      customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")),
+
     ("q12_events_hourly", (s: SparkSession, d: String) => {
       table(s, d, "events")
         .select(unix_micros(date_trunc("HOUR", eventsTimestamp)).as("hour_us"),
