@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics over event streams: watermarked windowed aggregates
+  * and stateful sessionization — the readStream -> transform -> writeStream
+  * side of the engine (the reference is batch-only; this is part of the
+  * Spark-first surface).
+  *
+  * Scale shapes: windowed aggregation is Spark's native streaming
+  * hash-aggregate with state store per (window, key); sessionization keeps
+  * one small state record per active key with an idle timeout, so state is
+  * bounded by the number of concurrently-active keys, not history.
+  */
+object StreamingAnalytics {
+
+  /** Watermarked tumbling-window aggregate of a value column.
+    *
+    * @param events streaming DataFrame with (tsCol: Timestamp, keyCol, valueCol)
+    */
+  def windowedStats(
+      events: DataFrame, tsCol: String, keyCol: String, valueCol: String,
+      windowDuration: String = "5 minutes",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowDuration), col(keyCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col(valueCol)).as("total"),
+        min(col(valueCol)).as("mn"),
+        max(col(valueCol)).as("mx"))
+
+  /** Event input for sessionization. */
+  final case class SessionEvent(key: String, tsMicros: Long, value: Double)
+
+  /** Accumulated per-key session state. */
+  final case class SessionState(
+      startMicros: Long, lastMicros: Long, nEvents: Long, total: Double)
+
+  /** Closed session emitted when a key goes idle past the gap. */
+  final case class ClosedSession(
+      key: String, startMicros: Long, endMicros: Long, nEvents: Long,
+      total: Double, durationMicros: Long)
+
+  /** Stateful sessionization with `flatMapGroupsWithState`: events within
+    * `gapMicros` of each other extend a key's session; a newer event past
+    * the gap closes and emits the previous session. With `idleTimeoutMs`
+    * > 0, a processing-time timeout also closes idle sessions (long-running
+    * queries); 0 keeps gap-closure only (bounded drains, e.g. AvailableNow).
+    */
+  def sessionize(
+      events: Dataset[SessionEvent], gapMicros: Long,
+      idleTimeoutMs: Long = 0L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[SessionState, ClosedSession](
+        OutputMode.Append, timeoutConf) {
+        (key: String, rows: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(s => ClosedSession(
+              key, s.startMicros, s.lastMicros, s.nEvents, s.total,
+              s.lastMicros - s.startMicros))
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsMicros)
+            var current = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            sorted.foreach { e =>
+              current match {
+                case Some(s) if e.tsMicros - s.lastMicros <= gapMicros =>
+                  current = Some(s.copy(
+                    lastMicros = math.max(s.lastMicros, e.tsMicros),
+                    nEvents = s.nEvents + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(key, s.startMicros, s.lastMicros,
+                    s.nEvents, s.total, s.lastMicros - s.startMicros)
+                  current = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+                case None =>
+                  current = Some(SessionState(e.tsMicros, e.tsMicros, 1L, e.value))
+              }
+            }
+            current.foreach(state.update)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tsdb.SparkTestSession
+
+class StreamingAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("watermarked windowed aggregates over a memory stream") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Long, String, Double)]
+    val events = stream.toDF().toDF("ts_us", "key", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+    val agg = StreamingAnalytics.windowedStats(
+      events, "ts", "key", "value", windowDuration = "1 minute")
+
+    val base = 1700000000000000L // on a minute boundary or not is irrelevant
+    stream.addData(
+      (base, "a", 1.0), (base + 10_000_000L, "a", 2.0), // same minute
+      (base + 90_000_000L, "a", 5.0), // next minute
+      (base + 5_000_000L, "b", 7.0))
+
+    val query = agg.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("win_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_win_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val out = spark.sql("SELECT key, n, total FROM win_out ORDER BY key, total")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 2L, 3.0), ("a", 1L, 5.0), ("b", 1L, 7.0)))
+  }
+
+  test("stateful sessionization closes sessions on gaps") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[StreamingAnalytics.SessionEvent]
+    val sessions = StreamingAnalytics.sessionize(
+      stream.toDS(), gapMicros = 60_000_000L) // 1 minute gap
+
+    val base = 1700000000000000L
+    // Session 1: three events within the gap; then a 5-minute jump starts
+    // session 2 — the first session closes immediately on the gap.
+    stream.addData(
+      StreamingAnalytics.SessionEvent("u1", base, 1.0),
+      StreamingAnalytics.SessionEvent("u1", base + 30_000_000L, 2.0),
+      StreamingAnalytics.SessionEvent("u1", base + 50_000_000L, 3.0),
+      StreamingAnalytics.SessionEvent("u1", base + 350_000_000L, 4.0))
+
+    val query = sessions.writeStream
+      .outputMode("append")
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sess_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val closed = spark.sql("SELECT key, nEvents, total, durationMicros FROM sess_out")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(closed.toSeq == Seq(("u1", 3L, 6.0, 50_000_000L)))
+  }
+}
