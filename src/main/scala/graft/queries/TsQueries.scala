@@ -149,6 +149,40 @@ object TsQueries {
       WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi
       ORDER BY user, ts_us""")),
 
+    // Time-ranged aggregate via the hybrid path: interior segments answered
+    // from metadata, only boundary segments reconstructed.
+    ("ts_range_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val bounds = table(s, d, "events")
+        .agg(min(eventsTsMicros), max(eventsTsMicros)).collect().head
+      val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 3
+      val hi = bounds.getLong(0) + 2 * (bounds.getLong(1) - bounds.getLong(0)) / 3
+      def inst(us: Long) =
+        java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
+      val n = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Count, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+        .collect().head.getLong(0)
+      val sm = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Sum, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+        .collect().head.getDouble(0)
+      val mn = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Min, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+        .collect().head.getFloat(0)
+      val mx = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Max, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+        .collect().head.getFloat(0)
+      import s.implicits._
+      Seq((n, sm, mn, mx)).toDF("n", "s", "mn", "mx")
+        .select(col("n"), round(col("s"), 2).as("sum_v"), col("mn"), col("mx"))
+    }, Some("""
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
+      r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo, lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b)
+      SELECT count(*) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
+        min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
+      FROM events, r
+      WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
+
     // Per-tag aggregates straight from segment metadata (tags denormalized).
     ("ts_tag_stats", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)

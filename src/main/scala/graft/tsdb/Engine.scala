@@ -112,8 +112,16 @@ final class Engine(val spark: SparkSession, val root: String) {
         startUs.isEmpty && endUs.isEmpty &&
         groupByTags.forall(meta.tagColumns.contains)
 
+    val hybridEligible =
+      aggregate != Aggregate.None &&
+        (startUs.nonEmpty || endUs.nonEmpty) &&
+        groupByTags.forall(meta.tagColumns.contains)
+
     if (segmentNativeEligible) {
       segmentNativeAggregate(meta, selected, aggregate, groupByTags, tagPred)
+    } else if (hybridEligible) {
+      hybridRangeAggregate(meta, selected, aggregate, groupByTags, tagPred,
+        startUs, endUs)
     } else {
       val segments0 = dataFolder.segments(table)
       val segments = tagPred.map(segments0.where).getOrElse(segments0)
@@ -162,6 +170,81 @@ final class Engine(val spark: SparkSession, val root: String) {
     }
     if (groupByTags.isEmpty) segments.agg(aggs.head, aggs.tail: _*)
     else segments.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Time-ranged aggregates without full reconstruction: segments entirely
+    * inside the range contribute metadata-only partials; only the (at most
+    * two per series) boundary segments straddling a range edge are gridded
+    * and filtered exactly. At scale a long range over a long retention
+    * window reconstructs a sliver of the data instead of the whole range —
+    * an optimization beyond the reference, which disables its aggregate
+    * rewrite whenever any predicate is present.
+    */
+  private def hybridRangeAggregate(
+      meta: TableMetadata, fields: Seq[String], aggregate: Aggregate,
+      groupByTags: Seq[String], tagPred: Option[Column],
+      startUs: Option[Long], endUs: Option[Long]): DataFrame = {
+    val segments0 = dataFolder.segments(meta.name)
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPred.map(segments0.where).getOrElse(segments0)
+
+    val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+      endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
+
+    // Both paths emit partials: tags..., then count/sum/min/max per field.
+    val interior = {
+      val aggs = fields.flatMap { f =>
+        val i = meta.fieldIndex(f)
+        Seq(
+          SegmentAggregates.aggColumnFor("count", i).as(s"__cnt_$f"),
+          SegmentAggregates.aggColumnFor("sum", i).as(s"__sum_$f"),
+          SegmentAggregates.aggColumnFor("min", i).as(s"__min_$f"),
+          SegmentAggregates.aggColumnFor("max", i).as(s"__max_$f"))
+      }
+      val in = segments.where(contained)
+      if (groupByTags.isEmpty) in.agg(aggs.head, aggs.tail: _*)
+      else in.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    val boundary = {
+      val points = GridView.dataPoints(
+        segments.where(!contained), meta, fields, startUs, endUs)
+      val aggs = fields.flatMap { f =>
+        Seq(
+          count(col(f)).as(s"__cnt_$f"),
+          sum(col(f).cast("double")).as(s"__sum_$f"),
+          min(col(f)).as(s"__min_$f"),
+          max(col(f)).as(s"__max_$f"))
+      }
+      if (groupByTags.isEmpty) points.agg(aggs.head, aggs.tail: _*)
+      else points.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+
+    val partials = interior.unionByName(boundary)
+    val combineAggs = fields.flatMap { f =>
+      Seq(
+        coalesce(sum(col(s"__cnt_$f")), lit(0L)).as(s"__cnt_$f"),
+        sum(col(s"__sum_$f")).as(s"__sum_$f"),
+        min(col(s"__min_$f")).as(s"__min_$f"),
+        max(col(s"__max_$f")).as(s"__max_$f"))
+    }
+    val combined =
+      if (groupByTags.isEmpty) partials.agg(combineAggs.head, combineAggs.tail: _*)
+      else partials.groupBy(groupByTags.map(col): _*)
+        .agg(combineAggs.head, combineAggs.tail: _*)
+
+    val finalCols = groupByTags.map(col) ++ fields.map { f =>
+      aggregate match {
+        case Aggregate.Count => col(s"__cnt_$f").as(s"count_$f")
+        case Aggregate.Min => col(s"__min_$f").as(s"min_$f")
+        case Aggregate.Max => col(s"__max_$f").as(s"max_$f")
+        case Aggregate.Sum => col(s"__sum_$f").as(s"sum_$f")
+        case Aggregate.Avg =>
+          (col(s"__sum_$f") / col(s"__cnt_$f")).as(s"avg_$f")
+        case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
+      }
+    }
+    combined.select(finalCols: _*)
   }
 
   /** Copy the result of a SQL query into a normal table (the reference

@@ -146,6 +146,53 @@ class EngineSpec extends AnyFunSuite {
     assert(native == gridded)
   }
 
+  test("hybrid time-ranged aggregates match gridded aggregates") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE hra(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    val df = makePointsDf(1500, Seq("a", "b"))
+    engine.write("hra", df)
+
+    val bounds = df.agg(min("ts_us"), max("ts_us")).collect().head
+    val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 5
+    val hi = bounds.getLong(0) + 4 * (bounds.getLong(1) - bounds.getLong(0)) / 5
+    val loI = java.time.Instant.ofEpochSecond(lo / 1000000L, lo % 1000000L * 1000L)
+    val hiI = java.time.Instant.ofEpochSecond(hi / 1000000L, hi % 1000000L * 1000L)
+
+    val expected = df.where(col("ts_us") >= lo && col("ts_us") <= hi)
+    val expectedStats = expected.agg(
+      count("field_1"), sum(col("field_1").cast("double")),
+      min("field_1"), max("field_1")).collect().head
+
+    val n = engine.readTimeSeriesTable("hra", Seq("field_1"),
+      engine.Aggregate.Count, startTime = Some(loI), endTime = Some(hiI))
+      .collect().head.getLong(0)
+    assert(n == expectedStats.getLong(0), "ranged COUNT must be exact")
+
+    val s = engine.readTimeSeriesTable("hra", Seq("field_1"),
+      engine.Aggregate.Sum, startTime = Some(loI), endTime = Some(hiI))
+      .collect().head.getDouble(0)
+    assert(math.abs(s - expectedStats.getDouble(1)) <=
+      math.abs(expectedStats.getDouble(1)) * 1e-9, "ranged SUM must match")
+
+    val mn = engine.readTimeSeriesTable("hra", Seq("field_1"),
+      engine.Aggregate.Min, startTime = Some(loI), endTime = Some(hiI))
+      .collect().head.getFloat(0)
+    val mx = engine.readTimeSeriesTable("hra", Seq("field_1"),
+      engine.Aggregate.Max, startTime = Some(loI), endTime = Some(hiI))
+      .collect().head.getFloat(0)
+    assert(mn == expectedStats.getFloat(2) && mx == expectedStats.getFloat(3))
+
+    // Grouped variant.
+    val grouped = engine.readTimeSeriesTable("hra", Seq("field_1"),
+      engine.Aggregate.Count, groupByTags = Seq("tag"),
+      startTime = Some(loI), endTime = Some(hiI))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expectedGrouped = expected.groupBy("tag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(grouped == expectedGrouped)
+  }
+
   test("time-range query prunes segments and filters exactly") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE ranget(ts_us TIMESTAMP, field_1 FIELD, " +
