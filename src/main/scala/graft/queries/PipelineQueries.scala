@@ -90,7 +90,8 @@ object PipelineQueries {
               c.vec_id) AS rank
         FROM embeddings q, embeddings c
         WHERE q.vec_id < 10)
-      SELECT query_id, neighbor_id, rank FROM s WHERE rank <= 5
+      SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+      FROM s WHERE rank <= 5
       ORDER BY query_id, rank""")),
 
     // IVF-bucketed ANN: same contract, engine-seeded centroids (rows-only;
@@ -116,9 +117,9 @@ object PipelineQueries {
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id,
-        len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))
-          AS n_tokens,
-        length(text) AS len_chars,
+        CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          w -> w <> '')) AS INTEGER) AS n_tokens,
+        CAST(length(text) AS INTEGER) AS len_chars,
         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       FROM documents ORDER BY doc_id""")),
 
@@ -144,7 +145,7 @@ object PipelineQueries {
         .orderBy("asset_id")
     }, Some("""
       SELECT doc_id AS asset_id, 'image' AS modality,
-        octet_length(CAST(text AS BLOB)) AS n_bytes
+        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
       FROM documents ORDER BY asset_id""")),
 
     ("multimodal_decode", (s: SparkSession, d: String) => {

@@ -283,8 +283,8 @@ object RelationalQueries {
           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
         FROM events)
       SELECT user_id,
-        sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
-            THEN 1 ELSE 0 END) AS n_sessions,
+        CAST(sum(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         count(*) AS n_events
       FROM d GROUP BY user_id ORDER BY user_id""")))
 }

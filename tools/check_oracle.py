@@ -18,14 +18,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
+    # str() of the pandas cell value: matches the driver's observed
+    # behavior (int32 vs int64 compare equal, float64 3.0 vs int64 3 do
+    # NOT — DuckDB HUGEINT sums become float64 via .df() and fail).
     if v is None:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # round-trip through repr for stable text
-        return repr(v)
-    return repr(v)
+    if isinstance(v, float) and math.isnan(v):
+        return "nan"
+    return str(v)
 
 
 def frame_key(cols, rows):
@@ -51,17 +51,19 @@ def main():
             n_fail += 1
             continue
         try:
-            sdf = con.execute(
-                f"SELECT * FROM read_parquet({spark_files!r})").fetchall()
-            scols = [d[0] for d in con.description]
-            odf = con.execute(sql).fetchall()
-            ocols = [d[0] for d in con.description]
+            spark_pd = con.execute(
+                f"SELECT * FROM read_parquet({spark_files!r})").df()
+            oracle_pd = con.execute(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
-        sn, sc, sh, slines = frame_key(scols, sdf)
-        on, oc, oh, olines = frame_key(ocols, odf)
+        sn, sc, sh, slines = frame_key(
+            list(spark_pd.columns),
+            list(spark_pd.itertuples(index=False, name=None)))
+        on, oc, oh, olines = frame_key(
+            list(oracle_pd.columns),
+            list(oracle_pd.itertuples(index=False, name=None)))
         if sc != oc:
             print(f"FAIL {name}: columns {sc} != {oc}")
             n_fail += 1
