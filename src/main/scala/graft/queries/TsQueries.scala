@@ -231,6 +231,39 @@ object TsQueries {
           AS avg_value2
       FROM events""")),
 
+    // Time-ranged aggregate over BOTH stored fields: regression for the
+    // hybrid path's boundary partials, which must be computed per field
+    // (per-field segments straddle the range edges at different points).
+    ("ts_multifield_range_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val bounds = table(s, d, "events")
+        .agg(min(eventsTsMicros), max(eventsTsMicros)).collect().head
+      val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 3
+      val hi = bounds.getLong(0) + 2 * (bounds.getLong(1) - bounds.getLong(0)) / 3
+      def inst(us: Long) =
+        java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
+      val counts = engine.readTimeSeriesTable("events_multi", Seq("value", "value2"),
+        engine.Aggregate.Count, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+        .collect().head
+      val sums = engine.readTimeSeriesTable("events_multi", Seq("value", "value2"),
+        engine.Aggregate.Sum, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+        .collect().head
+      import s.implicits._
+      Seq((counts.getLong(0), counts.getLong(1),
+          sums.getDouble(0), sums.getDouble(1)))
+        .toDF("n_value", "n_value2", "s1", "s2")
+        .select(col("n_value"), col("n_value2"),
+          round(col("s1"), 2).as("sum_value"), round(col("s2"), 2).as("sum_value2"))
+    }, Some("""
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
+      r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo, lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b)
+      SELECT count(*) AS n_value, count(*) AS n_value2,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_value,
+        round(sum(CAST(CAST(value AS FLOAT4) * CAST(2 AS FLOAT4) AS DOUBLE)), 2)
+          AS sum_value2
+      FROM events, r
+      WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
+
     // Lossy compression preserves exact point counts (len is lossless).
     ("ts_lossy_count", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)

@@ -207,14 +207,22 @@ final class Engine(val spark: SparkSession, val root: String) {
     }
 
     val boundary = {
-      val points = GridView.dataPoints(
+      // Per-field partials over the pre-assembly exploded points: the
+      // multivariate reassembly in GridView.dataPoints drops rows missing
+      // any field, and per-field segments split at different timestamps, so
+      // a timestamp whose field-A segment straddles the range edge while
+      // its field-B segment is interior would lose its A value there.
+      val points = GridView.explodedPoints(
         segments.where(!contained), meta, fields, startUs, endUs)
       val aggs = fields.flatMap { f =>
+        val v = when(
+          col(SegmentSchema.FieldColumn) === meta.fieldIndex(f),
+          col("__graft_value"))
         Seq(
-          count(col(f)).as(s"__cnt_$f"),
-          sum(col(f).cast("double")).as(s"__sum_$f"),
-          min(col(f)).as(s"__min_$f"),
-          max(col(f)).as(s"__max_$f"))
+          count(v).as(s"__cnt_$f"),
+          sum(v.cast("double")).as(s"__sum_$f"),
+          min(v).as(s"__min_$f"),
+          max(v).as(s"__max_$f"))
       }
       if (groupByTags.isEmpty) points.agg(aggs.head, aggs.tail: _*)
       else points.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)

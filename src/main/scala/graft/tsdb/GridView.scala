@@ -45,7 +45,43 @@ object GridView {
       startMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame = {
     val tagNames = meta.tagColumns
     val fieldIdx = fields.map(meta.fieldIndex)
-    val nTags = tagNames.size
+    val points = explodedPoints(segments, meta, fields, startMicros, endMicros)
+
+    val tagCols = tagNames.map(col)
+    val assembled =
+      if (fields.size == 1) {
+        points.select(
+          (col("__graft_ts") +: col("__graft_value").as(fields.head) +: tagCols): _*)
+      } else {
+        // One shuffle reassembles the multivariate rows: conditional
+        // aggregation instead of N-1 joins of the per-field point sets.
+        val aggs = fields.zip(fieldIdx).map { case (name, i) =>
+          max(when(col(SegmentSchema.FieldColumn) === i, col("__graft_value"))).as(name)
+        }
+        points
+          .groupBy((col("__graft_ts") +: tagCols): _*)
+          .agg(aggs.head, aggs.tail: _*)
+          // Match the reference's zip semantics: rows missing any stored
+          // field are dropped (sorted_join_exec.rs truncates to shortest).
+          .where(fields.map(col(_).isNotNull).reduce(_ && _))
+      }
+
+    withGeneratedAndOrder(assembled, meta, fields)
+  }
+
+  /** Reconstructed points before multivariate reassembly: one row per
+    * (timestamp, field) with columns (__graft_ts, __graft_value, tags...,
+    * field_column), exact time filter already applied. Aggregations that
+    * want per-field partials (hybrid range aggregates) must use this frame:
+    * the reassembly in [[dataPoints]] drops rows missing any field, which
+    * is wrong for boundary segments that split at different timestamps per
+    * field.
+    */
+  private[graft] def explodedPoints(
+      segments: DataFrame, meta: TableMetadata, fields: Seq[String],
+      startMicros: Option[Long] = None, endMicros: Option[Long] = None): DataFrame = {
+    val tagNames = meta.tagColumns
+    val fieldIdx = fields.map(meta.fieldIndex)
 
     val pruned = segments
       .where(col(SegmentSchema.FieldColumn).isin(fieldIdx.map(i => i: Any): _*))
@@ -74,28 +110,7 @@ object GridView {
     val exact = (startMicros.map(lo => col("__graft_ts") >= lo).toSeq ++
       endMicros.map(hi => col("__graft_ts") <= hi).toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val points = gridded.where(exact)
-
-    val tagCols = tagNames.map(col)
-    val assembled =
-      if (fields.size == 1) {
-        points.select(
-          (col("__graft_ts") +: col("__graft_value").as(fields.head) +: tagCols): _*)
-      } else {
-        // One shuffle reassembles the multivariate rows: conditional
-        // aggregation instead of N-1 joins of the per-field point sets.
-        val aggs = fields.zip(fieldIdx).map { case (name, i) =>
-          max(when(col(SegmentSchema.FieldColumn) === i, col("__graft_value"))).as(name)
-        }
-        points
-          .groupBy((col("__graft_ts") +: tagCols): _*)
-          .agg(aggs.head, aggs.tail: _*)
-          // Match the reference's zip semantics: rows missing any stored
-          // field are dropped (sorted_join_exec.rs truncates to shortest).
-          .where(fields.map(col(_).isNotNull).reduce(_ && _))
-      }
-
-    withGeneratedAndOrder(assembled, meta, fields)
+    gridded.where(exact)
   }
 
   /** Add derivable generated columns and project to logical-schema order. */

@@ -193,6 +193,43 @@ class EngineSpec extends AnyFunSuite {
     assert(grouped == expectedGrouped)
   }
 
+  test("hybrid multi-field ranged aggregates compute boundary partials per field") {
+    // Regression: per-field segments straddle the range edges at different
+    // timestamps; assembling boundary points into multivariate rows drops
+    // any timestamp missing one field, losing the other field's partials.
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE hmf(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    val df = makePointsDf(1500, Seq("a", "b"))
+    engine.write("hmf", df)
+
+    val bounds = df.agg(min("ts_us"), max("ts_us")).collect().head
+    val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 5
+    val hi = bounds.getLong(0) + 4 * (bounds.getLong(1) - bounds.getLong(0)) / 5
+    val loI = java.time.Instant.ofEpochSecond(lo / 1000000L, lo % 1000000L * 1000L)
+    val hiI = java.time.Instant.ofEpochSecond(hi / 1000000L, hi % 1000000L * 1000L)
+
+    val expected = df.where(col("ts_us") >= lo && col("ts_us") <= hi).agg(
+      count("field_1"), sum(col("field_1").cast("double")),
+      count("field_2"), sum(col("field_2").cast("double"))).collect().head
+
+    val counts = engine.readTimeSeriesTable("hmf", Seq("field_1", "field_2"),
+      engine.Aggregate.Count, startTime = Some(loI), endTime = Some(hiI))
+      .collect().head
+    assert(counts.getLong(0) == expected.getLong(0),
+      "multi-field ranged COUNT of field_1 must be exact")
+    assert(counts.getLong(1) == expected.getLong(2),
+      "multi-field ranged COUNT of field_2 must be exact")
+
+    val sums = engine.readTimeSeriesTable("hmf", Seq("field_1", "field_2"),
+      engine.Aggregate.Sum, startTime = Some(loI), endTime = Some(hiI))
+      .collect().head
+    assert(math.abs(sums.getDouble(0) - expected.getDouble(1)) <=
+      math.abs(expected.getDouble(1)) * 1e-9)
+    assert(math.abs(sums.getDouble(1) - expected.getDouble(3)) <=
+      math.abs(expected.getDouble(3)) * 1e-9)
+  }
+
   test("time-range query prunes segments and filters exactly") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE ranget(ts_us TIMESTAMP, field_1 FIELD, " +
