@@ -28,34 +28,50 @@ object StreamingIngest {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
     require(source.isStreaming, "source must be a streaming DataFrame")
+    // Batch ids restart at 0 for every fresh checkpoint, so markers must be
+    // scoped to the query's checkpoint identity: a new query into the same
+    // table (or two concurrent queries) would otherwise see the previous
+    // query's markers and silently skip real batches.
+    val ns = checkpointNamespace(checkpointDir)
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty && !batchSeen(engine, table, batchId)) {
+        if (!batch.isEmpty && !batchSeen(engine, table, ns, batchId)) {
           engine.write(table, batch)
-          markBatchDone(engine, table, batchId)
+          markBatchDone(engine, table, ns, batchId)
         }
       }
       .start()
   }
 
-  private def batchMarker(engine: Engine, table: String, batchId: Long) =
-    new org.apache.hadoop.fs.Path(s"${engine.root}/streaming/$table/batch_$batchId")
+  /** Stable hex digest of the canonicalized checkpoint location. */
+  private def checkpointNamespace(checkpointDir: String): String = {
+    val canonical = new org.apache.hadoop.fs.Path(checkpointDir).toUri.toString
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(canonical.getBytes("UTF-8"))
+    digest.take(8).map(b => f"$b%02x").mkString
+  }
+
+  private def batchMarker(engine: Engine, table: String, ns: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(
+      s"${engine.root}/streaming/$table/cp_$ns/batch_$batchId")
 
   /** True if this batch id already committed (a replayed batch). The marker
     * is written after the append's atomic job commit, so replays are
     * skipped instead of double-appended; the unprotected window is only the
     * instant between job commit and marker creation.
     */
-  private def batchSeen(engine: Engine, table: String, batchId: Long): Boolean = {
-    val path = batchMarker(engine, table, batchId)
+  private def batchSeen(
+      engine: Engine, table: String, ns: String, batchId: Long): Boolean = {
+    val path = batchMarker(engine, table, ns, batchId)
     path.getFileSystem(engine.spark.sparkContext.hadoopConfiguration).exists(path)
   }
 
-  private def markBatchDone(engine: Engine, table: String, batchId: Long): Unit = {
-    val path = batchMarker(engine, table, batchId)
+  private def markBatchDone(
+      engine: Engine, table: String, ns: String, batchId: Long): Unit = {
+    val path = batchMarker(engine, table, ns, batchId)
     val fs = path.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
     out.close()

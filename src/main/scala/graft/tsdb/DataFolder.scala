@@ -1,7 +1,7 @@
 package graft.tsdb
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -68,13 +68,22 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     require(tableExists(table), s"Table $table does not exist.")
     fs.delete(new Path(tableDir(table)), true)
     fs.delete(metadataPath(table), false)
+    clearStreamingMarkers(table)
   }
 
   def truncate(table: String): Unit = {
     require(tableExists(table), s"Table $table does not exist.")
     fs.delete(new Path(tableDir(table)), true)
     fs.mkdirs(new Path(tableDir(table)))
+    clearStreamingMarkers(table)
   }
+
+  /** Streaming replay markers describe the table's current contents; once
+    * those contents are deleted the markers would make resumed streams skip
+    * batches that are genuinely gone.
+    */
+  private def clearStreamingMarkers(table: String): Unit =
+    fs.delete(new Path(s"$root/streaming/$table"), true)
 
   /** Remove leftover temporary/uncommitted artifacts older than the
     * retention period (plain-Parquet analog of the reference's Delta vacuum;
@@ -120,10 +129,20 @@ final class DataFolder(val spark: SparkSession, val root: String) {
       case other => throw new IllegalArgumentException(
         s"Timestamp column $tsName must be TimestampType or integral, got $other.")
     }
+    // Fail fast on nulls with a clear ingest error: the segment schema is
+    // non-nullable (as in the reference's Arrow arrays), and a null would
+    // otherwise surface as an opaque NPE deep inside the compression job.
+    def nonNull(c: Column, name: String, role: String): Column =
+      when(c.isNull, raise_error(lit(
+        s"Cannot ingest into time series table '$table': $role column " +
+          s"'$name' contains NULL; time series tables require non-null " +
+          s"timestamps, fields, and tags."))).otherwise(c)
     val projected = df.select(
-      (tsMicros.as(tsName) +:
-        fieldNames.map(f => col(f).cast(FloatType).as(f))) ++
-        tagNames.map(t => col(t).cast(StringType).as(t)): _*)
+      (nonNull(tsMicros, tsName, "timestamp").as(tsName) +:
+        fieldNames.map(f =>
+          nonNull(col(f).cast(FloatType), f, "field").as(f))) ++
+        tagNames.map(t =>
+          nonNull(col(t).cast(StringType), t, "tag").as(t)): _*)
 
     val sortCols = (tagNames :+ tsName).map(col)
     val arranged = projected

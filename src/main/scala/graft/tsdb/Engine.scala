@@ -364,7 +364,7 @@ final class Engine(val spark: SparkSession, val root: String) {
           df
         }
         remotes.foldLeft(local)(_ unionAll _)
-      case SqlExtensions.InsertInto(tableName, source) =>
+      case SqlExtensions.InsertInto(tableName, columnList, source) =>
         // INSERT routes through the storage engine (compress + append for
         // time series tables), mirroring the reference's DataSink path.
         registerViews()
@@ -375,10 +375,19 @@ final class Engine(val spark: SparkSession, val root: String) {
         val inputCols =
           if (meta.isTimeSeries) meta.columns.filter(_.role != "generated").map(_.name)
           else schema(tableName).fieldNames.toSeq
-        require(sourceDf.columns.length == inputCols.length,
-          s"INSERT INTO $tableName expects ${inputCols.length} columns " +
-            s"(${inputCols.mkString(", ")}), got ${sourceDf.columns.length}.")
-        write(tableName, sourceDf.toDF(inputCols: _*))
+        // An explicit column list may reorder but not omit columns (stored
+        // time series columns are non-nullable, so partial inserts are
+        // rejected rather than padded with NULL).
+        val targetOrder = if (columnList.isEmpty) inputCols else columnList
+        require(targetOrder.sorted == inputCols.sorted,
+          s"INSERT INTO $tableName column list (${targetOrder.mkString(", ")}) " +
+            s"must name exactly the table's insertable columns " +
+            s"(${inputCols.mkString(", ")}).")
+        require(sourceDf.columns.length == targetOrder.length,
+          s"INSERT INTO $tableName expects ${targetOrder.length} columns " +
+            s"(${targetOrder.mkString(", ")}), got ${sourceDf.columns.length}.")
+        write(tableName,
+          sourceDf.toDF(targetOrder: _*).select(inputCols.map(col): _*))
         emptyOk()
       case SqlExtensions.Passthrough =>
         registerViews()

@@ -23,7 +23,8 @@ object SqlExtensions {
   final case class TruncateTables(names: Seq[String]) extends Statement
   final case class Vacuum(names: Seq[String], retentionSeconds: Long) extends Statement
   final case class Include(folders: Seq[String], select: String) extends Statement
-  final case class InsertInto(table: String, sourceSql: String) extends Statement
+  final case class InsertInto(
+      table: String, columns: Seq[String], sourceSql: String) extends Statement
   case object Passthrough extends Statement
 
   private val CreateTst =
@@ -39,7 +40,7 @@ object SqlExtensions {
   private val IncludeRe =
     """(?is)^\s*INCLUDE\s+((?:'[^']*'\s*,?\s*)+)(SELECT\b.*)$""".r
   private val InsertRe =
-    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:SELECT|VALUES)\b.*)$""".r
+    """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*)?((?:SELECT|VALUES)\b.*)$""".r
 
   def parse(sqlText: String): Statement = sqlText match {
     case CreateTst(name, cols) =>
@@ -48,7 +49,9 @@ object SqlExtensions {
     case IncludeRe(folders, select) =>
       val paths = "'([^']*)'".r.findAllMatchIn(folders).map(_.group(1)).toSeq
       Include(paths, select)
-    case InsertRe(tableName, source) => InsertInto(tableName, source)
+    case InsertRe(tableName, columnList, source) =>
+      InsertInto(tableName,
+        Option(columnList).map(splitNames).getOrElse(Seq.empty), source)
     case DropRe(names) => DropTables(splitNames(names))
     case TruncateRe(names) => TruncateTables(splitNames(names))
     case VacuumRe(names, retain) =>

@@ -102,6 +102,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("INSERT INTO with a column list maps onto the target column order") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE ins(ts TIMESTAMP, v FIELD, tag TAG)")
+    engine.sql("INSERT INTO ins (tag, v, ts) " +
+      "VALUES ('a', CAST(7.5 AS FLOAT), TIMESTAMP '2024-01-01 00:00:00')")
+    val row = engine.sql("SELECT v, tag FROM ins").collect().head
+    assert(row.getFloat(0) == 7.5f && row.getString(1) == "a")
+
+    val err = intercept[IllegalArgumentException] {
+      engine.sql("INSERT INTO ins (v, tag) VALUES (CAST(1.0 AS FLOAT), 'b')")
+    }
+    assert(err.getMessage.contains("must name exactly"),
+      s"partial column list must be rejected clearly, got: ${err.getMessage}")
+  }
+
+  test("null timestamps or values fail ingest with a clear error") {
+    import spark.implicits._
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE nn(ts TIMESTAMP, v FIELD, tag TAG)")
+    val bad = Seq((1700000000000000L, Some(1.0f), "a"),
+      (1700000001000000L, None, "a"))
+      .toDF("ts", "v", "tag")
+    val err = intercept[Exception] {
+      engine.write("nn", bad)
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(err).exists(_.contains("contains NULL")),
+      s"expected a clear null-ingest error, got: ${messages(err).mkString(" | ")}")
+  }
+
   test("streaming ingest compresses micro-batches into the table") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -122,5 +154,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(engine.sql("SELECT COUNT(*) AS n FROM st").collect().head.getLong(0) == 500L)
     val segs = engine.dataFolder.segments("st").count()
     assert(segs > 0 && segs < 500, s"expected compressed segments, got $segs")
+
+    // A NEW query with a fresh checkpoint restarts batch ids at 0; its
+    // batches must not be skipped because of the first query's markers.
+    val stream2 = MemoryStream[(Long, Float, String)]
+    val source2 = stream2.toDF().toDF("ts", "v", "tag")
+    val checkpoint2 = Files.createTempDirectory("graft_ckpt2").toString
+    val query2 = graft.streaming.StreamingIngest.start(
+      engine, "st", source2, checkpoint2,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    stream2.addData((0 until 100).map(i =>
+      (1700001000000000L + i * 1000000L, i.toFloat, s"u${i % 2}")))
+    query2.awaitTermination(60000)
+    assert(engine.sql("SELECT COUNT(*) AS n FROM st").collect().head.getLong(0) == 600L,
+      "fresh-checkpoint query must not be skipped by stale replay markers")
+
+    // Truncate clears the markers: re-running a fresh checkpointed query
+    // with the same batch ids into the emptied table must ingest again.
+    engine.truncate("st")
+    val stream3 = MemoryStream[(Long, Float, String)]
+    val source3 = stream3.toDF().toDF("ts", "v", "tag")
+    val query3 = graft.streaming.StreamingIngest.start(
+      engine, "st", source3.toDF("ts", "v", "tag"), checkpoint2 + "_post_truncate",
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    stream3.addData((0 until 50).map(i =>
+      (1700002000000000L + i * 1000000L, i.toFloat, "u0")))
+    query3.awaitTermination(60000)
+    assert(engine.sql("SELECT COUNT(*) AS n FROM st").collect().head.getLong(0) == 50L)
   }
 }
