@@ -40,13 +40,17 @@ object Similarity {
   }
 
   /** Deterministically sample `nCells` centroid vectors: the rows whose
-    * hashed id sorts first (a cheap, reproducible stand-in for k-means).
+    * Knuth-multiplicative-hashed id sorts first (a cheap, reproducible
+    * stand-in for k-means; the hash is plain integer arithmetic so external
+    * engines can reproduce the selection).
     */
   def sampleCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int): DataFrame =
     corpus
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
-      .orderBy(xxhash64(col("cid")))
+      .orderBy(
+        pmod(col("cid").cast("long") * lit(2654435761L), lit(2147483648L)),
+        col("cid"))
       .limit(nCells)
       .withColumn("cell", row_number().over(Window.orderBy(col("cid"))) - 1)
       .select("cell", "cvec")

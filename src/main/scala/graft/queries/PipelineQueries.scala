@@ -94,8 +94,9 @@ object PipelineQueries {
       FROM s WHERE rank <= 5
       ORDER BY query_id, rank""")),
 
-    // IVF-bucketed ANN: same contract, engine-seeded centroids (rows-only;
-    // recall vs the brute-force oracle path is asserted in the spec suite).
+    // IVF-bucketed ANN: deterministic centroid sampling (multiplicative-hash
+    // order) makes the whole pipeline — assignment, probing, in-cell top-k —
+    // reproducible in SQL, so the approximate result itself is oracled.
     ("ann_ivf_topk", (s: SparkSession, d: String) => {
       val embeddings = table(s, d, "embeddings")
       val centroids = Similarity.sampleCentroids(embeddings, "vec_id", "embedding", 16)
@@ -106,7 +107,37 @@ object PipelineQueries {
           "vec_id", "embedding", "query_id", k = 5, nProbe = 4)
         .select("query_id", "neighbor_id", "rank")
         .orderBy("query_id", "rank")
-    }, None),
+    }, Some("""
+      WITH cent AS (
+        SELECT row_number() OVER (ORDER BY cid) - 1 AS cell, cvec FROM (
+          SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+          ORDER BY (vec_id * 2654435761) % 2147483648, vec_id
+          LIMIT 16)),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                c.cell) AS rr
+          FROM embeddings e, cent c)
+        WHERE rr = 1),
+      probes AS (
+        SELECT query_id, qv, cell FROM (
+          SELECT q.vec_id AS query_id, q.embedding AS qv, c.cell,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(q.embedding, c.cvec) DESC,
+                c.cell) AS pr
+          FROM embeddings q, cent c WHERE q.vec_id < 10)
+        WHERE pr <= 4),
+      scored AS (
+        SELECT p.query_id, s.vec_id AS neighbor_id,
+          row_number() OVER (PARTITION BY p.query_id
+            ORDER BY list_cosine_similarity(s.embedding, p.qv) DESC,
+              s.vec_id) AS rank
+        FROM assigned s JOIN probes p ON s.cell = p.cell)
+      SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank
+      FROM scored WHERE rank <= 5
+      ORDER BY query_id, rank""")),
 
     ("text_tokens", (s: SparkSession, d: String) => {
       val docs = table(s, d, "documents")
@@ -148,14 +179,29 @@ object PipelineQueries {
         CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
       FROM documents ORDER BY asset_id""")),
 
+    // The STUB decode (byte histogram folded to 16 buckets, f32-normalized)
+    // is deterministic, so even the stub is oracled: bucket 0 of an ASCII
+    // payload counts the bytes ≡ 0 (mod 16). Floor-scaling (not round) keeps
+    // the comparison stable on the bit-identical doubles both engines see.
     ("multimodal_decode", (s: SparkSession, d: String) => {
       val assets = Multimodal.synthesizeAssets(
         table(s, d, "documents"), "doc_id", "text", "image")
       Multimodal.decodeAndFeaturize(assets, dim = 16)
         .select(col("asset_id"), col("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+          (floor(element_at(col("features"), 1).cast("double") * 10000d) / 10000d)
+            .as("f0"))
         .orderBy("asset_id")
-    }, None))
+    }, Some("""
+      WITH m AS (
+        SELECT doc_id AS asset_id,
+          CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+          len(list_filter(string_split(text, ''),
+            c -> unicode(c) % 16 = 0)) AS b0
+        FROM documents)
+      SELECT asset_id, n_bytes,
+        floor(CAST(CAST(b0 AS FLOAT4) / CAST(greatest(n_bytes, 1) AS FLOAT4)
+          AS DOUBLE) * 10000) / 10000 AS f0
+      FROM m ORDER BY asset_id""")))
 
   private def langIdOracle: String = {
     // Mirror TextAnalysis.langId exactly: stopword hit counts per language
