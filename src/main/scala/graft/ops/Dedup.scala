@@ -106,15 +106,18 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash of the text's word features (one-pass kernel). */
-  val simhash = udf { text: String => Signatures.simhash64(text) }
+  /** 62-bit SimHash of the text's word features (one-pass kernel). */
+  val simhash = udf { text: String => Signatures.simhash(text) }
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-duplicate pairs within `maxDistance` bits, using the
-    * pigeonhole principle over 4 16-bit chunks for candidate generation
-    * (any pair within distance 3 shares at least one exact chunk).
+  /** SimHash near-duplicate pairs within `maxDistance` bits, using 4
+    * 16-bit chunks of the 62-bit signature for candidate generation. By
+    * pigeonhole the chunk-collision candidates are exhaustive for
+    * `maxDistance` <= 3; beyond that the recall is approximate (a pair must
+    * still agree on one full chunk), which is the standard SimHash
+    * blocking trade-off.
     */
   def simhashDuplicatePairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -141,9 +144,18 @@ object Dedup {
     * single pass over attribute references, codegen-friendly).
     */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, x) => acc + x))
+    // f64 products folded left in array order: a SQL engine replaying the
+    // same fold (list_reduce over cast-to-double elements) reproduces the
+    // result bit-for-bit, which keeps floor-scaled cosines oracle-checkable.
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    val na = sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(
+      transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0d), (acc, x) => acc + x))
     dot / (na * nb)
   }
 

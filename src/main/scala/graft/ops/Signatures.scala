@@ -2,21 +2,39 @@ package graft.ops
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.unsafe.Platform
-
 /** One-pass signature kernels for dedup/similarity. These run inside UDFs:
   * a single traversal of the document computes the whole signature, where
   * the equivalent Catalyst higher-order-function expressions would
   * re-evaluate the tokenization per hash index (no CSE inside lambdas).
-  * Hashing uses the same XXH64 kernel as Spark SQL's `xxhash64`.
+  *
+  * All hashing is plain integer arithmetic (polynomial rolling hashes mod
+  * the Mersenne prime 2^31-1, quadratic-residue mixes) chosen so that no
+  * intermediate overflows a signed 64-bit integer: an external engine — the
+  * DuckDB correctness oracle — replicates every signature exactly in SQL,
+  * which makes even the approximate LSH outputs hash-checkable.
   */
 object Signatures {
 
-  def hashString(s: String, seed: Long): Long = {
+  /** 2^31 - 1, the Mersenne prime used as the hash modulus. */
+  val P31: Long = 2147483647L
+
+  /** Polynomial rolling hash of the UTF-8 bytes, mod 2^31-1. The largest
+    * intermediate is P31*131 + 255 < 2^39 — no 64-bit overflow on either
+    * engine.
+    */
+  def poly31(s: String, seed: Long): Long = {
+    var acc = seed
     val bytes = s.getBytes(StandardCharsets.UTF_8)
-    XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET, bytes.length, seed)
+    var i = 0
+    while (i < bytes.length) {
+      acc = (acc * 131L + (bytes(i) & 0xffL)) % P31
+      i += 1
+    }
+    acc
   }
+
+  /** 62-bit hash: two independent polynomial hashes packed side by side. */
+  def hash62(s: String): Long = poly31(s, 7L) | (poly31(s, 13L) << 31)
 
   /** Lowercased whitespace-separated words. */
   def words(text: String): Array[String] =
@@ -38,19 +56,19 @@ object Signatures {
   }
 
   /** MinHash signature via the standard two-hash trick:
-    * h_i(s) = h1(s) + i * h2(s) — two string hashes per shingle, `numHashes`
-    * cheap mixes, one pass.
+    * h_i(s) = (h1(s) + i * h2(s)) mod P31 — two string hashes per shingle,
+    * `numHashes` cheap mixes, one pass. Max intermediate ≈ 128 * 2^31 < 2^39.
     */
   def minhash(text: String, numHashes: Int, shingleK: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     val sh = wordShingles(text, shingleK)
     var s = 0
     while (s < sh.length) {
-      val h1 = hashString(sh(s), 0L)
-      val h2 = hashString(sh(s), 0x9e3779b97f4a7c15L)
+      val h1 = poly31(sh(s), 7L)
+      val h2 = poly31(sh(s), 13L)
       var i = 0
       while (i < numHashes) {
-        val h = h1 + i * h2
+        val h = (h1 + i * h2) % P31
         if (h < sig(i)) sig(i) = h
         i += 1
       }
@@ -59,36 +77,37 @@ object Signatures {
     sig
   }
 
-  /** LSH band keys of a MinHash signature: band b's key hashes rows
-    * [b*rows, (b+1)*rows) of the signature, salted with b so different bands
-    * never collide with each other.
+  /** LSH band keys of a MinHash signature: band b's key is its row values
+    * joined with commas (the banded join already scopes keys per band, so
+    * the values themselves are the key — and a SQL string_agg reproduces
+    * them verbatim).
     */
-  def minhashBandKeys(sig: Array[Long], bands: Int): Array[Long] = {
+  def minhashBandKeys(sig: Array[Long], bands: Int): Array[String] = {
     val rows = sig.length / bands
-    val out = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var acc = XXH64.hashLong(b.toLong, 42L)
+    Array.tabulate(bands) { b =>
+      val sb = new StringBuilder
       var r = 0
       while (r < rows) {
-        acc = XXH64.hashLong(sig(b * rows + r), acc)
+        if (r > 0) sb += ','
+        sb.append(sig(b * rows + r))
         r += 1
       }
-      out(b) = acc
-      b += 1
+      sb.toString
     }
-    out
   }
 
-  /** 64-bit SimHash over word features: per-bit sign votes of word hashes. */
-  def simhash64(text: String): Long = {
-    val votes = new Array[Int](64)
+  /** Number of signature bits produced by [[simhash]]. */
+  val SimhashBits: Int = 62
+
+  /** 62-bit SimHash over word features: per-bit sign votes of word hashes. */
+  def simhash(text: String): Long = {
+    val votes = new Array[Int](SimhashBits)
     val ws = words(text)
     var i = 0
     while (i < ws.length) {
-      val h = hashString(ws(i), 0L)
+      val h = hash62(ws(i))
       var b = 0
-      while (b < 64) {
+      while (b < SimhashBits) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
         b += 1
       }
@@ -96,17 +115,27 @@ object Signatures {
     }
     var sig = 0L
     var b = 0
-    while (b < 64) {
+    while (b < SimhashBits) {
       if (votes(b) > 0) sig |= (1L << b)
       b += 1
     }
     sig
   }
 
+  /** Deterministic pseudo-random hyperplane weight for (bit, dim) in
+    * [-0.5, 0.5): quadratic residue of a linear mix — nonlinear enough that
+    * planes are not linearly dependent, simple enough for SQL. Max
+    * intermediate is h*h < 2^62.
+    */
+  def hyperplaneWeight(bit: Int, dim: Int): Double = {
+    val h = (bit.toLong * 73856093L + dim.toLong * 19349663L + 83492791L) % P31
+    val h2 = (h * h) % P31
+    h2.toDouble / P31.toDouble - 0.5
+  }
+
   /** Random-hyperplane sign signature of an embedding: bit b is the sign of
-    * the dot product with a pseudo-random plane whose weight for dimension j
-    * derives from XXH64(b, j). No stored projection matrix — every executor
-    * regenerates the same planes.
+    * the f64 dot product with plane b. No stored projection matrix — every
+    * executor (and the SQL oracle) regenerates the same planes.
     */
   def hyperplaneBits(vec: Array[Float], nBits: Int): Array[Long] = {
     val nWords = (nBits + 63) / 64
@@ -116,8 +145,7 @@ object Signatures {
       var dot = 0.0
       var j = 0
       while (j < vec.length) {
-        val w = XXH64.hashLong(j.toLong, b.toLong).toDouble / Long.MaxValue.toDouble
-        dot += vec(j) * w
+        dot += vec(j) * hyperplaneWeight(b, j)
         j += 1
       }
       if (dot >= 0) out(b / 64) |= (1L << (b % 64))
@@ -126,25 +154,22 @@ object Signatures {
     out
   }
 
-  /** Band keys over a hyperplane bit signature: `bits` bits per band. */
+  /** Band keys over a hyperplane bit signature: band b's key is the integer
+    * formed by its `bits` bits (LSB first).
+    */
   def hyperplaneBandKeys(vec: Array[Float], bits: Int, bands: Int): Array[Long] = {
     val nBits = bits * bands
     val packed = hyperplaneBits(vec, nBits)
-    val out = new Array[Long](bands)
-    var b = 0
-    while (b < bands) {
-      var acc = XXH64.hashLong(b.toLong, 7L)
+    Array.tabulate(bands) { b =>
+      var acc = 0L
       var i = 0
       while (i < bits) {
         val bit = b * bits + i
-        val v = (packed(bit / 64) >>> (bit % 64)) & 1L
-        acc = XXH64.hashLong(v, acc)
+        if (((packed(bit / 64) >>> (bit % 64)) & 1L) == 1L) acc |= (1L << i)
         i += 1
       }
-      out(b) = acc
-      b += 1
+      acc
     }
-    out
   }
 
   /** Exact Jaccard of two shingle sets. */

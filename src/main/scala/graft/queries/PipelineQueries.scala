@@ -47,30 +47,168 @@ object PipelineQueries {
           len(list_distinct(list_concat(a.words, b.words))) >= 0.62
       ORDER BY id_a, id_b""")),
 
-    // MinHash LSH near-dup pairs (approximate; engine-seeded hashes, so the
-    // check is rows-only here and exactness is covered by the spec suite +
-    // the exact-Jaccard query above).
+    // MinHash LSH near-dup pairs: polynomial shingle hashes + two-hash-trick
+    // permutations are plain integer arithmetic, so the oracle replays the
+    // exact signatures, band buckets, and Jaccard verification.
     ("dedup_minhash_lsh", (s: SparkSession, d: String) => {
       Dedup.minhashDuplicatePairs(
           table(s, d, "documents"), "doc_id", "text",
           threshold = 0.7, numHashes = 128, bands = 16, shingleK = 2)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
-    }, None),
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, greatest(len(ws), 1)),
+            i -> ws[i] || ' ' || ws[i + 1]))) AS shingle
+        FROM docs WHERE len(ws) >= 2),
+      hh AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 2147483647) AS h1,
+          list_reduce(list_prepend(CAST(13 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 2147483647) AS h2
+        FROM sh),
+      sig AS (
+        SELECT doc_id, i.i AS i, min((h1 + i.i * h2) % 2147483647) AS v
+        FROM hh, (SELECT unnest(range(128)) AS i) i
+        GROUP BY doc_id, i.i),
+      bands AS (
+        SELECT doc_id, i // 8 AS band,
+          string_agg(v, ',' ORDER BY i) AS band_key
+        FROM sig GROUP BY doc_id, i // 8),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id),
+      shs AS (
+        SELECT doc_id, list_distinct(
+          list_transform(range(1, greatest(len(ws), 1)),
+            i -> ws[i] || ' ' || ws[i + 1])) AS sset
+        FROM docs),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+          CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+            (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))
+            AS j
+        FROM cand c
+        JOIN shs a ON a.doc_id = c.id_a
+        JOIN shs b ON b.doc_id = c.id_b)
+      SELECT id_a, id_b, round(j, 4) AS jaccard
+      FROM verified WHERE j >= 0.7
+      ORDER BY id_a, id_b""")),
 
+    // SimHash pairs: the polynomial word hashes are plain integer
+    // arithmetic, so the full pipeline — 62-bit signatures, 16-bit chunk
+    // blocking, Hamming filter — is replicated by the oracle exactly.
     ("dedup_simhash", (s: SparkSession, d: String) => {
       Dedup.simhashDuplicatePairs(
           table(s, d, "documents"), "doc_id", "text", maxDistance = 12)
         .orderBy("id_a", "id_b")
-    }, None),
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+        FROM documents),
+      h AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(string_split(word, ''), c -> CAST(unicode(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 2147483647)
+          | (list_reduce(list_prepend(CAST(13 AS BIGINT),
+            list_transform(string_split(word, ''), c -> CAST(unicode(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 2147483647) << 31) AS wh
+        FROM w),
+      votes AS (
+        SELECT doc_id, b.b AS bit,
+          sum(CASE WHEN (wh >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM h, (SELECT unnest(range(62)) AS b) b
+        GROUP BY doc_id, b.b),
+      sigs AS (
+        SELECT doc_id, CAST(sum(
+          CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS sig
+        FROM votes GROUP BY doc_id),
+      chunked AS (
+        SELECT doc_id, sig, c.c AS chunk, (sig >> (c.c * 16)) & 65535 AS chunk_val
+        FROM sigs, (SELECT unnest(range(4)) AS c) c),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+          a.sig AS sig_a, b.sig AS sig_b
+        FROM chunked a JOIN chunked b
+          ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+            AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS distance
+      FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 12
+      ORDER BY id_a, id_b""")),
 
+    // Hyperplane-LSH near-dup pairs: quadratic-residue plane weights and
+    // left-fold f64 dot products are reproduced verbatim by the oracle, so
+    // the approximate candidate set AND the verified cosines hash-match.
+    // (Embeddings are uniform random — near-1 cosines don't exist, so the
+    // threshold exercises verification rather than returning nothing.)
     ("dedup_embedding_lsh", (s: SparkSession, d: String) => {
       Dedup.embeddingDuplicatePairs(
           table(s, d, "embeddings"), "vec_id", "embedding",
-          threshold = 0.9, bits = 16, bands = 8)
-        .select(col("id_a"), col("id_b"), round(col("cosine"), 4).as("cosine"))
+          threshold = 0.2, bits = 16, bands = 8)
+        .select(col("id_a"), col("id_b"),
+          (floor(col("cosine") * 10000d) / 10000d).as("cosine"))
         .orderBy("id_a", "id_b")
-    }, None),
+    }, Some("""
+      WITH bits AS (
+        SELECT vec_id, b.b AS bit,
+          (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(embedding) + 1),
+              j -> CAST(embedding[j] AS DOUBLE) *
+                (CAST((((b.b * 73856093 + (j - 1) * 19349663 + 83492791)
+                   % 2147483647)
+                   * ((b.b * 73856093 + (j - 1) * 19349663 + 83492791)
+                   % 2147483647))
+                   % 2147483647 AS DOUBLE) / 2147483647.0 - 0.5))),
+            (acc, x) -> acc + x) >= 0) AS bit_set
+        FROM embeddings, (SELECT unnest(range(128)) AS b) b),
+      bands AS (
+        SELECT vec_id, bit // 16 AS band,
+          CAST(sum(CASE WHEN bit_set
+            THEN (CAST(1 AS BIGINT) << (bit % 16)) ELSE 0 END)
+            AS BIGINT) AS band_key
+        FROM bits GROUP BY vec_id, bit // 16),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+            AND a.vec_id < b.vec_id),
+      pairs AS (
+        SELECT c.id_a, c.id_b, ea.embedding AS va, eb.embedding AS vb
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b),
+      scored AS (
+        SELECT id_a, id_b,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(va) + 1),
+              j -> CAST(va[j] AS DOUBLE) * CAST(vb[j] AS DOUBLE))),
+            (acc, x) -> acc + x) /
+          (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(va) + 1),
+              j -> CAST(va[j] AS DOUBLE) * CAST(va[j] AS DOUBLE))),
+            (acc, x) -> acc + x)) *
+           sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(vb) + 1),
+              j -> CAST(vb[j] AS DOUBLE) * CAST(vb[j] AS DOUBLE))),
+            (acc, x) -> acc + x))) AS cos
+        FROM pairs)
+      SELECT id_a, id_b, floor(cos * 10000) / 10000 AS cosine
+      FROM scored WHERE cos >= 0.2
+      ORDER BY id_a, id_b""")),
 
     // Exact top-k cosine neighbors; ranks only (cosine stays engine-side so
     // the comparison is robust to last-ulp float differences).

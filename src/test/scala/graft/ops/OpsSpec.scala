@@ -41,20 +41,35 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("simhash distance is zero for identical docs and small for near-dups") {
+  test("simhash pairs are exactly the chunk-sharing pairs within distance") {
     val sig = docs.limit(10).select($"doc_id", Dedup.simhash($"text").as("sig"))
     val joined = sig.as("a").join(sig.as("b"), $"a.doc_id" === $"b.doc_id")
       .select(Dedup.hamming($"a.sig", $"b.sig")).collect()
     assert(joined.forall(_.getInt(0) == 0))
 
-    val nearDups = docs.where($"doc_id" < 3)
-      .select(($"doc_id" + 30000).as("doc_id"),
-        concat($"text", lit(" tail")).as("text"))
-    val pairs = Dedup.simhashDuplicatePairs(
-      docs.select($"doc_id", $"text").unionAll(nearDups),
-      "doc_id", "text", maxDistance = 6)
-    val found = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert((0 until 3).forall(i => found.contains((i.toLong, i + 30000L))))
+    // Exact duplicates (distance 0) are always found.
+    val dups = docs.where($"doc_id" < 3)
+      .select(($"doc_id" + 30000).as("doc_id"), $"text")
+    val corpus = docs.select($"doc_id", $"text").unionAll(dups)
+    val maxDistance = 12
+    val pairs = Dedup.simhashDuplicatePairs(corpus, "doc_id", "text", maxDistance)
+    val found = pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert((0 until 3).forall(i => found.get((i.toLong, i + 30000L)).contains(0)))
+
+    // Contract: the result is exactly every pair sharing >= 1 of the 4
+    // 16-bit chunks with Hamming distance <= maxDistance, no more, no less.
+    val sigs = corpus.select($"doc_id", Dedup.simhash($"text").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    def chunks(s: Long) = (0 until 4).map(c => (s >>> (c * 16)) & 0xffffL)
+    val expected = (for {
+      ((ia, sa), x) <- sigs.zipWithIndex
+      (ib, sb) <- sigs.drop(x + 1)
+      if chunks(sa).zip(chunks(sb)).exists { case (a, b) => a == b }
+      d = java.lang.Long.bitCount(sa ^ sb)
+      if d <= maxDistance
+    } yield (ia, ib) -> d).toMap
+    assert(found == expected)
   }
 
   test("embedding near-dup pairs find planted copies") {
