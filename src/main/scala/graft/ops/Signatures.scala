@@ -133,19 +133,33 @@ object Signatures {
     h2.toDouble / P31.toDouble - 0.5
   }
 
+  /** Per-JVM cache of the (nBits x dims) plane matrix: the weights are a
+    * pure function of (bit, dim), so each executor materializes them once
+    * instead of re-deriving two multiply-mods per vector element.
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def planes(nBits: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nBits, dims), { case (nb, d) =>
+      Array.tabulate(nb, d)(hyperplaneWeight)
+    })
+
   /** Random-hyperplane sign signature of an embedding: bit b is the sign of
     * the f64 dot product with plane b. No stored projection matrix — every
     * executor (and the SQL oracle) regenerates the same planes.
     */
   def hyperplaneBits(vec: Array[Float], nBits: Int): Array[Long] = {
     val nWords = (nBits + 63) / 64
+    val ps = planes(nBits, vec.length)
     val out = new Array[Long](nWords)
     var b = 0
     while (b < nBits) {
+      val plane = ps(b)
       var dot = 0.0
       var j = 0
       while (j < vec.length) {
-        dot += vec(j) * hyperplaneWeight(b, j)
+        dot += vec(j) * plane(j)
         j += 1
       }
       if (dot >= 0) out(b / 64) |= (1L << (b % 64))

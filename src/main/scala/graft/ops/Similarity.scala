@@ -52,7 +52,13 @@ object Similarity {
         pmod(col("cid").cast("long") * lit(2654435761L), lit(2147483648L)),
         col("cid"))
       .limit(nCells)
-      .withColumn("cell", row_number().over(Window.orderBy(col("cid"))) - 1)
+      // The frame is <= nCells rows in one partition after the global limit.
+      // Partitioning the window by spark_partition_id() (constant 0 here,
+      // but not foldable, so EliminateWindowPartitions keeps it) encodes
+      // that intent without Spark's unpartitioned-window warning.
+      .withColumn("cell",
+        row_number().over(
+          Window.partitionBy(spark_partition_id()).orderBy(col("cid"))) - 1)
       .select("cell", "cvec")
 
   /** Assign every corpus row to its nearest centroid cell. The centroid set

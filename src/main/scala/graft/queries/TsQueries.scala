@@ -44,6 +44,19 @@ object TsQueries {
 
   private val tableNames = Seq("events_lossless", "events_lossy", "events_multi")
 
+  /** Engine for the ingest benchmark: always wipes and rebuilds, but exactly
+    * once — going through [[engineFor]] first would trigger a second full
+    * build on a cold cache.
+    */
+  def engineForIngest(spark: SparkSession, sfDir: String): Engine = synchronized {
+    val sfName = new File(sfDir).getName
+    val root = s"/tmp/graft_ts_cache/$sfName-$CacheVersion"
+    val engine = new Engine(spark, root)
+    rebuild(spark, sfDir, engine)
+    builtRoots += root
+    engine
+  }
+
   /** Wipe and rebuild the cached tables (also the ingest benchmark body). */
   def rebuild(spark: SparkSession, sfDir: String, engine: Engine): Unit = {
     new scala.reflect.io.Directory(new File(engine.root)).deleteRecursively()
@@ -66,8 +79,7 @@ object TsQueries {
     // Ingest benchmark: full wipe + compress + write of all three tables;
     // later ts queries reuse the result. Returns per-table segment counts.
     ("ts_ingest", (s: SparkSession, d: String) => {
-      val engine = engineFor(s, d)
-      rebuild(s, d, engine)
+      val engine = engineForIngest(s, d)
       import s.implicits._
       val rawBytes = new File(s"$d/events.parquet").length()
       tableNames.map { t =>
