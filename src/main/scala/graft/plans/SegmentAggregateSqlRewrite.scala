@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.functions._
 
 import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
@@ -23,29 +23,40 @@ import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
   */
 object SegmentAggregateSqlRewrite {
 
-  private sealed trait AggSpec
-  private final case class FieldAgg(kind: String, field: String, outName: String)
+  private[plans] sealed trait AggSpec
+  private[plans] final case class FieldAgg(kind: String, field: String, outName: String)
     extends AggSpec
-  private final case class TagRef(tag: String) extends AggSpec
+  private[plans] final case class TagRef(tag: String) extends AggSpec
 
   /** Attempt the rewrite; None leaves the original DataFrame untouched. */
   def tryRewrite(engine: Engine, df: DataFrame): Option[DataFrame] = {
-    val plan = df.queryExecution.analyzed
-    plan match {
-      case Aggregate(groupings, results, child, _) =>
-        viewTable(engine, child).flatMap { meta =>
-          val tagNames = meta.tagColumns.toSet
-          val groupTags = groupings.flatMap {
-            case a: AttributeReference if tagNames.contains(a.name) => Some(a.name)
-            case _ => None
-          }
-          if (groupTags.size != groupings.size) return None
-
-          val specs = results.map(spec(meta, groupTags.toSet, _))
-          if (specs.exists(_.isEmpty)) None
-          else Some(build(engine, meta, groupTags, specs.flatten))
+    df.queryExecution.analyzed match {
+      case agg: Aggregate => matchAggregate(engine, agg)
+        .map { case (meta, groupTags, specs) =>
+          build(engine, meta, groupTags, specs)
         }
       case _ => None
+    }
+  }
+
+  /** Shared matcher: an Aggregate whose child is exactly the registered
+    * view, tag-only groupings, and only simple aggregates of stored fields.
+    */
+  private[plans] def matchAggregate(engine: Engine, agg: Aggregate):
+      Option[(TableMetadata, Seq[String], Seq[AggSpec])] = {
+    val Aggregate(groupings, results, child, _) = agg
+    viewTable(engine, child).flatMap { meta =>
+      val tagNames = meta.tagColumns.toSet
+      val groupTags = groupings.flatMap {
+        case a: AttributeReference if tagNames.contains(a.name) => Some(a.name)
+        case _ => None
+      }
+      if (groupTags.size != groupings.size) None
+      else {
+        val specs = results.map(spec(meta, groupTags.toSet, _))
+        if (specs.exists(_.isEmpty)) None
+        else Some((meta, groupTags, specs.flatten))
+      }
     }
   }
 
@@ -74,6 +85,7 @@ object SegmentAggregateSqlRewrite {
 
   private def stripAliases(plan: LogicalPlan): LogicalPlan = plan match {
     case SubqueryAlias(_, inner) => stripAliases(inner)
+    case View(_, _, inner, _) => stripAliases(inner)
     case other => other
   }
 
@@ -104,7 +116,7 @@ object SegmentAggregateSqlRewrite {
       case _ => None
     }
 
-  private def build(
+  private[plans] def build(
       engine: Engine, meta: TableMetadata, groupTags: Seq[String],
       specs: Seq[AggSpec]): DataFrame = {
     val segments = engine.dataFolder.segments(meta.name)

@@ -324,6 +324,9 @@ final class Engine(val spark: SparkSession, val root: String) {
       }.toMap
       viewsStale = false
       Engine.setLastRegistrant(spark, this)
+      // Sessions built with GraftSparkExtensions rewrite simple aggregates
+      // over these views in plain spark.sql too.
+      graft.plans.GraftSparkExtensions.noteEngine(spark, this)
     }
   }
 

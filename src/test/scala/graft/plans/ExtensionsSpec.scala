@@ -1,0 +1,120 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tsdb.Engine
+
+/** The SparkSessionExtensions path: plain `spark.sql` (NOT Engine.sql) over
+  * a registered time series view gets segment-native simple aggregates,
+  * with the sameResult spoof-guard intact.
+  */
+class ExtensionsSpec extends AnyFunSuite {
+
+  // A dedicated session: extensions must be installed at build time, and
+  // getOrCreate returns any existing default session unchanged — so the
+  // shared test session is parked while this one is built, then restored
+  // as the default for the other suites.
+  private lazy val spark: SparkSession = graft.tsdb.SparkTestSession.synchronized {
+    val shared = graft.tsdb.SparkTestSession.spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-extensions-tests")
+      // (not the spark.sql.extensions conf: with a pre-existing
+      // SparkContext that static conf is read from the context's conf and
+      // would be silently ignored here)
+      .withExtensions(new GraftSparkExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    SparkSession.setDefaultSession(shared)
+    SparkSession.setActiveSession(shared)
+    assert(s ne shared, "extensions session must be distinct")
+    s
+  }
+
+  private def freshEngine(): Engine = {
+    val engine = new Engine(spark, Files.createTempDirectory("graft_ext").toString)
+    engine.sql("CREATE TIME SERIES TABLE ext(ts TIMESTAMP, v FIELD, tag TAG)")
+    val rng = new scala.util.Random(7)
+    import spark.implicits._
+    val df = (0 until 3000).map(i =>
+      (1700000000000000L + i * 1000000L, rng.nextFloat() * 100, s"t${i % 3}"))
+      .toDF("ts", "v", "tag")
+    engine.write("ext", df)
+    engine.sql("SELECT 1") // registers the views (and the engine) lazily
+    engine
+  }
+
+  test("plain spark.sql aggregates are answered from segment metadata") {
+    freshEngine()
+    val df = spark.sql(
+      "SELECT COUNT(v) AS n, MIN(v) AS mn, MAX(v) AS mx, SUM(v) AS s, AVG(v) AS a FROM ext")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"extension rewrite must skip reconstruction, got plan:\n$plan")
+
+    // Values must match the gridded path exactly / within the reference's
+    // SUM-AVG tolerance (integration_test.rs:1129-1243).
+    val expected = spark.sql(
+      "SELECT COUNT(v), MIN(v), MAX(v), SUM(v), AVG(v) FROM ext WHERE ts >= TIMESTAMP '1970-01-01'")
+    assert(expected.queryExecution.executedPlan.toString.contains("Generate"),
+      "the filtered control query must grid")
+    val g = expected.collect().head
+    val r = df.collect().head
+    assert(r.getLong(0) == g.getLong(0))
+    assert(r.getFloat(1) == g.getFloat(1))
+    assert(r.getFloat(2) == g.getFloat(2))
+    assert(math.abs(r.getDouble(3) - g.getDouble(3)) <=
+      math.abs(g.getDouble(3)) * 1e-5)
+    assert(math.abs(r.getDouble(4) - g.getDouble(4)) <=
+      math.abs(g.getDouble(4)) * 1e-5)
+  }
+
+  test("tag-grouped aggregates rewrite and match the gridded group-by") {
+    freshEngine()
+    val df = spark.sql(
+      "SELECT tag, COUNT(v) AS n FROM ext GROUP BY tag ORDER BY tag")
+    assert(!df.queryExecution.executedPlan.toString.contains("Generate"))
+    val gridded = spark.sql(
+      "SELECT tag, COUNT(v) AS n FROM ext WHERE ts >= TIMESTAMP '1970-01-01' " +
+        "GROUP BY tag ORDER BY tag")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      gridded.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
+  test("filters, expressions, and spoofed aliases still reconstruct") {
+    freshEngine()
+    // A WHERE on the view blocks the rewrite (reference parity).
+    val filtered = spark.sql("SELECT COUNT(v) AS n FROM ext WHERE tag = 't0'")
+    assert(filtered.queryExecution.executedPlan.toString.contains("Generate"))
+
+    // A subquery aliased with the table's name must not be mistaken for the
+    // registered view.
+    val spoofed = spark.sql(
+      "SELECT COUNT(v) AS n FROM (SELECT * FROM ext WHERE tag = 't0') AS ext")
+    assert(spoofed.queryExecution.executedPlan.toString.contains("Generate"))
+    val control = spark.sql(
+      "SELECT COUNT(v) AS n FROM ext WHERE ts >= TIMESTAMP '1970-01-01' AND tag = 't0'")
+    assert(spoofed.collect().head.getLong(0) == control.collect().head.getLong(0))
+
+    // Aggregates the segment metadata cannot answer (e.g. over an
+    // expression) also grid.
+    val exprAgg = spark.sql("SELECT SUM(v * 2) AS s FROM ext")
+    assert(exprAgg.queryExecution.executedPlan.toString.contains("Generate"))
+  }
+
+  test("aggregate inside a larger query is rewritten in place") {
+    freshEngine()
+    val df = spark.sql(
+      "SELECT n * 2 AS n2 FROM (SELECT COUNT(v) AS n FROM ext)")
+    assert(!df.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(df.collect().head.getLong(0) == 6000L)
+  }
+}
