@@ -77,8 +77,11 @@ object RelationalQueries {
     ("q4_order_priority", (s: SparkSession, d: String) => {
       val orders = table(s, d, "orders")
       val lineitem = table(s, d, "lineitem")
+      // No distinct before the semi join: LEFT SEMI already deduplicates
+      // the right side, and the extra aggregate would add a full shuffle of
+      // lineitem's keys.
       orders.join(
-          lineitem.select("l_orderkey").distinct(),
+          lineitem.select("l_orderkey"),
           col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
