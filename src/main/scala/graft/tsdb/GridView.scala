@@ -87,22 +87,19 @@ object GridView {
       .where(col(SegmentSchema.FieldColumn).isin(fieldIdx.map(i => i: Any): _*))
       .where(segmentTimePredicate(startMicros, endMicros))
 
-    // Per-segment reconstruction: a UDF decodes the whole segment to an
-    // array of (ts, value) pairs which `explode` flattens. Unlike a typed
-    // mapPartitions, this keeps the plan inside whole-stage codegen (no
-    // DeserializeToObject/SerializeFromObject boundary) and the generator's
-    // input is evaluated exactly once per segment row.
+    // Per-segment reconstruction with the native GridPoints generator:
+    // rows stream straight out of the decode buffers inside the Generate
+    // operator, and the plan around it stays in whole-stage codegen. No
+    // typed mapPartitions (that would force a Deserialize/Serialize
+    // boundary) and no per-point boxing.
+    import org.apache.spark.sql.graft.ColumnBridge
+    def attr(name: String) = ColumnBridge.expression(col(name))
     val gridded = pruned
       .select(
-        (explode(GridView.gridSegment(
-            col("model_type_id"), col("start_time"), col("end_time"),
-            col("timestamps"), col("min_value"), col("max_value"),
-            col("values"), col("residuals"))).as("__graft_point") +:
-          tagNames.map(col) :+
-          col(SegmentSchema.FieldColumn)): _*)
-      .select(
-        (col("__graft_point._1").as("__graft_ts") +:
-          col("__graft_point._2").as("__graft_value") +:
+        (ColumnBridge.column(GridPoints(
+            attr("model_type_id"), attr("start_time"), attr("end_time"),
+            attr("timestamps"), attr("min_value"), attr("max_value"),
+            attr("values"), attr("residuals"))) +:
           tagNames.map(col) :+
           col(SegmentSchema.FieldColumn)): _*)
 
@@ -138,18 +135,4 @@ object GridView {
   private def extractIdentifiers(sqlExpr: String): Seq[String] =
     "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(sqlExpr).toSeq.distinct
 
-  /** Decode one segment into its (timestamp, value) pairs. */
-  val gridSegment = udf {
-    (modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],
-     minValue: Float, maxValue: Float, values: Array[Byte], residuals: Array[Byte]) =>
-      val tsBuf = new LongBuf(128)
-      val vBuf = new FloatBuf(128)
-      Models.grid(modelTypeId, startTime, endTime, timestamps,
-        minValue, maxValue, values, residuals, tsBuf, vBuf)
-      val n = tsBuf.length
-      val out = new Array[(Long, Float)](n)
-      var i = 0
-      while (i < n) { out(i) = (tsBuf(i), vBuf(i)); i += 1 }
-      out
-  }
 }

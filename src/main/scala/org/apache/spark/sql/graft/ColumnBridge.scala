@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 moved `Column` to a ColumnNode facade; converting to/from
+  * catalyst `Expression`s goes through `classic.ExpressionUtils`, which is
+  * `private[sql]`. This bridge (in the `org.apache.spark.sql` namespace,
+  * the conventional extension point for libraries that supply custom
+  * expressions) re-exports just the two converters the engine needs.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
