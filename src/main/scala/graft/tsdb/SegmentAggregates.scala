@@ -18,27 +18,21 @@ import graft.core.{Models, TimestampCodec}
   */
 object SegmentAggregates {
 
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  private def attr(name: String) = ColumnBridge.expression(col(name))
+
   /** Data points represented by a segment, decoded without gridding. */
-  val segmentLen = udf { (startTime: Long, endTime: Long, timestamps: Array[Byte]) =>
-    TimestampCodec.len(startTime, endTime, timestamps).toLong
-  }
+  def lenCol: Column = ColumnBridge.column(
+    SegmentLen(attr("start_time"), attr("end_time"), attr("timestamps")))
 
   /** Sum of a segment's values, f64-accumulated so the cross-segment total
     * matches an exact engine summing the reconstructed values.
     */
-  val segmentSum = udf {
-    (modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],
-     minValue: Float, maxValue: Float, values: Array[Byte], residuals: Array[Byte]) =>
-      Models.sumDouble(modelTypeId, startTime, endTime, timestamps,
-        minValue, maxValue, values, residuals)
-  }
-
-  def lenCol: Column =
-    segmentLen(col("start_time"), col("end_time"), col("timestamps"))
-
-  def sumCol: Column = segmentSum(
-    col("model_type_id"), col("start_time"), col("end_time"), col("timestamps"),
-    col("min_value"), col("max_value"), col("values"), col("residuals"))
+  def sumCol: Column = ColumnBridge.column(SegmentSum(
+    attr("model_type_id"), attr("start_time"), attr("end_time"),
+    attr("timestamps"), attr("min_value"), attr("max_value"),
+    attr("values"), attr("residuals")))
 
   /** The aggregate column for one kind ("count" | "min" | "max" | "sum" |
     * "avg") over one field's segments within a mixed-field frame — the
