@@ -268,6 +268,35 @@ object RelationalQueries {
       GROUP BY 1, 2
       ORDER BY 1, 2""")),
 
+    // As-of join (backward, inclusive): every event aligned to the user's
+    // most recent purchase at that moment — the time-series operator Spark
+    // SQL lacks, composed as one key-partitioned running-last window.
+    ("q16_asof_join", (s: SparkSession, d: String) => {
+      val events = table(s, d, "events")
+        .select(col("event_id"), col("user_id"), eventsTsMicros.as("ts_us"))
+      val purchases = table(s, d, "events")
+        .where(col("event_type") === "purchase")
+        .select(col("user_id"), eventsTsMicros.as("ts_us"), col("event_id"))
+        .groupBy("user_id", "ts_us")
+        .agg(max(col("event_id")).as("purchase_event_id"))
+      graft.ops.AsOf.joinBackward(events, purchases, Seq("user_id"),
+          "ts_us", "ts_us", Seq("purchase_event_id"))
+        .select("event_id", "user_id", "ts_us", "purchase_event_id")
+        .orderBy("event_id")
+    }, Some("""
+      WITH ev AS (
+        SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+        FROM events),
+      pur AS (
+        SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+          max(event_id) AS purchase_event_id
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1, 2)
+      SELECT e.event_id, e.user_id, e.ts_us, p.purchase_event_id
+      FROM ev e ASOF LEFT JOIN pur p
+        ON e.user_id = p.user_id AND e.ts_us >= p.ts_us
+      ORDER BY e.event_id""")),
+
     ("q13_event_sessions", (s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -106,6 +106,32 @@ class OpsSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(best(i.toLong) == i.toLong))
   }
 
+  test("as-of join picks the latest preceding right row per key") {
+    val left = Seq(
+      (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 250L),
+      (4L, "b", 100L), (5L, "c", 500L))
+      .toDF("id", "k", "ts")
+    val right = Seq(
+      ("a", 100L, 10.0), ("a", 240L, 24.0), ("a", 300L, 30.0),
+      ("b", 150L, 15.0))
+      .toDF("k", "ts", "v")
+    val joined = AsOf.joinBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(joined(1L).contains(10.0)) // inclusive at equal ts
+    assert(joined(2L).contains(10.0)) // 240 is later than 200
+    assert(joined(3L).contains(24.0))
+    assert(joined(4L).isEmpty)        // b's only right row is later
+    assert(joined(5L).isEmpty)        // c has no right rows
+
+    // Tolerance nulls out stale matches.
+    val tol = AsOf.joinBackward(left, right, Seq("k"), "ts", "ts", Seq("v"),
+        toleranceUs = Some(20L))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    assert(tol(1L).contains(10.0))  // age 0
+    assert(tol(2L).isEmpty)         // age 100 > 20
+    assert(tol(3L).contains(24.0))  // age 10
+  }
+
   test("text analysis signals are sane on real documents") {
     val annotated = TextAnalysis.annotate(docs, "text").cache()
     val n = annotated.count()
