@@ -186,6 +186,34 @@ object Signatures {
     }
   }
 
+  /** Rolling-hash document fingerprint (Manber's 0-mod-q scheme): hash
+    * every character k-gram of the whitespace-normalized text with a true
+    * O(n) rolling polynomial hash and keep the hashes divisible by
+    * `divisor` (expected 1/divisor of positions). Sorted distinct hashes;
+    * two documents sharing text regions share fingerprint hashes.
+    */
+  def rollingFingerprint(text: String, k: Int, divisor: Long): Array[Long] = {
+    val s = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    if (bytes.length < k) return Array.empty
+    var h = 0L
+    var i = 0
+    while (i < k) { h = (h * 131L + (bytes(i) & 0xffL)) % P31; i += 1 }
+    var pow = 1L
+    i = 0
+    while (i < k - 1) { pow = (pow * 131L) % P31; i += 1 }
+    val out = scala.collection.mutable.SortedSet[Long]()
+    if (h % divisor == 0) out += h
+    i = k
+    while (i < bytes.length) {
+      h = (h - (bytes(i - k) & 0xffL) * pow % P31 + P31) % P31
+      h = (h * 131L + (bytes(i) & 0xffL)) % P31
+      if (h % divisor == 0) out += h
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Exact Jaccard of two shingle sets. */
   def jaccard(a: Array[String], b: Array[String]): Double = {
     if (a.isEmpty && b.isEmpty) return 0.0

@@ -74,21 +74,58 @@ object Similarity {
       .drop("__r", "cos_c", "cvec")
   }
 
+  /** Persist an IVF index: the assigned corpus written as Parquet
+    * partitioned by cell. At scale a probe then reads ONLY the matching
+    * cell directories (partition pruning) — the on-disk analog of an IVF
+    * inverted list.
+    */
+  def writeIvfIndex(assigned: DataFrame, path: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Top-k against a persisted IVF index. The probed cell ids (at most
+    * nCells values — index metadata, not data) are collected and pushed as
+    * a static `cell IN (...)` partition filter, so only matching cell
+    * directories are listed and read regardless of DPP heuristics.
+    */
+  def probeIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      centroids: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val probes = probeCells(centroids, queries, vecCol, queryIdCol, nProbe)
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val pruned = spark.read.parquet(indexPath)
+      .where(col("cell").isin(cells.map(c => c: Any): _*))
+    inCellTopK(pruned, probes, idCol, vecCol, k)
+  }
+
   /** IVF top-k: probe the `nProbe` cells nearest each query, then exact
     * top-k within the probed fraction of the corpus.
     */
   def ivfTopK(
       assigned: DataFrame, centroids: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
-      k: Int, nProbe: Int): DataFrame = {
+      k: Int, nProbe: Int): DataFrame =
+    inCellTopK(assigned,
+      probeCells(centroids, queries, vecCol, queryIdCol, nProbe), idCol, vecCol, k)
+
+  /** The nProbe centroid cells nearest each query: (query_id, __qv, cell). */
+  private def probeCells(
+      centroids: DataFrame, queries: DataFrame,
+      vecCol: String, queryIdCol: String, nProbe: Int): DataFrame = {
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"))
     val qCells = q.crossJoin(broadcast(centroids))
       .withColumn("cos_c", cosine(col("__qv"), col("cvec")))
     val wq = Window.partitionBy("query_id").orderBy(col("cos_c").desc, col("cell"))
-    val probes = qCells.withColumn("__r", row_number().over(wq))
+    qCells.withColumn("__r", row_number().over(wq))
       .where(col("__r") <= nProbe)
       .select("query_id", "__qv", "cell")
+  }
 
+  /** Exact per-query top-k over the probed cells of the corpus. */
+  private def inCellTopK(
+      assigned: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     val scored = assigned
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
       .join(broadcast(probes), Seq("cell"))

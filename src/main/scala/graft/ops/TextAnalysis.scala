@@ -98,6 +98,20 @@ object TextAnalysis {
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Region-robust rolling-hash fingerprint (Manber 0-mod-q over character
+    * k-grams): an array of the selected k-gram hashes. Unlike the
+    * whole-document fingerprints above, documents sharing text REGIONS
+    * share hashes, so this backs containment/overlap detection. One-pass
+    * kernel; the hash arithmetic is SQL-reproducible.
+    */
+  def rollingFingerprint(text: Column, k: Int = 16, divisor: Long = 16L): Column =
+    rollingFingerprintUdf(text, lit(k), lit(divisor))
+
+  private val rollingFingerprintUdf = udf {
+    (text: String, k: Int, divisor: Long) =>
+      Signatures.rollingFingerprint(text, k, divisor)
+  }
+
   /** Convenience: annotate a corpus DataFrame with the full signal set. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -292,6 +292,30 @@ object PipelineQueries {
         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       FROM documents ORDER BY doc_id""")),
 
+    // Region-robust rolling-hash fingerprints (Manber 0-mod-q): one row per
+    // selected k-gram hash; the polynomial rolling hash is replayed by the
+    // oracle from the normalized text.
+    ("text_fingerprint", (s: SparkSession, d: String) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          explode(TextAnalysis.rollingFingerprint(col("text"))).as("fp_hash"))
+        .orderBy("doc_id", "fp_hash")
+    }, Some("""
+      WITH norm AS (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        FROM documents),
+      hs AS (
+        SELECT doc_id, unnest(list_transform(
+          range(1, greatest(length(s) - 16 + 2, 1)),
+          pos -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range(pos, pos + 16),
+              i -> CAST(unicode(s[i]) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 2147483647))) AS h
+        FROM norm WHERE length(s) >= 16)
+      SELECT DISTINCT doc_id, h AS fp_hash
+      FROM hs WHERE h % 16 = 0
+      ORDER BY doc_id, fp_hash""")),
+
     ("text_langid", (s: SparkSession, d: String) => {
       table(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_id"))

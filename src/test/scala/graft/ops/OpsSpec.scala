@@ -132,6 +132,28 @@ class OpsSpec extends AnyFunSuite {
     assert(tol(3L).contains(24.0))  // age 10
   }
 
+  test("persisted IVF index probes with partition pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val centroids = Similarity.sampleCentroids(embeddings, "vec_id", "embedding", 8)
+    val assigned = Similarity.assignCells(embeddings, centroids, "vec_id", "embedding")
+    Similarity.writeIvfIndex(assigned, dir)
+
+    val queries = embeddings.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val probed = Similarity.probeIvfIndex(spark, dir, centroids, queries,
+      "vec_id", "embedding", "query_id", k = 3, nProbe = 2)
+    val direct = Similarity.ivfTopK(assigned, centroids, queries,
+      "vec_id", "embedding", "query_id", k = 3, nProbe = 2)
+    assert(probed.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet ==
+      direct.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet)
+
+    // The scan over the index must be statically pruned to the probed
+    // cells (partition filter on the cell partition column).
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected a cell partition filter on the IVF index scan:\n$plan")
+  }
+
   test("text analysis signals are sane on real documents") {
     val annotated = TextAnalysis.annotate(docs, "text").cache()
     val n = annotated.count()
