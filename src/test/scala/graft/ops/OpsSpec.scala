@@ -132,6 +132,27 @@ class OpsSpec extends AnyFunSuite {
     assert(tol(3L).contains(24.0))  // age 10
   }
 
+  test("as-of join matches a brute-force reference on random data") {
+    val rng = new scala.util.Random(42)
+    val leftRows = (0 until 400).map(i =>
+      (i.toLong, s"k${rng.nextInt(8)}", rng.nextInt(1000).toLong))
+    val rightRows = (0 until 150).map(i =>
+      (s"k${rng.nextInt(10)}", rng.nextInt(1000).toLong, i.toDouble))
+      // unique per (key, ts): keep the max value like callers should
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val left = leftRows.toDF("id", "k", "ts")
+    val right = rightRows.toDF("k", "ts", "v")
+
+    val got = AsOf.joinBackward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .collect().map(r => r.getLong(2) -> Option(r.get(3))).toMap
+    val expected = leftRows.map { case (id, k, ts) =>
+      val candidates = rightRows.filter(r => r._1 == k && r._2 <= ts)
+      id -> (if (candidates.isEmpty) None
+             else Some(candidates.maxBy(_._2)._3))
+    }.toMap
+    assert(got == expected)
+  }
+
   test("persisted IVF index probes with partition pruning") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val centroids = Similarity.sampleCentroids(embeddings, "vec_id", "embedding", 8)
