@@ -67,6 +67,33 @@ final case class TableMetadata(
       require(fieldColumns.nonEmpty, s"Table $name must have at least one stored field.")
       require(fieldColumns.size <= 32767, "At most 32767 field columns are supported.")
       columns.filter(_.role == "field").foreach(c => ErrorBound.parse(c.errorBound))
+
+      // Generated columns are checked at CREATE time, as in the reference
+      // (parser-time semantic checks; generated columns must not reference
+      // other generated columns, types.rs:130-140).
+      val generatedNames = columns.filter(_.role == "generated").map(_.name).toSet
+      val knownNames = columns.map(_.name).toSet
+      columns.filter(_.role == "generated").foreach { c =>
+        require(c.generatedExpr.nonEmpty,
+          s"Generated column ${c.name} needs an expression.")
+        val parsed =
+          try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(c.generatedExpr)
+          catch { case e: Exception => throw new IllegalArgumentException(
+            s"Generated column ${c.name}: cannot parse '${c.generatedExpr}': " +
+              e.getMessage)
+          }
+        parsed.collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.last
+        }.foreach { ref =>
+          require(!generatedNames.contains(ref),
+            s"Generated column ${c.name} cannot reference generated column " +
+              s"$ref.")
+          require(knownNames.contains(ref),
+            s"Generated column ${c.name} references unknown column $ref.")
+        }
+      }
     }
     this
   }

@@ -102,6 +102,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("generated column expressions are validated at CREATE time") {
+    val engine = newEngine()
+    val bad1 = intercept[IllegalArgumentException] {
+      engine.sql("CREATE TIME SERIES TABLE g1(ts TIMESTAMP, v FIELD, " +
+        "w FIELD AS (v +), tag TAG)")
+    }
+    assert(bad1.getMessage.contains("cannot parse"))
+
+    val bad2 = intercept[IllegalArgumentException] {
+      engine.sql("CREATE TIME SERIES TABLE g2(ts TIMESTAMP, v FIELD, " +
+        "w FIELD AS (v * 2), x FIELD AS (w + 1), tag TAG)")
+    }
+    assert(bad2.getMessage.contains("cannot reference generated column"))
+
+    val bad3 = intercept[IllegalArgumentException] {
+      engine.sql("CREATE TIME SERIES TABLE g3(ts TIMESTAMP, v FIELD, " +
+        "w FIELD AS (missing * 2), tag TAG)")
+    }
+    assert(bad3.getMessage.contains("unknown column"))
+    assert(engine.tables().isEmpty, "no table may be created on failure")
+  }
+
   test("INSERT INTO with a column list maps onto the target column order") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE ins(ts TIMESTAMP, v FIELD, tag TAG)")
