@@ -257,24 +257,31 @@ final class Engine(val spark: SparkSession, val root: String) {
 
   /** Copy the result of a SQL query into a normal table (the reference
     * restricts copy targets to normal tables to avoid double lossy
-    * compression, operations/mod.rs:88-92).
+    * compression, operations/mod.rs:88-92). The target may live in another
+    * data folder (`target`), matching the reference's copy-to-Operations
+    * signature — local to S3/Azure folders and back are all just engines
+    * over different roots.
     */
-  def copy(sqlText: String, targetTable: String): Unit = {
-    val meta = dataFolder.metadata(targetTable)
+  def copy(sqlText: String, targetTable: String,
+      target: Engine = this): Unit = {
+    val meta = target.dataFolder.metadata(targetTable)
     require(!meta.isTimeSeries, "COPY targets must be normal tables.")
-    dataFolder.writeNormal(targetTable, sql(sqlText))
+    target.dataFolder.writeNormal(targetTable, sql(sqlText))
+    target.invalidateViews()
   }
 
-  /** Segment-level copy between time series tables with the same schema:
-    * moves compressed segments directly, never re-compressing
-    * (data_folder.rs:335-420). Optional bounds filter on start/end time.
+  /** Segment-level copy between time series tables with the same schema —
+    * possibly in different data folders — moving compressed segments
+    * directly, never re-compressing (data_folder.rs:335-420). Optional
+    * bounds filter on start/end time.
     */
   def copyTimeSeriesTable(
       source: String, target: String,
       startMicros: Option[Long] = scala.None,
-      endMicros: Option[Long] = scala.None): Unit = {
+      endMicros: Option[Long] = scala.None,
+      targetEngine: Engine = this): Unit = {
     val sourceMeta = dataFolder.metadata(source)
-    val targetMeta = dataFolder.metadata(target)
+    val targetMeta = targetEngine.dataFolder.metadata(target)
     require(sourceMeta.isTimeSeries && targetMeta.isTimeSeries)
     require(sourceMeta.columns.map(c => (c.name, c.role)) ==
       targetMeta.columns.map(c => (c.name, c.role)),
@@ -282,8 +289,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     val segs = dataFolder.segments(source)
       .where(GridView.segmentTimePredicate(startMicros, endMicros))
     segs.write.mode("append").partitionBy(SegmentSchema.FieldColumn)
-      .parquet(dataFolder.tableDir(target))
-    invalidateViews()
+      .parquet(targetEngine.dataFolder.tableDir(target))
+    targetEngine.invalidateViews()
   }
 
   /** Copy-then-truncate (the reference's `move`, data_folder.rs:421+). */

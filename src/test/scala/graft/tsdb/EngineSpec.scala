@@ -305,4 +305,30 @@ class EngineSpec extends AnyFunSuite {
     engine.move("src", "dst")
     assert(engine.readTable("src").count() == 0)
   }
+
+  test("copies move data across data folders without recompression") {
+    val engineA = newEngine()
+    val engineB = newEngine()
+    engineA.sql("CREATE TIME SERIES TABLE xf(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    engineB.sql("CREATE TIME SERIES TABLE xf(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    engineA.write("xf", makePointsDf(300, Seq("a")))
+    engineA.copyTimeSeriesTable("xf", "xf", targetEngine = engineB)
+    assert(engineB.readTable("xf").count() == 300)
+    // Segment-level: identical segment counts, no re-fit.
+    assert(engineB.dataFolder.segments("xf").count() ==
+      engineA.dataFolder.segments("xf").count())
+
+    // SQL-result copy into a normal table of the other folder.
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("tag",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.LongType)))
+    engineB.create(TableMetadata("xstats", "normal", Seq.empty, schema.json))
+    engineA.copy("SELECT tag, COUNT(*) AS n FROM xf GROUP BY tag", "xstats",
+      target = engineB)
+    assert(engineB.readTable("xstats").count() == 1)
+  }
 }
