@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.tsdb.Engine
+
+/** Scale smoke: ingest N synthetic points (default 10M) into a time series
+  * table, then drive the query surface — segment-native aggregates, hybrid
+  * range aggregate, tag group-by, gridded range scan — printing wall times
+  * and checking counts. Exercises the shapes that must survive a 100 TB
+  * cluster: one arrange shuffle for ingest, metadata-only aggregates,
+  * boundary-only reconstruction.
+  *
+  * Run: sbt 'Test/runMain graft.tools.ScaleDrive [nPoints] [nSeries]'
+  */
+object ScaleDrive {
+  def main(args: Array[String]): Unit = {
+    val nPoints = if (args.nonEmpty) args(0).toLong else 10000000L
+    val nSeries = if (args.length > 1) args(1).toInt else 1000
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val root = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val engine = new Engine(spark, root)
+    engine.sql("CREATE TIME SERIES TABLE big(ts TIMESTAMP, v FIELD(1.0%), tag TAG)")
+
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // Synthetic: nSeries tags, regular 1s spacing, smooth value (PMC/Swing
+    // friendly with noise bursts to exercise MacaqueV).
+    val points = spark.range(nPoints)
+      .select(
+        (lit(1700000000000000L) + (col("id") / nSeries).cast("long") * 1000000L)
+          .as("ts"),
+        (sin(col("id") / 5000.0) * 100.0 +
+          when(pmod(col("id"), lit(997)) === 0, rand(7) * 50).otherwise(0.0))
+          .cast("float").as("v"),
+        concat(lit("s"), pmod(col("id"), lit(nSeries)).cast("string")).as("tag"))
+
+    timed("ingest (compress+write)") {
+      engine.write("big", points)
+    }
+    val nSegs = timed("segment count") {
+      engine.dataFolder.segments("big").count()
+    }
+    println(f"  segments: $nSegs%,d for $nPoints%,d points " +
+      f"(${nPoints.toDouble / nSegs}%.1f pts/segment)")
+
+    val n = timed("segment-native COUNT") {
+      engine.readTimeSeriesTable("big", Seq("v"), engine.Aggregate.Count)
+        .collect().head.getLong(0)
+    }
+    assert(n == nPoints, s"COUNT $n != $nPoints")
+
+    timed("segment-native AVG") {
+      engine.readTimeSeriesTable("big", Seq("v"), engine.Aggregate.Avg)
+        .collect().head.getDouble(0)
+    }
+
+    timed("tag-grouped COUNT (1000 groups)") {
+      val rows = engine.readTimeSeriesTable("big", Seq("v"),
+        engine.Aggregate.Count, groupByTags = Seq("tag")).collect()
+      assert(rows.length == nSeries)
+    }
+
+    val loUs = 1700000000000000L + (nPoints / nSeries / 3) * 1000000L
+    val hiUs = 1700000000000000L + (2 * nPoints / nSeries / 3) * 1000000L
+    def inst(us: Long) =
+      java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
+    timed("hybrid ranged COUNT") {
+      val c = engine.readTimeSeriesTable("big", Seq("v"), engine.Aggregate.Count,
+        startTime = Some(inst(loUs)), endTime = Some(inst(hiUs)))
+        .collect().head.getLong(0)
+      println(f"  ranged count: $c%,d")
+    }
+
+    timed("gridded range scan (count)") {
+      engine.readTimeSeriesTable("big",
+        startTime = Some(inst(loUs)), endTime = Some(inst(loUs + 3600000000L)))
+        .count()
+    }
+
+    val bytes = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(s"$root/tables/big"))
+    }
+    println(f"  on disk: ${bytes / 1024.0 / 1024.0}%.1f MiB " +
+      f"(${bytes.toDouble * 8 / nPoints}%.2f bits/value incl. timestamps+tags)")
+    spark.stop()
+  }
+}
