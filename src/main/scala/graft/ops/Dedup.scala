@@ -104,6 +104,61 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------------------- clustering
+
+  /** Transitive duplicate clusters from a pair list ((id_a, id_b) rows, as
+    * produced by the *DuplicatePairs operators): returns (id, cluster_id)
+    * where cluster_id is the minimum id reachable through pair edges.
+    * Distributed label propagation — per iteration one join + one min
+    * aggregation, no driver-side graph; near-dup clusters are short chains,
+    * so convergence is fast (iterations bounded by cluster diameter).
+    */
+  def clusterDuplicates(
+      pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id"))
+    var iteration = 0
+    var converged = false
+    while (iteration < maxIterations && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst")
+          .withColumnRenamed("cluster_id", "dst_cluster"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("dst_cluster")).as("neighbor_min"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
+            .as("cluster_id"))
+        .cache()
+      updated.count() // materialize before comparing
+      val changed = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .where(col("u.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count() > 0
+      labels.unpersist()
+      labels = updated
+      converged = !changed
+      iteration += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Drop near-duplicates: keep one representative (the minimum id) per
+    * transitive cluster of `pairs`, plus every row in no cluster.
+    */
+  def dropNearDuplicates(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = clusterDuplicates(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 62-bit SimHash of the text's word features (one-pass kernel). */

@@ -106,6 +106,20 @@ class OpsSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(best(i.toLong) == i.toLong))
   }
 
+  test("duplicate clusters propagate transitively and drop to one keeper") {
+    // Chain 1-2, 2-3 plus island 7-8: clusters {1,2,3} and {7,8}.
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterDuplicates(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+
+    val corpus = (1L to 10L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val kept = Dedup.dropNearDuplicates(corpus, "doc_id",
+        pairs.toDF("id_a", "id_b"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+
   test("as-of join picks the latest preceding right row per key") {
     val left = Seq(
       (1L, "a", 100L), (2L, "a", 200L), (3L, "a", 250L),
