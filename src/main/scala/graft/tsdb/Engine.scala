@@ -330,11 +330,46 @@ final class Engine(val spark: SparkSession, val root: String) {
         t -> df.queryExecution.analyzed
       }.toMap
       viewsStale = false
+      registerMetadataViews()
       Engine.setLastRegistrant(spark, this)
       // Sessions built with GraftSparkExtensions rewrite simple aggregates
       // over these views in plain spark.sql too.
       graft.plans.GraftSparkExtensions.noteEngine(spark, this)
     }
+  }
+
+  /** The reference registers its catalog as queryable metadata tables
+    * (normal_table_metadata / time_series_table_metadata /
+    * time_series_table_field_columns under a `metadata` schema,
+    * data_folder/mod.rs:279-310); temp views cannot be schema-qualified, so
+    * the same relations register as `metadata_<name>`. query_schema and
+    * generated expressions are human-readable (DDL / SQL text) rather than
+    * the reference's serialized plan bytes.
+    */
+  private def registerMetadataViews(): Unit = {
+    import spark.implicits._
+    val metas = tables().map(dataFolder.metadata)
+    metas.filterNot(_.isTimeSeries).map(_.name).toDF("table_name")
+      .createOrReplaceTempView("metadata_normal_table_metadata")
+    metas.filter(_.isTimeSeries)
+      .map(m => (m.name, m.querySchema.toDDL))
+      .toDF("table_name", "query_schema")
+      .createOrReplaceTempView("metadata_time_series_table_metadata")
+    metas.filter(_.isTimeSeries).flatMap { m =>
+      m.columns.zipWithIndex.collect {
+        case (c, i) if c.role == "field" || c.role == "generated" =>
+          val (boundValue, isRelative) = graft.core.ErrorBound.parse(
+              if (c.role == "field") c.errorBound else "") match {
+            case graft.core.ErrorBound.Absolute(b) => (b, false)
+            case graft.core.ErrorBound.Relative(p) => (p, true)
+            case graft.core.ErrorBound.Lossless => (0.0f, false)
+          }
+          (m.name, c.name, i.toShort, boundValue, isRelative,
+            if (c.role == "generated") c.generatedExpr else null)
+      }
+    }.toDF("table_name", "column_name", "column_index", "error_bound_value",
+        "error_bound_is_relative", "generated_column_expr")
+      .createOrReplaceTempView("metadata_time_series_table_field_columns")
   }
 
   /** Force re-registration (INCLUDE switches views between folders). */

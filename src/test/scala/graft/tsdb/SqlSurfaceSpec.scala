@@ -102,6 +102,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("catalog state is queryable through the metadata views") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE mv(ts TIMESTAMP, v FIELD(2.5%), " +
+      "w FIELD, d FIELD AS (v * 2), tag TAG)")
+    engine.sql("CREATE TABLE mn(k BIGINT, s TEXT)")
+
+    val normals = engine.sql(
+      "SELECT table_name FROM metadata_normal_table_metadata")
+      .collect().map(_.getString(0)).toSeq
+    assert(normals == Seq("mn"))
+
+    val tst = engine.sql(
+      "SELECT table_name, query_schema FROM metadata_time_series_table_metadata")
+      .collect()
+    assert(tst.map(_.getString(0)).toSeq == Seq("mv"))
+    assert(tst.head.getString(1).contains("ts TIMESTAMP"))
+
+    val fields = engine.sql(
+      "SELECT column_name, column_index, error_bound_value, " +
+        "error_bound_is_relative, generated_column_expr " +
+        "FROM metadata_time_series_table_field_columns ORDER BY column_index")
+      .collect().map(r => (r.getString(0), r.getShort(1), r.getFloat(2),
+        r.getBoolean(3), Option(r.getString(4))))
+    assert(fields.toSeq == Seq(
+      ("v", 1.toShort, 2.5f, true, None),
+      ("w", 2.toShort, 0.0f, false, None),
+      ("d", 3.toShort, 0.0f, false, Some("v * 2"))))
+  }
+
   test("generated column expressions are validated at CREATE time") {
     val engine = newEngine()
     val bad1 = intercept[IllegalArgumentException] {
