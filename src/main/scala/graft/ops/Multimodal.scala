@@ -38,18 +38,24 @@ object Multimodal {
     * by tests and benchmarks to synthesize binary columns.
     */
   def synthesizeAssets(df: DataFrame, idCol: String, payloadCol: String,
-      modality: String): DataFrame =
+      modality: String): DataFrame = {
+    // Multiplicative hashes of the payload length: plain integer arithmetic
+    // so the synthesized metadata is reproducible by the SQL oracle.
+    val n = octet_length(col(payloadCol).cast(StringType).cast(BinaryType))
+      .cast(LongType)
     df.select(
       col(idCol).cast(LongType).as("asset_id"),
       lit(modality).as("modality"),
       col(payloadCol).cast(StringType).cast(BinaryType).as("blob"),
       struct(
         lit(s"application/x-$modality").as("mime"),
-        (pmod(xxhash64(col(payloadCol)), lit(1920)) + 1).cast(IntegerType).as("width"),
-        (pmod(xxhash64(col(payloadCol), lit(1)), lit(1080)) + 1).cast(IntegerType)
+        (pmod(n * lit(2654435761L), lit(1920)) + 1).cast(IntegerType)
+          .as("width"),
+        (pmod(n * lit(19349663L) + lit(7L), lit(1080)) + 1).cast(IntegerType)
           .as("height"),
-        (pmod(xxhash64(col(payloadCol), lit(2)), lit(600000))).cast(LongType)
+        pmod(n * lit(73856093L), lit(600000L)).cast(LongType)
           .as("duration_ms")).as("meta"))
+  }
 
   /** Decode + feature-extract in one partition-batched pass (the
     * mapInPandas-shaped pipeline stage). Features: `dim` floats.

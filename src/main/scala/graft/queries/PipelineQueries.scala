@@ -334,12 +334,36 @@ object PipelineQueries {
       val assets = Multimodal.synthesizeAssets(
         table(s, d, "documents"), "doc_id", "text", "image")
       assets.select(col("asset_id"), col("modality"),
-          octet_length(col("blob").cast("string")).as("n_bytes"))
+          octet_length(col("blob").cast("string")).as("n_bytes"),
+          col("meta.width"), col("meta.height"))
         .orderBy("asset_id")
     }, Some("""
-      SELECT doc_id AS asset_id, 'image' AS modality,
-        CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes
-      FROM documents ORDER BY asset_id""")),
+      WITH m AS (
+        SELECT doc_id AS asset_id,
+          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        FROM documents)
+      SELECT asset_id, 'image' AS modality, CAST(n AS INTEGER) AS n_bytes,
+        CAST((n * 2654435761) % 1920 + 1 AS INTEGER) AS width,
+        CAST((n * 19349663 + 7) % 1080 + 1 AS INTEGER) AS height
+      FROM m ORDER BY asset_id""")),
+
+    // Frame-sampling plan: frame timestamps derived from the synthesized
+    // duration metadata; the count is fully SQL-checkable.
+    ("multimodal_frames", (s: SparkSession, d: String) => {
+      val videos = Multimodal.synthesizeAssets(
+        table(s, d, "documents"), "doc_id", "text", "video")
+      Multimodal.frameSamplePlan(videos, everyMs = 1000L)
+        .select(col("asset_id"), col("meta.duration_ms"), col("n_frames"))
+        .orderBy("asset_id")
+    }, Some("""
+      WITH m AS (
+        SELECT doc_id AS asset_id,
+          CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        FROM documents)
+      SELECT asset_id,
+        (n * 73856093) % 600000 AS duration_ms,
+        CAST((n * 73856093) % 600000 // 1000 + 1 AS INTEGER) AS n_frames
+      FROM m ORDER BY asset_id""")),
 
     // The STUB decode (byte histogram folded to 16 buckets, f32-normalized)
     // is deterministic, so even the stub is oracled: bucket 0 of an ASCII
