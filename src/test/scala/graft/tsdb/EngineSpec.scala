@@ -306,6 +306,32 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.readTable("src").count() == 0)
   }
 
+  test("vacuum removes stale uncommitted artifacts, never committed data") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE vt(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    engine.write("vt", makePointsDf(100, Seq("a")))
+    val before = engine.readTable("vt").count()
+
+    // Plant a stale uncommitted artifact and a fresh one.
+    val tableDir = new java.io.File(engine.dataFolder.tableDir("vt"))
+    val stale = new java.io.File(tableDir, "_temporary_job42")
+    stale.mkdirs()
+    stale.setLastModified(System.currentTimeMillis() - 10L * 86400 * 1000)
+    val fresh = new java.io.File(tableDir, "_temporary_job43")
+    fresh.mkdirs()
+
+    engine.vacuum("vt") // default 7-day retention, as in the reference
+    assert(!stale.exists(), "stale temporary artifact must be removed")
+    assert(fresh.exists(), "artifacts within retention must survive")
+    assert(engine.readTable("vt").count() == before,
+      "vacuum must never delete committed data")
+
+    engine.sql("VACUUM vt RETAIN 0")
+    assert(!fresh.exists(), "RETAIN 0 removes all uncommitted artifacts")
+    assert(engine.readTable("vt").count() == before)
+  }
+
   test("copies move data across data folders without recompression") {
     val engineA = newEngine()
     val engineB = newEngine()
