@@ -33,6 +33,22 @@ object StreamingAnalytics {
         min(col(valueCol)).as("mn"),
         max(col(valueCol)).as("mx"))
 
+  /** Streaming exact dedup: drop rows whose payload content was already
+    * seen, with the dedup state bounded by the event-time watermark
+    * (dropDuplicatesWithinWatermark) instead of growing forever — the
+    * streaming counterpart of `ops.Dedup.dropExactDuplicates` for
+    * continuous corpus ingestion.
+    */
+  def dedupStream(
+      source: DataFrame, tsCol: String, payloadCols: Seq[String],
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    source
+      .withColumn("__content_hash",
+        md5(concat_ws(" ", payloadCols.map(col): _*)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__content_hash")
+
   /** Event input for sessionization. */
   final case class SessionEvent(key: String, tsMicros: Long, value: Double)
 

@@ -43,6 +43,38 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 2L, 3.0), ("a", 1L, 5.0), ("b", 1L, 7.0)))
   }
 
+  test("streaming dedup drops repeated payloads within the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("ts_us", "text")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+    val deduped = StreamingAnalytics.dedupStream(docs, "ts", Seq("text"))
+
+    val base = 1700000000000000L
+    stream.addData(
+      (base, "alpha"), (base + 1_000_000L, "alpha"), // dup in-batch
+      (base + 2_000_000L, "beta"))
+    stream.addData(
+      (base + 3_000_000L, "alpha"),                  // dup across batches
+      (base + 4_000_000L, "gamma"))
+
+    val query = deduped.writeStream
+      .outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_dedup_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val out = spark.sql("SELECT text FROM dedup_out ORDER BY text")
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("alpha", "beta", "gamma"))
+  }
+
   test("stateful sessionization closes sessions on gaps") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
