@@ -109,6 +109,35 @@ object Similarity {
     inCellTopK(assigned,
       probeCells(centroids, queries, vecCol, queryIdCol, nProbe), idCol, vecCol, k)
 
+  /** LSH-bucketed approximate top-k for LARGE query sets: both sides get
+    * hyperplane band keys, candidates come from a plain equi-join on
+    * (band, key) — a shuffle join that scales when the query set is too big
+    * to broadcast (bruteForceTopK) and too scattered for per-cell probing
+    * (ivfTopK). Recall follows the LSH collision probability; every vector
+    * collides with itself in all bands, so self-matches always surface.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int, bits: Int = 8, bands: Int = 16): DataFrame = {
+    val bandsUdf = udf { vec: Seq[Float] =>
+      Signatures.hyperplaneBandKeys(vec.toArray, bits, bands)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      posexplode(bandsUdf(col(vecCol))).as(Seq("band", "band_key")))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
+      posexplode(bandsUdf(col(vecCol))).as(Seq("band", "band_key")))
+    val candidates = c.join(q, Seq("band", "band_key"))
+      .select("query_id", "__qv", "neighbor_id", "__cv")
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cos", cosine(col("__cv"), col("__qv")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** The nProbe centroid cells nearest each query: (query_id, __qv, cell). */
   private def probeCells(
       centroids: DataFrame, queries: DataFrame,

@@ -93,6 +93,17 @@ class OpsSpec extends AnyFunSuite {
       s"query $i nearest neighbor should be itself"))
   }
 
+  test("lsh ann surfaces self-matches and real neighbors") {
+    val queries = embeddings.where($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val topk = Similarity.lshTopK(embeddings, queries,
+      "vec_id", "embedding", "query_id", k = 3)
+    val best = topk.where($"rank" === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 5).foreach(i => assert(best(i.toLong) == i.toLong,
+      s"query $i must surface itself (identical vectors collide in all bands)"))
+  }
+
   test("ivf ann recalls the self-match with enough probes") {
     val centroids = Similarity.sampleCentroids(embeddings, "vec_id", "embedding", 8)
     val assigned = Similarity.assignCells(embeddings, centroids, "vec_id", "embedding")
