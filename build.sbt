@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (and ExtensionsSpec temporarily swaps the
+// default session while building its own): run them sequentially so
+// session juggling and streaming timeouts never race under load.
+Test / parallelExecution := false
 run / fork := true
 // The driver parses the one JSON line Bench/Verify print: pass the forked
 // process's stdout through verbatim (no "[info] " prefix) and drop the
