@@ -182,6 +182,54 @@ object RelationalQueries {
       GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
       ORDER BY yr, status""")),
 
+    // Full grouping-set lattice (CUBE), complementing q8's ROLLUP.
+    ("q17_status_cube", (s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .cube(year(col("o_orderdate")).as("yr"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"))
+        .select(
+          coalesce(col("yr").cast("string"), lit("ALL")).as("yr"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"))
+        .orderBy("yr", "status")
+    }, Some("""
+      SELECT coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS yr,
+        coalesce(o_orderstatus, 'ALL') AS status,
+        count(*) AS n_orders
+      FROM orders
+      GROUP BY CUBE(year(o_orderdate), o_orderstatus)
+      ORDER BY yr, status""")),
+
+    // RANGE-frame window: 6-day trailing moving average over per-day
+    // revenue (value-based frame, not row-based).
+    ("q18_moving_average", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = table(s, d, "orders")
+        .groupBy(datediff(col("o_orderdate"), lit("1995-01-01").cast("timestamp"))
+          .as("day_no"))
+        .agg(sum(dec(col("o_totalprice"))).as("daily"))
+      val w = Window.orderBy(col("day_no")).rangeBetween(-6, 0)
+      // Exact decimal sums, then f64 division and floor-scaling: identical
+      // doubles on both engines, no round() boundary sensitivity.
+      daily
+        .select(col("day_no"),
+          (floor(sum(col("daily")).over(w).cast("double") /
+            count(lit(1)).over(w) * 100d) / 100d).as("avg_7d"))
+        .where(col("day_no") < 400)
+        .orderBy("day_no")
+    }, Some("""
+      WITH daily AS (
+        SELECT datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day_no,
+          sum(CAST(o_totalprice AS DECIMAL(18,2))) AS daily
+        FROM orders GROUP BY 1)
+      SELECT day_no,
+        floor(CAST(sum(daily) OVER w AS DOUBLE) / (count(*) OVER w)
+          * 100) / 100 AS avg_7d
+      FROM daily
+      WHERE day_no < 400
+      WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY day_no""")),
+
     ("q9_top_customers", (s: SparkSession, d: String) => {
       val customer = table(s, d, "customer")
       val orders = table(s, d, "orders")
