@@ -160,6 +160,17 @@ final class DataFolder(val spark: SparkSession, val root: String) {
       .parquet(tableDir(table))
   }
 
+  /** Streaming segment scan: a file-source stream over the table's segment
+    * directory — every appended segment file (batch write, streaming
+    * ingest, cross-folder copy) becomes a micro-batch.
+    */
+  def segmentsStream(table: String): DataFrame = {
+    val meta = metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    val schema = SegmentSchema.forTags(meta.tagColumns)
+    spark.readStream.schema(schema).parquet(tableDir(table))
+  }
+
   /** Raw segment scan with partition pruning on `field_column`. */
   def segments(table: String): DataFrame = {
     val meta = metadata(table)

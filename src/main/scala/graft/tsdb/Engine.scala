@@ -84,6 +84,21 @@ final class Engine(val spark: SparkSession, val root: String) {
     else dataFolder.readNormal(table)
   }
 
+  /** STREAMING logical view of one stored field: segments appended to the
+    * table (batch writes, streaming ingest, copies) arrive as micro-batches
+    * and are reconstructed through the same expression-based grid pipeline
+    * — continuous queries over the compressed store, an ability the
+    * batch-only reference lacks. Single-field: multivariate reassembly
+    * aggregates by timestamp, which a caller adds downstream with a
+    * watermark if needed.
+    */
+  def readTableStream(table: String, field: String): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field), s"$field is not a stored field.")
+    GridView.dataPoints(dataFolder.segmentsStream(table), meta, Seq(field))
+  }
+
   /** Structured read of a time series table, the `read_time_series_table`
     * parity API: column projection, optional aggregate, tag group-by, time
     * range, and tag-equality filters. Simple aggregates and tag group-bys

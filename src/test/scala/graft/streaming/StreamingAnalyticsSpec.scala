@@ -43,6 +43,38 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("a", 2L, 3.0), ("a", 1L, 5.0), ("b", 1L, 7.0)))
   }
 
+  test("streaming read reconstructs appended segments as micro-batches") {
+    import spark.implicits._
+    val engine = new graft.tsdb.Engine(spark,
+      Files.createTempDirectory("graft_stream_read").toString)
+    engine.sql("CREATE TIME SERIES TABLE sr(ts TIMESTAMP, v FIELD, tag TAG)")
+
+    def points(offset: Int, n: Int) = (0 until n)
+      .map(i => (1700000000000000L + (offset + i) * 1000000L,
+        (offset + i).toFloat, s"u${i % 2}"))
+      .toDF("ts", "v", "tag")
+    engine.write("sr", points(0, 500))
+    engine.write("sr", points(500, 300))
+
+    val stream = engine.readTableStream("sr", "v")
+    assert(stream.isStreaming)
+    val query = stream.writeStream
+      .outputMode("append")
+      .format("memory").queryName("grid_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_sr_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val out = spark.sql(
+      "SELECT COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS s FROM grid_stream_out")
+      .collect().head
+    assert(out.getLong(0) == 800L,
+      s"all appended segments must reconstruct, got ${out.getLong(0)}")
+    assert(out.getDouble(1) == (0 until 800).sum.toDouble)
+  }
+
   test("streaming dedup drops repeated payloads within the watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
