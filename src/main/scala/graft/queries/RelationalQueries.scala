@@ -230,6 +230,27 @@ object RelationalQueries {
       WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
       ORDER BY day_no""")),
 
+    // Correlated scalar subquery (Catalyst decorrelates it into an
+    // aggregate + join); DECIMAL comparison keeps both engines exact.
+    ("q19_above_nation_avg", (s: SparkSession, d: String) => {
+      table(s, d, "customer").createOrReplaceTempView("q19_customer")
+      s.sql("""
+        SELECT c_custkey, c_name FROM q19_customer
+        WHERE c_acctbal >
+          (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*)
+           FROM q19_customer c2
+           WHERE c2.c_nationkey = q19_customer.c_nationkey)
+        ORDER BY c_custkey""")
+    }, Some("""
+      SELECT c_custkey, c_name FROM customer
+      WHERE c_acctbal >
+        (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(*)
+         FROM customer c2
+         WHERE c2.c_nationkey = customer.c_nationkey)
+      ORDER BY c_custkey""")),
+
     ("q9_top_customers", (s: SparkSession, d: String) => {
       val customer = table(s, d, "customer")
       val orders = table(s, d, "orders")
