@@ -268,6 +268,24 @@ object RelationalQueries {
       GROUP BY c_custkey, c_name
       ORDER BY total_spent DESC, c_custkey LIMIT 10""")),
 
+    // Exact interpolated percentiles per group (both engines use the
+    // standard (n-1)*p linear interpolation; floor-scaling absorbs the
+    // last-ulp difference in interpolation order).
+    ("q20_percentiles", (s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          (floor(expr("percentile(o_totalprice, 0.25)") * 100d) / 100d).as("p25"),
+          (floor(expr("percentile(o_totalprice, 0.5)") * 100d) / 100d).as("p50"),
+          (floor(expr("percentile(o_totalprice, 0.9)") * 100d) / 100d).as("p90"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+        floor(quantile_cont(o_totalprice, 0.25) * 100) / 100 AS p25,
+        floor(quantile_cont(o_totalprice, 0.5) * 100) / 100 AS p50,
+        floor(quantile_cont(o_totalprice, 0.9) * 100) / 100 AS p90
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
     ("q10_set_ops", (s: SparkSession, d: String) => {
       val orders = table(s, d, "orders")
       val open = orders.where(col("o_orderstatus") === "O").select("o_custkey")
