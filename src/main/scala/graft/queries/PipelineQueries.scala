@@ -281,6 +281,7 @@ object PipelineQueries {
       val docs = table(s, d, "documents")
       docs.select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.regexTokenCount(col("text")).as("n_bpe_tokens"),
           length(col("text")).as("len_chars"),
           TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
@@ -288,6 +289,8 @@ object PipelineQueries {
       SELECT doc_id,
         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
           w -> w <> '')) AS INTEGER) AS n_tokens,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+          AS INTEGER) AS n_bpe_tokens,
         CAST(length(text) AS INTEGER) AS len_chars,
         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
       FROM documents ORDER BY doc_id""")),
