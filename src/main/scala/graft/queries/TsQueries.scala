@@ -106,32 +106,27 @@ object TsQueries {
         CAST(user_id AS VARCHAR) AS user
       FROM events ORDER BY user, ts_us""")),
 
-    // COUNT/MIN/MAX computed from segment metadata only (no reconstruction).
+    // COUNT/MIN/MAX computed from segment metadata only (no reconstruction),
+    // all three from ONE segment scan via the multi-aggregate read.
     ("ts_seg_stats", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)
-      val c = engine.readTimeSeriesTable("events_lossless", Seq("value"),
-        engine.Aggregate.Count).collect().head.getLong(0)
-      val mn = engine.readTimeSeriesTable("events_lossless", Seq("value"),
-        engine.Aggregate.Min).collect().head.getFloat(0)
-      val mx = engine.readTimeSeriesTable("events_lossless", Seq("value"),
-        engine.Aggregate.Max).collect().head.getFloat(0)
-      import s.implicits._
-      Seq((c, mn, mx)).toDF("n", "mn", "mx")
+      engine.readTimeSeriesTableMulti("events_lossless", Seq("value"),
+          Seq(engine.Aggregate.Count, engine.Aggregate.Min, engine.Aggregate.Max))
+        .select(col("count_value").as("n"), col("min_value").as("mn"),
+          col("max_value").as("mx"))
     }, Some("""
       SELECT count(*) AS n, min(CAST(value AS FLOAT4)) AS mn,
         max(CAST(value AS FLOAT4)) AS mx
       FROM events""")),
 
-    // SUM/AVG from per-segment closed forms, f64-accumulated.
+    // SUM/AVG from per-segment closed forms, f64-accumulated, both from one
+    // segment scan.
     ("ts_seg_sum_avg", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)
-      val sumv = engine.readTimeSeriesTable("events_lossless", Seq("value"),
-        engine.Aggregate.Sum).collect().head.getDouble(0)
-      val avgv = engine.readTimeSeriesTable("events_lossless", Seq("value"),
-        engine.Aggregate.Avg).collect().head.getDouble(0)
-      import s.implicits._
-      Seq((sumv, avgv)).toDF("s", "a")
-        .select(round(col("s"), 2).as("sum_v"), round(col("a"), 4).as("avg_v"))
+      engine.readTimeSeriesTableMulti("events_lossless", Seq("value"),
+          Seq(engine.Aggregate.Sum, engine.Aggregate.Avg))
+        .select(round(col("sum_value"), 2).as("sum_v"),
+          round(col("avg_value"), 4).as("avg_v"))
     }, Some("""
       SELECT round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
         round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS avg_v
@@ -171,21 +166,13 @@ object TsQueries {
       val hi = bounds.getLong(0) + 2 * (bounds.getLong(1) - bounds.getLong(0)) / 3
       def inst(us: Long) =
         java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
-      val n = engine.readTimeSeriesTable("events_lossless", Seq("value"),
-        engine.Aggregate.Count, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
-        .collect().head.getLong(0)
-      val sm = engine.readTimeSeriesTable("events_lossless", Seq("value"),
-        engine.Aggregate.Sum, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
-        .collect().head.getDouble(0)
-      val mn = engine.readTimeSeriesTable("events_lossless", Seq("value"),
-        engine.Aggregate.Min, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
-        .collect().head.getFloat(0)
-      val mx = engine.readTimeSeriesTable("events_lossless", Seq("value"),
-        engine.Aggregate.Max, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
-        .collect().head.getFloat(0)
-      import s.implicits._
-      Seq((n, sm, mn, mx)).toDF("n", "s", "mn", "mx")
-        .select(col("n"), round(col("s"), 2).as("sum_v"), col("mn"), col("mx"))
+      // All four aggregates from ONE hybrid interior/boundary pass.
+      engine.readTimeSeriesTableMulti("events_lossless", Seq("value"),
+          Seq(engine.Aggregate.Count, engine.Aggregate.Sum,
+            engine.Aggregate.Min, engine.Aggregate.Max),
+          startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+        .select(col("count_value").as("n"), round(col("sum_value"), 2).as("sum_v"),
+          col("min_value").as("mn"), col("max_value").as("mx"))
     }, Some("""
       WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
       r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo, lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b)
@@ -195,20 +182,15 @@ object TsQueries {
       FROM events, r
       WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
 
-    // Per-tag aggregates straight from segment metadata (tags denormalized).
+    // Per-tag aggregates straight from segment metadata (tags denormalized):
+    // one grouped segment scan answers all three kinds — no joins.
     ("ts_tag_stats", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)
-      engine.readTimeSeriesTable("events_lossless", Seq("value"),
-          engine.Aggregate.Count, groupByTags = Seq("user"))
-        .withColumnRenamed("count_value", "n")
-        .join(
-          engine.readTimeSeriesTable("events_lossless", Seq("value"),
-            engine.Aggregate.Min, groupByTags = Seq("user"))
-            .withColumnRenamed("min_value", "mn"), Seq("user"))
-        .join(
-          engine.readTimeSeriesTable("events_lossless", Seq("value"),
-            engine.Aggregate.Max, groupByTags = Seq("user"))
-            .withColumnRenamed("max_value", "mx"), Seq("user"))
+      engine.readTimeSeriesTableMulti("events_lossless", Seq("value"),
+          Seq(engine.Aggregate.Count, engine.Aggregate.Min, engine.Aggregate.Max),
+          groupByTags = Seq("user"))
+        .select(col("user"), col("count_value").as("n"),
+          col("min_value").as("mn"), col("max_value").as("mx"))
         .orderBy("user")
     }, Some("""
       SELECT CAST(user_id AS VARCHAR) AS user, count(*) AS n,
@@ -254,18 +236,12 @@ object TsQueries {
       val hi = bounds.getLong(0) + 2 * (bounds.getLong(1) - bounds.getLong(0)) / 3
       def inst(us: Long) =
         java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
-      val counts = engine.readTimeSeriesTable("events_multi", Seq("value", "value2"),
-        engine.Aggregate.Count, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
-        .collect().head
-      val sums = engine.readTimeSeriesTable("events_multi", Seq("value", "value2"),
-        engine.Aggregate.Sum, startTime = Some(inst(lo)), endTime = Some(inst(hi)))
-        .collect().head
-      import s.implicits._
-      Seq((counts.getLong(0), counts.getLong(1),
-          sums.getDouble(0), sums.getDouble(1)))
-        .toDF("n_value", "n_value2", "s1", "s2")
-        .select(col("n_value"), col("n_value2"),
-          round(col("s1"), 2).as("sum_value"), round(col("s2"), 2).as("sum_value2"))
+      engine.readTimeSeriesTableMulti("events_multi", Seq("value", "value2"),
+          Seq(engine.Aggregate.Count, engine.Aggregate.Sum),
+          startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+        .select(col("count_value").as("n_value"), col("count_value2").as("n_value2"),
+          round(col("sum_value"), 2).as("sum_value"),
+          round(col("sum_value2"), 2).as("sum_value2"))
     }, Some("""
       WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
       r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo, lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b)

@@ -112,9 +112,37 @@ final class Engine(val spark: SparkSession, val root: String) {
       groupByTags: Seq[String] = Seq.empty,
       startTime: Option[java.time.Instant] = scala.None,
       endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty): DataFrame =
+    readTimeSeriesTableMulti(table, fields,
+      if (aggregate == Aggregate.None) Seq.empty else Seq(aggregate),
+      groupByTags, startTime, endTime, tagFilters)
+
+  /** Multi-aggregate structured read: every requested aggregate of every
+    * selected field is answered from ONE pass over the data — one
+    * segment-metadata aggregation when no time range is given, one hybrid
+    * interior/boundary pass when there is — instead of one Spark job per
+    * aggregate kind. (The reference reaches the same shape by packing all
+    * accumulators into a single AggregateExec,
+    * /root/reference/crates/modelardb_storage/src/optimizer/model_simple_aggregates.rs:255-334.)
+    *
+    * Output columns: group-by tags first, then `<kind>_<field>` for each
+    * aggregate in order, each field in order. An empty `aggregates` returns
+    * the reconstructed points unchanged.
+    */
+  def readTimeSeriesTableMulti(
+      table: String,
+      fields: Seq[String] = Seq.empty,
+      aggregates: Seq[Aggregate] = Seq.empty,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
       tagFilters: Map[String, String] = Map.empty): DataFrame = {
     val meta = dataFolder.metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(!aggregates.contains(Aggregate.None),
+      "Pass an empty aggregates list for a plain read, not Aggregate.None.")
+    require(aggregates.distinct == aggregates,
+      "Duplicate aggregate kinds would produce duplicate output columns.")
     val selected = if (fields.isEmpty) meta.fieldColumns else fields
     val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
     val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
@@ -123,30 +151,29 @@ final class Engine(val spark: SparkSession, val root: String) {
       .reduceOption(_ && _)
 
     val segmentNativeEligible =
-      aggregate != Aggregate.None &&
+      aggregates.nonEmpty &&
         startUs.isEmpty && endUs.isEmpty &&
         groupByTags.forall(meta.tagColumns.contains)
 
     val hybridEligible =
-      aggregate != Aggregate.None &&
+      aggregates.nonEmpty &&
         (startUs.nonEmpty || endUs.nonEmpty) &&
         groupByTags.forall(meta.tagColumns.contains)
 
     if (segmentNativeEligible) {
-      segmentNativeAggregate(meta, selected, aggregate, groupByTags, tagPred)
+      segmentNativeAggregate(meta, selected, aggregates, groupByTags, tagPred)
     } else if (hybridEligible) {
-      hybridRangeAggregate(meta, selected, aggregate, groupByTags, tagPred,
+      hybridRangeAggregate(meta, selected, aggregates, groupByTags, tagPred,
         startUs, endUs)
     } else {
       val segments0 = dataFolder.segments(table)
       val segments = tagPred.map(segments0.where).getOrElse(segments0)
       val points = GridView.dataPoints(segments, meta, selected, startUs, endUs)
-      aggregate match {
-        case Aggregate.None => points
-        case agg =>
-          val aggs = selected.map(f => gridAggColumn(agg, f))
-          if (groupByTags.isEmpty) points.agg(aggs.head, aggs.tail: _*)
-          else points.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      if (aggregates.isEmpty) points
+      else {
+        val aggs = for (agg <- aggregates; f <- selected) yield gridAggColumn(agg, f)
+        if (groupByTags.isEmpty) points.agg(aggs.head, aggs.tail: _*)
+        else points.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
       }
     }
   }
@@ -160,27 +187,31 @@ final class Engine(val spark: SparkSession, val root: String) {
     case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
   }
 
+  private def kindOf(aggregate: Aggregate): String = aggregate match {
+    case Aggregate.Count => "count"
+    case Aggregate.Min => "min"
+    case Aggregate.Max => "max"
+    case Aggregate.Sum => "sum"
+    case Aggregate.Avg => "avg"
+    case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
+  }
+
   /** COUNT/MIN/MAX/SUM/AVG (optionally grouped by tags) straight from
     * segment metadata — the Spark shape of the reference's
     * ModelSimpleAggregates rewrite, extended to tag group-bys (tags are
     * denormalized into every segment row, so the group-by shuffles the tiny
-    * segment relation, never the reconstructed points).
+    * segment relation, never the reconstructed points). All requested
+    * aggregate kinds are emitted from the same aggregation — one job, one
+    * segment scan, however many kinds are asked for.
     */
   private def segmentNativeAggregate(
-      meta: TableMetadata, fields: Seq[String], aggregate: Aggregate,
+      meta: TableMetadata, fields: Seq[String], aggregates: Seq[Aggregate],
       groupByTags: Seq[String], tagPred: Option[Column]): DataFrame = {
     val segments0 = dataFolder.segments(meta.name)
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
 
-    val kind = aggregate match {
-      case Aggregate.Count => "count"
-      case Aggregate.Min => "min"
-      case Aggregate.Max => "max"
-      case Aggregate.Sum => "sum"
-      case Aggregate.Avg => "avg"
-      case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
-    }
-    val aggs = fields.map { f =>
+    val aggs = for (agg <- aggregates; f <- fields) yield {
+      val kind = kindOf(agg)
       SegmentAggregates.aggColumnFor(kind, meta.fieldIndex(f)).as(s"${kind}_$f")
     }
     if (groupByTags.isEmpty) segments.agg(aggs.head, aggs.tail: _*)
@@ -196,7 +227,7 @@ final class Engine(val spark: SparkSession, val root: String) {
     * rewrite whenever any predicate is present.
     */
   private def hybridRangeAggregate(
-      meta: TableMetadata, fields: Seq[String], aggregate: Aggregate,
+      meta: TableMetadata, fields: Seq[String], aggregates: Seq[Aggregate],
       groupByTags: Seq[String], tagPred: Option[Column],
       startUs: Option[Long], endUs: Option[Long]): DataFrame = {
     val segments0 = dataFolder.segments(meta.name)
@@ -256,8 +287,10 @@ final class Engine(val spark: SparkSession, val root: String) {
       else partials.groupBy(groupByTags.map(col): _*)
         .agg(combineAggs.head, combineAggs.tail: _*)
 
-    val finalCols = groupByTags.map(col) ++ fields.map { f =>
-      aggregate match {
+    // Every requested aggregate kind is projected from the same combined
+    // partials — the single pass is shared no matter how many are asked for.
+    val finalCols = groupByTags.map(col) ++ (
+      for (agg <- aggregates; f <- fields) yield agg match {
         case Aggregate.Count => col(s"__cnt_$f").as(s"count_$f")
         case Aggregate.Min => col(s"__min_$f").as(s"min_$f")
         case Aggregate.Max => col(s"__max_$f").as(s"max_$f")
@@ -265,8 +298,7 @@ final class Engine(val spark: SparkSession, val root: String) {
         case Aggregate.Avg =>
           (col(s"__sum_$f") / col(s"__cnt_$f")).as(s"avg_$f")
         case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
-      }
-    }
+      })
     combined.select(finalCols: _*)
   }
 

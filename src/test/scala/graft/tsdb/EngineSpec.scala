@@ -193,6 +193,65 @@ class EngineSpec extends AnyFunSuite {
     assert(grouped == expectedGrouped)
   }
 
+  test("multi-aggregate read answers all kinds from one pass") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE magg(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    val df = makePointsDf(1200, Seq("a", "b"))
+    engine.write("magg", df)
+
+    // Segment-native: one call returns count/min/max/sum/avg together.
+    val all = engine.readTimeSeriesTableMulti("magg", Seq("field_1"),
+      Seq(engine.Aggregate.Count, engine.Aggregate.Min, engine.Aggregate.Max,
+        engine.Aggregate.Sum, engine.Aggregate.Avg))
+    assert(all.columns.toSeq == Seq("count_field_1", "min_field_1",
+      "max_field_1", "sum_field_1", "avg_field_1"))
+    val row = all.collect().head
+    val exp = df.agg(count("field_1"), min("field_1"), max("field_1"),
+      sum(col("field_1").cast("double")), avg(col("field_1").cast("double")))
+      .collect().head
+    assert(row.getLong(0) == exp.getLong(0))
+    assert(row.getFloat(1) == exp.getFloat(1))
+    assert(row.getFloat(2) == exp.getFloat(2))
+    assert(math.abs(row.getDouble(3) - exp.getDouble(3)) <=
+      math.abs(exp.getDouble(3)) * 1e-9)
+    assert(math.abs(row.getDouble(4) - exp.getDouble(4)) <=
+      math.abs(exp.getDouble(4)) * 1e-9)
+
+    // Tag-grouped multi-aggregate, still one grouped segment aggregation.
+    val grouped = engine.readTimeSeriesTableMulti("magg", Seq("field_1"),
+      Seq(engine.Aggregate.Count, engine.Aggregate.Min, engine.Aggregate.Max),
+      groupByTags = Seq("tag"))
+    assert(grouped.columns.toSeq ==
+      Seq("tag", "count_field_1", "min_field_1", "max_field_1"))
+    val g = grouped.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ge = df.groupBy("tag").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g == ge)
+
+    // Hybrid ranged multi-aggregate over both fields from one pass.
+    val bounds = df.agg(min("ts_us"), max("ts_us")).collect().head
+    val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 5
+    val hi = bounds.getLong(0) + 4 * (bounds.getLong(1) - bounds.getLong(0)) / 5
+    val loI = java.time.Instant.ofEpochSecond(lo / 1000000L, lo % 1000000L * 1000L)
+    val hiI = java.time.Instant.ofEpochSecond(hi / 1000000L, hi % 1000000L * 1000L)
+    val ranged = engine.readTimeSeriesTableMulti("magg", Seq("field_1", "field_2"),
+      Seq(engine.Aggregate.Count, engine.Aggregate.Sum),
+      startTime = Some(loI), endTime = Some(hiI))
+    assert(ranged.columns.toSeq == Seq("count_field_1", "count_field_2",
+      "sum_field_1", "sum_field_2"))
+    val r = ranged.collect().head
+    val re = df.where(col("ts_us") >= lo && col("ts_us") <= hi).agg(
+      count("field_1"), count("field_2"),
+      sum(col("field_1").cast("double")), sum(col("field_2").cast("double")))
+      .collect().head
+    assert(r.getLong(0) == re.getLong(0) && r.getLong(1) == re.getLong(1))
+    assert(math.abs(r.getDouble(2) - re.getDouble(2)) <=
+      math.abs(re.getDouble(2)) * 1e-9)
+    assert(math.abs(r.getDouble(3) - re.getDouble(3)) <=
+      math.abs(re.getDouble(3)) * 1e-9)
+  }
+
   test("hybrid multi-field ranged aggregates compute boundary partials per field") {
     // Regression: per-field segments straddle the range edges at different
     // timestamps; assembling boundary points into multivariate rows drops
