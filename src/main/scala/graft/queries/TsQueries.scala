@@ -22,7 +22,7 @@ object TsQueries {
   /** Bump when the segment format or build recipe changes so stale caches
     * from earlier builds are discarded.
     */
-  private val CacheVersion = "v2"
+  private val CacheVersion = "v3"
 
   /** Build (once per JVM x scale factor) a data folder holding the events
     * time series tables; reused across queries via an on-disk marker.

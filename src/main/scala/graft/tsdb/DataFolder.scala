@@ -71,10 +71,26 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     clearStreamingMarkers(table)
   }
 
+  /** Truncate = commit an EMPTY manifest (new scans instantly see an empty
+    * table) and quarantine the data files under `_graft_stale/` instead of
+    * deleting them under concurrent readers; VACUUM reclaims them once they
+    * age past retention. Mirrors the reference's Delta semantics where
+    * truncation writes a remove-all commit and `vacuum` physically deletes
+    * (/root/reference/crates/modelardb_storage/src/data_folder/mod.rs:659-683).
+    */
   def truncate(table: String): Unit = {
     require(tableExists(table), s"Table $table does not exist.")
-    fs.delete(new Path(tableDir(table)), true)
-    fs.mkdirs(new Path(tableDir(table)))
+    val dir = new Path(tableDir(table))
+    if (fs.exists(dir)) {
+      val quarantine = new Path(dir, s"$StaleDirName/t${System.currentTimeMillis()}")
+      fs.mkdirs(quarantine)
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (!name.startsWith("_") && !name.startsWith("."))
+          fs.rename(st.getPath, new Path(quarantine, name))
+      }
+    } else fs.mkdirs(dir)
+    TableManifest.commit(fs, tableDir(table))(_ => Seq.empty)
     clearStreamingMarkers(table)
   }
 
@@ -85,21 +101,44 @@ final class DataFolder(val spark: SparkSession, val root: String) {
   private def clearStreamingMarkers(table: String): Unit =
     fs.delete(new Path(s"$root/streaming/$table"), true)
 
-  /** Remove leftover temporary/uncommitted artifacts older than the
-    * retention period (plain-Parquet analog of the reference's Delta vacuum;
-    * committed data files are never deleted).
+  /** Reclaim storage no live scan can reach, matching the reference's
+    * Delta vacuum semantics (data_folder/mod.rs:659-683): files older than
+    * the retention window that are (a) writer temp droppings, (b) data
+    * quarantined by TRUNCATE, (c) Parquet orphans a killed job left behind
+    * that no manifest ever referenced, or (d) superseded manifest versions.
+    * Files in the CURRENT manifest are never deleted.
     */
   def vacuum(table: String, retentionSeconds: Long = 604800L): Unit = {
     require(tableExists(table), s"Table $table does not exist.")
     val cutoff = System.currentTimeMillis() - retentionSeconds * 1000L
-    val dir = new Path(tableDir(table))
+    val dirStr = tableDir(table)
+    val dir = new Path(dirStr)
     if (fs.exists(dir)) {
+      // (a) temp/hidden droppings and (b) TRUNCATE quarantine entries.
       fs.listStatus(dir).foreach { st =>
         val name = st.getPath.getName
         if ((name.startsWith("_temporary") || name.startsWith(".")) &&
             st.getModificationTime < cutoff) {
           fs.delete(st.getPath, true)
         }
+        if (name == StaleDirName) {
+          fs.listStatus(st.getPath).foreach { q =>
+            if (q.getModificationTime < cutoff) fs.delete(q.getPath, true)
+          }
+        }
+      }
+      // (c) + (d) need a manifest: without one, every data file is live.
+      TableManifest.latest(fs, dirStr).foreach { snapshot =>
+        val live = snapshot.files.toSet
+        listDataFiles(dirStr).foreach { rel =>
+          if (!live.contains(rel)) {
+            val p = new Path(dir, rel)
+            if (fs.getFileStatus(p).getModificationTime < cutoff)
+              fs.delete(p, false)
+          }
+        }
+        TableManifest.staleVersionPaths(fs, dirStr, cutoff)
+          .foreach(fs.delete(_, false))
       }
     }
   }
@@ -151,18 +190,72 @@ final class DataFolder(val spark: SparkSession, val root: String) {
         columnNames)
     }(Encoders.row(outSchema))
 
-    segments.write
-      .mode("append")
-      // ZSTD like the reference's segment writer tuning
-      // (/root/reference/crates/modelardb_storage/src/lib.rs:248-261).
-      .option("compression", "zstd")
-      .partitionBy(SegmentSchema.FieldColumn)
-      .parquet(tableDir(table))
+    appendSegments(table, segments)
+  }
+
+  /** Append already-compressed segment rows and atomically commit them into
+    * the table's manifest (also the segment-level copy path — segments move
+    * between folders without re-compression, data_folder.rs:335-420).
+    */
+  def appendSegments(table: String, segments: DataFrame): Unit =
+    committedAppend(table) { dir =>
+      segments.write
+        .mode("append")
+        // ZSTD like the reference's segment writer tuning
+        // (/root/reference/crates/modelardb_storage/src/lib.rs:248-261).
+        .option("compression", "zstd")
+        .partitionBy(SegmentSchema.FieldColumn)
+        .parquet(dir)
+    }
+
+  /** Run a Spark append against the table directory, then publish exactly
+    * the files that write produced as the next manifest snapshot. If the
+    * job dies mid-write, no manifest is published and its partial output
+    * stays invisible to every scan (vacuum reclaims it after retention).
+    */
+  private def committedAppend(table: String)(doWrite: String => Unit): Unit = {
+    val dir = tableDir(table)
+    val before = listDataFiles(dir)
+    val hadManifest = TableManifest.latest(fs, dir).nonEmpty
+    doWrite(dir)
+    val beforeSet = before.toSet
+    val added = listDataFiles(dir).filterNot(beforeSet)
+    // Pre-manifest tables adopt their existing files on first commit; after
+    // that the manifest is the source of truth (so files an earlier failed
+    // job orphaned are never resurrected by an unrelated later commit).
+    TableManifest.commit(fs, dir) { live =>
+      (if (hadManifest) live else before) ++ added
+    }
+  }
+
+  /** Committed data files of one write = everything under the table dir
+    * ending in .parquet whose path has no hidden component (`_temporary`,
+    * `_graft_manifest`, `_graft_stale`, checksums...), relative to the dir.
+    */
+  private def listDataFiles(dir: String): Seq[String] = {
+    val base = new Path(dir)
+    if (!fs.exists(base)) Seq.empty
+    else {
+      val baseUri = fs.makeQualified(base).toUri
+      val it = fs.listFiles(base, true)
+      val buf = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val rel = baseUri.relativize(fs.makeQualified(st.getPath).toUri).getPath
+        if (rel.endsWith(".parquet") &&
+            !rel.split("/").exists(s => s.startsWith("_") || s.startsWith(".")))
+          buf += rel
+      }
+      buf.result()
+    }
   }
 
   /** Streaming segment scan: a file-source stream over the table's segment
     * directory — every appended segment file (batch write, streaming
-    * ingest, cross-folder copy) becomes a micro-batch.
+    * ingest, cross-folder copy) becomes a micro-batch. The file source
+    * discovers files as they land, ahead of their manifest commit; with the
+    * single-writer append path the commit follows immediately, so the
+    * stream and the snapshot scans converge to the same contents.
     */
   def segmentsStream(table: String): DataFrame = {
     val meta = metadata(table)
@@ -171,14 +264,26 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     spark.readStream.schema(schema).parquet(tableDir(table))
   }
 
-  /** Raw segment scan with partition pruning on `field_column`. */
+  /** Raw segment scan with partition pruning on `field_column`, reading the
+    * newest manifest's snapshot: exactly the committed files, never a
+    * killed writer's partial output. `basePath` keeps the `field_column=i`
+    * directory-derived partition column (and its pruning) intact when
+    * scanning an explicit file list.
+    */
   def segments(table: String): DataFrame = {
     val meta = metadata(table)
     val dir = tableDir(table)
     val schema = SegmentSchema.forTags(meta.tagColumns)
-    if (isEmptyTableDir(dir)) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.schema(schema).parquet(dir)
+    def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    TableManifest.latest(fs, dir) match {
+      case Some(snapshot) =>
+        if (snapshot.files.isEmpty) empty
+        else spark.read.option("basePath", dir).schema(schema)
+          .parquet(snapshot.files.map(rel => s"$dir/$rel"): _*)
+      case scala.None => // pre-manifest table: every file on disk is live
+        if (isEmptyTableDir(dir)) empty
+        else spark.read.schema(schema).parquet(dir)
+    }
   }
 
   private def isEmptyTableDir(dir: String): Boolean = {
@@ -194,23 +299,42 @@ final class DataFolder(val spark: SparkSession, val root: String) {
   def writeNormal(table: String, df: DataFrame): Unit = {
     val meta = metadata(table)
     require(!meta.isTimeSeries, s"$table is a time series table; use write.")
-    df.write.mode("append").parquet(tableDir(table))
+    committedAppend(table)(dir => df.write.mode("append").parquet(dir))
   }
 
   def readNormal(table: String): DataFrame = {
     val meta = metadata(table)
     require(!meta.isTimeSeries)
     val dir = tableDir(table)
-    if (meta.normalSchemaJson.nonEmpty) {
-      val schema = DataType.fromJson(meta.normalSchemaJson).asInstanceOf[StructType]
-      if (isEmptyTableDir(dir))
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(dir)
-    } else spark.read.parquet(dir)
+    val declared =
+      if (meta.normalSchemaJson.isEmpty) scala.None
+      else Some(DataType.fromJson(meta.normalSchemaJson).asInstanceOf[StructType])
+    def emptyOr(read: Seq[String] => DataFrame, files: Seq[String]): DataFrame =
+      declared match {
+        case Some(schema) if files.isEmpty =>
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        case _ => read(files)
+      }
+    TableManifest.latest(fs, dir) match {
+      case Some(snapshot) =>
+        emptyOr({ files =>
+          val reader = declared.fold(spark.read)(spark.read.schema)
+          reader.option("basePath", dir).parquet(files.map(rel => s"$dir/$rel"): _*)
+        }, snapshot.files)
+      case scala.None =>
+        if (declared.nonEmpty && isEmptyTableDir(dir))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], declared.get)
+        else declared.fold(spark.read)(spark.read.schema).parquet(dir)
+    }
   }
 }
 
 object DataFolder {
+
+  /** TRUNCATE quarantine directory: hidden from every scan (leading
+    * underscore), reclaimed by VACUUM once past retention.
+    */
+  val StaleDirName = "_graft_stale"
 
   /** Max points buffered per series chunk before segments are cut, matching
     * the reference's uncompressed buffer capacity

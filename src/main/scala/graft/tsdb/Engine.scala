@@ -335,8 +335,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       "Source and target schemas must match for segment-level copy.")
     val segs = dataFolder.segments(source)
       .where(GridView.segmentTimePredicate(startMicros, endMicros))
-    segs.write.mode("append").partitionBy(SegmentSchema.FieldColumn)
-      .parquet(targetEngine.dataFolder.tableDir(target))
+    targetEngine.dataFolder.appendSegments(target, segs)
     targetEngine.invalidateViews()
   }
 

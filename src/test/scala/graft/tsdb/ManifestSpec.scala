@@ -1,0 +1,181 @@
+package graft.tsdb
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.DataGeneration
+
+/** The manifest commit protocol: scans see exactly the committed snapshot —
+  * a killed writer's partial Parquet output is invisible, TRUNCATE is an
+  * atomic empty-snapshot commit, and VACUUM reclaims exactly the
+  * unreachable files (orphans, quarantined data, superseded manifests)
+  * while never touching live ones. Mirrors the guarantees of the
+  * reference's Delta-backed table layer
+  * (/root/reference/crates/modelardb_storage/src/data_folder/delta_table_writer.rs:42-260).
+  */
+class ManifestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def newEngine(): Engine =
+    new Engine(spark, Files.createTempDirectory("graft_manifest").toString)
+
+  private def makePointsDf(n: Int, tag: String) = {
+    val rng = new scala.util.Random(7L)
+    val ts = DataGeneration.generateTimestamps(n, irregular = false, rng)
+    val vs = DataGeneration.generateValues(n, DataGeneration.Linear, Some(0.05f), rng)
+    import spark.implicits._
+    ts.indices.map(i => (ts(i), vs(i), tag)).toDF("ts_us", "v", "tag")
+  }
+
+  private def dataFileCount(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) {
+        if (f.getName.startsWith("_") || f.getName.startsWith(".")) 0L
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      } else if (f.getName.endsWith(".parquet") && !f.getName.startsWith(".")) 1L
+      else 0L
+    walk(new java.io.File(dir))
+  }
+
+  test("each append commits a new manifest snapshot; scans read only it") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE mt(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    engine.write("mt", makePointsDf(300, "a"))
+    val afterFirst = engine.readTable("mt").count()
+    assert(afterFirst == 300)
+    engine.write("mt", makePointsDf(200, "b"))
+    assert(engine.readTable("mt").count() == 500)
+
+    val fs = new org.apache.hadoop.fs.Path(engine.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = TableManifest.latest(fs, engine.dataFolder.tableDir("mt"))
+    assert(snap.nonEmpty, "writes must publish a manifest")
+    assert(snap.get.version == 2L, "two writes, two snapshot versions")
+    assert(snap.get.files.nonEmpty && snap.get.files.forall(_.endsWith(".parquet")))
+  }
+
+  test("a killed writer's partial files stay invisible to scans") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE torn(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    engine.write("torn", makePointsDf(300, "a"))
+    val committed = engine.readTable("torn").count()
+
+    // Simulate a mid-job death: a bare data file lands in the partition
+    // directory (duplicate of a committed one, so it would double-count if
+    // scanned) but the job never reaches its manifest commit.
+    val tableDir = new java.io.File(engine.dataFolder.tableDir("torn"))
+    val partDir = new java.io.File(tableDir, "field_column=0")
+    val livePart = partDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(partDir, "part-99999-torn-write.parquet")
+    java.nio.file.Files.copy(livePart.toPath, orphan.toPath)
+
+    assert(engine.readTable("torn").count() == committed,
+      "uncommitted parquet must not be scanned")
+
+    // A later successful write must NOT resurrect the orphan.
+    engine.write("torn", makePointsDf(100, "b"))
+    assert(engine.readTable("torn").count() == committed + 100,
+      "a later commit must not adopt another job's orphan")
+
+    // VACUUM RETAIN 0 reclaims it; live data survives.
+    orphan.setLastModified(System.currentTimeMillis() - 1000L)
+    engine.sql("VACUUM torn RETAIN 0")
+    assert(!orphan.exists(), "vacuum must reclaim unreferenced parquet")
+    assert(engine.readTable("torn").count() == committed + 100,
+      "vacuum must never delete live files")
+  }
+
+  test("truncate commits an empty snapshot; vacuum reclaims the quarantine") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE tq(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    engine.write("tq", makePointsDf(300, "a"))
+    val dir = engine.dataFolder.tableDir("tq")
+    val filesBefore = dataFileCount(dir)
+    assert(filesBefore > 0)
+
+    engine.sql("TRUNCATE tq")
+    assert(engine.readTable("tq").count() == 0, "scans see the empty snapshot")
+    val quarantine = new java.io.File(dir, DataFolder.StaleDirName)
+    assert(quarantine.isDirectory && quarantine.listFiles().nonEmpty,
+      "truncated data is quarantined, not deleted under readers")
+
+    // Young quarantine survives a default-retention vacuum...
+    engine.vacuum("tq")
+    assert(quarantine.listFiles().nonEmpty)
+    // ...and RETAIN 0 reclaims it.
+    quarantine.listFiles().foreach(_.setLastModified(
+      System.currentTimeMillis() - 1000L))
+    engine.sql("VACUUM tq RETAIN 0")
+    assert(Option(quarantine.listFiles()).forall(_.isEmpty),
+      "vacuum reclaims quarantined truncated data")
+
+    // The table keeps working after reclamation.
+    engine.write("tq", makePointsDf(50, "c"))
+    assert(engine.readTable("tq").count() == 50)
+  }
+
+  test("vacuum drops superseded manifest versions but never the newest") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE mv(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    engine.write("mv", makePointsDf(100, "a"))
+    engine.write("mv", makePointsDf(100, "b"))
+    engine.write("mv", makePointsDf(100, "c"))
+    val manifestDir = new java.io.File(
+      engine.dataFolder.tableDir("mv"), TableManifest.DirName)
+    assert(manifestDir.listFiles().count(_.getName.endsWith(".json")) == 3)
+
+    manifestDir.listFiles().foreach(_.setLastModified(
+      System.currentTimeMillis() - 1000L))
+    engine.sql("VACUUM mv RETAIN 0")
+    val left = manifestDir.listFiles().filter(_.getName.endsWith(".json"))
+    assert(left.map(_.getName).toSeq == Seq("v0000000003.json"),
+      "only the newest manifest survives")
+    assert(engine.readTable("mv").count() == 300)
+  }
+
+  test("normal tables get the same commit protocol") {
+    val engine = newEngine()
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType)))
+    engine.create(TableMetadata("nrm", "normal", Seq.empty, schema.json))
+    engine.write("nrm", Seq((1L, "x"), (2L, "y")).toDF("k", "s"))
+
+    // Orphan a file without committing it.
+    val dir = new java.io.File(engine.dataFolder.tableDir("nrm"))
+    val live = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(dir, "part-99999-dead-writer.parquet")
+    java.nio.file.Files.copy(live.toPath, orphan.toPath)
+    assert(engine.readTable("nrm").count() == 2,
+      "normal-table scans read the committed snapshot only")
+
+    orphan.setLastModified(System.currentTimeMillis() - 1000L)
+    engine.vacuum("nrm", 0L)
+    assert(!orphan.exists())
+    assert(engine.readTable("nrm").count() == 2)
+  }
+
+  test("pre-manifest tables are adopted on their first committed write") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE legacy(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    engine.write("legacy", makePointsDf(200, "a"))
+    val dir = engine.dataFolder.tableDir("legacy")
+
+    // Rewind history: delete the manifests, leaving bare committed parquet
+    // as a pre-manifest layout would.
+    val manifestDir = new java.io.File(dir, TableManifest.DirName)
+    manifestDir.listFiles().foreach(_.delete())
+    manifestDir.delete()
+    assert(engine.readTable("legacy").count() == 200,
+      "manifest-less tables fall back to full-directory scans")
+
+    engine.write("legacy", makePointsDf(100, "b"))
+    assert(engine.readTable("legacy").count() == 300,
+      "first commit adopts the legacy files alongside the new write")
+  }
+}
