@@ -31,18 +31,26 @@ object Bench {
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => try spark.read.parquet(f.getPath).count()
         catch { case _: Throwable => () })
+    // Median of 3 timed runs per query: single-run numbers on a shared box
+    // swing up to 8x on identical bytecode (machine interference), masking
+    // real regressions; the median absorbs one bad run per query.
+    val Runs = 3
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink materializes every output column (count() would let
-      // Catalyst prune the computed columns away and under-measure).
-      val elapsed = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        -1.0 // failure marker: never report a failing query as a fast one
+      val times = (1 to Runs).flatMap { _ =>
+        val t0 = System.nanoTime()
+        // noop sink materializes every output column (count() would let
+        // Catalyst prune the computed columns away and under-measure).
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        }
       }
-      name -> elapsed
+      // Failure marker: never report a failing query as a fast one.
+      val median = if (times.size < Runs) -1.0 else times.sorted(Ordering.Double.TotalOrdering)(Runs / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

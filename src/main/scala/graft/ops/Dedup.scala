@@ -87,18 +87,45 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs above a threshold —
-    * the non-approximate (quadratic) reference path; use the LSH variant at
-    * scale. Broadcast-friendly only for small candidate sets.
+  /** EXACT n-gram Jaccard pairs above a threshold, without a cross join:
+    * candidates come from an inverted shingle index with PREFIX FILTERING
+    * (the AllPairs/PPJoin bound): under any global token order, two sets
+    * with J(x,y) >= t must share a token within their first
+    * |x| - ceil(t*|x|) + 1 tokens, so only those prefixes are indexed.
+    * Ordering tokens by ascending document frequency puts stop-shingles at
+    * the END of every ordering, so the hot tokens that would explode an
+    * unfiltered inverted index almost never land in a prefix. Verification
+    * (exact Jaccard over the full shingle sets) touches candidates only.
+    *
+    * Scale shape: two shuffles (document frequency + the prefix equi-join)
+    * over (token, id) pairs, never a cartesian; worst-case degenerates only
+    * when many documents are near-identical — in which case the OUTPUT is
+    * quadratic and so is any exact algorithm's lower bound.
     */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"ngramJaccardPairs needs a threshold in (0, 1], got $threshold " +
+        "(at threshold 0 every pair qualifies and the result itself is " +
+        "quadratic; use minhashDuplicatePairs for approximate recall).")
     val withShingles = df.select(col(idCol).as("id"),
       shinglesUdf(col(textCol), lit(n)).as("sh"))
-    val a = withShingles.toDF("id_a", "sh_a")
-    val b = withShingles.toDF("id_b", "sh_b")
-    a.crossJoin(b).where(col("id_a") < col("id_b"))
+    val tokens = withShingles
+      .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
+    val freq = tokens.groupBy("shingle").agg(count(lit(1)).as("freq"))
+    val byRarity = Window.partitionBy("id").orderBy(col("freq"), col("shingle"))
+    val prefix = tokens.join(freq, Seq("shingle"))
+      .withColumn("pos", row_number().over(byRarity))
+      .where(col("pos") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "shingle")
+    val candidates = prefix.toDF("id_a", "shingle")
+      .join(prefix.toDF("id_b", "shingle"), Seq("shingle"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    candidates
+      .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -129,12 +156,16 @@ object Dedup {
           .withColumnRenamed("cluster_id", "dst_cluster"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("dst_cluster")).as("neighbor_min"))
-      val updated = labels.join(neighborMin, Seq("id"), "left")
+      val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
             .as("cluster_id"))
-        .cache()
-      updated.count() // materialize before comparing
+      // Each iteration's plan builds on the last; every 5th round is cut
+      // off with an eager localCheckpoint so lineage (and the planner time
+      // and stack it costs) stays bounded on long chains.
+      val updated =
+        if ((iteration + 1) % 5 == 0) next.localCheckpoint(true)
+        else { val c = next.cache(); c.count(); c }
       val changed = updated.as("u")
         .join(labels.as("l"), col("u.id") === col("l.id"))
         .where(col("u.cluster_id") =!= col("l.cluster_id"))
@@ -173,24 +204,69 @@ object Dedup {
     * `maxDistance` <= 3; beyond that the recall is approximate (a pair must
     * still agree on one full chunk), which is the standard SimHash
     * blocking trade-off.
+    *
+    * Skew hardening (same output, degenerate-corpus-safe plan):
+    *  - Blocking runs over DISTINCT signatures, so a corpus where thousands
+    *    of documents hash identically (boilerplate, empty pages) blocks
+    *    over ONE row instead of quadratically colliding them in a bucket.
+    *  - A common 16-bit chunk value among distinct signatures is salted:
+    *    the left side is split into `Salts` groups by signature hash and
+    *    the right side replicated to every salt, so a hot bucket becomes
+    *    `Salts` tasks instead of one straggler.
+    *  - Identical-signature groups (distance 0 by construction) expand
+    *    into pairs through a blocked self-join — `Blocks*(Blocks+1)/2`
+    *    cells per group — because their output is inherently quadratic and
+    *    must at least be generated in parallel, never in one task.
     */
   def simhashDuplicatePairs(
       df: DataFrame, idCol: String, textCol: String,
       maxDistance: Int = 3): DataFrame = {
+    val Salts = 8L
+    val Blocks = 16L
     val chunksUdf = udf { sig: Long =>
       Array.tabulate(4)(c => (sig >>> (c * 16)) & 0xffffL)
     }
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
+
+    // Candidate signature pairs from salted chunk blocking over distinct sigs.
+    val chunked = sigs.select("sig").distinct().select(col("sig"),
       posexplode(chunksUdf(col("sig"))).as(Seq("chunk", "chunk_val")))
-    val a = chunked.toDF("id_a", "sig_a", "chunk", "chunk_val")
-    val b = chunked.toDF("id_b", "sig_b", "chunk", "chunk_val")
-    a.join(b, Seq("chunk", "chunk_val"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming(col("sig_a"), col("sig_b")).as("distance"))
-      .distinct()
+    val aSide = chunked.toDF("sig_a", "chunk", "chunk_val")
+      .withColumn("salt", pmod(xxhash64(col("sig_a")), lit(Salts)))
+    val bSide = chunked.toDF("sig_b", "chunk", "chunk_val")
+      .withColumn("salt", explode(sequence(lit(0L), lit(Salts - 1L))))
+    val sigPairs = aSide.join(bSide, Seq("chunk", "chunk_val", "salt"))
+      .where(col("sig_a") < col("sig_b"))
+      .select("sig_a", "sig_b").distinct()
+      .withColumn("distance", hamming(col("sig_a"), col("sig_b")).cast("int"))
       .where(col("distance") <= maxDistance)
+
+    // Cross-signature pairs: each qualifying signature pair expands to its
+    // member documents (1:1 per output row, no further dedup needed).
+    val crossPairs = sigPairs
+      .join(sigs.select(col("sig").as("sig_a"), col("id").as("raw_a")), Seq("sig_a"))
+      .join(sigs.select(col("sig").as("sig_b"), col("id").as("raw_b")), Seq("sig_b"))
+      .select(least(col("raw_a"), col("raw_b")).as("id_a"),
+        greatest(col("raw_a"), col("raw_b")).as("id_b"), col("distance"))
+
+    // Intra-signature pairs (distance 0): blocked pair enumeration. Member
+    // x in block bx meets member y in block by within cell (min(bx,by),
+    // max(bx,by)); a pair in two different blocks lands in exactly one
+    // cell, same-block pairs are halved by the id comparison.
+    val members = sigs
+      .join(sigs.groupBy("sig").agg(count(lit(1)).as("cnt")).where(col("cnt") > 1),
+        Seq("sig"))
+      .select(col("sig"), col("id"), pmod(xxhash64(col("id")), lit(Blocks)).as("blk"))
+    val aIntra = members.select(col("sig"), col("id").as("raw_a"), col("blk").as("blk_a"))
+      .withColumn("blk_b", explode(sequence(col("blk_a"), lit(Blocks - 1L))))
+    val bIntra = members.select(col("sig"), col("id").as("raw_b"), col("blk").as("blk_b"))
+    val intraPairs = aIntra.join(bIntra, Seq("sig", "blk_b"))
+      .where(col("blk_a") < col("blk_b") || col("raw_a") < col("raw_b"))
+      .select(least(col("raw_a"), col("raw_b")).as("id_a"),
+        greatest(col("raw_a"), col("raw_b")).as("id_b"),
+        lit(0).cast("int").as("distance"))
+
+    crossPairs.unionByName(intraPairs)
   }
 
   // ------------------------------------------------- embedding near-dup LSH

@@ -99,9 +99,14 @@ object SegmentAggregateSqlRewrite {
           case Count(Seq(a: AttributeReference))
               if meta.fieldColumns.contains(a.name) =>
             Some(FieldAgg("count", a.name, outName))
-          case Count(Seq(Literal(_, _))) if meta.fieldColumns.size == 1 =>
-            // count(*) == count(field) for a single-field table (rows are
-            // exactly that field's points); ambiguous otherwise.
+          case Count(Seq(Literal(_, _))) =>
+            // count(*) == count(first field) for ANY number of stored
+            // fields: every ingest path writes all fields of a row together
+            // and rejects NULLs (DataFolder.SegmentIterator.checkNoNulls),
+            // and segment copies require matching schemas and move every
+            // field's segments under one time filter — so fields are always
+            // timestamp-aligned and each field's len equals the row count
+            // of the reconstructed view.
             Some(FieldAgg("count", meta.fieldColumns.head, outName))
           case Min(a: AttributeReference) if meta.fieldColumns.contains(a.name) =>
             Some(FieldAgg("min", a.name, outName))

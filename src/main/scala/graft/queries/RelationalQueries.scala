@@ -286,6 +286,25 @@ object RelationalQueries {
         floor(quantile_cont(o_totalprice, 0.9) * 100) / 100 AS p90
       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
+    // Scale path for percentiles: approx_percentile's per-group state is a
+    // bounded quantile summary (~accuracy entries) with mergeable partials,
+    // vs exact percentile()'s unbounded value->count map whose final merge
+    // lands on one task per group. Rank error is <= group_size / accuracy
+    // (here 1e-4 of the group) — no SQL oracle because the sketch is
+    // engine-defined; exactness is bounded against q20 in the spec suite.
+    ("q20_percentiles_approx", (s: SparkSession, d: String) => {
+      table(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)")
+            .as("pcts"))
+        .select(col("o_orderstatus"),
+          (floor(element_at(col("pcts"), 1) * 100d) / 100d).as("p25"),
+          (floor(element_at(col("pcts"), 2) * 100d) / 100d).as("p50"),
+          (floor(element_at(col("pcts"), 3) * 100d) / 100d).as("p90"))
+        .orderBy("o_orderstatus")
+    }, None),
+
     ("q10_set_ops", (s: SparkSession, d: String) => {
       val orders = table(s, d, "orders")
       val open = orders.where(col("o_orderstatus") === "O").select("o_custkey")

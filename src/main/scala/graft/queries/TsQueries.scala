@@ -252,6 +252,14 @@ object TsQueries {
       FROM events, r
       WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
 
+    // count(*) on a multivariate table answered from segment metadata via
+    // the SQL rewrite (fields are write-aligned, so any field's len is the
+    // row count) — no reconstruction job.
+    ("ts_multifield_count", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql("SELECT count(*) AS n FROM events_multi")
+    }, Some("SELECT count(*) AS n FROM events")),
+
     // Lossy compression preserves exact point counts (len is lossless).
     ("ts_lossy_count", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)

@@ -72,6 +72,73 @@ class OpsSpec extends AnyFunSuite {
     assert(found == expected)
   }
 
+  test("ngram jaccard pairs match brute force without a cartesian join") {
+    // Near-dups (one word appended) + exact dups + disjoint docs.
+    val corpus = docs.where($"doc_id" < 120).select($"doc_id", $"text")
+      .unionAll(docs.where($"doc_id" < 5)
+        .select(($"doc_id" + 40000).as("doc_id"),
+          concat($"text", lit(" extra")).as("text")))
+      .unionAll(docs.where($"doc_id" < 3)
+        .select(($"doc_id" + 50000).as("doc_id"), $"text"))
+    val got = Dedup.ngramJaccardPairs(corpus, "doc_id", "text",
+      n = 1, threshold = 0.6)
+
+    // Brute force over collected shingle sets.
+    val sets = corpus.collect().map { r =>
+      r.getLong(0) -> Signatures.wordShingles(r.getString(1), 1)
+    }.sortBy(_._1)
+    val expected = (for {
+      ((ia, sa), x) <- sets.zipWithIndex
+      (ib, sb) <- sets.drop(x + 1)
+      j = Signatures.jaccard(sa, sb)
+      if j >= 0.6
+    } yield (ia, ib) -> j).toMap
+    val found = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(found.keySet == expected.keySet)
+    found.foreach { case (k, j) => assert(math.abs(j - expected(k)) < 1e-12) }
+    assert(expected.exists { case ((_, b), _) => b >= 40000L },
+      "test corpus must actually contain near-dup pairs")
+
+    // The prefix-filtered plan must never fall back to a cartesian or
+    // nested-loop product — that is the whole point of the rewrite.
+    val physical = got.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct"), "cartesian product in plan")
+    assert(!physical.contains("BroadcastNestedLoopJoin"), "nested loop join in plan")
+
+    // Threshold 0 would make the OUTPUT quadratic; the operator refuses.
+    assertThrows[IllegalArgumentException] {
+      Dedup.ngramJaccardPairs(corpus, "doc_id", "text", n = 1, threshold = 0.0)
+    }
+  }
+
+  test("simhash survives a degenerate identical-signature corpus") {
+    // Thousands of near-empty documents hash to ONE signature: blocking
+    // over distinct signatures sees a single row, and the inherently
+    // quadratic intra-group output is generated by the blocked self-join
+    // instead of one hot bucket task.
+    val n = 3000
+    val degenerate = spark.range(n).select(col("id").as("doc_id"), lit("").as("text"))
+      .unionAll(docs.where($"doc_id" < 50)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+    val pairs = Dedup.simhashDuplicatePairs(degenerate, "doc_id", "text",
+      maxDistance = 3)
+    val emptyPairs = pairs.where($"id_a" < n && $"id_b" < n)
+    assert(emptyPairs.count() == n.toLong * (n - 1) / 2,
+      "every identical-signature pair must be emitted exactly once")
+    assert(pairs.where($"id_a" < n && $"id_b" < n && $"distance" =!= 0).count() == 0)
+  }
+
+  test("cluster propagation over a long chain (checkpointed lineage)") {
+    // A 16-node chain needs > 5 min-propagation rounds, forcing the
+    // localCheckpoint path; every node must still collapse to cluster 0.
+    val chain = (0 until 15).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterDuplicates(chain, maxIterations = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size == 16)
+    assert(clusters.values.forall(_ == 0L))
+  }
+
   test("embedding near-dup pairs find planted copies") {
     val planted = embeddings.where($"vec_id" < 3)
       .select(($"vec_id" + 40000).as("vec_id"), $"embedding", $"label")

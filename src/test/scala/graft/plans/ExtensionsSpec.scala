@@ -110,6 +110,37 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(exprAgg.queryExecution.executedPlan.toString.contains("Generate"))
   }
 
+  test("count(*) rewrites segment-natively on a multi-field table") {
+    val engine = new Engine(spark, Files.createTempDirectory("graft_ext").toString)
+    engine.sql("CREATE TIME SERIES TABLE extmf(ts TIMESTAMP, v FIELD, " +
+      "w FIELD, tag TAG)")
+    val rng = new scala.util.Random(11)
+    import spark.implicits._
+    val df = (0 until 2000).map(i =>
+      (1700000000000000L + i * 1000000L, rng.nextFloat() * 100,
+        rng.nextFloat() * 10, s"t${i % 3}"))
+      .toDF("ts", "v", "w", "tag")
+    engine.write("extmf", df)
+    engine.sql("SELECT 1")
+
+    // All ingest paths write every field of a row together (NULLs are
+    // rejected), so count(*) equals any field's segment-len sum.
+    val starCount = spark.sql("SELECT COUNT(*) AS n FROM extmf")
+    assert(!starCount.queryExecution.executedPlan.toString.contains("Generate"),
+      "multi-field count(*) must be answered from segment metadata")
+    assert(starCount.collect().head.getLong(0) == 2000L)
+
+    val grouped = spark.sql(
+      "SELECT tag, COUNT(*) AS n FROM extmf GROUP BY tag ORDER BY tag")
+    assert(!grouped.queryExecution.executedPlan.toString.contains("Generate"))
+    val control = spark.sql(
+      "SELECT tag, COUNT(*) AS n FROM extmf WHERE ts >= TIMESTAMP '1970-01-01' " +
+        "GROUP BY tag ORDER BY tag")
+    assert(control.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      control.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("aggregate inside a larger query is rewritten in place") {
     freshEngine()
     val df = spark.sql(
