@@ -446,13 +446,20 @@ final class Engine(val spark: SparkSession, val root: String) {
       case SqlExtensions.Vacuum(names, retention) =>
         val targets = if (names.isEmpty) tables() else names
         targets.foreach(t => vacuum(t, retention)); emptyOk()
-      case SqlExtensions.Include(folders, select) =>
+      case SqlExtensions.Include(addresses, select) =>
+        // INCLUDE 'graft://host:port' federates to a live RemoteServer
+        // (reference: INCLUDE over Flight, remote.rs:88-165); any other
+        // address is opened as another data folder and queried in-process.
         val local = sql(select)
-        val remotes = folders.map { f =>
-          val remote = new Engine(spark, f)
-          val df = remote.sql(select)
-          forceRegisterViews() // restore local views
-          df
+        val remotes = addresses.map { addr =>
+          graft.remote.RemoteClient.parseAddress(addr) match {
+            case Some(a) => graft.remote.RemoteClient.sql(spark, a, select)
+            case scala.None =>
+              val remote = new Engine(spark, addr)
+              val df = remote.sql(select)
+              forceRegisterViews() // restore local views
+              df
+          }
         }
         remotes.foldLeft(local)(_ unionAll _)
       case SqlExtensions.InsertInto(tableName, columnList, source) =>
