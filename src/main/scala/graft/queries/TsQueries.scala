@@ -260,6 +260,25 @@ object TsQueries {
       engine.sql("SELECT count(*) AS n FROM events_multi")
     }, Some("SELECT count(*) AS n FROM events")),
 
+    // Remote federation end to end: a LIVE RemoteServer is stood up over
+    // the same folder and INCLUDE fans the statement out to it — local
+    // result unioned with the server's Arrow-IPC-shipped result. The
+    // oracle replays the union in SQL, so the whole remote surface
+    // (TCP framing, Arrow encode/decode, INCLUDE routing) is hash-checked.
+    ("ts_include_remote", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val server = new graft.remote.RemoteServer(engine)
+      try {
+        // RemoteClient drains the stream eagerly, so the server can close
+        // before the result is consumed downstream.
+        engine.sql(s"INCLUDE '${server.address}' " +
+          "SELECT count(*) AS n, min(value) AS mn FROM events_lossless")
+      } finally server.close()
+    }, Some("""
+      SELECT count(*) AS n, min(CAST(value AS FLOAT4)) AS mn FROM events
+      UNION ALL
+      SELECT count(*) AS n, min(CAST(value AS FLOAT4)) AS mn FROM events""")),
+
     // Lossy compression preserves exact point counts (len is lossless).
     ("ts_lossy_count", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)
