@@ -112,6 +112,24 @@ object TextAnalysis {
       Signatures.rollingFingerprint(text, k, divisor)
   }
 
+  /** Distinct word n-grams of a document (the shingle kernel shared with
+    * the dedup operators), for corpus-level n-gram statistics.
+    */
+  def wordNgrams(text: Column, n: Int): Column = wordNgramsUdf(text, lit(n))
+
+  private val wordNgramsUdf = udf { (text: String, n: Int) =>
+    Signatures.wordShingles(text, n)
+  }
+
+  /** Document frequency of every word n-gram in the corpus (each document
+    * counts an n-gram once). Scale shape: explode to (ngram) and one
+    * hash-keyed count shuffle — partial aggregation halves the traffic;
+    * payloads never move.
+    */
+  def ngramDocFrequencies(df: DataFrame, textCol: String, n: Int): DataFrame =
+    df.select(explode(wordNgrams(col(textCol), n)).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
+
   /** Convenience: annotate a corpus DataFrame with the full signal set. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -277,6 +277,50 @@ object PipelineQueries {
       FROM scored WHERE rank <= 5
       ORDER BY query_id, rank""")),
 
+    // Deterministic train/val/test assignment: a pure function of doc_id
+    // (multiplicative-hash bucket), so membership is stable across runs and
+    // cluster sizes; the oracle replays the two-operator integer hash.
+    ("pipeline_split", (s: SparkSession, d: String) => {
+      graft.ops.Sampling.assignSplits(table(s, d, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("split")
+    }, Some("""
+      WITH b AS (
+        SELECT doc_id,
+          ((doc_id % 2147483647) * 2654435761) % 1000000 AS bucket
+        FROM documents)
+      SELECT CASE WHEN bucket < 800000 THEN 'train'
+                  WHEN bucket < 900000 THEN 'val'
+                  ELSE 'test' END AS split,
+        count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM b GROUP BY 1 ORDER BY 1""")),
+
+    // Corpus-level n-gram statistics: document frequency of every bigram,
+    // top 100 (ties broken lexically). The n-gram kernel is the dedup
+    // shingle kernel, so the oracle reuses the minhash oracle's shingle
+    // construction.
+    ("text_ngram_stats", (s: SparkSession, d: String) => {
+      graft.ops.TextAnalysis.ngramDocFrequencies(
+          table(s, d, "documents"), "text", 2)
+        .orderBy(col("doc_freq").desc, col("ngram"))
+        .limit(100)
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT unnest(list_distinct(
+          list_transform(range(1, greatest(len(ws), 1)),
+            i -> ws[i] || ' ' || ws[i + 1]))) AS ngram
+        FROM docs WHERE len(ws) >= 2)
+      SELECT ngram, count(*) AS doc_freq
+      FROM sh GROUP BY 1
+      ORDER BY doc_freq DESC, ngram LIMIT 100""")),
+
     ("text_tokens", (s: SparkSession, d: String) => {
       val docs = table(s, d, "documents")
       docs.select(col("doc_id"),

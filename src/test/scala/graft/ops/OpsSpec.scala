@@ -267,6 +267,50 @@ class OpsSpec extends AnyFunSuite {
       s"expected a cell partition filter on the IVF index scan:\n$plan")
   }
 
+  test("deterministic splits are stable, exhaustive, and disjoint") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val once = Sampling.assignSplits(docs, "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Repartitioning must not move any row between splits.
+    val again = Sampling.assignSplits(docs.repartition(13), "doc_id", splits)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(once == again, "split membership must be partitioning-independent")
+    assert(once.size == docs.count(), "every row gets exactly one split")
+    val byName = once.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > byName("val") && byName("train") > byName("test"))
+
+    // sampleByKey(f) is exactly the bucket-threshold subset, and a larger
+    // fraction strictly contains a smaller one (nested samples).
+    val small = Sampling.sampleByKey(docs, "doc_id", 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val large = Sampling.sampleByKey(docs, "doc_id", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large), "samples must be nested by fraction")
+    assert(small.nonEmpty && large.size < docs.count())
+
+    // Stratified: absent strata drop, present ones follow their fraction.
+    val strat = Sampling.stratifiedSampleByKey(
+      docs.withColumn("bucket2",
+        (col("doc_id") % 2 === 0).cast("string")),
+      "bucket2", "doc_id", Map("true" -> 1.0))
+    assert(strat.where(col("doc_id") % 2 =!= 0).count() == 0)
+    assert(strat.count() == docs.where(col("doc_id") % 2 === 0).count())
+  }
+
+  test("ngram doc frequencies count each document once per ngram") {
+    val tiny = Seq(
+      (1L, "a b a b"), // bigrams {a b, b a} — each counted once
+      (2L, "a b c"),   // {a b, b c}
+      (3L, "x y")      // {x y}
+    ).toDF("doc_id", "text")
+    val freqs = TextAnalysis.ngramDocFrequencies(tiny, "text", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freqs == Map("a b" -> 2L, "b a" -> 1L, "b c" -> 1L, "x y" -> 1L))
+  }
+
   test("text analysis signals are sane on real documents") {
     val annotated = TextAnalysis.annotate(docs, "text").cache()
     val n = annotated.count()
