@@ -107,6 +107,71 @@ object PipelineQueries {
       FROM verified WHERE j >= 0.7
       ORDER BY id_a, id_b""")),
 
+    // Transitive duplicate clusters over the MinHash pairs: the oracle
+    // replays the pair construction and resolves connected components with
+    // a recursive closure, checking the distributed label propagation
+    // end to end (every member labeled with its component's minimum id).
+    ("dedup_cluster", (s: SparkSession, d: String) => {
+      val pairs = Dedup.minhashDuplicatePairs(
+        table(s, d, "documents"), "doc_id", "text",
+        threshold = 0.7, numHashes = 128, bands = 16, shingleK = 2)
+      Dedup.clusterDuplicates(pairs).orderBy("id")
+    }, Some("""
+      WITH RECURSIVE docs AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        FROM documents),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, greatest(len(ws), 1)),
+            i -> ws[i] || ' ' || ws[i + 1]))) AS shingle
+        FROM docs WHERE len(ws) >= 2),
+      hh AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 2147483647) AS h1,
+          list_reduce(list_prepend(CAST(13 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 2147483647) AS h2
+        FROM sh),
+      sig AS (
+        SELECT doc_id, i.i AS i, min((h1 + i.i * h2) % 2147483647) AS v
+        FROM hh, (SELECT unnest(range(128)) AS i) i
+        GROUP BY doc_id, i.i),
+      bands AS (
+        SELECT doc_id, i // 8 AS band,
+          string_agg(v, ',' ORDER BY i) AS band_key
+        FROM sig GROUP BY doc_id, i // 8),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id),
+      shs AS (
+        SELECT doc_id, list_distinct(
+          list_transform(range(1, greatest(len(ws), 1)),
+            i -> ws[i] || ' ' || ws[i + 1])) AS sset
+        FROM docs),
+      pairs AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN shs a ON a.doc_id = c.id_a
+        JOIN shs b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+          (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))
+          >= 0.7),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      SELECT src AS id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src ORDER BY id""")),
+
     // SimHash pairs: the polynomial word hashes are plain integer
     // arithmetic, so the full pipeline — 62-bit signatures, 16-bit chunk
     // blocking, Hamming filter — is replicated by the oracle exactly.
