@@ -26,8 +26,9 @@ import graft.core._
 final class DataFolder(val spark: SparkSession, val root: String) {
   import DataFolder._
 
-  private def fs: FileSystem =
+  private[tsdb] def fileSystem: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def fs: FileSystem = fileSystem
 
   private def metadataPath(table: String) = new Path(s"$root/metadata/$table.json")
   def tableDir(table: String): String = s"$root/tables/$table"
@@ -69,6 +70,7 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     fs.delete(new Path(tableDir(table)), true)
     fs.delete(metadataPath(table), false)
     clearStreamingMarkers(table)
+    walClear(table)
   }
 
   /** Truncate = commit an EMPTY manifest (new scans instantly see an empty
@@ -92,6 +94,7 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     } else fs.mkdirs(dir)
     TableManifest.commit(fs, tableDir(table))(_ => Seq.empty)
     clearStreamingMarkers(table)
+    walClear(table) // pending batches describe data the caller discarded
   }
 
   /** Streaming replay markers describe the table's current contents; once
@@ -154,7 +157,8 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * mapPartitions runs the compression kernel and the result is appended as
     * Parquet partitioned by `field_column`.
     */
-  def write(table: String, df: DataFrame): Unit = {
+  def write(table: String, df: DataFrame,
+      applyWalBatches: Seq[String] = Seq.empty): Unit = {
     val meta = metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table; use writeNormal.")
 
@@ -190,15 +194,16 @@ final class DataFolder(val spark: SparkSession, val root: String) {
         columnNames)
     }(Encoders.row(outSchema))
 
-    appendSegments(table, segments)
+    appendSegments(table, segments, applyWalBatches)
   }
 
   /** Append already-compressed segment rows and atomically commit them into
     * the table's manifest (also the segment-level copy path — segments move
     * between folders without re-compression, data_folder.rs:335-420).
     */
-  def appendSegments(table: String, segments: DataFrame): Unit =
-    committedAppend(table) { dir =>
+  def appendSegments(table: String, segments: DataFrame,
+      applyWalBatches: Seq[String] = Seq.empty): Unit =
+    committedAppend(table, applyWalBatches) { dir =>
       segments.write
         .mode("append")
         // ZSTD like the reference's segment writer tuning
@@ -213,20 +218,73 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * job dies mid-write, no manifest is published and its partial output
     * stays invisible to every scan (vacuum reclaims it after retention).
     */
-  private def committedAppend(table: String)(doWrite: String => Unit): Unit = {
+  private def committedAppend(table: String,
+      applyWalBatches: Seq[String] = Seq.empty)(doWrite: String => Unit): Unit = {
     val dir = tableDir(table)
     val before = listDataFiles(dir)
     val hadManifest = TableManifest.latest(fs, dir).nonEmpty
     doWrite(dir)
     val beforeSet = before.toSet
     val added = listDataFiles(dir).filterNot(beforeSet)
+    // Applied-batch bookkeeping prunes ids whose WAL directory is gone
+    // (cleanup completed), keeping the manifest's list tiny.
+    val walLive = walBatchDirs(table).toSet
     // Pre-manifest tables adopt their existing files on first commit; after
     // that the manifest is the source of truth (so files an earlier failed
     // job orphaned are never resurrected by an unrelated later commit).
-    TableManifest.commit(fs, dir) { live =>
+    TableManifest.commit(fs, dir, applyWalBatches, id => !walLive(id)) { live =>
       (if (hadManifest) live else before) ++ added
     }
   }
+
+  // ------------------------------------------------------- write-ahead log
+
+  /** The WAL makes an ingest batch durable BEFORE the (comparatively slow)
+    * compression pipeline runs, the role of the reference's write-ahead
+    * log (/root/reference/crates/modelardb_storage/src/write_ahead_log.rs:42-220):
+    * raw rows land as plain Parquet under `wal/<table>/<batch>/` in one
+    * cheap write, and the later manifest commit records the batch id
+    * atomically with the data (`appliedWalBatches`) so recovery replays a
+    * batch exactly once — a crash before the commit replays it, a crash
+    * after the commit (but before cleanup) skips and deletes it.
+    */
+  private def walTableDir(table: String) = s"$root/wal/$table"
+
+  /** Durably persist a raw batch; returns its WAL batch id. Only batches
+    * whose Spark write completed (the `_SUCCESS` marker exists) are ever
+    * replayed — a torn WAL write means the caller never got an ack.
+    */
+  def walAppend(table: String, df: DataFrame): String = {
+    val batchId = f"b${System.currentTimeMillis()}%013d-" +
+      java.util.UUID.randomUUID().toString.take(8)
+    df.write.mode("errorifexists").parquet(s"${walTableDir(table)}/$batchId")
+    batchId
+  }
+
+  /** All WAL batch directories present for the table, oldest first
+    * (complete or not — recovery decides what to do with each).
+    */
+  def walBatchDirs(table: String): Seq[String] = {
+    val dir = new Path(walTableDir(table))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
+  }
+
+  def walBatchComplete(table: String, batchId: String): Boolean =
+    fs.exists(new Path(s"${walTableDir(table)}/$batchId/_SUCCESS"))
+
+  def walRead(table: String, batchId: String): DataFrame =
+    spark.read.parquet(s"${walTableDir(table)}/$batchId")
+
+  def walDelete(table: String, batchId: String): Unit =
+    fs.delete(new Path(s"${walTableDir(table)}/$batchId"), true)
+
+  /** Drop every WAL batch (table truncated or dropped: pending batches
+    * describe data the caller just discarded).
+    */
+  def walClear(table: String): Unit =
+    fs.delete(new Path(walTableDir(table)), true)
 
   /** Committed data files of one write = everything under the table dir
     * ending in .parquet whose path has no hidden component (`_temporary`,
@@ -296,10 +354,12 @@ final class DataFolder(val spark: SparkSession, val root: String) {
 
   // ---------------------------------------------------------- normal tables
 
-  def writeNormal(table: String, df: DataFrame): Unit = {
+  def writeNormal(table: String, df: DataFrame,
+      applyWalBatches: Seq[String] = Seq.empty): Unit = {
     val meta = metadata(table)
     require(!meta.isTimeSeries, s"$table is a time series table; use write.")
-    committedAppend(table)(dir => df.write.mode("append").parquet(dir))
+    committedAppend(table, applyWalBatches)(
+      dir => df.write.mode("append").parquet(dir))
   }
 
   def readNormal(table: String): DataFrame = {

@@ -76,6 +76,52 @@ final class Engine(val spark: SparkSession, val root: String) {
     invalidateViews()
   }
 
+  /** Durable ingest through the write-ahead log (the reference's WAL mode,
+    * write_ahead_log.rs:42-220): the raw batch is persisted in one cheap
+    * Parquet write BEFORE compression begins, and the segment commit
+    * records the batch id atomically with the data. A crash at any point
+    * is repaired by [[recover]] with exactly-once semantics — replayed if
+    * the commit never landed, skipped (and cleaned) if it did.
+    */
+  def writeDurable(table: String, df: DataFrame): Unit = {
+    val batchId = dataFolder.walAppend(table, df)
+    applyWalBatch(table, batchId)
+  }
+
+  /** Compress/append the WAL copy (the durable source of truth, so replay
+    * is byte-identical to first ingest), commit with the batch id, then
+    * clean the WAL entry.
+    */
+  private def applyWalBatch(table: String, batchId: String): Unit = {
+    val batch = dataFolder.walRead(table, batchId)
+    val meta = dataFolder.metadata(table)
+    if (meta.isTimeSeries) dataFolder.write(table, batch, Seq(batchId))
+    else dataFolder.writeNormal(table, batch, Seq(batchId))
+    dataFolder.walDelete(table, batchId)
+    invalidateViews()
+  }
+
+  /** Crash recovery for the durable ingest path: replay WAL batches the
+    * current manifest has not applied, drop ones it has (commit landed but
+    * cleanup did not), and discard torn WAL writes (no `_SUCCESS` — the
+    * writer never got an ack). Returns the replayed batch ids.
+    */
+  def recover(table: String): Seq[String] = {
+    val applied = TableManifest.latest(
+        dataFolder.fileSystem, dataFolder.tableDir(table))
+      .map(_.appliedWalBatches.toSet).getOrElse(Set.empty)
+    dataFolder.walBatchDirs(table).flatMap { batchId =>
+      if (applied.contains(batchId) ||
+          !dataFolder.walBatchComplete(table, batchId)) {
+        dataFolder.walDelete(table, batchId)
+        scala.None
+      } else {
+        applyWalBatch(table, batchId)
+        Some(batchId)
+      }
+    }
+  }
+
   /** The full logical view of a table as a DataFrame. */
   def readTable(table: String): DataFrame = {
     val meta = dataFolder.metadata(table)

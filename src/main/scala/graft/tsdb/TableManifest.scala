@@ -36,7 +36,15 @@ private[graft] object TableManifest {
   private val mapper = new ObjectMapper()
   private val MaxCommitAttempts = 20
 
-  final case class Snapshot(version: Long, committedAtMs: Long, files: Seq[String])
+  /** `appliedWalBatches` records, atomically with the file list, which
+    * write-ahead-log batches this snapshot's data includes — the
+    * exactly-once handshake of the durable ingest path: a WAL batch whose
+    * id is in the current snapshot must not be replayed (crash after
+    * commit, before WAL cleanup), one absent must be (crash before
+    * commit). Entries are pruned once their WAL directory is gone.
+    */
+  final case class Snapshot(version: Long, committedAtMs: Long,
+    files: Seq[String], appliedWalBatches: Seq[String] = Seq.empty)
 
   private def manifestDir(tableDir: String) = new Path(s"$tableDir/$DirName")
   private def versionPath(tableDir: String, v: Long) =
@@ -70,17 +78,22 @@ private[graft] object TableManifest {
       } finally in.close()
       val root = mapper.readTree(bytes)
       val arr = root.get("files")
+      val wal = root.get("applied_wal_batches")
       Some(Snapshot(
         root.get("version").asLong(),
         root.get("committed_at_ms").asLong(),
-        (0 until arr.size()).map(arr.get(_).asText())))
+        (0 until arr.size()).map(arr.get(_).asText()),
+        if (wal == null) Seq.empty
+        else (0 until wal.size()).map(wal.get(_).asText())))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Publish a new snapshot computed from the current one. `update` maps
     * the current live set to the next (append = add new files, truncate =
     * empty). Retries on version-claim races.
     */
-  def commit(fs: FileSystem, tableDir: String)
+  def commit(fs: FileSystem, tableDir: String,
+      applyWalBatches: Seq[String] = Seq.empty,
+      pruneWalBatches: String => Boolean = _ => false)
       (update: Seq[String] => Seq[String]): Snapshot = {
     var attempt = 0
     while (true) {
@@ -88,7 +101,9 @@ private[graft] object TableManifest {
       val next = Snapshot(
         current.map(_.version + 1).getOrElse(1L),
         System.currentTimeMillis(),
-        update(current.map(_.files).getOrElse(Seq.empty)).distinct.sorted)
+        update(current.map(_.files).getOrElse(Seq.empty)).distinct.sorted,
+        ((current.map(_.appliedWalBatches).getOrElse(Seq.empty)
+          .filterNot(pruneWalBatches)) ++ applyWalBatches).distinct.sorted)
       val path = versionPath(fs, tableDir, next)
       try {
         val out = fs.create(path, false) // create-if-absent claims the version
@@ -114,6 +129,10 @@ private[graft] object TableManifest {
     root.put("committed_at_ms", s.committedAtMs)
     val arr = root.putArray("files")
     s.files.foreach(arr.add)
+    if (s.appliedWalBatches.nonEmpty) {
+      val wal = root.putArray("applied_wal_batches")
+      s.appliedWalBatches.foreach(wal.add)
+    }
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
   }
 
