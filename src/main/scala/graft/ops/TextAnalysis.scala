@@ -130,6 +130,50 @@ object TextAnalysis {
     df.select(explode(wordNgrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
 
+  /** Top-k documents by BM25 relevance for a bag of query terms
+    * (Robertson/Sparck Jones k1-b parameterization). Built scan-only:
+    * per-term term frequencies and document length are array expressions
+    * on the scan (no explode, no shuffle), the corpus statistics (N,
+    * Σlen, per-term document frequencies) are one tiny aggregate
+    * broadcast back, so scoring 100 TB is a scan plus a top-k. Document
+    * length statistics use integer sums, keeping the arithmetic
+    * deterministic and SQL-replayable; output is rank-only.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+      k: Int = 50): DataFrame = {
+    require(terms.nonEmpty)
+    val toks = filter(
+      split(lower(trim(col(textCol))), "\\s+"), w => w =!= lit(""))
+    val base = df.select(col(idCol).as("doc_id"), toks.as("__ws"))
+      .withColumn("dl", size(col("__ws")))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
+      acc.withColumn(s"tf_$i", size(filter(col("__ws"), w => w === lit(t))))
+    }.drop("__ws")
+
+    val statAggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+
+    val joined = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i").cast("double")
+      val dfq = col(s"df_$i").cast("double")
+      val idf = log(lit(1.0) + (col("n_docs") - dfq + lit(0.5)) / (dfq + lit(0.5)))
+      idf * tf * lit(k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    }.reduce(_ + _)
+
+    import org.apache.spark.sql.expressions.Window
+    joined.select(col("doc_id"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "rank")
+  }
+
   /** Convenience: annotate a corpus DataFrame with the full signal set. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -363,6 +363,54 @@ object PipelineQueries {
         count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM b GROUP BY 1 ORDER BY 1""")),
 
+    // BM25 retrieval: top-50 documents for a 3-term query. The oracle
+    // replays the exact arithmetic (integer tf/df/dl/N, deterministic
+    // integer-sum avgdl, same operator associativity), so document order —
+    // rank-only output, like the ANN queries — hash-matches.
+    ("text_bm25", (s: SparkSession, d: String) => {
+      TextAnalysis.bm25TopK(table(s, d, "documents"), "doc_id", "text",
+        Seq("hash", "join", "merge"), k1 = 1.2, b = 0.75, k = 50)
+    }, Some("""
+      WITH m AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            w -> w <> '') AS ws
+        FROM documents),
+      tf AS (
+        SELECT doc_id, len(ws) AS dl,
+          len(list_filter(ws, w -> w = 'hash')) AS tf_0,
+          len(list_filter(ws, w -> w = 'join')) AS tf_1,
+          len(list_filter(ws, w -> w = 'merge')) AS tf_2
+        FROM m),
+      stats AS (
+        SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+          count(*) FILTER (tf_0 > 0) AS df_0,
+          count(*) FILTER (tf_1 > 0) AS df_1,
+          count(*) FILTER (tf_2 > 0) AS df_2
+        FROM tf),
+      scored AS (
+        SELECT doc_id,
+          ln(1.0 + (n_docs - CAST(df_0 AS DOUBLE) + 0.5)
+              / (CAST(df_0 AS DOUBLE) + 0.5))
+            * CAST(tf_0 AS DOUBLE) * 2.2
+            / (CAST(tf_0 AS DOUBLE) + 1.2 * (1.0 - 0.75
+              + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) +
+          ln(1.0 + (n_docs - CAST(df_1 AS DOUBLE) + 0.5)
+              / (CAST(df_1 AS DOUBLE) + 0.5))
+            * CAST(tf_1 AS DOUBLE) * 2.2
+            / (CAST(tf_1 AS DOUBLE) + 1.2 * (1.0 - 0.75
+              + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))) +
+          ln(1.0 + (n_docs - CAST(df_2 AS DOUBLE) + 0.5)
+              / (CAST(df_2 AS DOUBLE) + 0.5))
+            * CAST(tf_2 AS DOUBLE) * 2.2
+            / (CAST(tf_2 AS DOUBLE) + 1.2 * (1.0 - 0.75
+              + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+            AS score
+        FROM tf, stats)
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        AS INTEGER) AS rank
+      FROM scored ORDER BY score DESC, doc_id LIMIT 50""")),
+
     // Corpus-level n-gram statistics: document frequency of every bigram,
     // top 100 (ties broken lexically). The n-gram kernel is the dedup
     // shingle kernel, so the oracle reuses the minhash oracle's shingle
@@ -477,6 +525,28 @@ object PipelineQueries {
         CAST((n * 73856093) % 600000 // 1000 + 1 AS INTEGER) AS n_frames
       FROM m ORDER BY asset_id""")),
 
+    // The flagship composition: the full corpus-cleaning pipeline a
+    // training-data run would execute — quality filter, exact dedup,
+    // MinHash near-dedup with transitive cluster resolution, deterministic
+    // split assignment — and the DuckDB oracle replays EVERY stage, so the
+    // composed pipeline (not just its operators) is hash-checked.
+    ("pipeline_clean", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      val scored = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val filtered = scored.where(col("quality") >= 0.5)
+      val exact = Dedup.dropExactDuplicates(filtered, "doc_id", Seq("text"))
+      val pairs = Dedup.minhashDuplicatePairs(exact, "doc_id", "text",
+        threshold = 0.7, numHashes = 128, bands = 16, shingleK = 2)
+      val clean = Dedup.dropNearDuplicates(exact, "doc_id", pairs)
+      graft.ops.Sampling.assignSplits(clean, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("split")
+    }, Some(cleanPipelineOracle)),
+
     // The STUB decode (byte histogram folded to 16 buckets, f32-normalized)
     // is deterministic, so even the stub is oracled: bucket 0 of an ASCII
     // payload counts the bytes ≡ 0 (mod 16). Floor-scaling (not round) keeps
@@ -523,6 +593,106 @@ object PipelineQueries {
       SELECT doc_id,
         CASE $cases ELSE 'und' END AS lang_id
       FROM ranked ORDER BY doc_id"""
+  }
+
+  /** The cleaning pipeline's oracle: quality metric, md5 exact dedup,
+    * the MinHash signature/band/verify replay, a recursive-CTE component
+    * closure, and the split-bucket hash — each stage the exact SQL replay
+    * of the operator the Spark side composes.
+    */
+  private def cleanPipelineOracle: String = {
+    val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""
+      WITH RECURSIVE m AS (
+        SELECT doc_id, text,
+          len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))
+            AS n_tokens,
+          length(text) AS n_chars,
+          len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> list_contains([$en], w))) AS sw_hits,
+          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+        FROM documents),
+      q AS (
+        SELECT doc_id, text,
+          floor(least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0) *
+            (0.5 + least((floor(CAST(sw_hits AS DOUBLE) / greatest(n_tokens, 1)
+                  * 10000.0) / 10000.0) * 5.0, 1.0) * 0.25 +
+              (floor(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) * 10000.0)
+                / 10000.0) * 0.25) * 10000.0) / 10000.0 AS quality
+        FROM m),
+      filtered AS (SELECT doc_id, text FROM q WHERE quality >= 0.5),
+      exact AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text,
+            row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          FROM filtered) WHERE rn = 1),
+      docs2 AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS ws
+        FROM exact),
+      sh AS (
+        SELECT doc_id, unnest(list_distinct(
+          list_transform(range(1, greatest(len(ws), 1)),
+            i -> ws[i] || ' ' || ws[i + 1]))) AS shingle
+        FROM docs2 WHERE len(ws) >= 2),
+      hh AS (
+        SELECT doc_id,
+          list_reduce(list_prepend(CAST(7 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 2147483647) AS h1,
+          list_reduce(list_prepend(CAST(13 AS BIGINT),
+            list_transform(string_split(shingle, ''),
+              c -> CAST(unicode(c) AS BIGINT))),
+            (acc, c) -> (acc * 131 + c) % 2147483647) AS h2
+        FROM sh),
+      sig AS (
+        SELECT doc_id, i.i AS i, min((h1 + i.i * h2) % 2147483647) AS v
+        FROM hh, (SELECT unnest(range(128)) AS i) i
+        GROUP BY doc_id, i.i),
+      bands AS (
+        SELECT doc_id, i // 8 AS band,
+          string_agg(v, ',' ORDER BY i) AS band_key
+        FROM sig GROUP BY doc_id, i // 8),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id),
+      shs AS (
+        SELECT doc_id, list_distinct(
+          list_transform(range(1, greatest(len(ws), 1)),
+            i -> ws[i] || ' ' || ws[i + 1])) AS sset
+        FROM docs2),
+      pairs AS (
+        SELECT c.id_a, c.id_b FROM cand c
+        JOIN shs a ON a.doc_id = c.id_a
+        JOIN shs b ON b.doc_id = c.id_b
+        WHERE CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE) /
+          (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))
+          >= 0.7),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      losers AS (
+        SELECT src AS doc_id FROM reach GROUP BY src
+        HAVING min(dst) < src),
+      clean AS (
+        SELECT doc_id FROM exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+      b AS (
+        SELECT doc_id,
+          ((doc_id % 2147483647) * 2654435761) % 1000000 AS bucket
+        FROM clean)
+      SELECT CASE WHEN bucket < 800000 THEN 'train'
+                  WHEN bucket < 900000 THEN 'val'
+                  ELSE 'test' END AS split,
+        count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM b GROUP BY 1 ORDER BY 1"""
   }
 
   private def qualityOracle: String = {
