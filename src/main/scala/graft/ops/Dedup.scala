@@ -159,19 +159,22 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          // The convergence signal is computed inside the same pass, so
+          // each iteration costs ONE job (materialize + count changes),
+          // not a second full comparison join.
+          (coalesce(col("neighbor_min"), col("cluster_id")) < col("cluster_id"))
+            .cast("long").as("__changed"))
       // Each iteration's plan builds on the last; every 5th round is cut
       // off with an eager localCheckpoint so lineage (and the planner time
       // and stack it costs) stays bounded on long chains.
       val updated =
         if ((iteration + 1) % 5 == 0) next.localCheckpoint(true)
-        else { val c = next.cache(); c.count(); c }
-      val changed = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .where(col("u.cluster_id") =!= col("l.cluster_id"))
-        .limit(1).count() > 0
+        else next.cache()
+      val changed = updated.agg(coalesce(sum(col("__changed")), lit(0L)))
+        .collect().head.getLong(0) > 0
       labels.unpersist()
-      labels = updated
+      labels = updated.drop("__changed")
       converged = !changed
       iteration += 1
     }

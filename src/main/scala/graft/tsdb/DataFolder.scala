@@ -328,12 +328,19 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * directory-derived partition column (and its pruning) intact when
     * scanning an explicit file list.
     */
-  def segments(table: String): DataFrame = {
+  def segments(table: String): DataFrame = segments(table, scala.None)
+
+  /** Segment scan of a historical snapshot (`asOfVersion`) or the newest
+    * one: time travel falls out of the manifest design — every snapshot is
+    * a full file list, so reading "as of version v" is the same one-file
+    * metadata read as reading head.
+    */
+  def segments(table: String, asOfVersion: Option[Long]): DataFrame = {
     val meta = metadata(table)
     val dir = tableDir(table)
     val schema = SegmentSchema.forTags(meta.tagColumns)
     def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    TableManifest.latest(fs, dir) match {
+    snapshotFor(table, asOfVersion) match {
       case Some(snapshot) =>
         if (snapshot.files.isEmpty) empty
         else spark.read.option("basePath", dir).schema(schema)
@@ -342,6 +349,27 @@ final class DataFolder(val spark: SparkSession, val root: String) {
         if (isEmptyTableDir(dir)) empty
         else spark.read.schema(schema).parquet(dir)
     }
+  }
+
+  private def snapshotFor(table: String,
+      asOfVersion: Option[Long]): Option[TableManifest.Snapshot] =
+    asOfVersion match {
+      case Some(v) => Some(TableManifest.snapshotAt(fs, tableDir(table), v)
+        .getOrElse(throw new IllegalArgumentException(
+          s"Table $table has no manifest version $v (vacuumed or never written).")))
+      case scala.None => TableManifest.latest(fs, tableDir(table))
+    }
+
+  /** Roll the table back to a historical snapshot: publishes a NEW version
+    * whose live set is the old version's file list (Delta-style rollback —
+    * history moves forward, data files are immutable, the abandoned
+    * versions' files become orphans for VACUUM).
+    */
+  def rollback(table: String, toVersion: Long): Unit = {
+    val target = TableManifest.snapshotAt(fs, tableDir(table), toVersion)
+      .getOrElse(throw new IllegalArgumentException(
+        s"Table $table has no manifest version $toVersion."))
+    TableManifest.commit(fs, tableDir(table))(_ => target.files)
   }
 
   private def isEmptyTableDir(dir: String): Boolean = {

@@ -130,6 +130,24 @@ final class Engine(val spark: SparkSession, val root: String) {
     else dataFolder.readNormal(table)
   }
 
+  /** Snapshot (time-travel) read of a time series table as of a manifest
+    * version — reconstruction over exactly that commit's file list.
+    */
+  def readTableVersion(table: String, version: Long): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    GridView.dataPoints(
+      dataFolder.segments(table, Some(version)), meta, meta.fieldColumns)
+  }
+
+  /** Roll a table back to an earlier manifest version (forward-written
+    * history; abandoned files become VACUUM-able orphans).
+    */
+  def rollback(table: String, toVersion: Long): Unit = {
+    dataFolder.rollback(table, toVersion)
+    invalidateViews()
+  }
+
   /** STREAMING logical view of one stored field: segments appended to the
     * table (batch writes, streaming ingest, copies) arrive as micro-batches
     * and are reconstructed through the same expression-based grid pipeline

@@ -66,6 +66,12 @@ private[graft] object TableManifest {
   def latest(fs: FileSystem, tableDir: String): Option[Snapshot] =
     versions(fs, tableDir).view.flatMap(v => read(fs, tableDir, v)).headOption
 
+  /** A specific historical snapshot, if that version still exists (VACUUM
+    * prunes superseded versions past retention).
+    */
+  def snapshotAt(fs: FileSystem, tableDir: String, version: Long): Option[Snapshot] =
+    read(fs, tableDir, version)
+
   private def read(fs: FileSystem, tableDir: String, v: Long): Option[Snapshot] =
     try {
       val in = fs.open(versionPath(tableDir, v))

@@ -135,6 +135,45 @@ class ManifestSpec extends AnyFunSuite {
     assert(engine.readTable("mv").count() == 300)
   }
 
+  test("snapshot reads and rollback ride the manifest history") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE tt(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    engine.write("tt", makePointsDf(200, "a"))   // v1
+    engine.write("tt", makePointsDf(150, "b"))   // v2
+    assert(engine.readTable("tt").count() == 350)
+
+    // Time travel: v1 sees only the first write.
+    assert(engine.readTableVersion("tt", 1L).count() == 200)
+    assert(engine.readTableVersion("tt", 2L).count() == 350)
+    assertThrows[IllegalArgumentException] {
+      engine.readTableVersion("tt", 99L).count()
+    }
+
+    // Rollback publishes v3 = v1's file list; head reads shrink, the
+    // abandoned second write becomes a VACUUM-able orphan.
+    engine.rollback("tt", 1L)
+    assert(engine.readTable("tt").count() == 200)
+    val fs = new org.apache.hadoop.fs.Path(engine.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = TableManifest.latest(fs, engine.dataFolder.tableDir("tt")).get
+    assert(head.version == 3L, "rollback moves history forward")
+
+    val dir = engine.dataFolder.tableDir("tt")
+    val before = dataFileCount(dir)
+    new java.io.File(dir).listFiles().foreach { p =>
+      if (p.isDirectory && p.getName.startsWith("field_column"))
+        p.listFiles().foreach(f => f.setLastModified(
+          System.currentTimeMillis() - 1000L))
+    }
+    engine.sql("VACUUM tt RETAIN 0")
+    assert(dataFileCount(dir) < before, "abandoned files reclaimed")
+    assert(engine.readTable("tt").count() == 200, "live snapshot intact")
+
+    // Writing after a rollback appends to the rolled-back state.
+    engine.write("tt", makePointsDf(50, "c"))
+    assert(engine.readTable("tt").count() == 250)
+  }
+
   test("normal tables get the same commit protocol") {
     val engine = newEngine()
     import spark.implicits._
