@@ -50,6 +50,23 @@ class RemoteSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("large results stream across many arrow batches intact") {
+    val engine = makeEngine("big", 30000) // > 3 batches at 8192 records each
+    val server = new RemoteServer(engine)
+    try {
+      val addr = RemoteClient.parseAddress(server.address).get
+      val remote = RemoteClient.sql(spark, addr,
+        "SELECT ts_us, v, tag FROM rts ORDER BY ts_us")
+      assert(remote.count() == 30000)
+      // Spot-check content equality against local execution, not just size.
+      val localSum = engine.sql("SELECT sum(CAST(v AS DOUBLE)) FROM rts")
+        .collect().head.getDouble(0)
+      val remoteSum = remote.agg(sum(col("v").cast("double")))
+        .collect().head.getDouble(0)
+      assert(math.abs(remoteSum - localSum) <= math.abs(localSum) * 1e-9)
+    } finally server.close()
+  }
+
   test("empty results carry their schema") {
     val engine = makeEngine("b", 50)
     val server = new RemoteServer(engine)
