@@ -44,7 +44,10 @@ object ArrowBridge {
       org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(schema)
     val rows = rowIter.map(r => projection(r).copy()
       : org.apache.spark.sql.catalyst.InternalRow).toArray
+    // Slice large decoded results so downstream transforms parallelize
+    // instead of inheriting one fat partition.
+    val slices = math.max(1, math.min(32, rows.length / 8192))
     session.internalCreateDataFrame(
-      session.sparkContext.parallelize(rows.toSeq, 1), schema)
+      session.sparkContext.parallelize(rows.toSeq, slices), schema)
   }
 }

@@ -112,6 +112,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("prefix-filtered jaccard equals brute force across random corpora") {
+    // Randomized (seeded) cross-check of the AllPairs prefix bound at
+    // several thresholds — an off-by-one in the prefix length silently
+    // loses pairs, which no single fixture reliably catches.
+    val rng = new scala.util.Random(20260812L)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val corpus = (0 until 60).map { i =>
+      val len = 1 + rng.nextInt(12)
+      (i.toLong, Seq.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val sets = corpus.map { case (id, t) => id -> Signatures.wordShingles(t, 1) }
+    for (threshold <- Seq(0.3, 0.62, 0.9)) {
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 1, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        ((ia, sa), x) <- sets.zipWithIndex
+        (ib, sb) <- sets.drop(x + 1)
+        if Signatures.jaccard(sa, sb) >= threshold
+      } yield (ia, ib)).toSet
+      assert(got == want, s"mismatch at threshold $threshold: " +
+        s"missing=${want -- got} extra=${got -- want}")
+    }
+  }
+
   test("simhash survives a degenerate identical-signature corpus") {
     // Thousands of near-empty documents hash to ONE signature: blocking
     // over distinct signatures sees a single row, and the inherently
