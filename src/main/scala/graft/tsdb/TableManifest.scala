@@ -104,8 +104,13 @@ private[graft] object TableManifest {
     var attempt = 0
     while (true) {
       val current = latest(fs, tableDir)
+      // Numbering comes from the highest CLAIMED version (readable or
+      // not), while content comes from the newest READABLE one: a torn
+      // manifest at the head must be skipped over, never collided with
+      // forever.
+      val maxClaimed = versions(fs, tableDir).headOption.getOrElse(0L)
       val next = Snapshot(
-        current.map(_.version + 1).getOrElse(1L),
+        maxClaimed + 1L,
         System.currentTimeMillis(),
         update(current.map(_.files).getOrElse(Seq.empty)).distinct.sorted,
         ((current.map(_.appliedWalBatches).getOrElse(Seq.empty)

@@ -199,6 +199,27 @@ class ManifestSpec extends AnyFunSuite {
     assert(engine.readTable("nrm").count() == 2)
   }
 
+  test("a torn manifest at the head is skipped over, not collided with") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE th(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    engine.write("th", makePointsDf(100, "a")) // v1
+
+    // A writer died mid-manifest-write: v2 exists but is unreadable.
+    val manifestDir = new java.io.File(
+      engine.dataFolder.tableDir("th"), TableManifest.DirName)
+    java.nio.file.Files.writeString(
+      new java.io.File(manifestDir, "v0000000002.json").toPath, "{torn")
+
+    // Reads fall back to v1; the next commit claims v3, not v2 forever.
+    assert(engine.readTable("th").count() == 100)
+    engine.write("th", makePointsDf(50, "b"))
+    val fs = new org.apache.hadoop.fs.Path(engine.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = TableManifest.latest(fs, engine.dataFolder.tableDir("th")).get
+    assert(head.version == 3L, "commit must skip the torn claim")
+    assert(engine.readTable("th").count() == 150)
+  }
+
   test("pre-manifest tables are adopted on their first committed write") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE legacy(ts_us TIMESTAMP, v FIELD, tag TAG)")
