@@ -79,6 +79,21 @@ class RemoteSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("remote INSERT ingests through the compression path (do_put parity)") {
+    val engine = makeEngine("ins", 100)
+    val server = new RemoteServer(engine)
+    try {
+      val addr = RemoteClient.parseAddress(server.address).get
+      RemoteClient.sql(spark, addr,
+        "INSERT INTO rts VALUES (TIMESTAMP '2024-01-01 00:00:00', 42.0, 'remote')")
+      val n = RemoteClient.sql(spark, addr,
+        "SELECT count(v) AS n FROM rts WHERE tag = 'remote'")
+        .collect().head.getLong(0)
+      assert(n == 1L, "remotely inserted row must be queryable")
+      assert(engine.readTable("rts").count() == 101)
+    } finally server.close()
+  }
+
   test("remote errors propagate with the server's message") {
     val engine = makeEngine("c", 50)
     val server = new RemoteServer(engine)
