@@ -174,6 +174,33 @@ object TextAnalysis {
       .select("doc_id", "rank")
   }
 
+  /** Benchmark decontamination: per evaluation document, the fraction of
+    * its distinct word n-grams that appear anywhere in the training
+    * corpus (containment ≈ 1 means the eval document leaked into
+    * training). Asymmetric by design — unlike dedup, the question is
+    * "how much of THIS document is covered", not pairwise similarity.
+    *
+    * Scale shape: the training side reduces to distinct n-gram KEYS (the
+    * payload never moves), the eval side left-semi-joins those keys —
+    * one hash-keyed shuffle each; per-document ratios are a small grouped
+    * count. Containment is floor-scaled to 1e-4 for cross-engine checks.
+    */
+  def ngramContainment(trainDf: DataFrame, evalDf: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val trainGrams = trainDf
+      .select(explode(wordNgrams(col(textCol), n)).as("ngram")).distinct()
+    val evalGrams = evalDf.select(col(idCol).as("eval_id"),
+      explode(wordNgrams(col(textCol), n)).as("ngram"))
+    val totals = evalGrams.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
+    val hits = evalGrams.join(trainGrams, Seq("ngram"), "left_semi")
+      .groupBy("eval_id").agg(count(lit(1)).as("n_hits"))
+    totals.join(hits, Seq("eval_id"), "left")
+      .select(col("eval_id"), col("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (floor(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / col("n_grams") * 10000d) / 10000d).as("containment"))
+  }
+
   /** Convenience: annotate a corpus DataFrame with the full signal set. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -363,6 +363,43 @@ object PipelineQueries {
         count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM b GROUP BY 1 ORDER BY 1""")),
 
+    // Decontamination: per eval document (doc_id >= 450), the fraction of
+    // its distinct bigrams found anywhere in the train partition — the
+    // standard eval-leakage check, replayed exactly by the oracle.
+    ("pipeline_contamination", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+      TextAnalysis.ngramContainment(
+          docs.where(col("doc_id") < 450), docs.where(col("doc_id") >= 450),
+          "doc_id", "text", n = 2)
+        .orderBy("eval_id")
+    }, Some("""
+      WITH tr AS (
+        SELECT DISTINCT unnest(list_distinct(list_transform(
+          range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i + 1])))
+          AS ngram
+        FROM (SELECT list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            x -> x <> '') AS ws
+          FROM documents WHERE doc_id < 450)
+        WHERE len(ws) >= 2),
+      ev AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(1, greatest(len(ws), 1)), i -> ws[i] || ' ' || ws[i + 1])))
+          AS ngram
+        FROM (SELECT doc_id, list_filter(
+            string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+          FROM documents WHERE doc_id >= 450)
+        WHERE len(ws) >= 2),
+      tot AS (SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY 1),
+      hits AS (
+        SELECT doc_id, count(*) AS n_hits FROM ev
+        WHERE ngram IN (SELECT ngram FROM tr) GROUP BY 1)
+      SELECT t.doc_id AS eval_id, t.n_grams,
+        coalesce(h.n_hits, 0) AS n_hits,
+        floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / t.n_grams * 10000)
+          / 10000 AS containment
+      FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      ORDER BY eval_id""")),
+
     // BM25 retrieval: top-50 documents for a 3-term query. The oracle
     // replays the exact arithmetic (integer tf/df/dl/N, deterministic
     // integer-sum avgdl, same operator associativity), so document order —
