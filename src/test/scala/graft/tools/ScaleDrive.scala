@@ -100,6 +100,48 @@ object ScaleDrive {
     }
     println(f"  on disk: ${bytes / 1024.0 / 1024.0}%.1f MiB " +
       f"(${bytes.toDouble * 8 / nPoints}%.2f bits/value incl. timestamps+tags)")
+
+    // ---------------------------------------------- pipeline ops at scale
+    // 200k synthetic documents (40x the sf0.1 corpus) with planted
+    // near-dup groups: MinHash candidates, exact verify, transitive
+    // clustering, split assignment — the shapes that must hold at 100 TB.
+    val nDocs = if (args.length > 2) args(2).toInt else 100000
+    val vocab = Array("join", "hash", "row", "batch", "scan", "filter",
+      "merge", "order", "vector", "line", "data", "column", "small", "slow",
+      "customer", "spill", "probe", "build", "sort", "codec")
+    val vocabCol = array(vocab.map(lit): _*)
+    // Every block of 10 ids shares a base text; a per-id suffix word makes
+    // them NEAR duplicates (not exact) — nDocs/10 planted clusters.
+    val block = col("id") - pmod(col("id"), lit(10))
+    val docs = spark.range(nDocs)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 24).map(j =>
+          element_at(vocabCol,
+            (pmod(xxhash64(block, lit(j)), lit(20)) + 1).cast("int"))): _*)
+          .as("base"),
+        element_at(vocabCol,
+          (pmod(xxhash64(col("id")), lit(20)) + 1).cast("int")).as("suffix"))
+      .select(col("doc_id"), concat_ws(" ", col("base"), col("suffix")).as("text"))
+      .cache()
+    docs.count()
+
+    val pairs = timed(f"minhash pairs ($nDocs%,d docs)") {
+      val p = graft.ops.Dedup.minhashDuplicatePairs(
+        docs, "doc_id", "text", threshold = 0.7,
+        numHashes = 64, bands = 16, shingleK = 2).cache()
+      println(f"  near-dup pairs: ${p.count()}%,d")
+      p
+    }
+    timed("transitive clustering") {
+      val clusters = graft.ops.Dedup.clusterDuplicates(pairs)
+      val nClusters = clusters.select("cluster_id").distinct().count()
+      println(f"  clusters: $nClusters%,d")
+    }
+    timed("split assignment + count") {
+      graft.ops.Sampling.assignSplits(docs, "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .groupBy("split").count().collect()
+    }
     spark.stop()
   }
 }
