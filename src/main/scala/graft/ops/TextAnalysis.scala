@@ -184,6 +184,8 @@ object TextAnalysis {
     * payload never moves), the eval side left-semi-joins those keys —
     * one hash-keyed shuffle each; per-document ratios are a small grouped
     * count. Containment is floor-scaled to 1e-4 for cross-engine checks.
+    * Eval documents too short to produce any n-gram are omitted (they
+    * have no containment to measure).
     */
   def ngramContainment(trainDf: DataFrame, evalDf: DataFrame,
       idCol: String, textCol: String, n: Int): DataFrame = {

@@ -68,6 +68,10 @@ final class RemoteServer(engine: Engine, port: Int = 0) extends AutoCloseable {
       val sqlText = new String(sqlBytes, UTF_8)
       try {
         val batches = ArrowBridge.toBatches(engine.sql(sqlText))
+        // Planning/validation errors surface before the first byte is
+        // written (toBatches plans eagerly); a mid-STREAM executor failure
+        // after status 0 tears the connection, which the client reads as a
+        // decode error — the same contract as a failed Flight stream.
         out.writeByte(0)
         batches.foreach { b => out.writeInt(b.length); out.write(b) }
         out.writeInt(-1)
