@@ -142,6 +142,18 @@ final class DataFolder(val spark: SparkSession, val root: String) {
         }
         TableManifest.staleVersionPaths(fs, dirStr, cutoff)
           .foreach(fs.delete(_, false))
+        // (e) WAL leftovers no recovery will ever replay: batches the
+        // manifest already applied (crash before cleanup) and torn writes
+        // (no _SUCCESS — the writer never got an ack). COMPLETE unapplied
+        // batches are pending durable data and are never vacuumed.
+        val applied = snapshot.appliedWalBatches.toSet
+        walBatchDirs(table).foreach { batchId =>
+          val aged = fs.getFileStatus(
+            new Path(s"${walTableDir(table)}/$batchId")).getModificationTime < cutoff
+          if (aged && (applied.contains(batchId) ||
+              !walBatchComplete(table, batchId)))
+            walDelete(table, batchId)
+        }
       }
     }
   }

@@ -115,6 +115,35 @@ class WalSpec extends AnyFunSuite {
     assert(engine.readTable("wn").count() == 3)
   }
 
+  test("vacuum sweeps unreplayable WAL leftovers, keeps pending batches") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE wv(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    engine.writeDurable("wv", makePointsDf(100, "a"))
+
+    // Applied-but-undeleted batch (crash before cleanup, recover never ran).
+    val appliedId = engine.dataFolder.walAppend("wv", makePointsDf(60, "b"))
+    engine.dataFolder.write("wv",
+      engine.dataFolder.walRead("wv", appliedId), Seq(appliedId))
+    // Torn write (no _SUCCESS).
+    val torn = new java.io.File(s"${engine.root}/wal/wv/b9999999999999-torn")
+    torn.mkdirs()
+    // Complete, UNAPPLIED batch: pending durable data.
+    val pendingId = engine.dataFolder.walAppend("wv", makePointsDf(40, "c"))
+
+    def age(name: String): Unit = {
+      val f = new java.io.File(s"${engine.root}/wal/wv/$name")
+      f.setLastModified(System.currentTimeMillis() - 1000L)
+    }
+    Seq(appliedId, "b9999999999999-torn", pendingId).foreach(age)
+
+    engine.sql("VACUUM wv RETAIN 0")
+    assert(engine.dataFolder.walBatchDirs("wv") == Seq(pendingId),
+      "vacuum removes applied/torn WAL dirs but never pending data")
+    assert(engine.recover("wv") == Seq(pendingId),
+      "the pending batch survives vacuum and still replays")
+    assert(engine.readTable("wv").count() == 200)
+  }
+
   test("truncate and drop discard pending WAL batches") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE wx(ts_us TIMESTAMP, v FIELD, tag TAG)")
