@@ -70,9 +70,9 @@ class SegmentAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(engines: List[Engine], agg: Aggregate): Option[LogicalPlan] =
     engines.iterator.flatMap { engine =>
       SegmentAggregateSqlRewrite.matchAggregate(engine, agg)
-        .map { case (meta, groupTags, specs) =>
+        .map { matched =>
           val rewritten = SegmentAggregateSqlRewrite
-            .build(engine, meta, groupTags, specs)
+            .build(engine, matched)
             .queryExecution.analyzed
           // Splice under the original attribute identities: parents resolve
           // against the Aggregate's exprIds, which must survive the swap.

@@ -1,51 +1,64 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project, SubqueryAlias, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, TimestampType}
 
 import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
 
-/** Catalyst-level rewrite of whole-table simple aggregates over a time
-  * series view into segment-native aggregates — the Spark counterpart of
+/** Catalyst-level rewrite of simple aggregates over a time series view
+  * into segment-native (or hybrid) aggregates — the Spark counterpart of
   * the reference's `ModelSimpleAggregates` physical optimizer rule
   * (/root/reference/crates/modelardb_storage/src/optimizer/model_simple_aggregates.rs:175-334),
   * applied to the analyzed plan of SQL entering `Engine.sql`.
   *
   * Matches `Aggregate(tag-groupings, [COUNT|MIN|MAX|SUM|AVG(field)...],
-  * SubqueryAlias(tst-view))` with no intervening Filter (the reference
-  * requires no predicate and no grouping; tags-only grouping is safe for us
-  * because tags are denormalized into every segment row). On a match the
-  * whole query is answered from segment metadata — reconstruction never
-  * runs.
+  * [Filter(pred,)] SubqueryAlias(tst-view))`. Beyond the reference (which
+  * disables its rewrite under ANY predicate), a filter that is a
+  * conjunction of timestamp range bounds and tag equalities still
+  * rewrites: tag equalities prune the (denormalized) segment relation
+  * directly, and timestamp ranges route through the engine's hybrid plan —
+  * interior segments answered from metadata, only boundary segments
+  * reconstructed. Any other predicate blocks the rewrite and the query
+  * grids as before.
   */
-object SegmentAggregateSqlRewrite {
+object SegmentAggregateSqlRewrite extends PredicateHelper {
 
   private[plans] sealed trait AggSpec
   private[plans] final case class FieldAgg(kind: String, field: String, outName: String)
     extends AggSpec
   private[plans] final case class TagRef(tag: String) extends AggSpec
 
+  /** A rewritable aggregate: the table, tag-only groupings, simple
+    * aggregate specs, and the (possibly empty) parsed filter.
+    */
+  private[plans] final case class MatchResult(
+    meta: TableMetadata, groupTags: Seq[String], specs: Seq[AggSpec],
+    startUs: Option[Long], endUs: Option[Long], tagEq: Map[String, String])
+
   /** Attempt the rewrite; None leaves the original DataFrame untouched. */
   def tryRewrite(engine: Engine, df: DataFrame): Option[DataFrame] = {
     df.queryExecution.analyzed match {
-      case agg: Aggregate => matchAggregate(engine, agg)
-        .map { case (meta, groupTags, specs) =>
-          build(engine, meta, groupTags, specs)
-        }
+      case agg: Aggregate => matchAggregate(engine, agg).map(build(engine, _))
       case _ => None
     }
   }
 
   /** Shared matcher: an Aggregate whose child is exactly the registered
-    * view, tag-only groupings, and only simple aggregates of stored fields.
+    * view (optionally under a parseable Filter), tag-only groupings, and
+    * only simple aggregates of stored fields.
     */
   private[plans] def matchAggregate(engine: Engine, agg: Aggregate):
-      Option[(TableMetadata, Seq[String], Seq[AggSpec])] = {
+      Option[MatchResult] = {
     val Aggregate(groupings, results, child, _) = agg
-    viewTable(engine, child).flatMap { meta =>
+    val (filterCond, source) = child match {
+      case Filter(cond, inner) => (Some(cond), inner)
+      case other => (scala.None, other)
+    }
+    viewTable(engine, source).flatMap { meta =>
       val tagNames = meta.tagColumns.toSet
       val groupTags = groupings.flatMap {
         case a: AttributeReference if tagNames.contains(a.name) => Some(a.name)
@@ -55,9 +68,70 @@ object SegmentAggregateSqlRewrite {
       else {
         val specs = results.map(spec(meta, groupTags.toSet, _))
         if (specs.exists(_.isEmpty)) None
-        else Some((meta, groupTags, specs.flatten))
+        else filterCond match {
+          case scala.None =>
+            Some(MatchResult(meta, groupTags, specs.flatten, scala.None,
+              scala.None, Map.empty))
+          case Some(cond) => parseFilter(meta, cond).map {
+            case (lo, hi, tags) =>
+              MatchResult(meta, groupTags, specs.flatten, lo, hi, tags)
+          }
+        }
       }
     }
+  }
+
+  /** Parse a filter into (startUs, endUs, tag equalities): only
+    * conjunctions of `ts <cmp> TIMESTAMP-literal` and `tag = string` (in
+    * either operand order) qualify; anything else aborts the rewrite.
+    * Strict bounds tighten by one microsecond (timestamps are micros).
+    */
+  private def parseFilter(meta: TableMetadata, cond: Expression):
+      Option[(Option[Long], Option[Long], Map[String, String])] = {
+    def isTs(a: AttributeReference) =
+      a.name == meta.timestampColumn && a.dataType == TimestampType
+    def isTag(a: AttributeReference) =
+      meta.tagColumns.contains(a.name) && a.dataType == StringType
+
+    var lo: Option[Long] = scala.None
+    var hi: Option[Long] = scala.None
+    var tags = Map.empty[String, String]
+    var ok = true
+
+    def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
+    def tightenHi(v: Long): Unit = hi = Some(hi.fold(v)(math.min(_, v)))
+    def addTag(a: AttributeReference, v: Any): Unit = {
+      val s = String.valueOf(v)
+      tags.get(a.name) match {
+        case Some(prev) if prev != s => ok = false // contradictory equality
+        case _ => tags += a.name -> s
+      }
+    }
+
+    splitConjunctivePredicates(cond).foreach {
+      case GreaterThanOrEqual(a: AttributeReference, Literal(v: Long, TimestampType))
+        if isTs(a) => tightenLo(v)
+      case GreaterThan(a: AttributeReference, Literal(v: Long, TimestampType))
+        if isTs(a) => tightenLo(v + 1)
+      case LessThanOrEqual(a: AttributeReference, Literal(v: Long, TimestampType))
+        if isTs(a) => tightenHi(v)
+      case LessThan(a: AttributeReference, Literal(v: Long, TimestampType))
+        if isTs(a) => tightenHi(v - 1)
+      case GreaterThanOrEqual(Literal(v: Long, TimestampType), a: AttributeReference)
+        if isTs(a) => tightenHi(v)
+      case GreaterThan(Literal(v: Long, TimestampType), a: AttributeReference)
+        if isTs(a) => tightenHi(v - 1)
+      case LessThanOrEqual(Literal(v: Long, TimestampType), a: AttributeReference)
+        if isTs(a) => tightenLo(v)
+      case LessThan(Literal(v: Long, TimestampType), a: AttributeReference)
+        if isTs(a) => tightenLo(v + 1)
+      case EqualTo(a: AttributeReference, Literal(v, StringType))
+        if isTag(a) && v != null => addTag(a, v)
+      case EqualTo(Literal(v, StringType), a: AttributeReference)
+        if isTag(a) && v != null => addTag(a, v)
+      case _ => ok = false
+    }
+    if (ok) Some((lo, hi, tags)) else None
   }
 
   /** The child must be exactly the registered logical view of a time series
@@ -121,7 +195,39 @@ object SegmentAggregateSqlRewrite {
       case _ => None
     }
 
-  private[plans] def build(
+  private[plans] def build(engine: Engine, m: MatchResult): DataFrame = {
+    if (m.startUs.isEmpty && m.endUs.isEmpty && m.tagEq.isEmpty)
+      buildWholeTable(engine, m.meta, m.groupTags, m.specs)
+    else {
+      // Filtered path: route through the engine's structured read — tag
+      // equalities stay segment-native, a time range takes the hybrid
+      // interior/boundary plan. One pass answers every requested kind.
+      val fields = m.specs.collect { case FieldAgg(_, f, _) => f }.distinct
+      val kinds = m.specs.collect { case FieldAgg(k, _, _) => k }.distinct
+      val aggs: Seq[engine.Aggregate] = kinds.map(kindToAggregate(engine))
+      def inst(us: Long) = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      val multi = engine.readTimeSeriesTableMulti(m.meta.name, fields, aggs,
+        m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq)
+      val ordered = m.specs.map {
+        case TagRef(tag) => col(tag)
+        case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
+      }
+      multi.select(ordered: _*)
+    }
+  }
+
+  private def kindToAggregate(engine: Engine)(kind: String): engine.Aggregate =
+    kind match {
+      case "count" => engine.Aggregate.Count
+      case "min" => engine.Aggregate.Min
+      case "max" => engine.Aggregate.Max
+      case "sum" => engine.Aggregate.Sum
+      case "avg" => engine.Aggregate.Avg
+      case other => throw new IllegalArgumentException(s"Unknown aggregate $other.")
+    }
+
+  private def buildWholeTable(
       engine: Engine, meta: TableMetadata, groupTags: Seq[String],
       specs: Seq[AggSpec]): DataFrame = {
     val segments = engine.dataFolder.segments(meta.name)

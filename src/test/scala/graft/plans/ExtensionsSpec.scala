@@ -61,9 +61,12 @@ class ExtensionsSpec extends AnyFunSuite {
       s"extension rewrite must skip reconstruction, got plan:\n$plan")
 
     // Values must match the gridded path exactly / within the reference's
-    // SUM-AVG tolerance (integration_test.rs:1129-1243).
+    // SUM-AVG tolerance (integration_test.rs:1129-1243). A field predicate
+    // (always true) forces the control through reconstruction — timestamp
+    // ranges no longer do, since they rewrite to the hybrid plan.
     val expected = spark.sql(
-      "SELECT COUNT(v), MIN(v), MAX(v), SUM(v), AVG(v) FROM ext WHERE ts >= TIMESTAMP '1970-01-01'")
+      "SELECT COUNT(v), MIN(v), MAX(v), SUM(v), AVG(v) FROM ext " +
+        "WHERE v <= CAST('Infinity' AS FLOAT)")
     assert(expected.queryExecution.executedPlan.toString.contains("Generate"),
       "the filtered control query must grid")
     val g = expected.collect().head
@@ -83,31 +86,88 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT tag, COUNT(v) AS n FROM ext GROUP BY tag ORDER BY tag")
     assert(!df.queryExecution.executedPlan.toString.contains("Generate"))
     val gridded = spark.sql(
-      "SELECT tag, COUNT(v) AS n FROM ext WHERE ts >= TIMESTAMP '1970-01-01' " +
+      "SELECT tag, COUNT(v) AS n FROM ext WHERE v <= CAST('Infinity' AS FLOAT) " +
         "GROUP BY tag ORDER BY tag")
     assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       gridded.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
-  test("filters, expressions, and spoofed aliases still reconstruct") {
+  test("filters, expressions, and spoofed aliases behave per contract") {
     freshEngine()
-    // A WHERE on the view blocks the rewrite (reference parity).
+    // A tag equality no longer blocks the rewrite: tags are denormalized
+    // into every segment row, so the filter prunes the segment relation.
     val filtered = spark.sql("SELECT COUNT(v) AS n FROM ext WHERE tag = 't0'")
-    assert(filtered.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("Generate"),
+      "tag-equality aggregate must stay segment-native")
+    val filteredControl = spark.sql("SELECT COUNT(v) AS n FROM ext " +
+      "WHERE v <= CAST('Infinity' AS FLOAT) AND tag = 't0'")
+    assert(filteredControl.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(filtered.collect().head.getLong(0) ==
+      filteredControl.collect().head.getLong(0))
 
     // A subquery aliased with the table's name must not be mistaken for the
     // registered view.
     val spoofed = spark.sql(
       "SELECT COUNT(v) AS n FROM (SELECT * FROM ext WHERE tag = 't0') AS ext")
     assert(spoofed.queryExecution.executedPlan.toString.contains("Generate"))
-    val control = spark.sql(
-      "SELECT COUNT(v) AS n FROM ext WHERE ts >= TIMESTAMP '1970-01-01' AND tag = 't0'")
-    assert(spoofed.collect().head.getLong(0) == control.collect().head.getLong(0))
+    assert(spoofed.collect().head.getLong(0) ==
+      filteredControl.collect().head.getLong(0))
 
     // Aggregates the segment metadata cannot answer (e.g. over an
-    // expression) also grid.
+    // expression) still grid, as do filters on field values.
     val exprAgg = spark.sql("SELECT SUM(v * 2) AS s FROM ext")
     assert(exprAgg.queryExecution.executedPlan.toString.contains("Generate"))
+    val fieldFiltered = spark.sql("SELECT COUNT(v) AS n FROM ext WHERE v > 50")
+    assert(fieldFiltered.queryExecution.executedPlan.toString.contains("Generate"))
+  }
+
+  test("timestamp-ranged aggregates rewrite to the hybrid plan") {
+    freshEngine()
+    // ts base 1700000000000000 us = 2023-11-14 22:13:20 UTC, 1s spacing.
+    val ranged = spark.sql(
+      "SELECT COUNT(v) AS n, MIN(v) AS mn, MAX(v) AS mx, SUM(v) AS s " +
+        "FROM ext WHERE ts >= TIMESTAMP '2023-11-14 22:30:00' " +
+        "AND ts <= TIMESTAMP '2023-11-14 22:40:00'")
+    val plan = ranged.queryExecution.executedPlan.toString
+    // Hybrid = interior metadata partials UNIONed with gridded boundary
+    // partials; a fully gridded aggregate has no Union.
+    assert(plan.contains("Union"), s"expected the hybrid union plan:\n$plan")
+    val control = spark.sql(
+      "SELECT COUNT(v) AS n, MIN(v) AS mn, MAX(v) AS mx, SUM(v) AS s " +
+        "FROM ext WHERE v <= CAST('Infinity' AS FLOAT) " +
+        "AND ts >= TIMESTAMP '2023-11-14 22:30:00' " +
+        "AND ts <= TIMESTAMP '2023-11-14 22:40:00'")
+    assert(control.queryExecution.executedPlan.toString.contains("Generate"))
+    val r = ranged.collect().head
+    val c = control.collect().head
+    assert(r.getLong(0) == c.getLong(0) && r.getLong(0) > 0)
+    assert(r.getFloat(1) == c.getFloat(1) && r.getFloat(2) == c.getFloat(2))
+    assert(math.abs(r.getDouble(3) - c.getDouble(3)) <=
+      math.abs(c.getDouble(3)) * 1e-9)
+
+    // Strict bounds and reversed operand order tighten correctly.
+    val strict = spark.sql(
+      "SELECT COUNT(v) AS n FROM ext WHERE ts > TIMESTAMP '2023-11-14 22:30:00' " +
+        "AND TIMESTAMP '2023-11-14 22:40:00' > ts")
+    val strictControl = spark.sql(
+      "SELECT COUNT(v) AS n FROM ext WHERE v <= CAST('Infinity' AS FLOAT) " +
+        "AND ts > TIMESTAMP '2023-11-14 22:30:00' " +
+        "AND ts < TIMESTAMP '2023-11-14 22:40:00'")
+    assert(strict.collect().head.getLong(0) ==
+      strictControl.collect().head.getLong(0))
+
+    // Mixed range + tag equality + grouping rewrites too.
+    val mixed = spark.sql(
+      "SELECT tag, COUNT(v) AS n FROM ext " +
+        "WHERE ts >= TIMESTAMP '2023-11-14 22:30:00' AND tag = 't1' " +
+        "GROUP BY tag")
+    val mixedControl = spark.sql(
+      "SELECT tag, COUNT(v) AS n FROM ext " +
+        "WHERE v <= CAST('Infinity' AS FLOAT) " +
+        "AND ts >= TIMESTAMP '2023-11-14 22:30:00' AND tag = 't1' " +
+        "GROUP BY tag")
+    assert(mixed.collect().map(x => (x.getString(0), x.getLong(1))).toSeq ==
+      mixedControl.collect().map(x => (x.getString(0), x.getLong(1))).toSeq)
   }
 
   test("count(*) rewrites segment-natively on a multi-field table") {
@@ -134,7 +194,7 @@ class ExtensionsSpec extends AnyFunSuite {
       "SELECT tag, COUNT(*) AS n FROM extmf GROUP BY tag ORDER BY tag")
     assert(!grouped.queryExecution.executedPlan.toString.contains("Generate"))
     val control = spark.sql(
-      "SELECT tag, COUNT(*) AS n FROM extmf WHERE ts >= TIMESTAMP '1970-01-01' " +
+      "SELECT tag, COUNT(*) AS n FROM extmf WHERE v <= CAST('Infinity' AS FLOAT) " +
         "GROUP BY tag ORDER BY tag")
     assert(control.queryExecution.executedPlan.toString.contains("Generate"))
     assert(grouped.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==

@@ -80,14 +80,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val g = grouped.collect()
     assert(g.map(_.getLong(1)).sum == 2000L)
 
-    // A WHERE clause must block the rewrite (inexact on segments) but still
-    // return correct results through the grid.
+    // Tag equalities prune the denormalized segment relation, so the
+    // rewrite survives them; a field predicate still blocks it.
     val filtered = engine.sql("SELECT COUNT(v) AS n FROM sa WHERE tag = 't0'")
     val filteredPlan = filtered.queryExecution.executedPlan.toString
-    assert(filteredPlan.contains("Generate"),
-      "filtered aggregate must go through reconstruction")
+    assert(!filteredPlan.contains("Generate"),
+      "tag-equality aggregate must stay segment-native")
     assert(filtered.collect().head.getLong(0) ==
       engine.readTable("sa").where(col("tag") === "t0").count())
+    val fieldFiltered = engine.sql("SELECT COUNT(v) AS n FROM sa WHERE v >= 0")
+    assert(fieldFiltered.queryExecution.executedPlan.toString.contains("Generate"),
+      "field-value filters must still reconstruct")
+
+    // Timestamp ranges entering Engine.sql take the hybrid plan.
+    val ranged = engine.sql(
+      "SELECT COUNT(v) AS n FROM sa WHERE ts >= TIMESTAMP '2023-11-14 22:20:00'")
+    assert(ranged.queryExecution.executedPlan.toString.contains("Union"),
+      "ranged aggregate must take the hybrid interior/boundary plan")
+    assert(ranged.collect().head.getLong(0) ==
+      engine.readTable("sa")
+        .where(col("ts") >= lit("2023-11-14 22:20:00").cast("timestamp"))
+        .count())
   }
 
   test("create normal table via SQL with reference type aliases") {
