@@ -182,6 +182,34 @@ object TsQueries {
       FROM events, r
       WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
 
+    // The same ranged aggregate expressed as PLAIN SQL with literal
+    // timestamp bounds: the Catalyst rewrite routes it through the hybrid
+    // plan (interior segments from metadata, boundary segments gridded) —
+    // beyond the reference, which disables its rewrite under any filter.
+    ("ts_sql_range_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val bounds = table(s, d, "events")
+        .agg(min(eventsTsMicros), max(eventsTsMicros)).collect().head
+      val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 3
+      val hi = bounds.getLong(0) + 2 * (bounds.getLong(1) - bounds.getLong(0)) / 3
+      def fmt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, (us % 1000000L * 1000L).toInt, java.time.ZoneOffset.UTC)
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      engine.sql(
+        s"SELECT count(value) AS n, sum(value) AS s, min(value) AS mn, " +
+          s"max(value) AS mx FROM events_lossless " +
+          s"WHERE ts >= TIMESTAMP '${fmt(lo)}' AND ts <= TIMESTAMP '${fmt(hi)}'")
+        .select(col("n"), round(col("s"), 2).as("sum_v"), col("mn"), col("mx"))
+    }, Some("""
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
+      r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo, lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b)
+      SELECT count(*) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
+        min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
+      FROM events, r
+      WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
+
     // Per-tag aggregates straight from segment metadata (tags denormalized):
     // one grouped segment scan answers all three kinds — no joins.
     ("ts_tag_stats", (s: SparkSession, d: String) => {
