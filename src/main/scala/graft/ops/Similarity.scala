@@ -95,7 +95,7 @@ object Similarity {
     val probes = probeCells(centroids, queries, vecCol, queryIdCol, nProbe)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
     val pruned = spark.read.parquet(indexPath)
-      .where(col("cell").isin(cells.map(c => c: Any): _*))
+      .where(col("cell").isin(cells.toIndexedSeq.map(c => c: Any): _*))
     inCellTopK(pruned, probes, idCol, vecCol, k)
   }
 
