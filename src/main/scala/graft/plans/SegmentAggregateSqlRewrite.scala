@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, PredicateHelper}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.functions._
@@ -37,7 +37,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     */
   private[plans] final case class MatchResult(
     meta: TableMetadata, groupTags: Seq[String], specs: Seq[AggSpec],
-    startUs: Option[Long], endUs: Option[Long], tagEq: Map[String, String])
+    startUs: Option[Long], endUs: Option[Long], tagEq: Map[String, String],
+    tagIn: Map[String, Seq[String]])
 
   /** Attempt the rewrite; None leaves the original DataFrame untouched. */
   def tryRewrite(engine: Engine, df: DataFrame): Option[DataFrame] = {
@@ -71,23 +72,26 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         else filterCond match {
           case scala.None =>
             Some(MatchResult(meta, groupTags, specs.flatten, scala.None,
-              scala.None, Map.empty))
+              scala.None, Map.empty, Map.empty))
           case Some(cond) => parseFilter(meta, cond).map {
-            case (lo, hi, tags) =>
-              MatchResult(meta, groupTags, specs.flatten, lo, hi, tags)
+            case (lo, hi, tags, tagIn) =>
+              MatchResult(meta, groupTags, specs.flatten, lo, hi, tags, tagIn)
           }
         }
       }
     }
   }
 
-  /** Parse a filter into (startUs, endUs, tag equalities): only
-    * conjunctions of `ts <cmp> TIMESTAMP-literal` and `tag = string` (in
-    * either operand order) qualify; anything else aborts the rewrite.
-    * Strict bounds tighten by one microsecond (timestamps are micros).
+  /** Parse a filter into (startUs, endUs, tag equalities, tag IN-lists):
+    * only conjunctions of `ts <cmp> TIMESTAMP-literal`, `tag = string`,
+    * and `tag IN (strings)` (in either operand order for the comparisons)
+    * qualify; anything else aborts the rewrite. Strict bounds tighten by
+    * one microsecond (timestamps are micros). IN-lists combine with a time
+    * range only by falling back to the grid (the hybrid facade takes
+    * equality filters; an IN + range is rare enough not to special-case).
     */
   private def parseFilter(meta: TableMetadata, cond: Expression):
-      Option[(Option[Long], Option[Long], Map[String, String])] = {
+      Option[(Option[Long], Option[Long], Map[String, String], Map[String, Seq[String]])] = {
     def isTs(a: AttributeReference) =
       a.name == meta.timestampColumn && a.dataType == TimestampType
     def isTag(a: AttributeReference) =
@@ -96,6 +100,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     var lo: Option[Long] = scala.None
     var hi: Option[Long] = scala.None
     var tags = Map.empty[String, String]
+    var tagIn = Map.empty[String, Seq[String]]
     var ok = true
 
     def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
@@ -129,9 +134,21 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         if isTag(a) && v != null => addTag(a, v)
       case EqualTo(Literal(v, StringType), a: AttributeReference)
         if isTag(a) && v != null => addTag(a, v)
+      case In(a: AttributeReference, values)
+        if isTag(a) && values.nonEmpty && values.forall {
+          case Literal(v, StringType) => v != null
+          case _ => false
+        } =>
+        val vs = values.collect { case Literal(v, StringType) => String.valueOf(v) }
+        // Repeated INs on one tag intersect; an empty intersection would
+        // be an always-false filter — bail and let the grid return empty.
+        val combined = tagIn.get(a.name).fold(vs)(_.intersect(vs))
+        if (combined.isEmpty) ok = false else tagIn += a.name -> combined
       case _ => ok = false
     }
-    if (ok) Some((lo, hi, tags)) else None
+    // IN-lists with a time range fall back to the grid (see scaladoc).
+    if (tagIn.nonEmpty && (lo.nonEmpty || hi.nonEmpty)) ok = false
+    if (ok) Some((lo, hi, tags, tagIn)) else None
   }
 
   /** The child must be exactly the registered logical view of a time series
@@ -196,9 +213,17 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     }
 
   private[plans] def build(engine: Engine, m: MatchResult): DataFrame = {
-    if (m.startUs.isEmpty && m.endUs.isEmpty && m.tagEq.isEmpty)
-      buildWholeTable(engine, m.meta, m.groupTags, m.specs)
-    else {
+    if (m.startUs.isEmpty && m.endUs.isEmpty) {
+      // No time range: tag equalities and IN-lists prune the denormalized
+      // segment relation directly — still metadata-only.
+      val preds =
+        m.tagEq.toSeq.sortBy(_._1).map { case (t, v) => col(t) === v } ++
+          m.tagIn.toSeq.sortBy(_._1).map { case (t, vs) =>
+            col(t).isin(vs.map(v => v: Any): _*)
+          }
+      buildWholeTable(engine, m.meta, m.groupTags, m.specs,
+        preds.reduceOption(_ && _))
+    } else {
       // Filtered path: route through the engine's structured read — tag
       // equalities stay segment-native, a time range takes the hybrid
       // interior/boundary plan. One pass answers every requested kind.
@@ -229,8 +254,10 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
 
   private def buildWholeTable(
       engine: Engine, meta: TableMetadata, groupTags: Seq[String],
-      specs: Seq[AggSpec]): DataFrame = {
-    val segments = engine.dataFolder.segments(meta.name)
+      specs: Seq[AggSpec],
+      tagPred: Option[org.apache.spark.sql.Column] = scala.None): DataFrame = {
+    val segments0 = engine.dataFolder.segments(meta.name)
+    val segments = tagPred.map(segments0.where).getOrElse(segments0)
     val aggCols = specs.collect { case FieldAgg(kind, field, outName) =>
       SegmentAggregates.aggColumnFor(kind, meta.fieldIndex(field)).as(outName)
     }

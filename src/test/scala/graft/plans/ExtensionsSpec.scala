@@ -119,6 +119,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(exprAgg.queryExecution.executedPlan.toString.contains("Generate"))
     val fieldFiltered = spark.sql("SELECT COUNT(v) AS n FROM ext WHERE v > 50")
     assert(fieldFiltered.queryExecution.executedPlan.toString.contains("Generate"))
+
+    // tag IN (...) prunes the segment relation too.
+    val inFiltered = spark.sql(
+      "SELECT COUNT(v) AS n FROM ext WHERE tag IN ('t0', 't2')")
+    assert(!inFiltered.queryExecution.executedPlan.toString.contains("Generate"),
+      "tag IN-list aggregate must stay segment-native")
+    val inControl = spark.sql("SELECT COUNT(v) AS n FROM ext " +
+      "WHERE v <= CAST('Infinity' AS FLOAT) AND tag IN ('t0', 't2')")
+    assert(inFiltered.collect().head.getLong(0) ==
+      inControl.collect().head.getLong(0))
+
+    // An IN-list combined with a time range falls back to the grid.
+    val inRanged = spark.sql(
+      "SELECT COUNT(v) AS n FROM ext WHERE tag IN ('t0', 't2') " +
+        "AND ts >= TIMESTAMP '2023-11-14 22:30:00'")
+    assert(inRanged.queryExecution.executedPlan.toString.contains("Generate"))
   }
 
   test("timestamp-ranged aggregates rewrite to the hybrid plan") {
