@@ -136,50 +136,89 @@ object Dedup {
   /** Transitive duplicate clusters from a pair list ((id_a, id_b) rows, as
     * produced by the *DuplicatePairs operators): returns (id, cluster_id)
     * where cluster_id is the minimum id reachable through pair edges.
-    * Distributed label propagation — per iteration one join + one min
-    * aggregation, no driver-side graph; near-dup clusters are short chains,
-    * so convergence is fast (iterations bounded by cluster diameter).
+    *
+    * Pointer-doubling connected components: alternating large-star /
+    * small-star contractions (the MapReduce CC algorithm of Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"). Unlike one-hop
+    * min-label propagation — whose round count is the cluster DIAMETER, a
+    * silent correctness hole on the long duplicate chains templated
+    * corpora produce at scale — star contraction shrinks every path
+    * multiplicatively, so rounds are O(log n) and the default cap covers
+    * any physically storable component. If the cap is ever hit anyway the
+    * call FAILS LOUDLY instead of returning a partially-merged clustering.
+    *
+    * Scale shape: per round two window aggregations plus one distinct over
+    * (node, node) edge pairs — never the payload, no driver-side graph;
+    * lineage is cut with an eager localCheckpoint every few rounds.
     */
   def clusterDuplicates(
       pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Canonical larger->smaller orientation; self-loops dropped.
+    val init = pairs
+      .select(greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
       .distinct()
       .cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+
+    var edges = init.cache()
     var iteration = 0
     var converged = false
     while (iteration < maxIterations && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst")
-          .withColumnRenamed("cluster_id", "dst_cluster"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("dst_cluster")).as("neighbor_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("neighbor_min"), col("cluster_id")))
-            .as("cluster_id"),
-          // The convergence signal is computed inside the same pass, so
-          // each iteration costs ONE job (materialize + count changes),
-          // not a second full comparison join.
-          (coalesce(col("neighbor_min"), col("cluster_id")) < col("cluster_id"))
-            .cast("long").as("__changed"))
-      // Each iteration's plan builds on the last; every 5th round is cut
-      // off with an eager localCheckpoint so lineage (and the planner time
-      // and stack it costs) stays bounded on long chains.
-      val updated =
-        if ((iteration + 1) % 5 == 0) next.localCheckpoint(true)
-        else next.cache()
-      val changed = updated.agg(coalesce(sum(col("__changed")), lit(0L)))
-        .collect().head.getLong(0) > 0
-      labels.unpersist()
-      labels = updated.drop("__changed")
-      converged = !changed
+      // Large-star: each node u attaches its strictly LARGER neighbors to
+      // the minimum of its neighborhood (including u itself). Small labels
+      // leapfrog along chains instead of advancing one hop.
+      val undirected = edges
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val wU = Window.partitionBy("u")
+      val large = undirected
+        .withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // Small-star: each node u re-points its (all smaller) neighbors and
+      // itself at the neighborhood minimum. Output stays larger->smaller.
+      val withMin = large.withColumn("m", min(col("v")).over(wU))
+      val small = withMin.where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(withMin.select(col("u"), col("m").as("v")))
+      val dedup = small.distinct()
+      // Each round's plan builds on the last; every 4th round is cut off
+      // with an eager localCheckpoint so lineage (and the planner time and
+      // stack it costs) stays bounded.
+      val next =
+        if ((iteration + 1) % 4 == 0) dedup.localCheckpoint(true)
+        else dedup.cache()
+      // Fixpoint = the edges form a star forest: no node is both a child
+      // (larger endpoint) and a parent (smaller endpoint), and no child
+      // keeps two parents. One aggregate job checks both and materializes
+      // the round's result.
+      val violations = next
+        .select(col("u").as("node"), lit(1L).as("c"), lit(0L).as("p"))
+        .unionByName(next.select(col("v").as("node"), lit(0L).as("c"), lit(1L).as("p")))
+        .groupBy("node")
+        .agg(sum(col("c")).as("children"), sum(col("p")).as("parents"))
+        .where((col("children") > 0 && col("parents") > 0) || col("children") > 1)
+        .limit(1).count()
+      edges.unpersist()
+      edges = next
+      converged = violations == 0
       iteration += 1
     }
-    edges.unpersist()
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"clusterDuplicates did not converge within $maxIterations " +
+          "star-contraction rounds — with pointer-doubling this needs a " +
+          "component of ~2^rounds nodes, so the input pair list is almost " +
+          "certainly degenerate; raise maxIterations only after checking it.")
+    // `nodes` stays cached: the caller consumes the result lazily and the
+    // node list derives from the (possibly expensive) pair computation.
+    val parents = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+    nodes.join(parents, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Drop near-duplicates: keep one representative (the minimum id) per

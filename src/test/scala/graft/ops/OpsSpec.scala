@@ -155,14 +155,25 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.where($"id_a" < n && $"id_b" < n && $"distance" =!= 0).count() == 0)
   }
 
-  test("cluster propagation over a long chain (checkpointed lineage)") {
-    // A 16-node chain needs > 5 min-propagation rounds, forcing the
-    // localCheckpoint path; every node must still collapse to cluster 0.
-    val chain = (0 until 15).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
-    val clusters = Dedup.clusterDuplicates(chain, maxIterations = 30)
+  test("cluster contraction resolves a 1000-node chain with defaults") {
+    // One-hop label propagation would need 999 rounds here; star
+    // contraction (pointer-doubling) needs O(log n), so the DEFAULT
+    // iteration cap must suffice — the scale-correctness contract.
+    val chain = (0 until 999).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterDuplicates(chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(clusters.size == 16)
+    assert(clusters.size == 1000)
     assert(clusters.values.forall(_ == 0L))
+  }
+
+  test("cluster contraction fails loudly when the iteration cap is hit") {
+    // With maxIterations = 1 even a 4-node chain cannot finish; the
+    // operator must throw instead of silently returning a partial merge.
+    val chain = (0 until 3).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusterDuplicates(chain, maxIterations = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("embedding near-dup pairs find planted copies") {
