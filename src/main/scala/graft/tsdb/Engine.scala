@@ -176,10 +176,11 @@ final class Engine(val spark: SparkSession, val root: String) {
       groupByTags: Seq[String] = Seq.empty,
       startTime: Option[java.time.Instant] = scala.None,
       endTime: Option[java.time.Instant] = scala.None,
-      tagFilters: Map[String, String] = Map.empty): DataFrame =
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame =
     readTimeSeriesTableMulti(table, fields,
       if (aggregate == Aggregate.None) Seq.empty else Seq(aggregate),
-      groupByTags, startTime, endTime, tagFilters)
+      groupByTags, startTime, endTime, tagFilters, tagInFilters)
 
   /** Multi-aggregate structured read: every requested aggregate of every
     * selected field is answered from ONE pass over the data — one
@@ -200,7 +201,8 @@ final class Engine(val spark: SparkSession, val root: String) {
       groupByTags: Seq[String] = Seq.empty,
       startTime: Option[java.time.Instant] = scala.None,
       endTime: Option[java.time.Instant] = scala.None,
-      tagFilters: Map[String, String] = Map.empty): DataFrame = {
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val meta = dataFolder.metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
     require(!aggregates.contains(Aggregate.None),
@@ -211,8 +213,14 @@ final class Engine(val spark: SparkSession, val root: String) {
     val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
     val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
 
-    val tagPred: Option[Column] = tagFilters.map { case (k, v) => col(k) === v }
-      .reduceOption(_ && _)
+    // Equality and IN-list tag filters both prune the segment relation
+    // before ANY plan (segment-native, hybrid, or grid) touches it; sorted
+    // for a deterministic predicate order.
+    val tagPred: Option[Column] =
+      (tagFilters.toSeq.sortBy(_._1).map { case (k, v) => col(k) === v } ++
+        tagInFilters.toSeq.sortBy(_._1).map { case (k, vs) =>
+          col(k).isin(vs.map(v => v: Any): _*)
+        }).reduceOption(_ && _)
 
     val segmentNativeEligible =
       aggregates.nonEmpty &&

@@ -130,11 +130,25 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(inFiltered.collect().head.getLong(0) ==
       inControl.collect().head.getLong(0))
 
-    // An IN-list combined with a time range falls back to the grid.
+    // An IN-list combined with a time range rides the hybrid plan (interior
+    // metadata partials UNION gridded boundary partials), like a tag
+    // equality would.
     val inRanged = spark.sql(
-      "SELECT COUNT(v) AS n FROM ext WHERE tag IN ('t0', 't2') " +
+      "SELECT COUNT(v) AS n, SUM(v) AS s FROM ext WHERE tag IN ('t0', 't2') " +
         "AND ts >= TIMESTAMP '2023-11-14 22:30:00'")
-    assert(inRanged.queryExecution.executedPlan.toString.contains("Generate"))
+    val inRangedPlan = inRanged.queryExecution.executedPlan.toString
+    assert(inRangedPlan.contains("Union"),
+      s"IN + range must take the hybrid union plan:\n$inRangedPlan")
+    val inRangedControl = spark.sql(
+      "SELECT COUNT(v) AS n, SUM(v) AS s FROM ext " +
+        "WHERE v <= CAST('Infinity' AS FLOAT) AND tag IN ('t0', 't2') " +
+        "AND ts >= TIMESTAMP '2023-11-14 22:30:00'")
+    assert(inRangedControl.queryExecution.executedPlan.toString.contains("Generate"))
+    val ir = inRanged.collect().head
+    val ic = inRangedControl.collect().head
+    assert(ir.getLong(0) == ic.getLong(0) && ir.getLong(0) > 0)
+    assert(math.abs(ir.getDouble(1) - ic.getDouble(1)) <=
+      math.abs(ic.getDouble(1)) * 1e-9)
   }
 
   test("timestamp-ranged aggregates rewrite to the hybrid plan") {
