@@ -2,6 +2,12 @@ package graft.tsdb
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.parquet.schema.MessageTypeParser
 
 /** Manifest-based commit protocol for a table directory — the Spark-native
   * shape of the reference's Delta-backed table layer (atomic commit,
@@ -12,29 +18,67 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Data files are written by Spark exactly as before (ZSTD Parquet,
   * partitioned by `field_column` for segments); what makes a file LIVE is
   * its appearance in the newest manifest version under
-  * `<tableDir>/_graft_manifest/v<NNNNNNNNNN>.json`. Each manifest is a full
-  * snapshot of the live file list (relative paths), so a scan needs exactly
-  * one small metadata read regardless of history length, and publishing one
-  * is a single-file create — atomic on HDFS-like stores, atomic PUT on
-  * object stores. A writer killed mid-job leaves Parquet droppings that no
+  * `<tableDir>/_graft_manifest/v<NNNNNNNNNN>.json`. Publishing a version is
+  * a single-file create — atomic on HDFS-like stores, atomic PUT on object
+  * stores. A writer killed mid-job leaves Parquet droppings that no
   * manifest references: scans never see them, and VACUUM removes them once
   * they age past the retention window.
+  *
+  * The live file LIST scales like Delta's log (the public model for this
+  * design): small tables inline it in the JSON manifest (one read,
+  * human-inspectable); past [[InlineThreshold]] entries a commit records
+  * only the DELTA (`base` version + `add`/`remove` lists), and every
+  * [[CheckpointInterval]] versions the full list is compacted into a
+  * ZSTD-Parquet checkpoint sidecar (`c<NNNNNNNNNN>-<uuid>.parquet`) that the
+  * JSON references. Resolving a snapshot therefore reads one checkpoint
+  * plus at most an interval's worth of small deltas, and a commit writes
+  * O(changed files), not O(table) — flat listing and commit cost past 10⁶
+  * files. Sidecars are written BEFORE the version claim under a unique name
+  * (a raced loser's sidecar can never be referenced by the winner) and
+  * unreferenced ones are vacuumed like any other dropping.
   *
   * Concurrency: version numbers are claimed with create-if-absent
   * (overwrite=false); losing a race throws FileAlreadyExists and the commit
   * retries on top of the new newest snapshot, so concurrent appends both
   * land. Readers that catch a manifest mid-write (non-atomic local FS only)
-  * fall back to the previous readable version.
-  *
-  * At 100 TB the file list itself stays manageable (one entry per ~1 GB
-  * Parquet file ≈ 10⁵ lines); a production follow-on would checkpoint the
-  * list into Parquet like Delta once it crosses ~10⁶ entries.
+  * fall back to the previous readable version; a delta whose base chain is
+  * unresolvable is treated the same way.
   */
 private[graft] object TableManifest {
 
   val DirName = "_graft_manifest"
   private val mapper = new ObjectMapper()
   private val MaxCommitAttempts = 20
+
+  /** Live lists at most this long are inlined in the manifest JSON;
+    * longer ones take the delta/checkpoint protocol.
+    */
+  private[tsdb] val InlineThreshold = 1000
+
+  /** A full Parquet checkpoint is cut whenever the claimed version is a
+    * multiple of this, bounding every resolution chain.
+    */
+  private[tsdb] val CheckpointInterval = 10L
+
+  /** Resolution-chain safety cap: no valid chain exceeds the checkpoint
+    * interval, so anything deeper is a corrupted loop.
+    */
+  private val MaxChainDepth = 200
+
+  /** Resolved snapshots are immutable once a version is claimed
+    * (create-if-absent), so a small in-JVM cache makes repeated head reads
+    * and the read-modify-write inside every commit O(1) instead of
+    * re-reading the checkpoint chain; a cheap existence check keeps
+    * VACUUMed versions from being served back.
+    */
+  private val SnapshotCacheSize = 16
+  private val snapshotCache =
+    new java.util.LinkedHashMap[(String, Long), Snapshot](
+      SnapshotCacheSize, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Snapshot]): Boolean =
+        size() > SnapshotCacheSize
+    }
 
   /** `appliedWalBatches` records, atomically with the file list, which
     * write-ahead-log batches this snapshot's data includes — the
@@ -45,6 +89,13 @@ private[graft] object TableManifest {
     */
   final case class Snapshot(version: Long, committedAtMs: Long,
     files: Seq[String], appliedWalBatches: Seq[String] = Seq.empty)
+
+  /** One manifest JSON as stored: exactly one of `files` (inline),
+    * `checkpoint` (sidecar name), or `deltaBase` (+ add/remove) is set.
+    */
+  private final case class Raw(version: Long, committedAtMs: Long,
+    wal: Seq[String], files: Option[Seq[String]], checkpoint: Option[String],
+    deltaBase: Option[Long], add: Seq[String], remove: Seq[String])
 
   private def manifestDir(tableDir: String) = new Path(s"$tableDir/$DirName")
   private def versionPath(tableDir: String, v: Long) =
@@ -60,19 +111,49 @@ private[graft] object TableManifest {
       }.sorted.reverse
   }
 
-  /** The newest readable snapshot; None means the table predates the
-    * manifest layer (scan falls back to full-directory listing).
+  /** The newest readable-and-resolvable snapshot; None means the table
+    * predates the manifest layer (scan falls back to directory listing).
     */
   def latest(fs: FileSystem, tableDir: String): Option[Snapshot] =
     versions(fs, tableDir).view.flatMap(v => read(fs, tableDir, v)).headOption
 
-  /** A specific historical snapshot, if that version still exists (VACUUM
-    * prunes superseded versions past retention).
+  /** A specific historical snapshot, if that version (and, for deltas, its
+    * base chain) still exists — VACUUM prunes superseded versions past
+    * retention.
     */
   def snapshotAt(fs: FileSystem, tableDir: String, version: Long): Option[Snapshot] =
     read(fs, tableDir, version)
 
-  private def read(fs: FileSystem, tableDir: String, v: Long): Option[Snapshot] =
+  private def read(fs: FileSystem, tableDir: String, v: Long): Option[Snapshot] = {
+    val key = (tableDir, v)
+    val cached = snapshotCache.synchronized(Option(snapshotCache.get(key)))
+    cached.filter(_ => fs.exists(versionPath(tableDir, v))).orElse {
+      val loaded = readRaw(fs, tableDir, v).flatMap { raw =>
+        resolve(fs, tableDir, raw).map { files =>
+          Snapshot(raw.version, raw.committedAtMs, files, raw.wal)
+        }
+      }
+      loaded.foreach(s => snapshotCache.synchronized(snapshotCache.put(key, s)))
+      loaded
+    }
+  }
+
+  /** Resolve a raw manifest to its full live list: inline directly,
+    * checkpoint from the sidecar, delta by resolving the base and applying
+    * remove/add. Any unreadable link makes the whole version unresolvable
+    * (the caller falls back to an older version). Bases must be strictly
+    * older than the delta, so the recursion (through the caching [[read]])
+    * always terminates.
+    */
+  private def resolve(fs: FileSystem, tableDir: String, raw: Raw): Option[Seq[String]] =
+    raw.files.orElse(raw.checkpoint.flatMap(readCheckpoint(fs, tableDir, _)))
+      .orElse(raw.deltaBase.filter(_ < raw.version).flatMap { base =>
+        read(fs, tableDir, base).map { parent =>
+          ((parent.files.toSet -- raw.remove) ++ raw.add).toSeq.sorted
+        }
+      })
+
+  private def readRaw(fs: FileSystem, tableDir: String, v: Long): Option[Raw] =
     try {
       val in = fs.open(versionPath(tableDir, v))
       val bytes = try {
@@ -83,15 +164,20 @@ private[graft] object TableManifest {
         out.toString("UTF-8")
       } finally in.close()
       val root = mapper.readTree(bytes)
-      val arr = root.get("files")
-      val wal = root.get("applied_wal_batches")
-      Some(Snapshot(
+      def strSeq(field: String): Seq[String] = {
+        val node = root.get(field)
+        if (node == null) Seq.empty else (0 until node.size()).map(node.get(_).asText())
+      }
+      val files = Option(root.get("files")).map(_ => strSeq("files"))
+      val checkpoint = Option(root.get("checkpoint")).map(_.asText())
+      val base = Option(root.get("base")).map(_.asLong())
+      if (files.isEmpty && checkpoint.isEmpty && base.isEmpty) scala.None
+      else Some(Raw(
         root.get("version").asLong(),
         root.get("committed_at_ms").asLong(),
-        (0 until arr.size()).map(arr.get(_).asText()),
-        if (wal == null) Seq.empty
-        else (0 until wal.size()).map(wal.get(_).asText())))
-    } catch { case scala.util.control.NonFatal(_) => None }
+        strSeq("applied_wal_batches"),
+        files, checkpoint, base, strSeq("add"), strSeq("remove")))
+    } catch { case scala.util.control.NonFatal(_) => scala.None }
 
   /** Publish a new snapshot computed from the current one. `update` maps
     * the current live set to the next (append = add new files, truncate =
@@ -99,7 +185,9 @@ private[graft] object TableManifest {
     */
   def commit(fs: FileSystem, tableDir: String,
       applyWalBatches: Seq[String] = Seq.empty,
-      pruneWalBatches: String => Boolean = _ => false)
+      pruneWalBatches: String => Boolean = _ => false,
+      inlineThreshold: Int = InlineThreshold,
+      checkpointInterval: Long = CheckpointInterval)
       (update: Seq[String] => Seq[String]): Snapshot = {
     var attempt = 0
     while (true) {
@@ -115,10 +203,32 @@ private[graft] object TableManifest {
         update(current.map(_.files).getOrElse(Seq.empty)).distinct.sorted,
         ((current.map(_.appliedWalBatches).getOrElse(Seq.empty)
           .filterNot(pruneWalBatches)) ++ applyWalBatches).distinct.sorted)
+
+      // Representation: inline when small; a Parquet checkpoint on the
+      // interval (or when there is no base to delta against); otherwise a
+      // delta against the current snapshot. The sidecar is written before
+      // the claim, under a unique name, so a reader can never observe a
+      // manifest whose checkpoint is missing or raced-over.
+      val inline = next.files.size <= inlineThreshold
+      val json =
+        if (inline) inlineJson(next)
+        else if (next.version % checkpointInterval == 0 || current.isEmpty) {
+          val name = writeCheckpoint(fs, tableDir, next.version, next.files)
+          checkpointJson(next, name)
+        } else {
+          val base = current.get
+          val baseSet = base.files.toSet
+          val nextSet = next.files.toSet
+          deltaJson(next, base.version,
+            next.files.filterNot(baseSet), base.files.filterNot(nextSet))
+        }
+
       val path = versionPath(fs, tableDir, next)
       try {
         val out = fs.create(path, false) // create-if-absent claims the version
-        try out.write(toJson(next).getBytes("UTF-8")) finally out.close()
+        try out.write(json.getBytes("UTF-8")) finally out.close()
+        snapshotCache.synchronized(
+          snapshotCache.put((tableDir, next.version), next))
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException
@@ -134,27 +244,140 @@ private[graft] object TableManifest {
     versionPath(tableDir, next.version)
   }
 
-  private def toJson(s: Snapshot): String = {
+  private def baseNode(s: Snapshot) = {
     val root = mapper.createObjectNode()
     root.put("version", s.version)
     root.put("committed_at_ms", s.committedAtMs)
-    val arr = root.putArray("files")
-    s.files.foreach(arr.add)
     if (s.appliedWalBatches.nonEmpty) {
       val wal = root.putArray("applied_wal_batches")
       s.appliedWalBatches.foreach(wal.add)
     }
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+    root
   }
 
-  /** Manifest versions older than `cutoffMs`, excluding the newest (which
-    * must always survive).
+  private def render(root: com.fasterxml.jackson.databind.node.ObjectNode) =
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
+
+  private def inlineJson(s: Snapshot): String = {
+    val root = baseNode(s)
+    val arr = root.putArray("files")
+    s.files.foreach(arr.add)
+    render(root)
+  }
+
+  private def checkpointJson(s: Snapshot, name: String): String = {
+    val root = baseNode(s)
+    root.put("checkpoint", name)
+    render(root)
+  }
+
+  private def deltaJson(s: Snapshot, base: Long,
+      add: Seq[String], remove: Seq[String]): String = {
+    val root = baseNode(s)
+    root.put("base", base)
+    val a = root.putArray("add")
+    add.foreach(a.add)
+    val r = root.putArray("remove")
+    remove.foreach(r.add)
+    render(root)
+  }
+
+  // -------------------------------------------------- checkpoint sidecars
+
+  private val CheckpointSchema = MessageTypeParser.parseMessageType(
+    "message graft_checkpoint { required binary path (STRING); }")
+
+  private def isCheckpointName(n: String) =
+    n.startsWith("c") && n.endsWith(".parquet")
+
+  /** Write the full live list as a ZSTD-Parquet sidecar (driver-side
+    * parquet-mr writer — metadata-scale, no Spark job) and return its
+    * unique name.
     */
-  def staleVersionPaths(fs: FileSystem, tableDir: String, cutoffMs: Long): Seq[Path] =
-    versions(fs, tableDir) match {
-      case Seq() => Seq.empty
-      case _ +: older => older
-        .map(versionPath(tableDir, _))
-        .filter(p => fs.getFileStatus(p).getModificationTime < cutoffMs)
+  private def writeCheckpoint(fs: FileSystem, tableDir: String, v: Long,
+      files: Seq[String]): String = {
+    fs.mkdirs(manifestDir(tableDir))
+    val name = f"c$v%010d-${java.util.UUID.randomUUID()}.parquet"
+    val path = new Path(manifestDir(tableDir), name)
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(path, fs.getConf))
+      .withConf(fs.getConf)
+      .withType(CheckpointSchema)
+      .withCompressionCodec(CompressionCodecName.ZSTD)
+      .build()
+    try files.foreach { f =>
+      val g = new SimpleGroup(CheckpointSchema)
+      g.add("path", f)
+      writer.write(g)
+    } finally writer.close()
+    name
+  }
+
+  private def readCheckpoint(fs: FileSystem, tableDir: String,
+      name: String): Option[Seq[String]] =
+    try {
+      val path = new Path(manifestDir(tableDir), name)
+      if (!fs.exists(path)) scala.None
+      else {
+        val reader = ParquetReader
+          .builder(new GroupReadSupport(), path)
+          .withConf(fs.getConf)
+          .build()
+        val out = Seq.newBuilder[String]
+        try {
+          var g = reader.read()
+          while (g != null) {
+            out += g.getString("path", 0)
+            g = reader.read()
+          }
+        } finally reader.close()
+        Some(out.result())
+      }
+    } catch { case scala.util.control.NonFatal(_) => scala.None }
+
+  // ----------------------------------------------------------- retention
+
+  /** Manifest files (JSONs and checkpoint sidecars) that retention may
+    * delete: aged past `cutoffMs`, excluding the newest claimed version,
+    * and excluding anything a SURVIVING manifest still needs — the base
+    * chain of every kept version and every sidecar a kept version
+    * references. Deleting a delta's base before the delta itself would
+    * orphan it; the closure keeps that impossible.
+    */
+  def staleVersionPaths(fs: FileSystem, tableDir: String, cutoffMs: Long): Seq[Path] = {
+    val vs = versions(fs, tableDir)
+    if (vs.isEmpty) return Seq.empty
+    def aged(p: Path) =
+      fs.exists(p) && fs.getFileStatus(p).getModificationTime < cutoffMs
+
+    val raws: Map[Long, Raw] =
+      vs.flatMap(v => readRaw(fs, tableDir, v).map(v -> _)).toMap
+    // Start from everything age-eligible (never the newest claimed), then
+    // pull survivors' delta bases back out until a fixpoint.
+    val candidates = scala.collection.mutable.Set[Long](
+      vs.tail.filter(v => aged(versionPath(tableDir, v))): _*)
+    var changed = true
+    var guard = 0
+    while (changed && guard < MaxChainDepth) {
+      changed = false
+      val survivors = vs.filterNot(candidates)
+      survivors.flatMap(raws.get).flatMap(_.deltaBase).foreach { b =>
+        if (candidates.remove(b)) changed = true
+      }
+      guard += 1
     }
+    val staleJsons = vs.filter(candidates).map(versionPath(tableDir, _))
+
+    // Sidecars: deletable when aged and referenced by NO surviving manifest.
+    val referenced = vs.filterNot(candidates)
+      .flatMap(raws.get).flatMap(_.checkpoint).toSet
+    val dir = manifestDir(tableDir)
+    val staleSidecars =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.map(_.getPath)
+        .filter(p => isCheckpointName(p.getName))
+        .filterNot(p => referenced.contains(p.getName))
+        .filter(aged)
+    staleJsons ++ staleSidecars
+  }
 }

@@ -142,6 +142,43 @@ object ScaleDrive {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
         .groupBy("split").count().collect()
     }
+
+    // -------------------------------------------- manifest layer at scale
+    // A 100k-file live list (the 100 TB shape: ~1 GB per file) driven
+    // through the delta + Parquet-checkpoint protocol: commits past the
+    // first write O(changed) deltas, resolution reads one checkpoint plus
+    // at most an interval of deltas — wall time must stay flat, not grow
+    // with table size or history length.
+    {
+      val dir = java.nio.file.Files.createTempDirectory("graft_manifest_scale")
+        .toString
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nFiles = 100000
+      val initial = (0 until nFiles).map(i => f"field_column=0/part-$i%06d.parquet")
+      timed(f"manifest checkpoint commit ($nFiles%,d files)") {
+        graft.tsdb.TableManifest.commit(fs, dir)(_ => initial)
+      }
+      timed("25 delta commits (+4 files each)") {
+        (0 until 25).foreach { c =>
+          graft.tsdb.TableManifest.commit(fs, dir) { live =>
+            live ++ (0 until 4).map(j => f"field_column=0/new-$c%03d-$j.parquet")
+          }
+        }
+      }
+      val resolved = timed("head resolution (checkpoint + deltas)") {
+        graft.tsdb.TableManifest.latest(fs, dir).get
+      }
+      assert(resolved.files.size == nFiles + 100,
+        s"resolved ${resolved.files.size} files, expected ${nFiles + 100}")
+      val sizes = new java.io.File(s"$dir/${graft.tsdb.TableManifest.DirName}")
+        .listFiles().map(f => (f.getName, f.length()))
+      val cpBytes = sizes.filter(_._1.endsWith(".parquet")).map(_._2).sum
+      val deltaBytes = sizes.filter(s => s._1.endsWith(".json") &&
+        !s._1.startsWith("c")).map(_._2).max
+      println(f"  checkpoints: ${cpBytes / 1024.0}%.0f KiB total, " +
+        f"largest delta JSON: ${deltaBytes / 1024.0}%.1f KiB")
+    }
     spark.stop()
   }
 }

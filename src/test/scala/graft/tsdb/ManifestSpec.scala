@@ -220,6 +220,91 @@ class ManifestSpec extends AnyFunSuite {
     assert(engine.readTable("th").count() == 150)
   }
 
+  test("large live lists commit deltas and read through Parquet checkpoints") {
+    // Small thresholds exercise the at-scale protocol: lists past the
+    // inline threshold are stored as delta manifests (base + add/remove)
+    // with a full ZSTD-Parquet checkpoint sidecar every interval — commit
+    // cost O(changed files), resolution cost one checkpoint + a few
+    // deltas, regardless of history length or table size.
+    val dir = Files.createTempDirectory("graft_cp").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commit(update: Seq[String] => Seq[String]) =
+      TableManifest.commit(fs, dir, inlineThreshold = 5, checkpointInterval = 4)(update)
+
+    val initial = (0 until 20).map(i => f"f$i%03d.parquet")
+    commit(_ => initial) // v1: > threshold, no base -> checkpoint
+    (20 until 32).foreach { i => commit(_ :+ f"f$i%03d.parquet") } // v2..v13
+    commit(files => files.filterNot(_ == "f000.parquet")) // v14: a removal
+
+    val expected = (1 until 32).map(i => f"f$i%03d.parquet")
+    val head = TableManifest.latest(fs, dir).get
+    assert(head.version == 14L)
+    assert(head.files == expected, "delta chain must resolve the full list")
+
+    // On-disk shapes: v1 and every interval multiple are checkpoints, the
+    // rest are deltas; nothing inlines a 20+-entry list.
+    def json(v: Long) = java.nio.file.Files.readString(
+      new java.io.File(s"$dir/${TableManifest.DirName}", f"v$v%010d.json").toPath)
+    assert(json(1).contains("\"checkpoint\""))
+    assert(json(2).contains("\"base\"") && json(2).contains("\"add\""))
+    assert(json(4).contains("\"checkpoint\""))
+    assert(json(14).contains("\"remove\""))
+    assert(!json(13).contains("\"files\""), "large lists must never inline")
+    val sidecars = new java.io.File(s"$dir/${TableManifest.DirName}")
+      .listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    assert(sidecars.nonEmpty && sidecars.forall(_.startsWith("c")))
+
+    // Time travel resolves through the chain too.
+    assert(TableManifest.snapshotAt(fs, dir, 3L).get.files ==
+      initial ++ Seq("f020.parquet", "f021.parquet"))
+  }
+
+  test("retention never deletes a surviving delta's base chain") {
+    val dir = Files.createTempDirectory("graft_cpv").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def commit(update: Seq[String] => Seq[String]) =
+      TableManifest.commit(fs, dir, inlineThreshold = 2, checkpointInterval = 100)(update)
+    // v1 checkpoint (no base), v2..v6 deltas — the head's chain reaches all
+    // the way back to v1, so EVERY version is load-bearing despite aging.
+    commit(_ => Seq("a.parquet", "b.parquet", "c.parquet"))
+    (0 until 5).foreach(i => commit(_ :+ s"d$i.parquet"))
+
+    val manifestDir = new java.io.File(s"$dir/${TableManifest.DirName}")
+    manifestDir.listFiles().foreach(
+      _.setLastModified(System.currentTimeMillis() - 10000L))
+    val stale = TableManifest.staleVersionPaths(
+      fs, dir, System.currentTimeMillis())
+    assert(stale.isEmpty,
+      s"the whole chain is reachable from the head, got stale=$stale")
+
+    // A checkpoint mid-history cuts the chain: older versions (and the
+    // orphaned sidecar of nothing) become reclaimable, the suffix survives.
+    TableManifest.commit(fs, dir, inlineThreshold = 2, checkpointInterval = 1)(
+      _ :+ "e.parquet") // v7: forced checkpoint
+    TableManifest.commit(fs, dir, inlineThreshold = 2, checkpointInterval = 100)(
+      _ :+ "f.parquet") // v8: delta based on v7
+    manifestDir.listFiles().foreach(
+      _.setLastModified(System.currentTimeMillis() - 10000L))
+    val stale2 = TableManifest.staleVersionPaths(
+      fs, dir, System.currentTimeMillis())
+    val staleNames = stale2.map(_.getName).toSet
+    assert((1L to 6L).forall(v => staleNames.contains(f"v$v%010d.json")),
+      s"pre-checkpoint history must be reclaimable, got $staleNames")
+    assert(!staleNames.contains("v0000000007.json") &&
+      !staleNames.contains("v0000000008.json"))
+    // v7's sidecar is still referenced -> must survive.
+    val keptSidecars = manifestDir.listFiles().map(_.getName)
+      .filter(n => n.startsWith("c") && n.endsWith(".parquet"))
+      .filterNot(n => staleNames.contains(n))
+    assert(keptSidecars.exists(_.startsWith("c0000000007")))
+
+    stale2.foreach(fs.delete(_, false))
+    assert(TableManifest.latest(fs, dir).get.files.contains("f.parquet"),
+      "the head must stay resolvable after reclamation")
+  }
+
   test("pre-manifest tables are adopted on their first committed write") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE legacy(ts_us TIMESTAMP, v FIELD, tag TAG)")
