@@ -13,9 +13,13 @@ import graft.tsdb.Engine
   * collapses into `foreachBatch`: each micro-batch runs the same
   * arrange-compress-append job as batch `Engine.write`. foreachBatch alone
   * is at-least-once — a crash between the append and the checkpoint commit
-  * replays the batch — so a per-table batch-id marker in the data folder
-  * makes replays no-ops (append-only sink + idempotence = effectively
-  * exactly-once). At scale: one micro-batch = one compression job; segment
+  * replays the batch — so the stream's highest applied batch id is
+  * recorded ATOMICALLY with the segment commit in the table manifest
+  * (Delta's per-appId transaction-version design): a replayed batch sees
+  * itself at or below the watermark and no-ops. There is no window where
+  * data is committed but the marker is not — they are one write — so the
+  * streaming path carries the same exactly-once guarantee as the WAL'd
+  * batch path. At scale: one micro-batch = one compression job; segment
   * files accumulate per `field_column` partition exactly as in batch mode.
   */
 object StreamingIngest {
@@ -28,20 +32,19 @@ object StreamingIngest {
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery = {
     require(source.isStreaming, "source must be a streaming DataFrame")
-    // Batch ids restart at 0 for every fresh checkpoint, so markers must be
+    // Batch ids restart at 0 for every fresh checkpoint, so watermarks are
     // scoped to the query's checkpoint identity: a new query into the same
     // table (or two concurrent queries) would otherwise see the previous
-    // query's markers and silently skip real batches.
+    // query's watermark and silently skip real batches.
     val ns = checkpointNamespace(checkpointDir)
     source.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty && !batchSeen(engine, table, ns, batchId)) {
-          engine.write(table, batch)
-          markBatchDone(engine, table, ns, batchId)
-        }
+        val applied = engine.dataFolder.streamVersion(table, ns)
+        if (!batch.isEmpty && applied.forall(batchId > _))
+          engine.writeStreamBatch(table, batch, ns, batchId)
       }
       .start()
   }
@@ -52,28 +55,5 @@ object StreamingIngest {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(canonical.getBytes("UTF-8"))
     digest.take(8).map(b => f"$b%02x").mkString
-  }
-
-  private def batchMarker(engine: Engine, table: String, ns: String, batchId: Long) =
-    new org.apache.hadoop.fs.Path(
-      s"${engine.root}/streaming/$table/cp_$ns/batch_$batchId")
-
-  /** True if this batch id already committed (a replayed batch). The marker
-    * is written after the append's atomic job commit, so replays are
-    * skipped instead of double-appended; the unprotected window is only the
-    * instant between job commit and marker creation.
-    */
-  private def batchSeen(
-      engine: Engine, table: String, ns: String, batchId: Long): Boolean = {
-    val path = batchMarker(engine, table, ns, batchId)
-    path.getFileSystem(engine.spark.sparkContext.hadoopConfiguration).exists(path)
-  }
-
-  private def markBatchDone(
-      engine: Engine, table: String, ns: String, batchId: Long): Unit = {
-    val path = batchMarker(engine, table, ns, batchId)
-    val fs = path.getFileSystem(engine.spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(path, true)
-    out.close()
   }
 }

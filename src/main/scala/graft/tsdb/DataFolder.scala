@@ -69,7 +69,6 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     require(tableExists(table), s"Table $table does not exist.")
     fs.delete(new Path(tableDir(table)), true)
     fs.delete(metadataPath(table), false)
-    clearStreamingMarkers(table)
     walClear(table)
   }
 
@@ -92,17 +91,13 @@ final class DataFolder(val spark: SparkSession, val root: String) {
           fs.rename(st.getPath, new Path(quarantine, name))
       }
     } else fs.mkdirs(dir)
-    TableManifest.commit(fs, tableDir(table))(_ => Seq.empty)
-    clearStreamingMarkers(table)
+    // Stream watermarks describe the table's current contents; once those
+    // contents are discarded, keeping them would make resumed streams skip
+    // batches that are genuinely gone.
+    TableManifest.commit(fs, tableDir(table), resetStreamVersions = true)(
+      _ => Seq.empty)
     walClear(table) // pending batches describe data the caller discarded
   }
-
-  /** Streaming replay markers describe the table's current contents; once
-    * those contents are deleted the markers would make resumed streams skip
-    * batches that are genuinely gone.
-    */
-  private def clearStreamingMarkers(table: String): Unit =
-    fs.delete(new Path(s"$root/streaming/$table"), true)
 
   /** Reclaim storage no live scan can reach, matching the reference's
     * Delta vacuum semantics (data_folder/mod.rs:659-683): files older than
@@ -170,7 +165,8 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * Parquet partitioned by `field_column`.
     */
   def write(table: String, df: DataFrame,
-      applyWalBatches: Seq[String] = Seq.empty): Unit = {
+      applyWalBatches: Seq[String] = Seq.empty,
+      streamVersion: Option[(String, Long)] = scala.None): Unit = {
     val meta = metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table; use writeNormal.")
 
@@ -206,7 +202,7 @@ final class DataFolder(val spark: SparkSession, val root: String) {
         columnNames)
     }(Encoders.row(outSchema))
 
-    appendSegments(table, segments, applyWalBatches)
+    appendSegments(table, segments, applyWalBatches, streamVersion)
   }
 
   /** Append already-compressed segment rows and atomically commit them into
@@ -214,8 +210,9 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * between folders without re-compression, data_folder.rs:335-420).
     */
   def appendSegments(table: String, segments: DataFrame,
-      applyWalBatches: Seq[String] = Seq.empty): Unit =
-    committedAppend(table, applyWalBatches) { dir =>
+      applyWalBatches: Seq[String] = Seq.empty,
+      streamVersion: Option[(String, Long)] = scala.None): Unit =
+    committedAppend(table, applyWalBatches, streamVersion) { dir =>
       segments.write
         .mode("append")
         // ZSTD like the reference's segment writer tuning
@@ -231,7 +228,9 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * stays invisible to every scan (vacuum reclaims it after retention).
     */
   private def committedAppend(table: String,
-      applyWalBatches: Seq[String] = Seq.empty)(doWrite: String => Unit): Unit = {
+      applyWalBatches: Seq[String] = Seq.empty,
+      streamVersion: Option[(String, Long)] = scala.None)
+      (doWrite: String => Unit): Unit = {
     val dir = tableDir(table)
     val before = listDataFiles(dir)
     val hadManifest = TableManifest.latest(fs, dir).nonEmpty
@@ -244,10 +243,19 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     // Pre-manifest tables adopt their existing files on first commit; after
     // that the manifest is the source of truth (so files an earlier failed
     // job orphaned are never resurrected by an unrelated later commit).
-    TableManifest.commit(fs, dir, applyWalBatches, id => !walLive(id)) { live =>
+    TableManifest.commit(fs, dir, applyWalBatches, id => !walLive(id),
+      streamVersion = streamVersion) { live =>
       (if (hadManifest) live else before) ++ added
     }
   }
+
+  /** The highest streaming micro-batch id committed for `namespace` into
+    * `table` — recorded atomically with the data, so a replayed batch at or
+    * below it is already fully ingested.
+    */
+  def streamVersion(table: String, namespace: String): Option[Long] =
+    TableManifest.latest(fs, tableDir(table))
+      .flatMap(_.streamVersions.get(namespace))
 
   // ------------------------------------------------------- write-ahead log
 
@@ -395,10 +403,11 @@ final class DataFolder(val spark: SparkSession, val root: String) {
   // ---------------------------------------------------------- normal tables
 
   def writeNormal(table: String, df: DataFrame,
-      applyWalBatches: Seq[String] = Seq.empty): Unit = {
+      applyWalBatches: Seq[String] = Seq.empty,
+      streamVersion: Option[(String, Long)] = scala.None): Unit = {
     val meta = metadata(table)
     require(!meta.isTimeSeries, s"$table is a time series table; use write.")
-    committedAppend(table, applyWalBatches)(
+    committedAppend(table, applyWalBatches, streamVersion)(
       dir => df.write.mode("append").parquet(dir))
   }
 

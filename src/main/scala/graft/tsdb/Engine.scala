@@ -76,6 +76,24 @@ final class Engine(val spark: SparkSession, val root: String) {
     invalidateViews()
   }
 
+  /** Streaming micro-batch append: the same compress/commit pipeline as
+    * [[write]], plus the stream's (namespace, batchId) watermark recorded
+    * ATOMICALLY with the manifest commit. Structured Streaming replays
+    * uncheckpointed micro-batches from the source, so exactly-once needs an
+    * idempotent sink, not a WAL copy of the batch: a replay compares itself
+    * against the committed watermark and no-ops, with no window between
+    * data commit and marker (Delta's per-appId transaction-version design).
+    */
+  private[graft] def writeStreamBatch(
+      table: String, df: DataFrame, namespace: String, batchId: Long): Unit = {
+    val meta = dataFolder.metadata(table)
+    if (meta.isTimeSeries)
+      dataFolder.write(table, df, streamVersion = Some(namespace -> batchId))
+    else dataFolder.writeNormal(table, df,
+      streamVersion = Some(namespace -> batchId))
+    invalidateViews()
+  }
+
   /** Durable ingest through the write-ahead log (the reference's WAL mode,
     * write_ahead_log.rs:42-220): the raw batch is persisted in one cheap
     * Parquet write BEFORE compression begins, and the segment commit

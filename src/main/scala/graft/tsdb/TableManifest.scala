@@ -86,15 +86,25 @@ private[graft] object TableManifest {
     * id is in the current snapshot must not be replayed (crash after
     * commit, before WAL cleanup), one absent must be (crash before
     * commit). Entries are pruned once their WAL directory is gone.
+    *
+    * `streamVersions` records, also atomically, the HIGHEST streaming
+    * micro-batch id applied per stream namespace (the checkpoint
+    * identity) — the idempotent-writer handshake of the streaming ingest
+    * path, the shape of Delta's per-appId transaction versions: a
+    * replayed micro-batch sees itself <= the recorded watermark and
+    * becomes a no-op, with no window between data commit and marker.
+    * One entry per stream, so the map stays tiny forever.
     */
   final case class Snapshot(version: Long, committedAtMs: Long,
-    files: Seq[String], appliedWalBatches: Seq[String] = Seq.empty)
+    files: Seq[String], appliedWalBatches: Seq[String] = Seq.empty,
+    streamVersions: Map[String, Long] = Map.empty)
 
   /** One manifest JSON as stored: exactly one of `files` (inline),
     * `checkpoint` (sidecar name), or `deltaBase` (+ add/remove) is set.
     */
   private final case class Raw(version: Long, committedAtMs: Long,
-    wal: Seq[String], files: Option[Seq[String]], checkpoint: Option[String],
+    wal: Seq[String], streamVersions: Map[String, Long],
+    files: Option[Seq[String]], checkpoint: Option[String],
     deltaBase: Option[Long], add: Seq[String], remove: Seq[String])
 
   private def manifestDir(tableDir: String) = new Path(s"$tableDir/$DirName")
@@ -130,7 +140,8 @@ private[graft] object TableManifest {
     cached.filter(_ => fs.exists(versionPath(tableDir, v))).orElse {
       val loaded = readRaw(fs, tableDir, v).flatMap { raw =>
         resolve(fs, tableDir, raw).map { files =>
-          Snapshot(raw.version, raw.committedAtMs, files, raw.wal)
+          Snapshot(raw.version, raw.committedAtMs, files, raw.wal,
+            raw.streamVersions)
         }
       }
       loaded.foreach(s => snapshotCache.synchronized(snapshotCache.put(key, s)))
@@ -171,11 +182,17 @@ private[graft] object TableManifest {
       val files = Option(root.get("files")).map(_ => strSeq("files"))
       val checkpoint = Option(root.get("checkpoint")).map(_.asText())
       val base = Option(root.get("base")).map(_.asLong())
+      val streams = Option(root.get("stream_versions")).map { node =>
+        val it = node.fields()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+        b.result()
+      }.getOrElse(Map.empty[String, Long])
       if (files.isEmpty && checkpoint.isEmpty && base.isEmpty) scala.None
       else Some(Raw(
         root.get("version").asLong(),
         root.get("committed_at_ms").asLong(),
-        strSeq("applied_wal_batches"),
+        strSeq("applied_wal_batches"), streams,
         files, checkpoint, base, strSeq("add"), strSeq("remove")))
     } catch { case scala.util.control.NonFatal(_) => scala.None }
 
@@ -187,7 +204,9 @@ private[graft] object TableManifest {
       applyWalBatches: Seq[String] = Seq.empty,
       pruneWalBatches: String => Boolean = _ => false,
       inlineThreshold: Int = InlineThreshold,
-      checkpointInterval: Long = CheckpointInterval)
+      checkpointInterval: Long = CheckpointInterval,
+      streamVersion: Option[(String, Long)] = scala.None,
+      resetStreamVersions: Boolean = false)
       (update: Seq[String] => Seq[String]): Snapshot = {
     var attempt = 0
     while (true) {
@@ -197,12 +216,19 @@ private[graft] object TableManifest {
       // manifest at the head must be skipped over, never collided with
       // forever.
       val maxClaimed = versions(fs, tableDir).headOption.getOrElse(0L)
+      val carriedStreams =
+        if (resetStreamVersions) Map.empty[String, Long]
+        else current.map(_.streamVersions).getOrElse(Map.empty[String, Long])
+      val nextStreams = streamVersion.fold(carriedStreams) { case (ns, v) =>
+        carriedStreams.updated(ns, math.max(v, carriedStreams.getOrElse(ns, v)))
+      }
       val next = Snapshot(
         maxClaimed + 1L,
         System.currentTimeMillis(),
         update(current.map(_.files).getOrElse(Seq.empty)).distinct.sorted,
         ((current.map(_.appliedWalBatches).getOrElse(Seq.empty)
-          .filterNot(pruneWalBatches)) ++ applyWalBatches).distinct.sorted)
+          .filterNot(pruneWalBatches)) ++ applyWalBatches).distinct.sorted,
+        nextStreams)
 
       // Representation: inline when small; a Parquet checkpoint on the
       // interval (or when there is no base to delta against); otherwise a
@@ -251,6 +277,10 @@ private[graft] object TableManifest {
     if (s.appliedWalBatches.nonEmpty) {
       val wal = root.putArray("applied_wal_batches")
       s.appliedWalBatches.foreach(wal.add)
+    }
+    if (s.streamVersions.nonEmpty) {
+      val sv = root.putObject("stream_versions")
+      s.streamVersions.toSeq.sortBy(_._1).foreach { case (k, v) => sv.put(k, v) }
     }
     root
   }

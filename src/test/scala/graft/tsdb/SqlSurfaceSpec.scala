@@ -246,4 +246,71 @@ class SqlSurfaceSpec extends AnyFunSuite {
     query3.awaitTermination(60000)
     assert(engine.sql("SELECT COUNT(*) AS n FROM st").collect().head.getLong(0) == 50L)
   }
+
+  test("a micro-batch replayed after a crash on the commit boundary no-ops") {
+    // The at-least-once hole in foreachBatch: data lands in the table
+    // manifest, then the process dies BEFORE Spark records the batch in
+    // the streaming checkpoint — on restart Spark replays the batch from
+    // the source. The stream watermark is committed atomically with the
+    // data, so the replay must be a no-op (exactly-once), and later
+    // batches must still ingest.
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE stx(ts TIMESTAMP, v FIELD, tag TAG)")
+
+    // AvailableNow self-terminates, but deregistration from the session's
+    // active-query set is asynchronous — wait it out before reusing the
+    // checkpoint, or the restart trips the concurrent-usage guard.
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      q.awaitTermination(60000)
+      q.stop()
+      val deadline = System.currentTimeMillis() + 30000
+      while (spark.streams.active.exists(_.id == q.id) &&
+          System.currentTimeMillis() < deadline) Thread.sleep(50)
+    }
+
+    val stream = MemoryStream[(Long, Float, String)]
+    val source = stream.toDF().toDF("ts", "v", "tag")
+    val checkpoint = Files.createTempDirectory("graft_ckpt_replay").toString
+    stream.addData((0 until 300).map(i =>
+      (1700000000000000L + i * 1000000L, i.toFloat, s"u${i % 2}")))
+    val q1 = graft.streaming.StreamingIngest.start(
+      engine, "stx", source, checkpoint,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    drain(q1)
+    assert(engine.sql("SELECT COUNT(*) AS n FROM stx")
+      .collect().head.getLong(0) == 300L)
+
+    // Crash simulation: the data committed (above) but the streaming
+    // checkpoint's batch commit record is lost.
+    val commits = new java.io.File(checkpoint, "commits")
+    val newest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(newest.delete())
+    // The local checksum FS would refuse to recreate the commit over a
+    // stale CRC sidecar (a quirk of the test FS, not of the protocol).
+    val crc = new java.io.File(commits, s".${newest.getName}.crc")
+    if (crc.exists()) crc.delete()
+
+    // Restart from the same checkpoint: Spark replays the batch.
+    val q2 = graft.streaming.StreamingIngest.start(
+      engine, "stx", source, checkpoint,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    drain(q2)
+    assert(engine.sql("SELECT COUNT(*) AS n FROM stx")
+      .collect().head.getLong(0) == 300L,
+      "the replayed micro-batch must not double-ingest")
+
+    // The stream keeps working past the replayed batch.
+    stream.addData((0 until 100).map(i =>
+      (1700003000000000L + i * 1000000L, i.toFloat, "u0")))
+    val q3 = graft.streaming.StreamingIngest.start(
+      engine, "stx", source, checkpoint,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    drain(q3)
+    assert(engine.sql("SELECT COUNT(*) AS n FROM stx")
+      .collect().head.getLong(0) == 400L,
+      "batches after the replayed one must still ingest")
+  }
 }
