@@ -3,11 +3,19 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line of per-query wall seconds. */
+  * prints one JSON line of per-query wall seconds.
+  *
+  * SPARK_GRAFT_BENCH_ONLY=q1,q8 restricts the run to the named queries —
+  * launch one sbt invocation per query for ISOLATED numbers (fresh JVM, no
+  * cached state or GC pressure from neighbors) when triaging a regression
+  * that full-bench numbers can't attribute.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,9 +28,11 @@ object Bench {
     // the timed numbers measure steady-state throughput, not whole-stage
     // codegen compilation and JIT warmup of each plan shape (first-vs-second
     // run of the heaviest query differs ~5x from compile alone).
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (name, _) => names.contains(name) })
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -35,7 +45,7 @@ object Bench {
     // swing up to 8x on identical bytecode (machine interference), masking
     // real regressions; the median absorbs one bad run per query.
     val Runs = 3
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink materializes every output column (count() would let

@@ -143,6 +143,10 @@ object RelationalQueries {
         AND l_discount BETWEEN 0.02 AND 0.09
         AND l_quantity < 24""")),
 
+    // The bench logs `WindowExec: No Partition Defined` here: it comes from
+    // the final global ORDER BY's sampling over the o_custkey < 100 subset,
+    // a bounded output (100 customers' orders) at any input scale — the
+    // running-total window itself is partitioned by customer. Benign.
     ("q7_running_order_totals", (s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("o_custkey")
@@ -202,6 +206,13 @@ object RelationalQueries {
 
     // RANGE-frame window: 6-day trailing moving average over per-day
     // revenue (value-based frame, not row-based).
+    //
+    // The unpartitioned window here IS deliberate (and logs a benign
+    // `WindowExec: No Partition Defined` in the bench): it runs over the
+    // POST-AGGREGATE per-day rows — at most 400 by the day_no filter, and
+    // bounded by the calendar regardless of input scale — never over the
+    // raw orders. A single-partition window on a few hundred rows is the
+    // correct plan; partitioning it would only add a shuffle.
     ("q18_moving_average", (s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
       val daily = table(s, d, "orders")
