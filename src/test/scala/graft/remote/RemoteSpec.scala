@@ -124,6 +124,31 @@ class RemoteSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("the CLI client loop executes, lists tables, and survives errors") {
+    val engine = makeEngine("cli", 300)
+    val server = new RemoteServer(engine)
+    try {
+      val addr = RemoteClient.parseAddress(server.address).get
+      val buf = new java.io.ByteArrayOutputStream()
+      val out = new java.io.PrintStream(buf, true, "UTF-8")
+      ClientMain.runStatements(spark, addr, Iterator(
+        "SELECT count(v) AS n",   // multi-line statement...
+        "FROM rts;",              // ...terminated here
+        "\\dt",
+        "SELECT broken FROM nowhere;", // must print an error, not die
+        "SELECT 'after-error' AS ok;",
+        "\\q",
+        "SELECT 'never-runs' AS x;"), out)
+      val printed = buf.toString("UTF-8")
+      assert(printed.contains("300"), s"count output missing:\n$printed")
+      assert(printed.contains("rts") && printed.contains("time series"),
+        "\\dt must list the server's tables")
+      assert(printed.contains("error:"), "errors must print and continue")
+      assert(printed.contains("after-error"), "loop must survive an error")
+      assert(!printed.contains("never-runs"), "\\q must stop the loop")
+    } finally server.close()
+  }
+
   test("parseAddress accepts only graft:// endpoints") {
     assert(RemoteClient.parseAddress("graft://host:9999")
       .contains(RemoteClient.Address("host", 9999)))
