@@ -119,7 +119,7 @@ final class DataFolder(val spark: SparkSession, val root: String) {
             st.getModificationTime < cutoff) {
           fs.delete(st.getPath, true)
         }
-        if (name == StaleDirName) {
+        if (name == StaleDirName || name == StagingDirName) {
           fs.listStatus(st.getPath).foreach { q =>
             if (q.getModificationTime < cutoff) fs.delete(q.getPath, true)
           }
@@ -232,17 +232,35 @@ final class DataFolder(val spark: SparkSession, val root: String) {
       streamVersion: Option[(String, Long)] = scala.None)
       (doWrite: String => Unit): Unit = {
     val dir = tableDir(table)
-    val before = listDataFiles(dir)
+    // The Spark job writes into a per-append staging directory (the `_`
+    // prefix hides it from any scan), so discovering what the job produced
+    // lists O(batch) files — never the table, whose listing is O(10⁶) at
+    // 100 TB. Files then move to their final partition paths with renames
+    // (metadata ops on HDFS-likes) before the manifest publishes them; a
+    // death mid-rename leaves some files moved but NONE live (no manifest),
+    // and both staging leftovers and moved-but-never-committed files are
+    // exactly the invisible droppings VACUUM already reclaims.
+    val stagingName = s"${StagingDirName}/a${java.util.UUID.randomUUID()}"
+    val staging = new Path(dir, stagingName)
     val hadManifest = TableManifest.latest(fs, dir).nonEmpty
-    doWrite(dir)
-    val beforeSet = before.toSet
-    val added = listDataFiles(dir).filterNot(beforeSet)
-    // Applied-batch bookkeeping prunes ids whose WAL directory is gone
-    // (cleanup completed), keeping the manifest's list tiny.
-    val walLive = walBatchDirs(table).toSet
     // Pre-manifest tables adopt their existing files on first commit; after
     // that the manifest is the source of truth (so files an earlier failed
     // job orphaned are never resurrected by an unrelated later commit).
+    val before = if (hadManifest) Seq.empty else listDataFiles(dir)
+    doWrite(staging.toString)
+    val added = listDataFiles(staging.toString)
+    added.foreach { rel =>
+      val target = new Path(dir, rel)
+      val parent = target.getParent
+      if (!fs.exists(parent)) fs.mkdirs(parent)
+      if (!fs.rename(new Path(staging, rel), target))
+        throw new java.io.IOException(
+          s"Could not move staged append file $rel into $dir.")
+    }
+    fs.delete(staging, true)
+    // Applied-batch bookkeeping prunes ids whose WAL directory is gone
+    // (cleanup completed), keeping the manifest's list tiny.
+    val walLive = walBatchDirs(table).toSet
     TableManifest.commit(fs, dir, applyWalBatches, id => !walLive(id),
       streamVersion = streamVersion) { live =>
       (if (hadManifest) live else before) ++ added
@@ -444,6 +462,12 @@ object DataFolder {
     * underscore), reclaimed by VACUUM once past retention.
     */
   val StaleDirName = "_graft_stale"
+
+  /** Per-append staging area: Spark jobs write here so the commit can
+    * discover its files by listing O(batch), not O(table); leftovers from
+    * killed jobs are reclaimed by VACUUM once past retention.
+    */
+  val StagingDirName = "_graft_staging"
 
   /** Max points buffered per series chunk before segments are cut, matching
     * the reference's uncompressed buffer capacity
