@@ -196,6 +196,16 @@ private[graft] object TableManifest {
         files, checkpoint, base, strSeq("add"), strSeq("remove")))
     } catch { case scala.util.control.NonFatal(_) => scala.None }
 
+  /** Same-JVM committers to one table are serialized: cross-process claims
+    * are settled by the filesystem's exclusive create (atomic on HDFS-like
+    * stores; object stores need a conditional PUT, the same contract
+    * Delta's log stores require), but the local filesystem's
+    * `create(overwrite=false)` is a non-atomic exists-then-create — and a
+    * Spark driver with concurrent writer threads must not depend on it.
+    */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Publish a new snapshot computed from the current one. `update` maps
     * the current live set to the next (append = add new files, truncate =
     * empty). Retries on version-claim races.
@@ -208,6 +218,9 @@ private[graft] object TableManifest {
       streamVersion: Option[(String, Long)] = scala.None,
       resetStreamVersions: Boolean = false)
       (update: Seq[String] => Seq[String]): Snapshot = {
+    val lock = commitLocks.computeIfAbsent(
+      fs.makeQualified(new Path(tableDir)).toString, _ => new Object)
+    lock.synchronized {
     var attempt = 0
     while (true) {
       val current = latest(fs, tableDir)
@@ -263,6 +276,7 @@ private[graft] object TableManifest {
       }
     }
     throw new IllegalStateException("unreachable")
+    }
   }
 
   private def versionPath(fs: FileSystem, tableDir: String, next: Snapshot): Path = {

@@ -305,6 +305,37 @@ class ManifestSpec extends AnyFunSuite {
       "the head must stay resolvable after reclamation")
   }
 
+  test("racing delta commits all land, with distinct versions") {
+    // Two writers appending concurrently under the delta protocol: every
+    // version claim is create-if-absent, losers retry on the new head, so
+    // no append may be lost and no version may be claimed twice — the
+    // invariant concurrent Spark jobs on a shared folder rely on.
+    val dir = Files.createTempDirectory("graft_race").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TableManifest.commit(fs, dir, inlineThreshold = 2, checkpointInterval = 7)(
+      _ => (0 until 50).map(i => f"seed-$i%02d.parquet"))
+
+    val perWriter = 20
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        (0 until perWriter).foreach { i =>
+          TableManifest.commit(fs, dir, inlineThreshold = 2,
+            checkpointInterval = 7)(_ :+ f"w$w-$i%02d.parquet")
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+
+    val head = TableManifest.latest(fs, dir).get
+    assert(head.version == 1L + 2 * perWriter, "every claim must be distinct")
+    val expected = ((0 until 50).map(i => f"seed-$i%02d.parquet") ++
+      (0 until 2).flatMap(w => (0 until perWriter).map(i => f"w$w-$i%02d.parquet")))
+      .sorted
+    assert(head.files == expected, "no append may be lost in a race")
+  }
+
   test("pre-manifest tables are adopted on their first committed write") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE legacy(ts_us TIMESTAMP, v FIELD, tag TAG)")
