@@ -335,6 +335,36 @@ object TsQueries {
       UNION ALL
       SELECT count(*) AS n, min(CAST(value AS FLOAT4)) AS mn FROM events""")),
 
+    // Compaction end to end, hash-checked: a fresh table is built from
+    // FOUR chunked appends (the streaming small-file shape), OPTIMIZE
+    // swaps the small files for coalesced ones in one atomic manifest
+    // commit, and the reconstructed table must still be the exact raw
+    // events — compaction moves bytes, never values.
+    ("ts_compact_roundtrip", (s: SparkSession, d: String) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+      val engine = new Engine(s, root)
+      engine.sql(
+        "CREATE TIME SERIES TABLE cr(ts TIMESTAMP, value FIELD, user TAG)")
+      val events = table(s, d, "events")
+        .select(eventsTsMicros.as("ts"), col("value").cast("float").as("value"),
+          col("user_id").cast("string").as("user"))
+      (0 until 4).foreach(chunk =>
+        engine.write("cr", events.where(pmod(col("user").cast("long"), lit(4))
+          === chunk)))
+      val filesBefore = engine.dataFolder.segments("cr").inputFiles.length
+      engine.sql("OPTIMIZE cr")
+      val filesAfter = engine.dataFolder.segments("cr").inputFiles.length
+      require(filesAfter < filesBefore,
+        s"compaction must reduce files, got $filesBefore -> $filesAfter")
+      engine.readTable("cr")
+        .select(unix_micros(col("ts")).as("ts_us"), col("value"), col("user"))
+        .orderBy("user", "ts_us")
+    }, Some("""
+      SELECT CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        CAST(value AS FLOAT4) AS value,
+        CAST(user_id AS VARCHAR) AS user
+      FROM events ORDER BY user, ts_us""")),
+
     // Lossy compression preserves exact point counts (len is lossless).
     ("ts_lossy_count", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)

@@ -275,6 +275,91 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     TableManifest.latest(fs, tableDir(table))
       .flatMap(_.streamVersions.get(namespace))
 
+  /** Compact small live files into ~`targetBytes` ones (OPTIMIZE): the
+    * antidote to the small-file accumulation that streaming micro-batches
+    * and frequent appends produce at scale. Per partition directory, live
+    * files under the target size are coalesced (no shuffle — compaction
+    * moves bytes, never redistributes them) into staging, moved into
+    * place, and swapped in with ONE atomic manifest commit (remove+add) —
+    * readers see either the old files or the new, never both, and older
+    * manifest versions keep time-travel reads working until VACUUM
+    * reclaims the superseded originals. A concurrent TRUNCATE or rollback
+    * that removes a compaction input aborts the commit (the data the
+    * rewrite copied no longer represents the table).
+    *
+    * Returns (filesCompacted, filesCreated).
+    */
+  def compact(table: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(tableExists(table), s"Table $table does not exist.")
+    val dir = tableDir(table)
+    val snapOpt = TableManifest.latest(fs, dir)
+    if (snapOpt.isEmpty) return (0, 0) // pre-manifest: adopted on next write
+    val meta = metadata(table)
+    val byPartition = snapOpt.get.files.groupBy { rel =>
+      rel.lastIndexOf('/') match {
+        case -1 => ""
+        case i => rel.substring(0, i)
+      }
+    }
+    val staging = new Path(dir, s"$StagingDirName/c${java.util.UUID.randomUUID()}")
+    val removed = Seq.newBuilder[String]
+    val created = Seq.newBuilder[String]
+    byPartition.foreach { case (part, rels) =>
+      val partPath = if (part.isEmpty) new Path(dir) else new Path(dir, part)
+      // One listing per partition gives every candidate's size.
+      val sizes: Map[String, Long] =
+        if (!fs.exists(partPath)) Map.empty
+        else fs.listStatus(partPath).collect {
+          case st if st.isFile =>
+            val rel = if (part.isEmpty) st.getPath.getName
+              else s"$part/${st.getPath.getName}"
+            rel -> st.getLen
+        }.toMap
+      val small = rels.filter(r => sizes.get(r).exists(_ < targetBytes)).sorted
+      if (small.size >= 2) {
+        val totalBytes = small.map(sizes).sum
+        val nOut = math.max(1L,
+          (totalBytes + targetBytes - 1) / targetBytes).toInt
+        if (nOut < small.size) {
+          val stagedPart =
+            if (part.isEmpty) staging else new Path(staging, part)
+          val writer = spark.read
+            .parquet(small.map(r => new Path(dir, r).toString): _*)
+            .coalesce(nOut)
+            .write.mode("overwrite")
+          (if (meta.isTimeSeries) writer.option("compression", "zstd")
+           else writer).parquet(stagedPart.toString)
+          val staged = listDataFiles(stagedPart.toString)
+          staged.foreach { stagedRel =>
+            val rel = if (part.isEmpty) stagedRel else s"$part/$stagedRel"
+            val target = new Path(dir, rel)
+            val parent = target.getParent
+            if (!fs.exists(parent)) fs.mkdirs(parent)
+            if (!fs.rename(new Path(stagedPart, stagedRel), target))
+              throw new java.io.IOException(
+                s"Could not move compacted file $rel into $dir.")
+            created += rel
+          }
+          removed ++= small
+        }
+      }
+    }
+    fs.delete(staging, true)
+    val removedSeq = removed.result()
+    val createdSeq = created.result()
+    if (removedSeq.isEmpty) return (0, 0)
+    val removedSet = removedSeq.toSet
+    TableManifest.commit(fs, dir) { live =>
+      val liveSet = live.toSet
+      require(removedSeq.forall(liveSet),
+        s"Compaction inputs for $table were removed concurrently " +
+          "(TRUNCATE/rollback?); aborting the swap.")
+      live.filterNot(removedSet) ++ createdSeq
+    }
+    (removedSeq.size, createdSeq.size)
+  }
+
   // ------------------------------------------------------- write-ahead log
 
   /** The WAL makes an ingest batch durable BEFORE the (comparatively slow)

@@ -67,6 +67,17 @@ final class Engine(val spark: SparkSession, val root: String) {
   def vacuum(table: String, retentionSeconds: Long = 604800L): Unit =
     dataFolder.vacuum(table, retentionSeconds)
 
+  /** OPTIMIZE: compact small files into ~targetBytes ones in one atomic
+    * manifest swap; see [[DataFolder.compact]]. Returns
+    * (filesCompacted, filesCreated).
+    */
+  def compact(table: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val r = dataFolder.compact(table, targetBytes)
+    invalidateViews()
+    r
+  }
+
   // -------------------------------------------------------------- write/read
 
   def write(table: String, df: DataFrame): Unit = {
@@ -536,6 +547,9 @@ final class Engine(val spark: SparkSession, val root: String) {
       case SqlExtensions.Vacuum(names, retention) =>
         val targets = if (names.isEmpty) tables() else names
         targets.foreach(t => vacuum(t, retention)); emptyOk()
+      case SqlExtensions.Optimize(names, targetBytes) =>
+        val targets = if (names.isEmpty) tables() else names
+        targets.foreach(t => compact(t, targetBytes)); emptyOk()
       case SqlExtensions.Include(addresses, select) =>
         // INCLUDE 'graft://host:port' federates to a live RemoteServer
         // (reference: INCLUDE over Flight, remote.rs:88-165); any other

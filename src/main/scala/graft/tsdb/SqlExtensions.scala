@@ -22,6 +22,7 @@ object SqlExtensions {
   final case class DropTables(names: Seq[String]) extends Statement
   final case class TruncateTables(names: Seq[String]) extends Statement
   final case class Vacuum(names: Seq[String], retentionSeconds: Long) extends Statement
+  final case class Optimize(names: Seq[String], targetBytes: Long) extends Statement
   final case class Include(folders: Seq[String], select: String) extends Statement
   final case class InsertInto(
       table: String, columns: Seq[String], sourceSql: String) extends Statement
@@ -37,6 +38,11 @@ object SqlExtensions {
     """(?is)^\s*TRUNCATE\s+(?:CLUSTER\s+)?(?:TABLE\s+)?(.+?)\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM(?:\s+CLUSTER)?(?:\s+(?!RETAIN\b)([A-Za-z_][A-Za-z0-9_,\s]*?))?(?:\s+RETAIN\s+(\d+))?\s*$""".r
+  // OPTIMIZE t [, t]* [TARGET bytes] — beyond the reference grammar:
+  // small-file compaction for the table layer (Spark SQL has no OPTIMIZE,
+  // so the pre-parser can claim the keyword safely).
+  private val OptimizeRe =
+    """(?is)^\s*OPTIMIZE(?:\s+(?!TARGET\b)([A-Za-z_][A-Za-z0-9_,\s]*?))?(?:\s+TARGET\s+(\d+))?\s*$""".r
   private val IncludeRe =
     """(?is)^\s*INCLUDE\s+((?:'[^']*'\s*,?\s*)+)(SELECT\b.*)$""".r
   private val InsertRe =
@@ -58,6 +64,10 @@ object SqlExtensions {
       Vacuum(
         Option(names).map(splitNames).getOrElse(Seq.empty),
         Option(retain).map(_.toLong).getOrElse(604800L))
+    case OptimizeRe(names, target) =>
+      Optimize(
+        Option(names).map(splitNames).getOrElse(Seq.empty),
+        Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024))
     case _ => Passthrough
   }
 
