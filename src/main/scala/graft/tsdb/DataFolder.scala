@@ -324,10 +324,19 @@ final class DataFolder(val spark: SparkSession, val root: String) {
         if (nOut < small.size) {
           val stagedPart =
             if (part.isEmpty) staging else new Path(staging, part)
-          val writer = spark.read
+          val input = spark.read
             .parquet(small.map(r => new Path(dir, r).toString): _*)
             .coalesce(nOut)
-            .write.mode("overwrite")
+          // Re-sorting segments inside each output file (local sort, no
+          // shuffle) keeps Parquet row-group min/max stats tight, so the
+          // pushed start/end_time and tag filters prune as well after the
+          // rewrite as the sorted original writes did.
+          val arranged =
+            if (meta.isTimeSeries)
+              input.sortWithinPartitions(
+                (meta.tagColumns :+ "start_time").map(col): _*)
+            else input
+          val writer = arranged.write.mode("overwrite")
           (if (meta.isTimeSeries) writer.option("compression", "zstd")
            else writer).parquet(stagedPart.toString)
           val staged = listDataFiles(stagedPart.toString)
