@@ -147,8 +147,14 @@ object Dedup {
     * any physically storable component. If the cap is ever hit anyway the
     * call FAILS LOUDLY instead of returning a partially-merged clustering.
     *
-    * Scale shape: per round two window aggregations plus one distinct over
-    * (node, node) edge pairs — never the payload, no driver-side graph;
+    * Scale shape: one neighborhood aggregate job per round. The
+    * neighborhood minimum comes from `groupBy(u).agg(min)` + equi-join —
+    * map-side partial aggregation, no per-key sort, and AQE can split a
+    * skewed hub across tasks (a `Window.partitionBy(u)` would pin the
+    * largest component's hub adjacency, which star contraction
+    * deliberately grows, into ONE sorting task). The same aggregate
+    * carries the convergence test, so a converged round exits before any
+    * contraction work runs. Never the payload, no driver-side graph;
     * lineage is cut with an eager localCheckpoint every few rounds.
     */
   def clusterDuplicates(
@@ -165,46 +171,62 @@ object Dedup {
       .cache()
 
     var edges = init.cache()
+    // The previous round's cached frames stay pinned until the CURRENT
+    // round's aggregate job has materialized this round's inputs — caches
+    // are lazy, and unpersisting a parent before its child materializes
+    // silently recomputes the whole lineage chain.
+    var retired: Seq[DataFrame] = Seq.empty
     var iteration = 0
     var converged = false
     while (iteration < maxIterations && !converged) {
-      // Large-star: each node u attaches its strictly LARGER neighbors to
-      // the minimum of its neighborhood (including u itself). Small labels
-      // leapfrog along chains instead of advancing one hop.
       val undirected = edges
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      val wU = Window.partitionBy("u")
-      val large = undirected
-        .withColumn("m", least(min(col("v")).over(wU), col("u")))
-        .where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-      // Small-star: each node u re-points its (all smaller) neighbors and
-      // itself at the neighborhood minimum. Output stays larger->smaller.
-      val withMin = large.withColumn("m", min(col("v")).over(wU))
-      val small = withMin.where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(withMin.select(col("u"), col("m").as("v")))
-      val dedup = small.distinct()
-      // Each round's plan builds on the last; every 4th round is cut off
-      // with an eager localCheckpoint so lineage (and the planner time and
-      // stack it costs) stays bounded.
-      val next =
-        if ((iteration + 1) % 4 == 0) dedup.localCheckpoint(true)
-        else dedup.cache()
-      // Fixpoint = the edges form a star forest: no node is both a child
-      // (larger endpoint) and a parent (smaller endpoint), and no child
-      // keeps two parents. One aggregate job checks both and materializes
-      // the round's result.
-      val violations = next
-        .select(col("u").as("node"), lit(1L).as("c"), lit(0L).as("p"))
-        .unionByName(next.select(col("v").as("node"), lit(0L).as("c"), lit(1L).as("p")))
-        .groupBy("node")
-        .agg(sum(col("c")).as("children"), sum(col("p")).as("parents"))
-        .where((col("children") > 0 && col("parents") > 0) || col("children") > 1)
-        .limit(1).count()
-      edges.unpersist()
-      edges = next
-      converged = violations == 0
+      // One aggregate drives both halves of the round: `mn` is the
+      // large-star attachment label, and (mn, mx, deg) decide convergence.
+      // Fixpoint = the edges form a star forest, which in undirected
+      // neighborhood terms is: every node either sees only larger
+      // neighbors (a star center) or exactly one smaller neighbor and
+      // nothing else (a leaf). Any chain, multi-parent child, or
+      // child-that-is-also-a-parent violates one of the two at some node.
+      val hood = undirected.groupBy("u").agg(
+        min(col("v")).as("mn"), max(col("v")).as("mx"),
+        count(lit(1)).as("deg")).cache()
+      val violations = hood
+        .where(!(col("mn") > col("u") ||
+          (col("deg") === 1 && col("mx") < col("u"))))
+        .limit(1).count() // materializes hood (and this round's edges)
+      retired.foreach(_.unpersist())
+      retired = Seq.empty
+      if (violations == 0) {
+        converged = true
+        hood.unpersist()
+      } else {
+        // Large-star: each node u attaches its strictly LARGER neighbors
+        // to the minimum of its neighborhood (including u itself). Small
+        // labels leapfrog along chains instead of advancing one hop.
+        val large = undirected.join(hood.select("u", "mn"), "u")
+          .where(col("v") > col("u"))
+          .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
+        // Small-star: each node u re-points its (all smaller) neighbors
+        // and itself at the neighborhood minimum; the aggregate emits the
+        // (u -> m) self-row once per node, no post-hoc distinct needed
+        // for that half. Output stays larger->smaller.
+        val mins = large.groupBy("u").agg(min(col("v")).as("m"))
+        val small = large.join(mins, "u")
+          .where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(mins.select(col("u"), col("m").as("v")))
+        val dedup = small.distinct()
+        // Each round's plan builds on the last, and the join-based round
+        // references its inputs ~12 times — every 2nd round is cut off
+        // with an eager localCheckpoint so the composed logical plan (and
+        // the planner time and heap it costs) stays bounded.
+        val next =
+          if ((iteration + 1) % 2 == 0) dedup.localCheckpoint(true)
+          else dedup.cache()
+        retired = Seq(edges, hood)
+        edges = next
+      }
       iteration += 1
     }
     if (!converged)
