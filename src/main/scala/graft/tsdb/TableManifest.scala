@@ -121,11 +121,92 @@ private[graft] object TableManifest {
       }.sorted.reverse
   }
 
+  // ------------------------------------------------------- head discovery
+
+  /** Advisory head pointer, the role of Delta's `_last_checkpoint`: every
+    * successful commit overwrites it with the claimed version so head
+    * discovery stops listing the whole manifest directory (O(retained
+    * versions) — 10⁵–10⁶ entries under frequent streaming commits before
+    * retention). It is a HINT, never trusted blindly: version claims stay
+    * contiguous, so the true head is found by probing existence forward
+    * from the hinted version (a committer that crashed between claim and
+    * hint update leaves the hint at most a few versions behind), and any
+    * absent, torn, or vacuumed-over hint falls back to the full listing.
+    *
+    * Like Delta's `_last_checkpoint`, the hint is refreshed every
+    * [[HeadHintInterval]] commits, not every commit: a hint write costs a
+    * full file create (milliseconds on slow stores — it would double the
+    * cost of a small commit) while each probe step it saves is one
+    * existence check (microseconds), so the probe absorbs the ≤interval
+    * staleness for free.
+    */
+  private val HeadHintName = "_head"
+  private[tsdb] val HeadHintInterval = 10L
+  private def headHintPath(tableDir: String) =
+    new Path(manifestDir(tableDir), HeadHintName)
+
+  private def writeHeadHint(fs: FileSystem, tableDir: String, v: Long): Unit =
+    try {
+      val out = fs.create(headHintPath(tableDir), true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // advisory only
+
+  private def readHeadHint(fs: FileSystem, tableDir: String): Option[Long] =
+    try {
+      val p = headHintPath(tableDir)
+      if (!fs.exists(p)) scala.None
+      else {
+        val in = fs.open(p)
+        val s = try {
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](64)
+          var n = in.read(buf)
+          while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toString("UTF-8")
+        } finally in.close()
+        Option(s.trim).filter(_.nonEmpty).map(_.toLong).filter(_ >= 1L)
+      }
+    } catch { case scala.util.control.NonFatal(_) => scala.None }
+
+  /** Highest CLAIMED version (readable or not). O(1) metadata ops with a
+    * healthy hint; O(versions) listing fallback otherwise.
+    */
+  private def highestClaimed(fs: FileSystem, tableDir: String): Option[Long] =
+    readHeadHint(fs, tableDir) match {
+      case Some(h) if fs.exists(versionPath(tableDir, h)) =>
+        var v = h
+        while (fs.exists(versionPath(tableDir, v + 1))) v += 1
+        Some(v)
+      case _ =>
+        val listed = versions(fs, tableDir).headOption
+        listed.foreach(writeHeadHint(fs, tableDir, _)) // self-heal (advisory)
+        listed
+    }
+
   /** The newest readable-and-resolvable snapshot; None means the table
     * predates the manifest layer (scan falls back to directory listing).
     */
   def latest(fs: FileSystem, tableDir: String): Option[Snapshot] =
-    versions(fs, tableDir).view.flatMap(v => read(fs, tableDir, v)).headOption
+    highestClaimed(fs, tableDir).flatMap(latestAtOrBelow(fs, tableDir, _))
+
+  /** Walk back from `from` through claimed-but-unreadable versions to the
+    * newest readable one. Claims are contiguous, so a MISSING predecessor
+    * means VACUUM has pruned below this point — the rare tail where the
+    * full listing is the only correct source of older survivors.
+    */
+  private def latestAtOrBelow(fs: FileSystem, tableDir: String,
+      from: Long): Option[Snapshot] = {
+    var v = from
+    while (v >= 1L) {
+      val snap = read(fs, tableDir, v)
+      if (snap.nonEmpty) return snap
+      if (v == 1L || !fs.exists(versionPath(tableDir, v - 1)))
+        return versions(fs, tableDir).view.filter(_ < v)
+          .flatMap(read(fs, tableDir, _)).headOption
+      v -= 1
+    }
+    scala.None
+  }
 
   /** A specific historical snapshot, if that version (and, for deltas, its
     * base chain) still exists — VACUUM prunes superseded versions past
@@ -223,12 +304,15 @@ private[graft] object TableManifest {
     lock.synchronized {
     var attempt = 0
     while (true) {
-      val current = latest(fs, tableDir)
       // Numbering comes from the highest CLAIMED version (readable or
       // not), while content comes from the newest READABLE one: a torn
       // manifest at the head must be skipped over, never collided with
-      // forever.
-      val maxClaimed = versions(fs, tableDir).headOption.getOrElse(0L)
+      // forever. Both come off the head hint — one probe, no directory
+      // listing on the commit hot path.
+      val maxClaimed = highestClaimed(fs, tableDir).getOrElse(0L)
+      val current =
+        if (maxClaimed == 0L) scala.None
+        else latestAtOrBelow(fs, tableDir, maxClaimed)
       val carriedStreams =
         if (resetStreamVersions) Map.empty[String, Long]
         else current.map(_.streamVersions).getOrElse(Map.empty[String, Long])
@@ -268,6 +352,8 @@ private[graft] object TableManifest {
         try out.write(json.getBytes("UTF-8")) finally out.close()
         snapshotCache.synchronized(
           snapshotCache.put((tableDir, next.version), next))
+        if (next.version == 1L || next.version % HeadHintInterval == 0L)
+          writeHeadHint(fs, tableDir, next.version)
         return next
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException

@@ -179,6 +179,38 @@ object ScaleDrive {
       println(f"  checkpoints: ${cpBytes / 1024.0}%.0f KiB total, " +
         f"largest delta JSON: ${deltaBytes / 1024.0}%.1f KiB")
     }
+
+    // ------------------------------------ deep version history (head hint)
+    // 10k RETAINED versions (a week of frequent streaming commits before
+    // VACUUM): head discovery and commits must ride the `_head` hint —
+    // O(1) probes — never the O(history) directory listing, which is the
+    // deleted-hint fallback measured last for contrast.
+    {
+      val dir = java.nio.file.Files.createTempDirectory("graft_manifest_deep")
+        .toString
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nVersions = 10000
+      timed(f"$nVersions%,d tiny commits") {
+        (0 until nVersions).foreach { i =>
+          graft.tsdb.TableManifest.commit(fs, dir)(
+            _ => Seq(f"part-$i%06d.parquet"))
+        }
+      }
+      def timeLatest(label: String): Unit = {
+        val reads = 200
+        val t0 = System.nanoTime()
+        (0 until reads).foreach(_ => graft.tsdb.TableManifest.latest(fs, dir))
+        println(f"  $label: ${(System.nanoTime() - t0) / 1e3 / reads}%.0f us/read")
+      }
+      timeLatest(f"latest() at $nVersions%,d versions (hinted)")
+      timed(f"1 commit at $nVersions%,d-version head") {
+        graft.tsdb.TableManifest.commit(fs, dir)(_ => Seq("part-head.parquet"))
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$dir/${graft.tsdb.TableManifest.DirName}/_head"), false)
+      timeLatest("latest() after hint loss (listing fallback, self-heals)")
+    }
     spark.stop()
   }
 }

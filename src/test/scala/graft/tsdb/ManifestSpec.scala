@@ -403,6 +403,48 @@ class ManifestSpec extends AnyFunSuite {
     assert(head.files == expected, "no append may be lost in a race")
   }
 
+  test("head discovery survives a stale, corrupt, or missing hint") {
+    // The `_head` hint keeps latest()/commit() from listing the manifest
+    // directory, but it is advisory: a committer that dies between the
+    // version claim and the hint update leaves it stale (probe forward
+    // recovers), and a torn or deleted hint falls back to the listing and
+    // self-heals. Every failure mode must resolve to the same head.
+    val dir = Files.createTempDirectory("graft_hint").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (0 until 5).foreach { i =>
+      TableManifest.commit(fs, dir)(_ :+ f"f$i.parquet")
+    }
+    val hint = new org.apache.hadoop.fs.Path(
+      s"$dir/${TableManifest.DirName}/_head")
+
+    def headVersion(): Long = TableManifest.latest(fs, dir).get.version
+    assert(headVersion() == 5L)
+
+    // Stale hint (crash between claim and hint write): probes forward.
+    val stale = fs.create(hint, true)
+    try stale.write("2".getBytes("UTF-8")) finally stale.close()
+    assert(headVersion() == 5L, "a stale hint must probe forward to head")
+
+    // Corrupt hint: listing fallback.
+    val torn = fs.create(hint, true)
+    try torn.write("not-a-number".getBytes("UTF-8")) finally torn.close()
+    assert(headVersion() == 5L, "a corrupt hint must fall back to listing")
+
+    // Missing hint: listing fallback, then self-heal on the way out.
+    fs.delete(hint, false)
+    assert(headVersion() == 5L, "a missing hint must fall back to listing")
+    assert(fs.exists(hint), "the listing fallback self-heals the hint")
+
+    // Commits on top of a degraded hint keep numbering correct.
+    val lying = fs.create(hint, true)
+    try lying.write("1".getBytes("UTF-8")) finally lying.close()
+    val next = TableManifest.commit(fs, dir)(_ :+ "f5.parquet")
+    assert(next.version == 6L,
+      "a stale hint must never let a commit collide with a claimed version")
+    assert(next.files.size == 6)
+  }
+
   test("pre-manifest tables are adopted on their first committed write") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE legacy(ts_us TIMESTAMP, v FIELD, tag TAG)")
