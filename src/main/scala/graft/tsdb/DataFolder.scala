@@ -341,7 +341,12 @@ final class DataFolder(val spark: SparkSession, val root: String) {
            else writer).parquet(stagedPart.toString)
           val staged = listDataFiles(stagedPart.toString)
           staged.foreach { stagedRel =>
-            val rel = if (part.isEmpty) stagedRel else s"$part/$stagedRel"
+            // The `opt-` name prefix marks provenance: this file re-packs
+            // already-committed points. Streaming readers (manifest-diff
+            // based) use it to exclude rewrites from delivery — snapshot
+            // scans read explicit manifest lists and never care.
+            val renamed = s"$CompactedFilePrefix$stagedRel"
+            val rel = if (part.isEmpty) renamed else s"$part/$renamed"
             val target = new Path(dir, rel)
             val parent = target.getParent
             if (!fs.exists(parent)) fs.mkdirs(parent)
@@ -440,18 +445,32 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Streaming segment scan: a file-source stream over the table's segment
-    * directory — every appended segment file (batch write, streaming
-    * ingest, cross-folder copy) becomes a micro-batch. The file source
-    * discovers files as they land, ahead of their manifest commit; with the
-    * single-writer append path the commit follows immediately, so the
-    * stream and the snapshot scans converge to the same contents.
+  /** Streaming segment scan over the manifest history: offsets are
+    * manifest versions, each micro-batch is a commit's data-carrying adds
+    * (see [[SegmentStreamProvider]]). Every appended segment (batch write,
+    * streaming ingest, cross-folder copy) is delivered exactly once at its
+    * COMMIT — OPTIMIZE's rewrites and a killed writer's uncommitted
+    * droppings, both visible to a naive directory stream, never are.
+    * Tables that predate the manifest layer fall back to the directory
+    * file stream until their first committed write adopts them.
     */
   def segmentsStream(table: String): DataFrame = {
     val meta = metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
     val schema = SegmentSchema.forTags(meta.tagColumns)
-    spark.readStream.schema(schema).parquet(tableDir(table))
+    val dir = tableDir(table)
+    if (TableManifest.latest(fs, dir).isEmpty && !isEmptyTableDir(dir)) {
+      // Legacy pre-manifest data: no commit history to stream.
+      spark.readStream.schema(schema).parquet(dir)
+    } else {
+      spark.readStream
+        .format(classOf[SegmentStreamProvider].getName)
+        .schema(schema)
+        .option(SegmentStream.DirOption,
+          fs.makeQualified(new Path(dir)).toString)
+        .option(SegmentStream.SchemaOption, schema.json)
+        .load()
+    }
   }
 
   /** Raw segment scan with partition pruning on `field_column`, reading the
@@ -562,6 +581,13 @@ object DataFolder {
     * killed jobs are reclaimed by VACUUM once past retention.
     */
   val StagingDirName = "_graft_staging"
+
+  /** Name prefix of files OPTIMIZE writes: they re-pack already-committed
+    * points, so manifest-diff streaming readers skip them (delivery would
+    * be a duplicate) while snapshot scans — which read explicit manifest
+    * file lists — treat them like any other segment file.
+    */
+  val CompactedFilePrefix = "opt-"
 
   /** Max points buffered per series chunk before segments are cut, matching
     * the reference's uncompressed buffer capacity

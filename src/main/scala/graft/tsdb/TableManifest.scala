@@ -111,6 +111,24 @@ private[graft] object TableManifest {
   private def versionPath(tableDir: String, v: Long) =
     new Path(manifestDir(tableDir), f"v$v%010d.json")
 
+  /** All claimed versions, oldest first — the streaming source's initial
+    * anchor scan (used once per consumer, never per micro-batch).
+    */
+  private[tsdb] def claimedVersions(fs: FileSystem, tableDir: String): Seq[Long] =
+    versions(fs, tableDir).reverse
+
+  /** One version's manifest JSON path — existence = the version is claimed
+    * (readable or torn), absence = never claimed or pruned by VACUUM.
+    */
+  private[tsdb] def versionJsonPath(tableDir: String, v: Long): Path =
+    versionPath(tableDir, v)
+
+  /** The highest claimed version, hint-probed — the streaming source's
+    * per-trigger latestOffset, O(1) on the hot path.
+    */
+  private[tsdb] def headVersion(fs: FileSystem, tableDir: String): Option[Long] =
+    highestClaimed(fs, tableDir)
+
   /** All manifest versions present, newest first. */
   private def versions(fs: FileSystem, tableDir: String): Seq[Long] = {
     val dir = manifestDir(tableDir)

@@ -75,6 +75,66 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out.getDouble(1) == (0 until 800).sum.toDouble)
   }
 
+  test("OPTIMIZE mid-stream re-delivers nothing; uncommitted files invisible") {
+    import spark.implicits._
+    val engine = new graft.tsdb.Engine(spark,
+      Files.createTempDirectory("graft_stream_opt").toString)
+    engine.sql("CREATE TIME SERIES TABLE so(ts TIMESTAMP, v FIELD, tag TAG)")
+
+    def points(offset: Int, n: Int) = (0 until n)
+      .map(i => (1700000000000000L + (offset + i) * 1000000L,
+        (offset + i).toFloat, s"u${i % 2}"))
+      .toDF("ts", "v", "tag")
+    engine.write("so", points(0, 500))
+    engine.write("so", points(500, 300))
+
+    val query = engine.readTableStream("so", "v").writeStream
+      .outputMode("append")
+      .format("memory").queryName("opt_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_so_ckpt").toString)
+      .start()
+    try {
+      query.processAllAvailable()
+      def count() = spark.sql("SELECT COUNT(*) FROM opt_stream_out")
+        .collect().head.getLong(0)
+      assert(count() == 800L, "both appends delivered before OPTIMIZE")
+
+      // OPTIMIZE rewrites committed points into new files inside the same
+      // partition dirs — the exact workload that double-delivered through
+      // the old directory stream.
+      val (compacted, created) = engine.dataFolder.compact("so")
+      assert(compacted >= 2 && created >= 1, "compaction must actually run")
+      query.processAllAvailable()
+      assert(count() == 800L,
+        s"OPTIMIZE re-delivered compacted points: ${count()} rows after it")
+
+      // A killed append's moved-but-never-committed file: visible to a
+      // directory listing, absent from every manifest — the stream must
+      // not deliver it either.
+      val dir = engine.dataFolder.tableDir("so")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = graft.tsdb.TableManifest.latest(fs, dir).get.files.head
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(dir, live), fs,
+        new org.apache.hadoop.fs.Path(dir,
+          live.replaceAll("[^/]+$", "part-orphan-from-killed-append.parquet")),
+        false, spark.sparkContext.hadoopConfiguration)
+      query.processAllAvailable()
+      assert(count() == 800L, "uncommitted droppings must stay invisible")
+
+      // Post-OPTIMIZE appends still flow.
+      engine.write("so", points(800, 200))
+      query.processAllAvailable()
+      assert(count() == 1000L, "appends after OPTIMIZE must still stream")
+      val sum = spark.sql("SELECT CAST(SUM(v) AS DOUBLE) FROM opt_stream_out")
+        .collect().head.getDouble(0)
+      assert(sum == (0 until 1000).sum.toDouble,
+        "delivered exactly the appended points, each once")
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeated payloads within the watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
