@@ -364,7 +364,10 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     val createdSeq = created.result()
     if (removedSeq.isEmpty) return (0, 0)
     val removedSet = removedSeq.toSet
-    TableManifest.commit(fs, dir) { live =>
+    // `rewrites` records in the COMMIT itself that these adds re-pack
+    // already-committed points (Delta's dataChange=false): streaming
+    // readers key delivery suppression off the manifest, not file names.
+    TableManifest.commit(fs, dir, rewrites = createdSeq) { live =>
       val liveSet = live.toSet
       require(removedSeq.forall(liveSet),
         s"Compaction inputs for $table were removed concurrently " +

@@ -40,11 +40,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * silently double- or under-delivering. Reads of files a concurrent
   * TRUNCATE quarantined are skipped (`ignoreMissingFiles` semantics).
   *
-  * Scale shape: latestOffset is the O(1) hint-probed head; planning probes
-  * only the (a, b] window (existence + cached snapshot resolution), never
-  * the full version listing except once at a fresh consumer's anchor; one
-  * input partition per segment file keeps read parallelism at the file
-  * grain with no shuffle.
+  * Scale shape: latestOffset starts from the O(1) hint-probed head, then
+  * confirms resolvability only for versions committed since the last
+  * trigger (never past a torn in-flight claim — see
+  * [[SegmentStream.latestDeliverable]]); planning probes only the (a, b]
+  * window (existence + cached snapshot resolution), never the full version
+  * listing except once at a fresh consumer's anchor; one input partition
+  * per segment file keeps read parallelism at the file grain with no
+  * shuffle.
   */
 final class SegmentStreamProvider extends TableProvider {
   import SegmentStream._
@@ -62,6 +65,68 @@ final class SegmentStreamProvider extends TableProvider {
 private[tsdb] object SegmentStream {
   val DirOption = "graft.tabledir"
   val SchemaOption = "graft.segmentschema"
+
+  /** How long a claimed-but-unreadable manifest may block the stream's end
+    * offset before it is treated as a crashed writer's permanent dropping.
+    * A manifest JSON exists from `fs.create` until `close` while still
+    * unreadable (non-atomic local FS), so the head probe must NEVER commit
+    * an offset past a fresh torn claim: if its writer completed after the
+    * offset advanced, the next trigger's anchor would resolve the completed
+    * version and its files would land in `prev` undelivered — silent loss.
+    * Past the grace window, and only once a READABLE successor exists
+    * (whose commit was built skipping the torn version, so batch scans
+    * exclude it from history too), the claim is provably dead and the
+    * stream steps over it.
+    */
+  private[tsdb] val TornClaimGraceMs = 60000L
+
+  /** The highest version the stream may expose as its end offset: probe
+    * forward from `floor` (everything at or below it is already delivered)
+    * through versions whose snapshot actually RESOLVES. O(new versions
+    * since the last trigger) — each resolution lands in the snapshot cache
+    * the planner reads right after.
+    */
+  private[tsdb] def latestDeliverable(fs: FileSystem, tableDir: String,
+      floor: Long, head: Long, graceMs: Long, nowMs: Long): Long = {
+    if (head <= floor) return floor
+    var last = floor
+    var v = floor + 1L
+    if (floor == 0L && !fs.exists(TableManifest.versionJsonPath(tableDir, 1L))) {
+      // Fresh consumer over pruned early history: leap to the oldest
+      // surviving claim (one listing, once ever per consumer).
+      TableManifest.claimedVersions(fs, tableDir).headOption match {
+        case Some(oldest) => last = oldest - 1L; v = oldest
+        case scala.None => return 0L
+      }
+    }
+    while (v <= head) {
+      if (TableManifest.snapshotAt(fs, tableDir, v).nonEmpty) {
+        last = v; v += 1L
+      } else if (!fs.exists(TableManifest.versionJsonPath(tableDir, v))) {
+        // Pruned inside an undelivered window: expose head so planning
+        // fails LOUDLY with the retention-violation error instead of the
+        // stream silently stalling here forever.
+        return head
+      } else {
+        // Torn claim. Skip only a provably-dead one: aged past the grace
+        // window AND shadowed by a readable successor.
+        val aged =
+          try nowMs - fs.getFileStatus(
+            TableManifest.versionJsonPath(tableDir, v)).getModificationTime > graceMs
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (!aged) return last
+        var w = v + 1L
+        var succ = -1L
+        while (w <= head && succ < 0L) {
+          if (TableManifest.snapshotAt(fs, tableDir, w).nonEmpty) succ = w
+          else w += 1L
+        }
+        if (succ < 0L) return last
+        last = succ; v = succ + 1L
+      }
+    }
+    last
+  }
 
   /** Greatest version ≤ `from` whose snapshot resolves; walking past an
     * ABSENT version (claims are contiguous, so absence = VACUUM pruned it)
@@ -89,11 +154,16 @@ private[tsdb] object SegmentStream {
     if (b <= a) return Seq.empty
     val out = Seq.newBuilder[String]
     // Anchor: the resolved live set the first diff builds on. a == 0 is a
-    // fresh consumer — its anchor is the initial snapshot itself.
+    // fresh consumer — its anchor is the initial snapshot itself. An
+    // anchored offset below which NOTHING resolves (every version torn:
+    // only reachable through a checkpoint written before torn-claim
+    // fencing) means no data was ever delivered either, so the first
+    // resolvable version must ALSO be a full initial snapshot — diffing it
+    // against an empty set would filter out compaction outputs, which are
+    // the only copy of their points in a snapshot.
     var prev: Option[Set[String]] =
       if (a == 0L) scala.None
-      else Some(resolvableAtOrBelow(fs, tableDir, a)
-        .map(_.files.toSet).getOrElse(Set.empty))
+      else resolvableAtOrBelow(fs, tableDir, a).map(_.files.toSet)
     var v = if (a == 0L) {
       // Fresh consumer on a table whose early history was already pruned:
       // start at the oldest surviving version (one listing, once ever).
@@ -106,8 +176,16 @@ private[tsdb] object SegmentStream {
             case scala.None =>
               out ++= snap.files // initial snapshot: full, unfiltered
             case Some(pf) =>
-              out ++= snap.files.filterNot(pf)
-                .filterNot(isCompacted) // rewrites carry no new points
+              // Rewrites carry no new points. The commit's own `rewrites`
+              // record is authoritative (Delta's dataChange=false shape);
+              // the name-prefix heuristic covers only manifests written
+              // before the field existed.
+              val isRewrite: String => Boolean =
+                TableManifest.rewritesAt(fs, tableDir, v) match {
+                  case Some(declared) => declared.contains _
+                  case scala.None => isCompacted _
+                }
+              out ++= snap.files.filterNot(pf).filterNot(isRewrite)
           }
           prev = Some(snap.files.toSet)
         case scala.None =>
@@ -167,14 +245,32 @@ private final class SegmentMicroBatchStream(schema: StructType, tableDir: String
   @transient private lazy val fs: FileSystem =
     new Path(tableDir).getFileSystem(conf.value)
 
+  // Highest offset this run has already planned past (restored checkpoint
+  // offsets, committed batch ends): the end-offset probe starts here, so
+  // per-trigger cost is O(versions committed since the last trigger). A
+  // floor of 0 (fresh run before any offset is seen) only costs one probe
+  // from the oldest surviving version — correctness never depends on it.
+  @volatile private var floor: Long = 0L
+  private def raiseFloor(v: Long): Unit = if (v > floor) floor = v
+
   override def initialOffset(): Offset = SegmentVersionOffset(0L)
 
+  /** End offsets advance only through versions whose snapshot RESOLVES: a
+    * claimed-but-unreadable manifest is an in-flight commit that may still
+    * complete, and committing an offset past it would make the next
+    * trigger's anchor swallow its files undelivered (see
+    * [[SegmentStream.latestDeliverable]] for the torn-claim fence and the
+    * crashed-writer grace policy).
+    */
   override def latestOffset(): Offset = SegmentVersionOffset(
-    TableManifest.headVersion(fs, tableDir).getOrElse(0L))
+    SegmentStream.latestDeliverable(fs, tableDir, floor,
+      TableManifest.headVersion(fs, tableDir).getOrElse(0L),
+      SegmentStream.TornClaimGraceMs, System.currentTimeMillis()))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[SegmentVersionOffset].version
     val b = end.asInstanceOf[SegmentVersionOffset].version
+    raiseFloor(a)
     SegmentStream.addsBetween(fs, tableDir, a, b)
       .map(rel => SegmentFilePartition(rel): InputPartition).toArray
   }
@@ -182,12 +278,22 @@ private final class SegmentMicroBatchStream(schema: StructType, tableDir: String
   override def createReaderFactory(): PartitionReaderFactory =
     new SegmentFileReaderFactory(schema, tableDir, conf)
 
-  override def deserializeOffset(json: String): Offset =
-    SegmentVersionOffset(
-      new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(json).get("version").asLong())
+  override def deserializeOffset(json: String): Offset = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val versionNode = if (node == null) null else node.get("version")
+    if (versionNode == null || !versionNode.canConvertToLong)
+      throw new IllegalStateException(
+        s"Checkpointed offset '$json' for $tableDir was not written by the " +
+          "manifest-offset segment stream (it looks like a pre-manifest " +
+          "directory file-source checkpoint, which is incompatible). " +
+          "Restart the stream from a fresh checkpoint location.")
+    val v = versionNode.asLong()
+    raiseFloor(v)
+    SegmentVersionOffset(v)
+  }
 
-  override def commit(end: Offset): Unit = ()
+  override def commit(end: Offset): Unit =
+    raiseFloor(end.asInstanceOf[SegmentVersionOffset].version)
   override def stop(): Unit = ()
 }
 

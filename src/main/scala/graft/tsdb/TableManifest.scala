@@ -101,11 +101,16 @@ private[graft] object TableManifest {
 
   /** One manifest JSON as stored: exactly one of `files` (inline),
     * `checkpoint` (sidecar name), or `deltaBase` (+ add/remove) is set.
+    * `rewrites` lists, per COMMIT, the added files that carry no new data
+    * (compaction outputs) — the role of Delta's `dataChange=false`; it is
+    * `None` for manifests written before the field existed (readers fall
+    * back to the file-name-prefix heuristic for those).
     */
   private final case class Raw(version: Long, committedAtMs: Long,
     wal: Seq[String], streamVersions: Map[String, Long],
     files: Option[Seq[String]], checkpoint: Option[String],
-    deltaBase: Option[Long], add: Seq[String], remove: Seq[String])
+    deltaBase: Option[Long], add: Seq[String], remove: Seq[String],
+    rewrites: Option[Seq[String]])
 
   private def manifestDir(tableDir: String) = new Path(s"$tableDir/$DirName")
   private def versionPath(tableDir: String, v: Long) =
@@ -233,6 +238,16 @@ private[graft] object TableManifest {
   def snapshotAt(fs: FileSystem, tableDir: String, version: Long): Option[Snapshot] =
     read(fs, tableDir, version)
 
+  /** The data-change provenance one COMMIT recorded: `Some(set)` = the
+    * files this version added that are pure rewrites of already-committed
+    * data (compaction outputs — streaming diffs must not deliver them);
+    * `None` = the manifest predates the `rewrites` field (legacy tables) or
+    * is unreadable, and the caller falls back to the name-prefix heuristic.
+    */
+  private[tsdb] def rewritesAt(fs: FileSystem, tableDir: String,
+      version: Long): Option[Set[String]] =
+    readRaw(fs, tableDir, version).flatMap(_.rewrites).map(_.toSet)
+
   private def read(fs: FileSystem, tableDir: String, v: Long): Option[Snapshot] = {
     val key = (tableDir, v)
     val cached = snapshotCache.synchronized(Option(snapshotCache.get(key)))
@@ -292,7 +307,8 @@ private[graft] object TableManifest {
         root.get("version").asLong(),
         root.get("committed_at_ms").asLong(),
         strSeq("applied_wal_batches"), streams,
-        files, checkpoint, base, strSeq("add"), strSeq("remove")))
+        files, checkpoint, base, strSeq("add"), strSeq("remove"),
+        Option(root.get("rewrites")).map(_ => strSeq("rewrites"))))
     } catch { case scala.util.control.NonFatal(_) => scala.None }
 
   /** Same-JVM committers to one table are serialized: cross-process claims
@@ -315,7 +331,8 @@ private[graft] object TableManifest {
       inlineThreshold: Int = InlineThreshold,
       checkpointInterval: Long = CheckpointInterval,
       streamVersion: Option[(String, Long)] = scala.None,
-      resetStreamVersions: Boolean = false)
+      resetStreamVersions: Boolean = false,
+      rewrites: Seq[String] = Seq.empty)
       (update: Seq[String] => Seq[String]): Snapshot = {
     val lock = commitLocks.computeIfAbsent(
       fs.makeQualified(new Path(tableDir)).toString, _ => new Object)
@@ -352,16 +369,17 @@ private[graft] object TableManifest {
       // manifest whose checkpoint is missing or raced-over.
       val inline = next.files.size <= inlineThreshold
       val json =
-        if (inline) inlineJson(next)
+        if (inline) inlineJson(next, rewrites)
         else if (next.version % checkpointInterval == 0 || current.isEmpty) {
           val name = writeCheckpoint(fs, tableDir, next.version, next.files)
-          checkpointJson(next, name)
+          checkpointJson(next, name, rewrites)
         } else {
           val base = current.get
           val baseSet = base.files.toSet
           val nextSet = next.files.toSet
           deltaJson(next, base.version,
-            next.files.filterNot(baseSet), base.files.filterNot(nextSet))
+            next.files.filterNot(baseSet), base.files.filterNot(nextSet),
+            rewrites)
         }
 
       val path = versionPath(fs, tableDir, next)
@@ -388,7 +406,7 @@ private[graft] object TableManifest {
     versionPath(tableDir, next.version)
   }
 
-  private def baseNode(s: Snapshot) = {
+  private def baseNode(s: Snapshot, rewrites: Seq[String]) = {
     val root = mapper.createObjectNode()
     root.put("version", s.version)
     root.put("committed_at_ms", s.committedAtMs)
@@ -400,28 +418,32 @@ private[graft] object TableManifest {
       val sv = root.putObject("stream_versions")
       s.streamVersions.toSeq.sortBy(_._1).foreach { case (k, v) => sv.put(k, v) }
     }
+    // ALWAYS present (even empty) in new manifests: its absence is what
+    // tells readers "legacy manifest, fall back to the name heuristic".
+    val rw = root.putArray("rewrites")
+    rewrites.sorted.foreach(rw.add)
     root
   }
 
   private def render(root: com.fasterxml.jackson.databind.node.ObjectNode) =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
 
-  private def inlineJson(s: Snapshot): String = {
-    val root = baseNode(s)
+  private def inlineJson(s: Snapshot, rewrites: Seq[String]): String = {
+    val root = baseNode(s, rewrites)
     val arr = root.putArray("files")
     s.files.foreach(arr.add)
     render(root)
   }
 
-  private def checkpointJson(s: Snapshot, name: String): String = {
-    val root = baseNode(s)
+  private def checkpointJson(s: Snapshot, name: String, rewrites: Seq[String]): String = {
+    val root = baseNode(s, rewrites)
     root.put("checkpoint", name)
     render(root)
   }
 
   private def deltaJson(s: Snapshot, base: Long,
-      add: Seq[String], remove: Seq[String]): String = {
-    val root = baseNode(s)
+      add: Seq[String], remove: Seq[String], rewrites: Seq[String]): String = {
+    val root = baseNode(s, rewrites)
     root.put("base", base)
     val a = root.putArray("add")
     add.foreach(a.add)

@@ -135,6 +135,106 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("a torn manifest claim fences the stream until its writer resolves") {
+    import spark.implicits._
+    val engine = new graft.tsdb.Engine(spark,
+      Files.createTempDirectory("graft_stream_torn").toString)
+    engine.sql("CREATE TIME SERIES TABLE stt(ts TIMESTAMP, v FIELD, tag TAG)")
+
+    def points(offset: Int, n: Int) = (0 until n)
+      .map(i => (1700000000000000L + (offset + i) * 1000000L,
+        (offset + i).toFloat, s"u${i % 2}"))
+      .toDF("ts", "v", "tag")
+    engine.write("stt", points(0, 500))
+
+    val dir = engine.dataFolder.tableDir("stt")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val query = engine.readTableStream("stt", "v").writeStream
+      .outputMode("append")
+      .format("memory").queryName("torn_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stt_ckpt").toString)
+      .start()
+    try {
+      query.processAllAvailable()
+      def count() = spark.sql("SELECT COUNT(*) FROM torn_stream_out")
+        .collect().head.getLong(0)
+      assert(count() == 500L)
+
+      // A slow writer claims version 2 but has not finished writing it
+      // (exists, unreadable). A second writer commits version 3 on top.
+      val tornPath = new org.apache.hadoop.fs.Path(
+        s"$dir/${graft.tsdb.TableManifest.DirName}/v${"%010d".format(2L)}.json")
+      val out = fs.create(tornPath, false)
+      out.write("{\"version\":".getBytes("UTF-8")); out.close()
+      engine.write("stt", points(500, 300)) // claims version 3
+
+      // The fence holds: nothing past version 1 is committed while the
+      // in-flight claim might still complete (the old code advanced to 3
+      // here, and version 2's late completion would then be swallowed).
+      query.processAllAvailable()
+      assert(count() == 500L,
+        "stream must not advance past an in-flight manifest claim")
+
+      // The slow writer completes version 2 as a no-op commit (same live
+      // list as version 1 — its own data files never moved in). The next
+      // trigger steps through it and delivers version 3's append.
+      val v1Files = graft.tsdb.TableManifest.snapshotAt(fs, dir, 1L).get.files
+      val json = s"""{"version":2,"committed_at_ms":1,"rewrites":[],""" +
+        v1Files.map(f => "\"" + f + "\"").mkString("\"files\":[", ",", "]}")
+      val done = fs.create(tornPath, true)
+      done.write(json.getBytes("UTF-8")); done.close()
+      query.processAllAvailable()
+      assert(count() == 800L,
+        "appends committed past a torn claim must arrive once it resolves")
+    } finally query.stop()
+  }
+
+  test("TRUNCATE mid-stream: no crash, no re-delivery, later appends flow") {
+    import spark.implicits._
+    val engine = new graft.tsdb.Engine(spark,
+      Files.createTempDirectory("graft_stream_trunc").toString)
+    engine.sql("CREATE TIME SERIES TABLE st(ts TIMESTAMP, v FIELD, tag TAG)")
+
+    def points(offset: Int, n: Int) = (0 until n)
+      .map(i => (1700000000000000L + (offset + i) * 1000000L,
+        (offset + i).toFloat, s"u${i % 2}"))
+      .toDF("ts", "v", "tag")
+    engine.write("st", points(0, 500))
+
+    val query = engine.readTableStream("st", "v").writeStream
+      .outputMode("append")
+      .format("memory").queryName("trunc_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_st_ckpt").toString)
+      .start()
+    try {
+      query.processAllAvailable()
+      def count() = spark.sql("SELECT COUNT(*) FROM trunc_stream_out")
+        .collect().head.getLong(0)
+      assert(count() == 500L)
+
+      // TRUNCATE quarantines every live file and commits an empty
+      // snapshot: the stream sees a version that ADDS nothing.
+      engine.sql("TRUNCATE TABLE st")
+      query.processAllAvailable()
+      assert(count() == 500L,
+        "TRUNCATE must neither crash the stream nor re-deliver anything")
+      assert(engine.readTable("st").count() == 0L)
+
+      // Appends into the emptied table flow normally (and are NOT diffed
+      // against the pre-TRUNCATE file set).
+      engine.write("st", points(500, 200))
+      query.processAllAvailable()
+      assert(count() == 700L, "post-TRUNCATE appends must stream")
+      val sum = spark.sql("SELECT CAST(SUM(v) AS DOUBLE) FROM trunc_stream_out")
+        .collect().head.getDouble(0)
+      assert(sum == (0 until 700).sum.toDouble)
+    } finally query.stop()
+  }
+
   test("streaming dedup drops repeated payloads within the watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
