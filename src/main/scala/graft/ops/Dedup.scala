@@ -155,27 +155,37 @@ object Dedup {
     * deliberately grows, into ONE sorting task). The same aggregate
     * carries the convergence test, so a converged round exits before any
     * contraction work runs. Never the payload, no driver-side graph;
-    * lineage is cut with an eager localCheckpoint every few rounds.
+    * lineage is cut with a lazy localCheckpoint every few rounds (it
+    * materializes inside the next round's convergence count — no extra
+    * blocking job on the round path).
     */
   def clusterDuplicates(
       pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    // The pair list is usually the OUTPUT of an expensive candidate
+    // pipeline (LSH join + verification); it feeds both the edge set and
+    // the node list, so cache it and pin both with ONE materializing job —
+    // otherwise the node list, consumed only by the final cluster join,
+    // replays the whole pair pipeline a second time.
+    val input = pairs.cache()
+    val nodes = input.select(col("id_a").as("id"))
+      .unionByName(input.select(col("id_b").as("id")))
+      .distinct()
+      .cache()
+    nodes.count()
     // Canonical larger->smaller orientation; self-loops dropped.
-    val init = pairs
+    val init = input
       .select(greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-    val nodes = pairs.select(col("id_a").as("id"))
-      .unionByName(pairs.select(col("id_b").as("id")))
-      .distinct()
-      .cache()
 
     var edges = init.cache()
     // The previous round's cached frames stay pinned until the CURRENT
     // round's aggregate job has materialized this round's inputs — caches
     // are lazy, and unpersisting a parent before its child materializes
-    // silently recomputes the whole lineage chain.
-    var retired: Seq[DataFrame] = Seq.empty
+    // silently recomputes the whole lineage chain. `input` itself retires
+    // after round 1 materializes the initial edge set off it.
+    var retired: Seq[DataFrame] = Seq(input)
     var iteration = 0
     var converged = false
     while (iteration < maxIterations && !converged) {
@@ -219,15 +229,32 @@ object Dedup {
         val dedup = small.distinct()
         // Each round's plan builds on the last, and the join-based round
         // references its inputs ~12 times — every 2nd round is cut off
-        // with an eager localCheckpoint so the composed logical plan (and
-        // the planner time and heap it costs) stays bounded.
+        // with a LAZY localCheckpoint so the composed logical plan (and
+        // the planner time and heap it costs) stays bounded. Lazy is safe
+        // and a full job cheaper than eager: it materializes inside the
+        // NEXT round's convergence count, while that round's inputs (this
+        // round's caches) are still pinned — `retired` only unpersists
+        // after the count returns.
         val next =
-          if ((iteration + 1) % 2 == 0) dedup.localCheckpoint(true)
+          if ((iteration + 1) % 2 == 0) dedup.localCheckpoint(false)
           else dedup.cache()
         retired = Seq(edges, hood)
         edges = next
       }
       iteration += 1
+    }
+    if (!converged) {
+      // The in-loop check runs BEFORE each contraction, so a graph that
+      // converges exactly on the final permitted contraction exits the
+      // loop unchecked — verify once more before declaring failure.
+      val undirected = edges
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      converged = undirected.groupBy("u").agg(
+          min(col("v")).as("mn"), max(col("v")).as("mx"),
+          count(lit(1)).as("deg"))
+        .where(!(col("mn") > col("u") ||
+          (col("deg") === 1 && col("mx") < col("u"))))
+        .limit(1).count() == 0
     }
     if (!converged)
       throw new IllegalStateException(

@@ -572,7 +572,11 @@ object PipelineQueries {
       val scored = docs.select(col("doc_id"), col("text"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       val filtered = scored.where(col("quality") >= 0.5)
+      // `exact` feeds both the near-dup candidate pipeline and the final
+      // anti-join's left side; cache it so the scan + quality scoring +
+      // exact-dedup shuffle run once per execution, not per consumer.
       val exact = Dedup.dropExactDuplicates(filtered, "doc_id", Seq("text"))
+        .cache()
       val pairs = Dedup.minhashDuplicatePairs(exact, "doc_id", "text",
         threshold = 0.7, numHashes = 128, bands = 16, shingleK = 2)
       val clean = Dedup.dropNearDuplicates(exact, "doc_id", pairs)
