@@ -2,20 +2,115 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line of per-query wall seconds.
+/** Benchmark main.
   *
-  * SPARK_GRAFT_BENCH_ONLY=q1,q8 restricts the run to the named queries —
-  * launch one sbt invocation per query for ISOLATED numbers (fresh JVM, no
-  * cached state or GC pressure from neighbors) when triaging a regression
-  * that full-bench numbers can't attribute.
+  * PRIMARY MODE (default): a supervisor that forks ONE FRESH JVM PER QUERY,
+  * sequentially, and reports each query's median-of-3 from its own isolated
+  * JVM as the primary JSON line. Shared-JVM numbers proved untrustworthy:
+  * on identical bytecode, neighbors' cached state, GC pressure, and codegen
+  * cache churn swung individual queries 4-8x between rounds with no code
+  * change, in both directions. Isolation removes the interference at the
+  * cost of JVM+session startup per query (startup is NOT timed — each child
+  * warms up before its timed runs, same as the old in-process path).
+  *
+  * CHILD MODE (SPARK_GRAFT_BENCH_CHILD=1, internal): runs the queries named
+  * in SPARK_GRAFT_BENCH_ONLY in-process and prints the same JSON line.
+  *
+  * TRIAGE MODE (SPARK_GRAFT_BENCH_INPROC=1): the old shared-JVM in-process
+  * run over all (or SPARK_GRAFT_BENCH_ONLY-filtered) queries — fast, but
+  * interference-dominated; use only for quick relative iteration.
+  *
+  * SPARK_GRAFT_BENCH_ONLY=q1,q8 restricts any mode to the named queries.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (name, _) => names.contains(name) })
+    val child = sys.env.get("SPARK_GRAFT_BENCH_CHILD").contains("1")
+    val inproc = sys.env.get("SPARK_GRAFT_BENCH_INPROC").contains("1")
+    if (child || inproc) runInProcess(selected)
+    else runForked(selected)
+  }
+
+  private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+  private val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def jsonLine(results: Seq[(String, Double)]): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  // ---------------------------------------------------------------- forked
+
+  /** Fork `java -cp <this classpath> graft.Bench` once per query with
+    * SPARK_GRAFT_BENCH_CHILD=1 + SPARK_GRAFT_BENCH_ONLY=<name>, parse the
+    * child's JSON line, and emit the combined line. Children run strictly
+    * sequentially so they never compete for the box.
+    */
+  private def runForked(selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]): Unit = {
+    val javaBin = new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
+    // Resolve the classpath from the live classloader chain, not
+    // java.class.path: under sbt the app classpath lives in layered custom
+    // classloaders (project classes, dependency jars, the scala library)
+    // and the system property only names the sbt launcher.
+    def urlsOf(cl: ClassLoader): Seq[String] = cl match {
+      case null => Nil
+      case u: java.net.URLClassLoader =>
+        u.getURLs.toSeq.flatMap(x => scala.util.Try(new java.io.File(x.toURI).getPath).toOption) ++ urlsOf(u.getParent)
+      case other => urlsOf(other.getParent)
+    }
+    def codeSource(c: Class[_]): Option[String] =
+      Option(c.getProtectionDomain.getCodeSource)
+        .flatMap(s => scala.util.Try(new java.io.File(s.getLocation.toURI).getPath).toOption)
+    val entries = (urlsOf(Bench.getClass.getClassLoader) ++
+      codeSource(Bench.getClass) ++
+      codeSource(classOf[scala.Function1[_, _]]) ++ // scala-library
+      codeSource(classOf[SparkSession]) ++
+      sys.props("java.class.path").split(java.io.File.pathSeparator).filter(_.nonEmpty)).distinct
+    val cp = entries.mkString(java.io.File.pathSeparator)
+    val moduleOpts = org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions()
+      .split("\\s+").filter(_.nonEmpty).toSeq
+    val heap = sys.env.getOrElse("SPARK_GRAFT_CHILD_HEAP", "24g")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_CHILD_TIMEOUT", "900").toLong
+    val names = selected.keys.toSeq
+    val results = names.map { name =>
+      val cmd = (Seq(javaBin, s"-Xmx$heap", "-XX:+UseG1GC") ++ moduleOpts ++
+        Seq("-cp", cp, "graft.Bench")).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_BENCH_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectErrorStream(false)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      // Drain stdout on this thread (children print little); keep the line
+      // that carries the JSON result.
+      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+      val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!finished) proc.destroyForcibly()
+      val sec = out.reverseIterator
+        .find(_.startsWith("{\"metric\""))
+        .flatMap { line =>
+          val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.eE+]+)").r
+          re.findFirstMatchIn(line).map(_.group(1).toDouble)
+        }
+        .filter(_ => finished && proc.exitValue() == 0)
+        .getOrElse(-1.0)
+      if (sec < 0) System.err.println(s"[bench] $name: child failed (rc=${if (finished) proc.exitValue() else "timeout"})")
+      else System.err.println(f"[bench] $name: $sec%.3f s (isolated)")
+      name -> sec
+    }
+    println(jsonLine(results))
+  }
+
+  // ------------------------------------------------------------ in-process
+
+  private def runInProcess(selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,12 +119,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: run every query once at the smallest scale factor so
-    // the timed numbers measure steady-state throughput, not whole-stage
-    // codegen compilation and JIT warmup of each plan shape (first-vs-second
-    // run of the heaviest query differs ~5x from compile alone).
-    val selected = only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.filter { case (name, _) => names.contains(name) })
+    // Untimed warmup: run each selected query once at the smallest scale
+    // factor so the timed numbers measure steady-state throughput, not
+    // whole-stage codegen compilation and JIT warmup of each plan shape
+    // (first-vs-second run of the heaviest query differs ~5x from compile
+    // alone).
     val warmupDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
       selected.foreach { case (_, fn) =>
@@ -41,11 +135,10 @@ object Bench {
       .filter(_.getName.endsWith(".parquet"))
       .foreach(f => try spark.read.parquet(f.getPath).count()
         catch { case _: Throwable => () })
-    // Median of 3 timed runs per query: single-run numbers on a shared box
-    // swing up to 8x on identical bytecode (machine interference), masking
-    // real regressions; the median absorbs one bad run per query.
+    // Median of 3 timed runs per query: absorbs a one-off slow run (GC,
+    // page-cache miss) without hiding a real regression.
     val Runs = 3
-    val results = selected.map { case (name, fn) =>
+    val results = selected.toSeq.map { case (name, fn) =>
       val times = (1 to Runs).flatMap { _ =>
         val t0 = System.nanoTime()
         // noop sink materializes every output column (count() would let
@@ -62,10 +155,7 @@ object Bench {
       val median = if (times.size < Runs) -1.0 else times.sorted(Ordering.Double.TotalOrdering)(Runs / 2)
       name -> median
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(jsonLine(results))
     spark.stop()
   }
 }

@@ -211,22 +211,35 @@ object Dedup {
         converged = true
         hood.unpersist()
       } else {
+        // Both stars are applied simultaneously to the SAME input snapshot,
+        // so the one `hood` aggregate serves both halves — no second
+        // neighborhood aggregate per round (the old shape re-grouped the
+        // large-star output to find the small-star min, one more full
+        // shuffle + join every round). Connectivity is preserved per edge:
+        // for (u,v) with v>u the large half links v to least(mn_u, u) and
+        // the self row links u to mn_u, so u and v stay connected through
+        // mn_u (or directly when u has no smaller neighbor); every emitted
+        // edge is strictly larger->smaller, keeping the orientation
+        // invariant; a star forest maps to itself, so the fixpoint test is
+        // unchanged.
+        val withMn = undirected.join(hood.select("u", "mn"), "u")
         // Large-star: each node u attaches its strictly LARGER neighbors
         // to the minimum of its neighborhood (including u itself). Small
         // labels leapfrog along chains instead of advancing one hop.
-        val large = undirected.join(hood.select("u", "mn"), "u")
-          .where(col("v") > col("u"))
+        val largeHalf = withMn.where(col("v") > col("u"))
           .select(col("v").as("u"), least(col("mn"), col("u")).as("v"))
-        // Small-star: each node u re-points its (all smaller) neighbors
-        // and itself at the neighborhood minimum; the aggregate emits the
-        // (u -> m) self-row once per node, no post-hoc distinct needed
-        // for that half. Output stays larger->smaller.
-        val mins = large.groupBy("u").agg(min(col("v")).as("m"))
-        val small = large.join(mins, "u")
-          .where(col("v") =!= col("m"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionByName(mins.select(col("u"), col("m").as("v")))
-        val dedup = small.distinct()
+        // Small-star: each node u re-points its (all smaller) neighbors at
+        // its neighborhood minimum; mn_u <= v for every smaller neighbor
+        // v, and v == mn_u is skipped, so output stays larger->smaller.
+        val smallHalf = withMn
+          .where(col("v") < col("u") && col("v") =!= col("mn"))
+          .select(col("v").as("u"), col("mn").as("v"))
+        // Self row (u -> mn_u) for every node with a smaller neighbor,
+        // straight off the aggregate.
+        val selfRows = hood.where(col("mn") < col("u"))
+          .select(col("u"), col("mn").as("v"))
+        val dedup = largeHalf.unionByName(smallHalf).unionByName(selfRows)
+          .distinct()
         // Each round's plan builds on the last, and the join-based round
         // references its inputs ~12 times — every 2nd round is cut off
         // with a LAZY localCheckpoint so the composed logical plan (and
