@@ -5,7 +5,7 @@ import java.io.File
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.tsdb.Engine
+import graft.tsdb.{Engine, TableManifest}
 import QueryUtil._
 
 /** The ModelarDB-parity surface exercised end-to-end: events.parquet is
@@ -77,6 +77,41 @@ object TsQueries {
     rebuild(spark, sfDir, engine)
     builtRoots += root
     engine
+  }
+
+  /** Engine for the compaction benchmark: a table built from FOUR chunked
+    * appends (the streaming small-file shape), cached on disk once per
+    * scale factor — the timed body must measure OPTIMIZE + read-back, not
+    * the build's four compression jobs. Returns the engine plus the
+    * pristine (pre-compaction) manifest version; the timed body restores
+    * that version with a cheap rollback commit before compacting, so every
+    * run swaps the same small-file layout.
+    */
+  def engineForCompact(spark: SparkSession, sfDir: String): (Engine, Long) = synchronized {
+    val sfName = new File(sfDir).getName
+    val root = s"/tmp/graft_ts_cache/$sfName-$CacheVersion-compact"
+    val marker = new File(s"$root/_PRISTINE")
+    val engine = new Engine(spark, root)
+    if (marker.exists() && engine.dataFolder.tableExists("cr")) {
+      (engine, new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong)
+    } else {
+      new scala.reflect.io.Directory(new File(root)).deleteRecursively()
+      val fresh = new Engine(spark, root)
+      fresh.sql(
+        "CREATE TIME SERIES TABLE cr(ts TIMESTAMP, value FIELD, user TAG)")
+      val events = table(spark, sfDir, "events")
+        .select(eventsTsMicros.as("ts"), col("value").cast("float").as("value"),
+          col("user_id").cast("string").as("user"))
+      (0 until 4).foreach(chunk =>
+        fresh.write("cr", events.where(pmod(col("user").cast("long"), lit(4))
+          === chunk)))
+      val dir = fresh.dataFolder.tableDir("cr")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val pristine = TableManifest.latest(fs, dir).get.version
+      java.nio.file.Files.write(marker.toPath, pristine.toString.getBytes)
+      (fresh, pristine)
+    }
   }
 
   /** Wipe and rebuild the cached tables (also the ingest benchmark body). */
@@ -335,22 +370,23 @@ object TsQueries {
       UNION ALL
       SELECT count(*) AS n, min(CAST(value AS FLOAT4)) AS mn FROM events""")),
 
-    // Compaction end to end, hash-checked: a fresh table is built from
-    // FOUR chunked appends (the streaming small-file shape), OPTIMIZE
-    // swaps the small files for coalesced ones in one atomic manifest
-    // commit, and the reconstructed table must still be the exact raw
-    // events — compaction moves bytes, never values.
+    // Compaction end to end, hash-checked: OPTIMIZE swaps a cached
+    // small-file table (four chunked appends, the streaming shape) for
+    // coalesced files in one atomic manifest commit, and the reconstructed
+    // table must still be the exact raw events — compaction moves bytes,
+    // never values. The build is cached on disk (engineForCompact); the
+    // timed body is restore-pristine-manifest + OPTIMIZE + read-back, so
+    // this measures compaction, not ingest.
     ("ts_compact_roundtrip", (s: SparkSession, d: String) => {
-      val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
-      val engine = new Engine(s, root)
-      engine.sql(
-        "CREATE TIME SERIES TABLE cr(ts TIMESTAMP, value FIELD, user TAG)")
-      val events = table(s, d, "events")
-        .select(eventsTsMicros.as("ts"), col("value").cast("float").as("value"),
-          col("user_id").cast("string").as("user"))
-      (0 until 4).foreach(chunk =>
-        engine.write("cr", events.where(pmod(col("user").cast("long"), lit(4))
-          === chunk)))
+      val (engine, pristine) = engineForCompact(s, d)
+      val dir = engine.dataFolder.tableDir("cr")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // A previous run left the table compacted: one manifest commit
+      // republished the pristine small-file list (the files themselves are
+      // still on disk — compaction never deletes, VACUUM does).
+      if (TableManifest.latest(fs, dir).get.version != pristine)
+        engine.rollback("cr", pristine)
       val filesBefore = engine.dataFolder.segments("cr").inputFiles.length
       engine.sql("OPTIMIZE cr")
       val filesAfter = engine.dataFolder.segments("cr").inputFiles.length

@@ -593,7 +593,15 @@ final class Engine(val spark: SparkSession, val root: String) {
         emptyOk()
       case SqlExtensions.Passthrough =>
         registerViews()
-        val df = spark.sql(trimmed)
+        // Delta-style time travel: bind each `t VERSION AS OF n` to a
+        // snapshot view over that manifest version before delegating.
+        val (rewritten, travels) = SqlExtensions.rewriteTimeTravel(trimmed)
+        travels.foreach { case (table, version) =>
+          readTableVersion(table, version)
+            .createOrReplaceTempView(
+              SqlExtensions.versionViewName(table, version))
+        }
+        val df = spark.sql(rewritten)
         graft.plans.SegmentAggregateSqlRewrite.tryRewrite(this, df).getOrElse(df)
     }
   }

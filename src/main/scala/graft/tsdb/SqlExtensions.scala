@@ -74,6 +74,34 @@ object SqlExtensions {
   private def splitNames(names: String): Seq[String] =
     names.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
+  // `FROM t VERSION AS OF n` — Delta-style time travel over the manifest's
+  // version history. A pre-parser textual rewrite like the statements above:
+  // each occurrence is replaced by a snapshot temp-view name and the
+  // (table, version) pair is reported so the engine can bind that view to
+  // readTableVersion before delegating to Spark SQL. Table aliases after
+  // the clause survive untouched (`t VERSION AS OF 3 AS old` rewrites to
+  // `t__version_3 AS old`).
+  private val VersionAsOfRe =
+    """(?is)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
+
+  /** Name of the temp view a time-travel rewrite binds a snapshot to. */
+  def versionViewName(table: String, version: Long): String =
+    s"${table}__version_$version"
+
+  /** Rewrite every `t VERSION AS OF n` to its snapshot view name; returns
+    * the rewritten SQL plus the distinct (table, version) pairs to bind.
+    */
+  def rewriteTimeTravel(sql: String): (String, Seq[(String, Long)]) = {
+    val targets = scala.collection.mutable.LinkedHashSet[(String, Long)]()
+    val rewritten = VersionAsOfRe.replaceAllIn(sql, m => {
+      val table = m.group(1)
+      val version = m.group(2).toLong
+      targets += ((table, version))
+      versionViewName(table, version)
+    })
+    (rewritten, targets.toSeq)
+  }
+
   /** Split a column list on top-level commas (parens may nest in AS exprs). */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()

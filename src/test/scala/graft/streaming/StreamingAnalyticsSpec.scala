@@ -135,6 +135,67 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("compaction racing live appends: both land, stream delivers exactly once") {
+    import spark.implicits._
+    val engine = new graft.tsdb.Engine(spark,
+      Files.createTempDirectory("graft_stream_race").toString)
+    engine.sql("CREATE TIME SERIES TABLE cw(ts TIMESTAMP, v FIELD, tag TAG)")
+
+    def points(offset: Int, n: Int) = (0 until n)
+      .map(i => (1700000000000000L + (offset + i) * 1000000L,
+        (offset + i).toFloat, s"u${i % 2}"))
+      .toDF("ts", "v", "tag")
+    // Seed many small files so the compactor has real work during the race.
+    (0 until 6).foreach(i => engine.write("cw", points(i * 100, 100)))
+
+    val query = engine.readTableStream("cw", "v").writeStream
+      .outputMode("append")
+      .format("memory").queryName("race_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cw_ckpt").toString)
+      .start()
+    try {
+      query.processAllAvailable()
+      def count() = spark.sql("SELECT COUNT(*) FROM race_stream_out")
+        .collect().head.getLong(0)
+      assert(count() == 600L, "seed appends delivered before the race")
+
+      // The race: a writer keeps appending while compact() runs. The
+      // compactor's commit closure must retry onto the new head (keeping
+      // the concurrent adds) rather than lose them or abort — appends only
+      // ADD files, so the inputs-vanished guard must not fire.
+      val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val writer = new Thread(() => {
+        try (0 until 4).foreach(i => engine.write("cw", points(600 + i * 100, 100)))
+        catch { case t: Throwable => writerError.set(t) }
+      })
+      writer.start()
+      // Several passes widen the overlap window; each commit races a write.
+      val swaps = (0 until 3).map(_ => engine.dataFolder.compact("cw"))
+      writer.join(120000)
+      assert(!writer.isAlive, "writer must finish")
+      assert(writerError.get() == null,
+        s"concurrent append failed: ${writerError.get()}")
+      assert(swaps.exists(_._1 >= 2), "at least one compaction must swap")
+
+      // Head reads: every appended point exactly once, none resurrected.
+      val head = engine.readTable("cw")
+      assert(head.count() == 1000L, "no append may be lost in the swap")
+      assert(head.select("ts").distinct().count() == 1000L,
+        "no point may be duplicated by the swap")
+
+      // The stream across the race: new appends delivered once, rewrites
+      // suppressed via the commits' own rewrite records.
+      query.processAllAvailable()
+      assert(count() == 1000L,
+        s"stream must deliver exactly the appended points, got ${count()}")
+      val sum = spark.sql("SELECT CAST(SUM(v) AS DOUBLE) FROM race_stream_out")
+        .collect().head.getDouble(0)
+      assert(sum == (0 until 1000).sum.toDouble,
+        "delivered values must match the appended points, each once")
+    } finally query.stop()
+  }
+
   test("a torn manifest claim fences the stream until its writer resolves") {
     import spark.implicits._
     val engine = new graft.tsdb.Engine(spark,

@@ -32,6 +32,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(engine.sql("SELECT COUNT(*) AS n FROM ins").collect().head.getLong(0) == 6L)
   }
 
+  test("SELECT ... VERSION AS OF reads a manifest snapshot through SQL") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE tv(ts TIMESTAMP, v FIELD, tag TAG)")
+    engine.sql("INSERT INTO tv VALUES " +
+      "(TIMESTAMP '2024-01-01 00:00:00', CAST(1.0 AS FLOAT), 'a')," +
+      "(TIMESTAMP '2024-01-01 00:00:01', CAST(2.0 AS FLOAT), 'a')") // v1
+    engine.sql("INSERT INTO tv VALUES " +
+      "(TIMESTAMP '2024-01-01 00:00:02', CAST(3.0 AS FLOAT), 'b')") // v2
+    assert(engine.sql("SELECT COUNT(*) AS n FROM tv").collect().head.getLong(0) == 3L)
+    assert(engine.sql("SELECT COUNT(*) AS n FROM tv VERSION AS OF 1")
+      .collect().head.getLong(0) == 2L)
+    // Alias after the clause survives; snapshot joins live head.
+    val joined = engine.sql(
+      "SELECT COUNT(*) AS n FROM tv VERSION AS OF 1 AS old JOIN tv ON old.ts = tv.ts")
+      .collect().head.getLong(0)
+    assert(joined == 2L)
+    // Same snapshot as the programmatic API, value-for-value.
+    val viaSql = engine.sql("SELECT ts, v, tag FROM tv VERSION AS OF 1")
+      .collect().map(_.toString).sorted.toSeq
+    val viaApi = engine.readTableVersion("tv", 1L)
+      .selectExpr("ts", "v", "tag")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSql == viaApi)
+    // Unknown version surfaces the manifest error, not an empty result.
+    assertThrows[IllegalArgumentException] {
+      engine.sql("SELECT COUNT(*) FROM tv VERSION AS OF 99").collect()
+    }
+  }
+
   test("include federates a query over a second data folder") {
     val engineA = newEngine()
     val engineB = newEngine()
