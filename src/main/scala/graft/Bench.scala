@@ -10,8 +10,9 @@ import org.apache.spark.sql.SparkSession
   * on identical bytecode, neighbors' cached state, GC pressure, and codegen
   * cache churn swung individual queries 4-8x between rounds with no code
   * change, in both directions. Isolation removes the interference at the
-  * cost of JVM+session startup per query (startup is NOT timed — each child
-  * warms up before its timed runs, same as the old in-process path).
+  * cost of JVM+session startup per query; startup is NOT timed — each child
+  * warms up with one untimed run of its query at the target scale factor
+  * before the timed runs.
   *
   * CHILD MODE (SPARK_GRAFT_BENCH_CHILD=1, internal): runs the queries named
   * in SPARK_GRAFT_BENCH_ONLY in-process and prints the same JSON line.
@@ -30,7 +31,7 @@ object Bench {
       SparkEntry.queries.filter { case (name, _) => names.contains(name) })
     val child = sys.env.get("SPARK_GRAFT_BENCH_CHILD").contains("1")
     val inproc = sys.env.get("SPARK_GRAFT_BENCH_INPROC").contains("1")
-    if (child || inproc) runInProcess(selected)
+    if (child || inproc) runInProcess(selected, targetSfWarmup = child)
     else runForked(selected)
   }
 
@@ -110,13 +111,27 @@ object Bench {
 
   // ------------------------------------------------------------ in-process
 
-  private def runInProcess(selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame]): Unit = {
+  /** `targetSfWarmup`: warm up by running each query once UNTIMED at the
+    * target scale factor instead of the sf0.001 sweep + parquet pre-reads.
+    * Used by forked children (one query each): it warms exactly the plan,
+    * JIT paths, and page-cache bytes the timed runs touch, and costs one
+    * extra query execution instead of a full small-sf pass — keeping the
+    * per-child (JVM fork) overhead low enough to fork 57 of them.
+    */
+  private def runInProcess(
+      selected: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      targetSfWarmup: Boolean = false): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Let AQE re-plan (coalesce) the shuffles that feed cached frames:
+      // iterative operators (dedup clustering) cache tiny per-round edge
+      // sets, and without this flag every one of those rounds shuffles at
+      // the full spark.sql.shuffle.partitions with near-empty tasks.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: run each selected query once at the smallest scale
@@ -124,17 +139,24 @@ object Bench {
     // whole-stage codegen compilation and JIT warmup of each plan shape
     // (first-vs-second run of the heaviest query differs ~5x from compile
     // alone).
-    val warmupDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
+    if (targetSfWarmup) {
       selected.foreach { case (_, fn) =>
-        try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    } else {
+      val warmupDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmupDir).isDirectory && warmupDir != sfDir) {
+        selected.foreach { case (_, fn) =>
+          try fn(spark, warmupDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+      }
+      new java.io.File(sfDir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .foreach(f => try spark.read.parquet(f.getPath).count()
+          catch { case _: Throwable => () })
     }
-    new java.io.File(sfDir).listFiles()
-      .filter(_.getName.endsWith(".parquet"))
-      .foreach(f => try spark.read.parquet(f.getPath).count()
-        catch { case _: Throwable => () })
     // Median of 3 timed runs per query: absorbs a one-off slow run (GC,
     // page-cache miss) without hiding a real regression.
     val Runs = 3

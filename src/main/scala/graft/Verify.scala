@@ -16,6 +16,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // events.parquet stores TIMESTAMP(NANOS); read as Long nanoseconds.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE may re-plan shuffles feeding cached frames (see Bench).
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

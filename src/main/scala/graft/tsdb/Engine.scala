@@ -169,6 +169,19 @@ final class Engine(val spark: SparkSession, val root: String) {
       dataFolder.segments(table, Some(version)), meta, meta.fieldColumns)
   }
 
+  /** Snapshot read as of a wall-clock commit time: the newest manifest
+    * version committed at or before `epochMs` (TIMESTAMP AS OF semantics).
+    */
+  def readTableAsOfTimestamp(table: String, epochMs: Long): DataFrame = {
+    val dir = dataFolder.tableDir(table)
+    val version = TableManifest
+      .versionAtOrBefore(dataFolder.fileSystem, dir, epochMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no commit at or before timestamp $epochMs — the " +
+          "table did not exist yet, or that history has been VACUUMed."))
+    readTableVersion(table, version)
+  }
+
   /** Roll a table back to an earlier manifest version (forward-written
     * history; abandoned files become VACUUM-able orphans).
     */
@@ -593,13 +606,17 @@ final class Engine(val spark: SparkSession, val root: String) {
         emptyOk()
       case SqlExtensions.Passthrough =>
         registerViews()
-        // Delta-style time travel: bind each `t VERSION AS OF n` to a
-        // snapshot view over that manifest version before delegating.
+        // Delta-style time travel: bind each `t VERSION AS OF n` /
+        // `t TIMESTAMP AS OF '...'` to a snapshot view before delegating.
         val (rewritten, travels) = SqlExtensions.rewriteTimeTravel(trimmed)
-        travels.foreach { case (table, version) =>
-          readTableVersion(table, version)
-            .createOrReplaceTempView(
-              SqlExtensions.versionViewName(table, version))
+        travels.foreach { case (table, travel) =>
+          val snapshot = travel match {
+            case SqlExtensions.AtVersion(v) => readTableVersion(table, v)
+            case SqlExtensions.AtTimestamp(ms) =>
+              readTableAsOfTimestamp(table, ms)
+          }
+          snapshot.createOrReplaceTempView(
+            SqlExtensions.travelViewName(table, travel))
         }
         val df = spark.sql(rewritten)
         graft.plans.SegmentAggregateSqlRewrite.tryRewrite(this, df).getOrElse(df)

@@ -74,30 +74,59 @@ object SqlExtensions {
   private def splitNames(names: String): Seq[String] =
     names.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
-  // `FROM t VERSION AS OF n` — Delta-style time travel over the manifest's
-  // version history. A pre-parser textual rewrite like the statements above:
-  // each occurrence is replaced by a snapshot temp-view name and the
-  // (table, version) pair is reported so the engine can bind that view to
-  // readTableVersion before delegating to Spark SQL. Table aliases after
-  // the clause survive untouched (`t VERSION AS OF 3 AS old` rewrites to
-  // `t__version_3 AS old`).
+  // `FROM t VERSION AS OF n` / `FROM t TIMESTAMP AS OF '...'` — Delta-style
+  // time travel over the manifest's version history. A pre-parser textual
+  // rewrite like the statements above: each occurrence is replaced by a
+  // snapshot temp-view name and the (table, travel) pair is reported so the
+  // engine can bind that view to the matching snapshot read before
+  // delegating to Spark SQL. Table aliases after the clause survive
+  // untouched (`t VERSION AS OF 3 AS old` rewrites to `t__version_3 AS old`).
+  sealed trait Travel
+  final case class AtVersion(version: Long) extends Travel
+  final case class AtTimestamp(epochMs: Long) extends Travel
+
   private val VersionAsOfRe =
     """(?is)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
+  private val TimestampAsOfRe =
+    """(?is)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
 
   /** Name of the temp view a time-travel rewrite binds a snapshot to. */
-  def versionViewName(table: String, version: Long): String =
-    s"${table}__version_$version"
+  def travelViewName(table: String, travel: Travel): String = travel match {
+    case AtVersion(v) => s"${table}__version_$v"
+    case AtTimestamp(ms) => s"${table}__asof_$ms"
+  }
 
-  /** Rewrite every `t VERSION AS OF n` to its snapshot view name; returns
-    * the rewritten SQL plus the distinct (table, version) pairs to bind.
+  /** Parse a TIMESTAMP AS OF literal: ISO instant (trailing Z/offset),
+    * `yyyy-MM-dd[ HH:mm:ss[.SSS]]` read as UTC (the engine's session
+    * timezone), or raw epoch milliseconds.
     */
-  def rewriteTimeTravel(sql: String): (String, Seq[(String, Long)]) = {
-    val targets = scala.collection.mutable.LinkedHashSet[(String, Long)]()
-    val rewritten = VersionAsOfRe.replaceAllIn(sql, m => {
-      val table = m.group(1)
-      val version = m.group(2).toLong
-      targets += ((table, version))
-      versionViewName(table, version)
+  def parseTravelTimestamp(literal: String): Long = {
+    val t = literal.trim
+    if (t.matches("\\d{1,13}")) t.toLong
+    else scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse {
+      val normalized = t.replace(' ', 'T')
+      val local = scala.util.Try(java.time.LocalDateTime.parse(normalized))
+        .getOrElse(java.time.LocalDate.parse(t).atStartOfDay())
+      local.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
+  }
+
+  /** Rewrite every `t VERSION AS OF n` / `t TIMESTAMP AS OF '...'` to its
+    * snapshot view name; returns the rewritten SQL plus the distinct
+    * (table, travel) pairs to bind.
+    */
+  def rewriteTimeTravel(sql: String): (String, Seq[(String, Travel)]) = {
+    val targets = scala.collection.mutable.LinkedHashSet[(String, Travel)]()
+    val afterVersions = VersionAsOfRe.replaceAllIn(sql, m => {
+      val target = (m.group(1), AtVersion(m.group(2).toLong))
+      targets += target
+      (travelViewName _).tupled(target)
+    })
+    val rewritten = TimestampAsOfRe.replaceAllIn(afterVersions, m => {
+      val target =
+        (m.group(1), AtTimestamp(parseTravelTimestamp(m.group(2))))
+      targets += target
+      (travelViewName _).tupled(target)
     })
     (rewritten, targets.toSeq)
   }

@@ -238,6 +238,26 @@ private[graft] object TableManifest {
   def snapshotAt(fs: FileSystem, tableDir: String, version: Long): Option[Snapshot] =
     read(fs, tableDir, version)
 
+  /** The newest version whose commit time is at or before `tsMs` —
+    * timestamp-based time travel (Delta's TIMESTAMP AS OF resolution).
+    * Walks back from the head reading only each version's own manifest
+    * JSON (no base-chain resolution); torn claims have no commit time and
+    * are stepped over. None when every surviving commit is newer than
+    * `tsMs` (the table did not exist yet, or VACUUM pruned that history).
+    */
+  def versionAtOrBefore(fs: FileSystem, tableDir: String,
+      tsMs: Long): Option[Long] = {
+    var v = highestClaimed(fs, tableDir).getOrElse(return scala.None)
+    while (v >= 1L && fs.exists(versionPath(tableDir, v))) {
+      readRaw(fs, tableDir, v) match {
+        case Some(raw) if raw.committedAtMs <= tsMs => return Some(v)
+        case _ => // newer than tsMs, or torn — keep walking back
+      }
+      v -= 1
+    }
+    scala.None
+  }
+
   /** The data-change provenance one COMMIT recorded: `Some(set)` = the
     * files this version added that are pure rewrites of already-committed
     * data (compaction outputs — streaming diffs must not deliver them);

@@ -12,6 +12,10 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE may re-plan shuffles feeding cached frames (matches Bench /
+      // Verify): iterative operators cache tiny per-round frames that
+      // otherwise shuffle at full width with near-empty tasks.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -38,6 +38,9 @@ class SqlSurfaceSpec extends AnyFunSuite {
     engine.sql("INSERT INTO tv VALUES " +
       "(TIMESTAMP '2024-01-01 00:00:00', CAST(1.0 AS FLOAT), 'a')," +
       "(TIMESTAMP '2024-01-01 00:00:01', CAST(2.0 AS FLOAT), 'a')") // v1
+    Thread.sleep(20)
+    val betweenCommits = System.currentTimeMillis()
+    Thread.sleep(20)
     engine.sql("INSERT INTO tv VALUES " +
       "(TIMESTAMP '2024-01-01 00:00:02', CAST(3.0 AS FLOAT), 'b')") // v2
     assert(engine.sql("SELECT COUNT(*) AS n FROM tv").collect().head.getLong(0) == 3L)
@@ -58,6 +61,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // Unknown version surfaces the manifest error, not an empty result.
     assertThrows[IllegalArgumentException] {
       engine.sql("SELECT COUNT(*) FROM tv VERSION AS OF 99").collect()
+    }
+
+    // TIMESTAMP AS OF resolves to the newest commit at or before the
+    // given wall-clock time (epoch-millis literal here; ISO forms parse
+    // too). "Now" sees everything; before the first commit is an error.
+    val now = System.currentTimeMillis() + 60000L
+    assert(engine.sql(s"SELECT COUNT(*) AS n FROM tv TIMESTAMP AS OF '$now'")
+      .collect().head.getLong(0) == 3L)
+    assert(engine.sql(
+      s"SELECT COUNT(*) AS n FROM tv TIMESTAMP AS OF '$betweenCommits'")
+      .collect().head.getLong(0) == 2L,
+      "a time between the two commits must resolve to the first")
+    assert(SqlExtensions.parseTravelTimestamp("2024-06-01 12:30:00") ==
+      java.time.Instant.parse("2024-06-01T12:30:00Z").toEpochMilli)
+    assert(SqlExtensions.parseTravelTimestamp("2024-06-01") ==
+      java.time.Instant.parse("2024-06-01T00:00:00Z").toEpochMilli)
+    assertThrows[IllegalArgumentException] {
+      engine.sql("SELECT COUNT(*) FROM tv TIMESTAMP AS OF '1999-01-01'")
+        .collect()
     }
   }
 
