@@ -78,7 +78,8 @@ object Bench {
     val heap = sys.env.getOrElse("SPARK_GRAFT_CHILD_HEAP", "24g")
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_CHILD_TIMEOUT", "900").toLong
     val names = selected.keys.toSeq
-    val results = names.map { name =>
+    val completed = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    names.foreach { name =>
       val cmd = (Seq(javaBin, s"-Xmx$heap", "-XX:+UseG1GC") ++ moduleOpts ++
         Seq("-cp", cp, "graft.Bench")).toArray
       val pb = new ProcessBuilder(cmd: _*)
@@ -104,9 +105,13 @@ object Bench {
         .getOrElse(-1.0)
       if (sec < 0) System.err.println(s"[bench] $name: child failed (rc=${if (finished) proc.exitValue() else "timeout"})")
       else System.err.println(f"[bench] $name: $sec%.3f s (isolated)")
-      name -> sec
+      completed += (name -> sec)
+      // A cumulative line after EVERY child: consumers take the last JSON
+      // line on stdout, so a run killed by an external timeout still
+      // reports every query measured before the kill instead of nothing.
+      println(jsonLine(completed.toSeq))
+      System.out.flush()
     }
-    println(jsonLine(results))
   }
 
   // ------------------------------------------------------------ in-process
