@@ -372,6 +372,37 @@ class ManifestSpec extends AnyFunSuite {
     assert(engine.readTable("cc").count() == 0, "truncate outcome preserved")
   }
 
+  test("versionAtOrBefore resolves commit times, stepping over torn claims") {
+    val dir = Files.createTempDirectory("graft_asof").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TableManifest.commit(fs, dir)(_ :+ "a.parquet") // v1
+    Thread.sleep(10)
+    TableManifest.commit(fs, dir)(_ :+ "b.parquet") // v2
+    val t1 = TableManifest.snapshotAt(fs, dir, 1L).get.committedAtMs
+    val t2 = TableManifest.snapshotAt(fs, dir, 2L).get.committedAtMs
+
+    assert(TableManifest.versionAtOrBefore(fs, dir, t1 - 1).isEmpty,
+      "before the first commit the table does not exist")
+    assert(TableManifest.versionAtOrBefore(fs, dir, t1).contains(1L),
+      "a commit's own time resolves to it (inclusive boundary)")
+    if (t2 > t1)
+      assert(TableManifest.versionAtOrBefore(fs, dir, t2 - 1).contains(1L),
+        "a time between two commits resolves to the earlier one")
+    assert(TableManifest.versionAtOrBefore(fs, dir,
+      System.currentTimeMillis() + 1000L).contains(2L))
+
+    // A torn claim (claimed version file, unreadable JSON) has no commit
+    // time: resolution must step over it to the newest readable commit.
+    val torn = TableManifest.versionJsonPath(dir, 3L)
+    val out = fs.create(torn, false)
+    out.write("{\"version\": 3, \"committed".getBytes)
+    out.close()
+    assert(TableManifest.versionAtOrBefore(fs, dir,
+      System.currentTimeMillis() + 1000L).contains(2L),
+      "a torn head claim must not block timestamp resolution")
+  }
+
   test("racing delta commits all land, with distinct versions") {
     // Two writers appending concurrently under the delta protocol: every
     // version claim is create-if-absent, losers retry on the new head, so
