@@ -299,11 +299,28 @@ private final class SegmentMicroBatchStream(schema: StructType, tableDir: String
 
 private final case class SegmentFilePartition(rel: String) extends InputPartition
 
-/** Reads one committed segment file via parquet-mr (micro-batch grain;
-  * the vectorized scan is not reachable from a DSv2 streaming reader),
-  * deriving the directory-partition `field_column` from the path. A
-  * missing file is an empty read — the `ignoreMissingFiles` contract for
-  * a stream racing TRUNCATE's quarantine.
+/** Per-JVM file-read-path counters: observability for the
+  * vectorized-vs-fallback split (and the test hook proving the fast path
+  * actually engages on engine-written files — a silent 100% fallback
+  * would still be correct, just slow).
+  */
+private[graft] object SegmentStreamReadStats {
+  val vectorizedFileReads = new java.util.concurrent.atomic.AtomicLong
+  val fallbackFileReads = new java.util.concurrent.atomic.AtomicLong
+}
+
+/** Reads one committed segment file, deriving the directory-partition
+  * `field_column` from the path. A missing file is an empty read — the
+  * `ignoreMissingFiles` contract for a stream racing TRUNCATE's
+  * quarantine.
+  *
+  * Fast path: Spark's vectorized parquet reader decoding into columnar
+  * batches served row-by-row (the same decoder the batch scan uses —
+  * matters most for a fresh consumer whose first micro-batch anchors on a
+  * large table's full snapshot). Files written by this engine store the
+  * read schema's columns in order; anything else (or any vectorized init
+  * failure) falls back to the parquet-mr row reader, which handles any
+  * column order.
   */
 private final class SegmentFileReaderFactory(schema: StructType,
     tableDir: String, conf: SerializableHadoopConf)
@@ -318,38 +335,91 @@ private final class SegmentFileReaderFactory(schema: StructType,
         seg.substring(SegmentSchema.FieldColumn.length + 1).toInt
     }.getOrElse(throw new IllegalStateException(
       s"Segment file path $rel has no ${SegmentSchema.FieldColumn}= component."))
+    if (!fs.exists(path)) emptyReader
+    else {
+      try {
+        val r = vectorizedReader(path, fieldColumn)
+        SegmentStreamReadStats.vectorizedFileReads.incrementAndGet()
+        r
+      } catch {
+        case _: Exception =>
+          SegmentStreamReadStats.fallbackFileReads.incrementAndGet()
+          rowReader(path, fieldColumn)
+      }
+    }
+  }
+
+  private def emptyReader: PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = false
+      override def get(): InternalRow = null
+      override def close(): Unit = ()
+    }
+
+  private def vectorizedReader(
+      path: Path, fieldColumn: Int): PartitionReader[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    val fileFields = schema.fields.filter(_.name != SegmentSchema.FieldColumn)
+    // The vectorized reader appends partition columns AFTER the file
+    // columns, so the produced row layout is only correct when the file
+    // stores exactly `fileFields` in schema order (field_column is last in
+    // the read schema). Check the footer before committing to the fast
+    // path; self-describing mismatch falls back to the order-aware reader.
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf.value))
+    val fileColumnNames =
+      try footer.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+      finally footer.close()
+    require(fileColumnNames == fileFields.map(_.name).toSeq,
+      s"file column order $fileColumnNames differs from the read schema")
     val reader =
-      if (!fs.exists(path)) scala.None
-      else Some(ParquetReader.builder(new GroupReadSupport(), path)
-        .withConf(conf.value).build())
+      new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
+        /* useOffHeap = */ false, /* capacity = */ 4096)
+    try {
+      reader.initialize(path.toString, fileFields.map(_.name).toList.asJava)
+      reader.initBatch(
+        StructType(Seq(StructField(SegmentSchema.FieldColumn, IntegerType,
+          nullable = false))),
+        new GenericInternalRow(Array[Any](fieldColumn)))
+    } catch { case e: Exception => reader.close(); throw e }
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = reader.nextKeyValue()
+      override def get(): InternalRow =
+        reader.getCurrentValue.asInstanceOf[InternalRow]
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  private def rowReader(
+      path: Path, fieldColumn: Int): PartitionReader[InternalRow] = {
+    val reader = ParquetReader.builder(new GroupReadSupport(), path)
+      .withConf(conf.value).build()
 
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
-      override def next(): Boolean = reader match {
-        case scala.None => false
-        case Some(r) =>
-          val g = r.read()
-          if (g == null) { current = null; false }
-          else {
-            val values = schema.fields.map { f =>
-              if (f.name == SegmentSchema.FieldColumn) fieldColumn
-              else f.dataType match {
-                case ByteType => g.getInteger(f.name, 0).toByte
-                case IntegerType => g.getInteger(f.name, 0)
-                case LongType => g.getLong(f.name, 0)
-                case FloatType => g.getFloat(f.name, 0)
-                case BinaryType => g.getBinary(f.name, 0).getBytes
-                case StringType => UTF8String.fromString(g.getString(f.name, 0))
-                case other => throw new IllegalStateException(
-                  s"Segment schema has no streaming reader for type $other.")
-              }
+      override def next(): Boolean = {
+        val g = reader.read()
+        if (g == null) { current = null; false }
+        else {
+          val values = schema.fields.map { f =>
+            if (f.name == SegmentSchema.FieldColumn) fieldColumn
+            else f.dataType match {
+              case ByteType => g.getInteger(f.name, 0).toByte
+              case IntegerType => g.getInteger(f.name, 0)
+              case LongType => g.getLong(f.name, 0)
+              case FloatType => g.getFloat(f.name, 0)
+              case BinaryType => g.getBinary(f.name, 0).getBytes
+              case StringType => UTF8String.fromString(g.getString(f.name, 0))
+              case other => throw new IllegalStateException(
+                s"Segment schema has no streaming reader for type $other.")
             }
-            current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
-            true
           }
+          current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+          true
+        }
       }
       override def get(): InternalRow = current
-      override def close(): Unit = reader.foreach(_.close())
+      override def close(): Unit = reader.close()
     }
   }
 }

@@ -73,6 +73,14 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     assert(out.getLong(0) == 800L,
       s"all appended segments must reconstruct, got ${out.getLong(0)}")
     assert(out.getDouble(1) == (0 until 800).sum.toDouble)
+
+    // The vectorized per-file read path must actually engage on
+    // engine-written segment files (a silent 100% fallback to the
+    // parquet-mr row reader would still pass the value checks, just slow).
+    assert(graft.tsdb.SegmentStreamReadStats.vectorizedFileReads.get() > 0,
+      "no segment file went through the vectorized reader")
+    assert(graft.tsdb.SegmentStreamReadStats.fallbackFileReads.get() == 0,
+      "engine-written segment files must not need the fallback reader")
   }
 
   test("OPTIMIZE mid-stream re-delivers nothing; uncommitted files invisible") {

@@ -258,12 +258,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val stream = MemoryStream[(Long, Float, String)]
     val source = stream.toDF().toDF("ts", "v", "tag")
     val checkpoint = Files.createTempDirectory("graft_ckpt").toString
+    // Data must be in the source BEFORE an AvailableNow query starts: the
+    // trigger snapshots the available offsets as the query comes up, so
+    // data added after that race window would be skipped (a real flake
+    // under machine load, not a product bug).
+    stream.addData((0 until 500).map(i =>
+      (1700000000000000L + i * 1000000L, i.toFloat, s"u${i % 2}")))
     val query = graft.streaming.StreamingIngest.start(
       engine, "st", source, checkpoint,
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-
-    stream.addData((0 until 500).map(i =>
-      (1700000000000000L + i * 1000000L, i.toFloat, s"u${i % 2}")))
     query.awaitTermination(60000)
 
     assert(engine.sql("SELECT COUNT(*) AS n FROM st").collect().head.getLong(0) == 500L)
@@ -275,11 +278,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val stream2 = MemoryStream[(Long, Float, String)]
     val source2 = stream2.toDF().toDF("ts", "v", "tag")
     val checkpoint2 = Files.createTempDirectory("graft_ckpt2").toString
+    stream2.addData((0 until 100).map(i =>
+      (1700001000000000L + i * 1000000L, i.toFloat, s"u${i % 2}")))
     val query2 = graft.streaming.StreamingIngest.start(
       engine, "st", source2, checkpoint2,
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    stream2.addData((0 until 100).map(i =>
-      (1700001000000000L + i * 1000000L, i.toFloat, s"u${i % 2}")))
     query2.awaitTermination(60000)
     assert(engine.sql("SELECT COUNT(*) AS n FROM st").collect().head.getLong(0) == 600L,
       "fresh-checkpoint query must not be skipped by stale replay markers")
@@ -289,11 +292,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     engine.truncate("st")
     val stream3 = MemoryStream[(Long, Float, String)]
     val source3 = stream3.toDF().toDF("ts", "v", "tag")
+    stream3.addData((0 until 50).map(i =>
+      (1700002000000000L + i * 1000000L, i.toFloat, "u0")))
     val query3 = graft.streaming.StreamingIngest.start(
       engine, "st", source3.toDF("ts", "v", "tag"), checkpoint2 + "_post_truncate",
       trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
-    stream3.addData((0 until 50).map(i =>
-      (1700002000000000L + i * 1000000L, i.toFloat, "u0")))
     query3.awaitTermination(60000)
     assert(engine.sql("SELECT COUNT(*) AS n FROM st").collect().head.getLong(0) == 50L)
   }
