@@ -457,7 +457,8 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * Tables that predate the manifest layer fall back to the directory
     * file stream until their first committed write adopts them.
     */
-  def segmentsStream(table: String): DataFrame = {
+  def segmentsStream(table: String,
+      maxVersionsPerTrigger: Option[Long] = scala.None): DataFrame = {
     val meta = metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
     val schema = SegmentSchema.forTags(meta.tagColumns)
@@ -466,13 +467,15 @@ final class DataFolder(val spark: SparkSession, val root: String) {
       // Legacy pre-manifest data: no commit history to stream.
       spark.readStream.schema(schema).parquet(dir)
     } else {
-      spark.readStream
+      val reader = spark.readStream
         .format(classOf[SegmentStreamProvider].getName)
         .schema(schema)
         .option(SegmentStream.DirOption,
           fs.makeQualified(new Path(dir)).toString)
         .option(SegmentStream.SchemaOption, schema.json)
-        .load()
+      maxVersionsPerTrigger
+        .foreach(k => reader.option(SegmentStream.MaxVersionsOption, k))
+      reader.load()
     }
   }
 

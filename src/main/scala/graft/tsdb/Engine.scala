@@ -198,11 +198,14 @@ final class Engine(val spark: SparkSession, val root: String) {
     * aggregates by timestamp, which a caller adds downstream with a
     * watermark if needed.
     */
-  def readTableStream(table: String, field: String): DataFrame = {
+  def readTableStream(table: String, field: String,
+      maxVersionsPerTrigger: Option[Long] = scala.None): DataFrame = {
     val meta = dataFolder.metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
     require(meta.fieldColumns.contains(field), s"$field is not a stored field.")
-    GridView.dataPoints(dataFolder.segmentsStream(table), meta, Seq(field))
+    GridView.dataPoints(
+      dataFolder.segmentsStream(table, maxVersionsPerTrigger), meta,
+      Seq(field))
   }
 
   /** Structured read of a time series table, the `read_time_series_table`

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -59,12 +59,21 @@ final class SegmentStreamProvider extends TableProvider {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new SegmentStreamTable(schema, properties.get(DirOption))
+    new SegmentStreamTable(schema, properties.get(DirOption),
+      Option(properties.get(MaxVersionsOption)).map(_.toLong))
 }
 
 private[tsdb] object SegmentStream {
   val DirOption = "graft.tabledir"
   val SchemaOption = "graft.segmentschema"
+
+  /** Admission control: at most this many manifest versions per
+    * micro-batch (Delta's maxFilesPerTrigger analog at this source's
+    * offset grain). Bounds a catch-up: a consumer far behind the head
+    * processes the backlog as several bounded batches instead of one
+    * giant one. Unset = drain to the fenced head every trigger.
+    */
+  val MaxVersionsOption = "graft.maxversionspertrigger"
 
   /** How long a claimed-but-unreadable manifest may block the stream's end
     * offset before it is treated as a crashed writer's permanent dropping.
@@ -213,7 +222,8 @@ private[tsdb] object SegmentStream {
       .startsWith(DataFolder.CompactedFilePrefix)
 }
 
-private final class SegmentStreamTable(tableSchema: StructType, tableDir: String)
+private final class SegmentStreamTable(tableSchema: StructType, tableDir: String,
+    maxVersionsPerTrigger: Option[Long])
     extends Table with SupportsRead {
   override def name(): String = s"graft-segments(`$tableDir`)"
   override def schema(): StructType = tableSchema
@@ -224,7 +234,8 @@ private final class SegmentStreamTable(tableSchema: StructType, tableDir: String
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new SegmentMicroBatchStream(tableSchema, tableDir)
+          new SegmentMicroBatchStream(tableSchema, tableDir,
+            maxVersionsPerTrigger)
       }
     }
 }
@@ -236,8 +247,10 @@ private final case class SegmentVersionOffset(version: Long) extends Offset {
   override def json(): String = s"""{"version":$version}"""
 }
 
-private final class SegmentMicroBatchStream(schema: StructType, tableDir: String)
-    extends MicroBatchStream {
+private final class SegmentMicroBatchStream(schema: StructType, tableDir: String,
+    maxVersionsPerTrigger: Option[Long] = scala.None)
+    extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   // Driver-side construction: capture the session's Hadoop conf for the
   // executors (custom serializable wrapper — no Spark-private helpers).
   private val conf = new SerializableHadoopConf(
@@ -262,10 +275,36 @@ private final class SegmentMicroBatchStream(schema: StructType, tableDir: String
     * [[SegmentStream.latestDeliverable]] for the torn-claim fence and the
     * crashed-writer grace policy).
     */
-  override def latestOffset(): Offset = SegmentVersionOffset(
+  private def fencedHead(): Long =
     SegmentStream.latestDeliverable(fs, tableDir, floor,
       TableManifest.headVersion(fs, tableDir).getOrElse(0L),
-      SegmentStream.TornClaimGraceMs, System.currentTimeMillis()))
+      SegmentStream.TornClaimGraceMs, System.currentTimeMillis())
+
+  // Trigger.AvailableNow contract: the drain target is snapshotted here,
+  // and latestOffset never advances past it — the query then processes
+  // (start, target] as one or several bounded batches and terminates.
+  @volatile private var availableNowTarget: Option[Long] = scala.None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(fencedHead())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Admission-control end offset: the fenced head, capped at
+    * `start + maxVersionsPerTrigger` versions (backlog catch-up runs as
+    * several bounded micro-batches) and at the AvailableNow drain target.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[SegmentVersionOffset].version
+    raiseFloor(from)
+    val head = fencedHead()
+    val capped = maxVersionsPerTrigger.fold(head)(k =>
+      math.min(head, from + math.max(1L, k)))
+    SegmentVersionOffset(
+      availableNowTarget.fold(capped)(t => math.min(capped, t)))
+  }
+
+  override def latestOffset(): Offset = SegmentVersionOffset(
+    availableNowTarget.fold(fencedHead())(t => math.min(fencedHead(), t)))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val a = start.asInstanceOf[SegmentVersionOffset].version
