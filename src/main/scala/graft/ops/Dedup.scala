@@ -137,9 +137,11 @@ object Dedup {
     * produced by the *DuplicatePairs operators): returns (id, cluster_id)
     * where cluster_id is the minimum id reachable through pair edges.
     *
-    * Pointer-doubling connected components: alternating large-star /
-    * small-star contractions (the MapReduce CC algorithm of Kiveris et
-    * al., "Connected Components in MapReduce and Beyond"). Unlike one-hop
+    * Pointer-doubling connected components: large-star / small-star
+    * contractions (after the MapReduce CC algorithm of Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond"), with both stars
+    * applied simultaneously to the same round snapshot so one
+    * neighborhood aggregate serves both halves. Unlike one-hop
     * min-label propagation — whose round count is the cluster DIAMETER, a
     * silent correctness hole on the long duplicate chains templated
     * corpora produce at scale — star contraction shrinks every path
