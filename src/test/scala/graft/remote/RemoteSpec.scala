@@ -50,6 +50,25 @@ class RemoteSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("time travel executes on the remote server") {
+    val engine = makeEngine("tt", 300) // v1
+    import spark.implicits._
+    engine.write("rts",
+      Seq((1800000000000000L, 1.0f, "tt2")).toDF("ts_us", "v", "tag")) // v2
+    val server = new RemoteServer(engine)
+    try {
+      val addr = RemoteClient.parseAddress(server.address).get
+      val atV1 = RemoteClient.sql(spark, addr,
+        "SELECT COUNT(*) AS n FROM rts VERSION AS OF 1")
+        .collect().head.getLong(0)
+      val atHead = RemoteClient.sql(spark, addr,
+        "SELECT COUNT(*) AS n FROM rts")
+        .collect().head.getLong(0)
+      assert(atV1 == 300L, s"snapshot count must be the first write, got $atV1")
+      assert(atHead == 301L)
+    } finally server.close()
+  }
+
   test("large results stream across many arrow batches intact") {
     val engine = makeEngine("big", 30000) // > 3 batches at 8192 records each
     val server = new RemoteServer(engine)
