@@ -342,6 +342,20 @@ object RelationalQueries {
         count(*) AS n_rows
       FROM lineitem""")),
 
+    // The 100 TB path for q11: three exact countDistincts plan as an
+    // Expand (3x the scan) + distinct shuffles whose state is the key
+    // cardinality; HLL sketches (fixed size, rsd 1%) merge map-side and
+    // never hold the keys. No SQL oracle — sketch estimates are
+    // engine-defined; the spec suite bounds them against q11's exact
+    // counts at the configured rsd.
+    ("q11_distinct_counts_approx", (s: SparkSession, d: String) => {
+      table(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("n_suppliers"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+    }, None),
+
     ("q14_event_pivot", (s: SparkSession, d: String) => {
       table(s, d, "events")
         .groupBy("user_id")

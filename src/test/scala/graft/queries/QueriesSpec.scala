@@ -33,4 +33,21 @@ class QueriesSpec extends AnyFunSuite {
           s"($a25,$a50,$a90) vs ($p25,$p50,$p90)")
     }
   }
+
+  test("approx distinct counts track exact counts within the HLL rsd") {
+    val exact = SparkEntry.queries("q11_distinct_counts")(spark, sfDir)
+      .collect().head
+    val approx = SparkEntry.queries("q11_distinct_counts_approx")(spark, sfDir)
+      .collect().head
+    assert(exact.schema.fieldNames.toSeq == approx.schema.fieldNames.toSeq)
+    // rsd = 1%; allow 5 standard deviations so the test never flakes on
+    // an unlucky sketch while still catching a broken estimator.
+    (0 until 3).foreach { i =>
+      val e = exact.getLong(i).toDouble
+      val a = approx.getLong(i).toDouble
+      assert(math.abs(a - e) <= e * 0.05,
+        s"${exact.schema.fieldNames(i)}: approx $a vs exact $e")
+    }
+    assert(exact.getLong(3) == approx.getLong(3), "n_rows is exact in both")
+  }
 }
