@@ -89,12 +89,19 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_CPUS", cpus)
       pb.redirectErrorStream(false)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      // Stdout goes to a temp file, not a pipe drained on this thread: a
+      // wedged child that keeps stdout open would block a pipe drain to EOF
+      // forever and the timeout below would never be reached.
+      val outFile = java.io.File.createTempFile("graft-bench-child-", ".out")
+      pb.redirectOutput(outFile)
       val proc = pb.start()
-      // Drain stdout on this thread (children print little); keep the line
-      // that carries the JSON result.
-      val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
       val finished = proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-      if (!finished) proc.destroyForcibly()
+      if (!finished) { proc.destroyForcibly(); proc.waitFor() }
+      val out = {
+        val src = scala.io.Source.fromFile(outFile)
+        try src.getLines().toList finally src.close()
+      }
+      outFile.delete()
       val sec = out.reverseIterator
         .find(_.startsWith("{\"metric\""))
         .flatMap { line =>

@@ -344,15 +344,19 @@ object RelationalQueries {
 
     // The 100 TB path for q11: three exact countDistincts plan as an
     // Expand (3x the scan) + distinct shuffles whose state is the key
-    // cardinality; HLL sketches (fixed size, rsd 1%) merge map-side and
-    // never hold the keys. No SQL oracle — sketch estimates are
-    // engine-defined; the spec suite bounds them against q11's exact
-    // counts at the configured rsd.
+    // cardinality; HLL sketches (fixed size) merge map-side and never
+    // hold the keys. rsd = 2% (p=12, 4096 registers): Spark models each
+    // sketch word as one aggregation-buffer ATTRIBUTE, so rsd 1%'s p=14
+    // puts ~8200 attributes in the plan — a multi-MiB task binary and
+    // ~1.3 s of serialize/broadcast/deserialize per execution for no
+    // per-row benefit. p=12 keeps the plan small; per-row cost is the
+    // same. No SQL oracle — sketch estimates are engine-defined; the
+    // spec suite bounds them against q11's exact counts.
     ("q11_distinct_counts_approx", (s: SparkSession, d: String) => {
       table(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("n_suppliers"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("n_suppliers"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders"),
         count(lit(1)).as("n_rows"))
     }, None),
 

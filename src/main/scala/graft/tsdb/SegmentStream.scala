@@ -406,11 +406,25 @@ private final class SegmentFileReaderFactory(schema: StructType,
     // path; self-describing mismatch falls back to the order-aware reader.
     val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf.value))
-    val fileColumnNames =
-      try footer.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+    val fileColumns =
+      try footer.getFileMetaData.getSchema.getFields.asScala.toSeq
+        .map(f => (f.getName,
+          if (f.isPrimitive) f.asPrimitiveType().getPrimitiveTypeName.name
+          else "GROUP"))
       finally footer.close()
-    require(fileColumnNames == fileFields.map(_.name).toSeq,
-      s"file column order $fileColumnNames differs from the read schema")
+    // Names AND physical types must match: a file written externally with
+    // the right column names but, say, DOUBLE where the schema says FLOAT
+    // would pass a name-only gate and then fail (or mis-decode) mid-batch,
+    // past the construction-time fallback below.
+    val expected = fileFields.map(f => (f.name, f.dataType match {
+      case ByteType | IntegerType => "INT32"
+      case LongType => "INT64"
+      case FloatType => "FLOAT"
+      case BinaryType | StringType => "BINARY"
+      case other => s"UNSUPPORTED($other)"
+    })).toSeq
+    require(fileColumns == expected,
+      s"file columns $fileColumns differ from the read schema $expected")
     val reader =
       new org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader(
         /* useOffHeap = */ false, /* capacity = */ 4096)
@@ -431,10 +445,39 @@ private final class SegmentFileReaderFactory(schema: StructType,
 
   private def rowReader(
       path: Path, fieldColumn: Int): PartitionReader[InternalRow] = {
+    import scala.jdk.CollectionConverters._
+    // The file's physical column types, so numeric decode can adapt: an
+    // externally-written file with, say, DOUBLE where the schema says
+    // FLOAT (or INT64 where it says INT32) still delivers through this
+    // fallback instead of throwing a group-getter cast error.
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf.value))
+    val physical: Map[String, String] =
+      try footer.getFileMetaData.getSchema.getFields.asScala
+        .filter(_.isPrimitive)
+        .map(f => f.getName -> f.asPrimitiveType().getPrimitiveTypeName.name)
+        .toMap
+      finally footer.close()
     val reader = ParquetReader.builder(new GroupReadSupport(), path)
       .withConf(conf.value).build()
 
     new PartitionReader[InternalRow] {
+      private def integral(g: org.apache.parquet.example.data.Group,
+                           name: String): Long = physical.getOrElse(name, "INT64") match {
+        case "INT32" => g.getInteger(name, 0).toLong
+        case "INT64" => g.getLong(name, 0)
+        case other => throw new IllegalStateException(
+          s"Column $name: cannot read physical $other as an integral type.")
+      }
+      private def floating(g: org.apache.parquet.example.data.Group,
+                           name: String): Float = physical.getOrElse(name, "FLOAT") match {
+        case "FLOAT" => g.getFloat(name, 0)
+        case "DOUBLE" => g.getDouble(name, 0).toFloat
+        case "INT32" => g.getInteger(name, 0).toFloat
+        case "INT64" => g.getLong(name, 0).toFloat
+        case other => throw new IllegalStateException(
+          s"Column $name: cannot read physical $other as a float.")
+      }
       private var current: InternalRow = _
       override def next(): Boolean = {
         val g = reader.read()
@@ -443,10 +486,10 @@ private final class SegmentFileReaderFactory(schema: StructType,
           val values = schema.fields.map { f =>
             if (f.name == SegmentSchema.FieldColumn) fieldColumn
             else f.dataType match {
-              case ByteType => g.getInteger(f.name, 0).toByte
-              case IntegerType => g.getInteger(f.name, 0)
-              case LongType => g.getLong(f.name, 0)
-              case FloatType => g.getFloat(f.name, 0)
+              case ByteType => integral(g, f.name).toByte
+              case IntegerType => integral(g, f.name).toInt
+              case LongType => integral(g, f.name)
+              case FloatType => floating(g, f.name)
               case BinaryType => g.getBinary(f.name, 0).getBytes
               case StringType => UTF8String.fromString(g.getString(f.name, 0))
               case other => throw new IllegalStateException(

@@ -98,11 +98,19 @@ object SqlExtensions {
 
   /** Parse a TIMESTAMP AS OF literal: ISO instant (trailing Z/offset),
     * `yyyy-MM-dd[ HH:mm:ss[.SSS]]` read as UTC (the engine's session
-    * timezone), or raw epoch milliseconds.
+    * timezone), or raw epoch milliseconds (12-13 digits). Shorter bare
+    * numbers are REJECTED as ambiguous: a compact date like '20240101'
+    * read as epoch millis would silently resolve to 1970-08-23.
     */
   def parseTravelTimestamp(literal: String): Long = {
     val t = literal.trim
-    if (t.matches("\\d{1,13}")) t.toLong
+    if (t.matches("\\d+")) {
+      require(t.length == 12 || t.length == 13,
+        s"Ambiguous bare number '$t' in TIMESTAMP AS OF: expected epoch " +
+          "milliseconds (12-13 digits) or an ISO date/time like " +
+          "'2024-01-01 00:00:00'.")
+      t.toLong
+    }
     else scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse {
       val normalized = t.replace(' ', 'T')
       val local = scala.util.Try(java.time.LocalDateTime.parse(normalized))
@@ -111,23 +119,62 @@ object SqlExtensions {
     }
   }
 
+  /** Spans [start, end) of single-quoted string literals ('' escapes). */
+  private def literalSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+    var i = 0
+    while (i < sql.length) {
+      if (sql.charAt(i) == '\'') {
+        val start = i
+        i += 1
+        var closed = false
+        while (i < sql.length && !closed) {
+          if (sql.charAt(i) == '\'') {
+            if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') i += 2
+            else { closed = true; i += 1 }
+          } else i += 1
+        }
+        spans += ((start, i))
+      } else i += 1
+    }
+    spans.toSeq
+  }
+
   /** Rewrite every `t VERSION AS OF n` / `t TIMESTAMP AS OF '...'` to its
     * snapshot view name; returns the rewritten SQL plus the distinct
     * (table, travel) pairs to bind.
+    *
+    * Like the other pre-parser rewrites this is textual, with two guarded
+    * limitations: matches inside single-quoted string literals are left
+    * untouched (a literal containing the words "VERSION AS OF" is data,
+    * not syntax), and qualified names (`db.tbl VERSION AS OF n`) raise a
+    * clear unsupported error instead of mangling the name — the engine
+    * binds snapshot views by unqualified table name only.
     */
   def rewriteTimeTravel(sql: String): (String, Seq[(String, Travel)]) = {
     val targets = scala.collection.mutable.LinkedHashSet[(String, Travel)]()
-    val afterVersions = VersionAsOfRe.replaceAllIn(sql, m => {
-      val target = (m.group(1), AtVersion(m.group(2).toLong))
-      targets += target
-      (travelViewName _).tupled(target)
-    })
-    val rewritten = TimestampAsOfRe.replaceAllIn(afterVersions, m => {
-      val target =
-        (m.group(1), AtTimestamp(parseTravelTimestamp(m.group(2))))
-      targets += target
-      (travelViewName _).tupled(target)
-    })
+    def pass(input: String, re: scala.util.matching.Regex,
+             travelOf: scala.util.matching.Regex.Match => Travel): String = {
+      val literals = literalSpans(input)
+      re.replaceSomeIn(input, m => {
+        if (literals.exists(s => m.start >= s._1 && m.start < s._2)) None
+        else if (m.start > 0 && input.charAt(m.start - 1) == '.')
+          throw new IllegalArgumentException(
+            s"Time travel on qualified names is not supported: " +
+              s"'${m.matched.takeWhile(_ != '\n')}'. Use the unqualified " +
+              "table name registered with this engine.")
+        else {
+          val target = (m.group(1), travelOf(m))
+          targets += target
+          Some(scala.util.matching.Regex.quoteReplacement(
+            (travelViewName _).tupled(target)))
+        }
+      })
+    }
+    val afterVersions =
+      pass(sql, VersionAsOfRe, m => AtVersion(m.group(2).toLong))
+    val rewritten = pass(afterVersions, TimestampAsOfRe,
+      m => AtTimestamp(parseTravelTimestamp(m.group(2))))
     (rewritten, targets.toSeq)
   }
 

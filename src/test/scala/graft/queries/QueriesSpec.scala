@@ -40,12 +40,14 @@ class QueriesSpec extends AnyFunSuite {
     val approx = SparkEntry.queries("q11_distinct_counts_approx")(spark, sfDir)
       .collect().head
     assert(exact.schema.fieldNames.toSeq == approx.schema.fieldNames.toSeq)
-    // rsd = 1%; allow 5 standard deviations so the test never flakes on
-    // an unlucky sketch while still catching a broken estimator.
+    // rsd = 2%; allow 4 standard deviations so the test never flakes on
+    // an unlucky sketch while still catching a broken estimator (at the
+    // spec's small cardinalities HLL++ bias correction / linear counting
+    // keeps the real error well under the nominal rsd anyway).
     (0 until 3).foreach { i =>
       val e = exact.getLong(i).toDouble
       val a = approx.getLong(i).toDouble
-      assert(math.abs(a - e) <= e * 0.05,
+      assert(math.abs(a - e) <= e * 0.08,
         s"${exact.schema.fieldNames(i)}: approx $a vs exact $e")
     }
     assert(exact.getLong(3) == approx.getLong(3), "n_rows is exact in both")

@@ -138,6 +138,63 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "the reordered file must take the fallback reader")
   }
 
+  test("a segment file with widened numeric types falls back and still delivers") {
+    import spark.implicits._
+    val engine = new graft.tsdb.Engine(spark,
+      Files.createTempDirectory("graft_stream_wt").toString)
+    engine.sql("CREATE TIME SERIES TABLE wt(ts TIMESTAMP, v FIELD, tag TAG)")
+    engine.write("wt", (0 until 100)
+      .map(i => (1700000000000000L + i * 1000000L, i.toFloat, "u0"))
+      .toDF("ts", "v", "tag"))
+
+    // Handcraft a committed file with the RIGHT column names and order but
+    // DOUBLE physical storage where the schema says FLOAT — an external
+    // writer's widened shape. The vectorized gate checks physical types
+    // (names alone would pass and then fail mid-batch); the parquet-mr
+    // fallback must adapt the numeric decode and deliver correct values.
+    val dir = engine.dataFolder.tableDir("wt")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = graft.tsdb.TableManifest.latest(fs, dir).get.files.head
+    val original = spark.read.parquet(s"$dir/$live")
+    val widened = original.select(original.schema.fields.map { f =>
+      if (f.dataType == org.apache.spark.sql.types.FloatType)
+        col(f.name).cast("double").as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+    val tmpOut = Files.createTempDirectory("graft_wt_wide").toString + "/out"
+    widened.coalesce(1).write.parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val partitionDir = live.substring(0, live.lastIndexOf('/'))
+    val rel = s"$partitionDir/widened-${java.util.UUID.randomUUID()}.parquet"
+    fs.rename(new org.apache.hadoop.fs.Path(part.getPath),
+      new org.apache.hadoop.fs.Path(dir, rel))
+    graft.tsdb.TableManifest.commit(fs, dir)(_ :+ rel)
+
+    val fallbacksBefore =
+      graft.tsdb.SegmentStreamReadStats.fallbackFileReads.get()
+    val query = engine.readTableStream("wt", "v").writeStream
+      .outputMode("append")
+      .format("memory").queryName("wide_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_wt_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val out = spark.sql(
+      "SELECT COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS s FROM wide_stream_out")
+      .collect().head
+    assert(out.getLong(0) == 200L,
+      s"both files must deliver, got ${out.getLong(0)} rows")
+    assert(out.getDouble(1) == 2.0d * (0 until 100).sum,
+      "the widened file's values must decode correctly despite DOUBLE storage")
+    assert(graft.tsdb.SegmentStreamReadStats.fallbackFileReads.get() >
+      fallbacksBefore,
+      "the type-mismatched file must take the fallback reader")
+  }
+
   test("maxVersionsPerTrigger drains a backlog as several bounded batches") {
     import spark.implicits._
     val engine = new graft.tsdb.Engine(spark,

@@ -81,6 +81,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
       engine.sql("SELECT COUNT(*) FROM tv TIMESTAMP AS OF '1999-01-01'")
         .collect()
     }
+
+    // The textual rewrite must not fire inside string literals: the words
+    // are data there, not syntax. (tv is live here: 3 rows.)
+    val literalRow = engine.sql(
+      "SELECT COUNT(*) AS n, 'tv VERSION AS OF 1' AS hint FROM tv")
+      .collect().head
+    assert(literalRow.getLong(0) == 3L)
+    assert(literalRow.getString(1) == "tv VERSION AS OF 1",
+      "a literal containing the travel words must survive untouched")
+
+    // Qualified names are a clear unsupported error, not a mangled view.
+    val qualified = intercept[IllegalArgumentException] {
+      engine.sql("SELECT COUNT(*) FROM db.tv VERSION AS OF 1").collect()
+    }
+    assert(qualified.getMessage.contains("qualified"))
+
+    // Short bare digit strings are ambiguous (compact date vs epoch) and
+    // must be rejected, not silently read as 1970-adjacent epoch millis.
+    val ambiguous = intercept[IllegalArgumentException] {
+      SqlExtensions.parseTravelTimestamp("20240101")
+    }
+    assert(ambiguous.getMessage.contains("Ambiguous"))
+    assert(SqlExtensions.parseTravelTimestamp("1700000000000") ==
+      1700000000000L)
   }
 
   test("include federates a query over a second data folder") {
