@@ -401,6 +401,26 @@ object TsQueries {
         CAST(user_id AS VARCHAR) AS user
       FROM events ORDER BY user, ts_us""")),
 
+    // CDC read: the points each commit appended, attributed to their
+    // commit. The compact-cache table was built as four chunked appends
+    // (chunk k = rows with user_id % 4 == k, committed at version
+    // pristine-3+k), so the changes in (pristine-2, pristine] are exactly
+    // chunks 2 and 3 — and the relative version (the chunk index) is
+    // SQL-derivable, so the oracle checks BOTH the payload and the
+    // per-commit attribution.
+    ("ts_changes_read", (s: SparkSession, d: String) => {
+      val (engine, pristine) = engineForCompact(s, d)
+      engine.readTableChanges("cr", pristine - 2, pristine)
+        .select((col("_commit_version") - lit(pristine - 3)).as("chunk"),
+          unix_micros(col("ts")).as("ts_us"), col("value"), col("user"))
+        .orderBy("user", "ts_us")
+    }, Some("""
+      SELECT CAST(user_id % 4 AS BIGINT) AS chunk,
+        CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        CAST(value AS FLOAT4) AS value,
+        CAST(user_id AS VARCHAR) AS user
+      FROM events WHERE user_id % 4 IN (2, 3) ORDER BY user, ts_us""")),
+
     // Lossy compression preserves exact point counts (len is lossless).
     ("ts_lossy_count", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)

@@ -508,6 +508,37 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** CDC at the segment-file grain: the data-carrying files each manifest
+    * commit in (fromVersion, toVersion] added — the commit's file-list
+    * diff against its predecessor, minus the rewrites the commit itself
+    * declared (compaction re-packages already-committed points and must
+    * not be re-delivered). Same semantics as the streaming source's
+    * micro-batch planning, shared code path: fromVersion = 0 anchors at
+    * the first surviving snapshot (full, unfiltered — it IS the initial
+    * data), torn claims fold into the next readable diff, and a range
+    * crossing VACUUMed history fails loudly.
+    */
+  def changedDataFiles(table: String, fromVersion: Long,
+      toVersion: Long): Seq[(Long, Seq[String])] = {
+    require(fromVersion >= 0L && toVersion >= fromVersion,
+      s"changedDataFiles needs 0 <= fromVersion <= toVersion, " +
+        s"got ($fromVersion, $toVersion].")
+    SegmentStream.addsByVersion(fs, tableDir(table), fromVersion, toVersion)
+  }
+
+  /** Segment scan over an explicit committed file list (CDC reads);
+    * `basePath` keeps the field_column partition pruning intact.
+    */
+  private[tsdb] def segmentsFor(table: String, relFiles: Seq[String]): DataFrame = {
+    val meta = metadata(table)
+    val dir = tableDir(table)
+    val schema = SegmentSchema.forTags(meta.tagColumns)
+    if (relFiles.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    else spark.read.option("basePath", dir).schema(schema)
+      .parquet(relFiles.map(rel => s"$dir/$rel"): _*)
+  }
+
   private def snapshotFor(table: String,
       asOfVersion: Option[Long]): Option[TableManifest.Snapshot] =
     asOfVersion match {

@@ -182,6 +182,37 @@ final class Engine(val spark: SparkSession, val root: String) {
     readTableVersion(table, version)
   }
 
+  /** CDC read (Delta's `table_changes` insert rows): the data points each
+    * manifest commit in (fromVersion, toVersion] APPENDED, reconstructed
+    * through the grid, stamped with a `_commit_version` column.
+    * fromVersion = 0 means "since table creation". Compaction rewrites
+    * are excluded (dataChange = false); removals (TRUNCATE, rollback)
+    * carry no row-level identity in a segment store and are not emitted —
+    * and a rollback commit re-publishes previously-removed files, so a
+    * range crossing one re-delivers those points (history is
+    * forward-written). Ranges crossing VACUUMed history fail loudly, the
+    * same retention contract as the streaming source.
+    */
+  def readTableChanges(table: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    val head = TableManifest
+      .latest(dataFolder.fileSystem, dataFolder.tableDir(table))
+      .map(_.version).getOrElse(0L)
+    require(toVersion <= head,
+      s"$table has no manifest version $toVersion yet (head is $head).")
+    val perVersion = dataFolder.changedDataFiles(table, fromVersion, toVersion)
+    val frames = perVersion.map { case (v, files) =>
+      GridView.dataPoints(dataFolder.segmentsFor(table, files), meta,
+        meta.fieldColumns).withColumn("_commit_version", lit(v))
+    }
+    if (frames.isEmpty)
+      GridView.dataPoints(dataFolder.segmentsFor(table, Seq.empty), meta,
+        meta.fieldColumns).withColumn("_commit_version", lit(0L))
+    else frames.reduce(_ union _)
+  }
+
   /** Roll a table back to an earlier manifest version (forward-written
     * history; abandoned files become VACUUM-able orphans).
     */
@@ -617,6 +648,7 @@ final class Engine(val spark: SparkSession, val root: String) {
             case SqlExtensions.AtVersion(v) => readTableVersion(table, v)
             case SqlExtensions.AtTimestamp(ms) =>
               readTableAsOfTimestamp(table, ms)
+            case SqlExtensions.AtChanges(a, b) => readTableChanges(table, a, b)
           }
           snapshot.createOrReplaceTempView(
             SqlExtensions.travelViewName(table, travel))

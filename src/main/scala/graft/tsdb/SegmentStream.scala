@@ -159,9 +159,18 @@ private[tsdb] object SegmentStream {
   }
 
   /** The data files micro-batch (a, b] must deliver. */
-  def addsBetween(fs: FileSystem, tableDir: String, a: Long, b: Long): Seq[String] = {
+  def addsBetween(fs: FileSystem, tableDir: String, a: Long, b: Long): Seq[String] =
+    addsByVersion(fs, tableDir, a, b).flatMap(_._2)
+
+  /** [[addsBetween]] with per-commit attribution: (version, the data files
+    * that commit added) for every contributing version in (a, b]. Shared
+    * by the streaming source (flattened) and the CDC batch read (which
+    * stamps each file set with its commit version).
+    */
+  def addsByVersion(fs: FileSystem, tableDir: String,
+      a: Long, b: Long): Seq[(Long, Seq[String])] = {
     if (b <= a) return Seq.empty
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[(Long, Seq[String])]
     // Anchor: the resolved live set the first diff builds on. a == 0 is a
     // fresh consumer — its anchor is the initial snapshot itself. An
     // anchored offset below which NOTHING resolves (every version torn:
@@ -183,7 +192,7 @@ private[tsdb] object SegmentStream {
         case Some(snap) =>
           prev match {
             case scala.None =>
-              out ++= snap.files // initial snapshot: full, unfiltered
+              out += (v -> snap.files) // initial snapshot: full, unfiltered
             case Some(pf) =>
               // Rewrites carry no new points. The commit's own `rewrites`
               // record is authoritative (Delta's dataChange=false shape);
@@ -194,7 +203,8 @@ private[tsdb] object SegmentStream {
                   case Some(declared) => declared.contains _
                   case scala.None => isCompacted _
                 }
-              out ++= snap.files.filterNot(pf).filterNot(isRewrite)
+              val added = snap.files.filterNot(pf).filterNot(isRewrite)
+              if (added.nonEmpty) out += (v -> added)
           }
           prev = Some(snap.files.toSet)
         case scala.None =>

@@ -74,8 +74,9 @@ object SqlExtensions {
   private def splitNames(names: String): Seq[String] =
     names.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
-  // `FROM t VERSION AS OF n` / `FROM t TIMESTAMP AS OF '...'` — Delta-style
-  // time travel over the manifest's version history. A pre-parser textual
+  // `FROM t VERSION AS OF n` / `FROM t TIMESTAMP AS OF '...'` /
+  // `FROM t CHANGES FROM a TO b` (CDC) — Delta-style time travel and
+  // change reads over the manifest's version history. A pre-parser textual
   // rewrite like the statements above: each occurrence is replaced by a
   // snapshot temp-view name and the (table, travel) pair is reported so the
   // engine can bind that view to the matching snapshot read before
@@ -84,16 +85,20 @@ object SqlExtensions {
   sealed trait Travel
   final case class AtVersion(version: Long) extends Travel
   final case class AtTimestamp(epochMs: Long) extends Travel
+  final case class AtChanges(fromVersion: Long, toVersion: Long) extends Travel
 
   private val VersionAsOfRe =
     """(?is)\b([A-Za-z_][A-Za-z0-9_]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b""".r
   private val TimestampAsOfRe =
     """(?is)\b([A-Za-z_][A-Za-z0-9_]*)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+  private val ChangesRe =
+    """(?is)\b([A-Za-z_][A-Za-z0-9_]*)\s+CHANGES\s+FROM\s+(\d+)\s+TO\s+(\d+)\b""".r
 
   /** Name of the temp view a time-travel rewrite binds a snapshot to. */
   def travelViewName(table: String, travel: Travel): String = travel match {
     case AtVersion(v) => s"${table}__version_$v"
     case AtTimestamp(ms) => s"${table}__asof_$ms"
+    case AtChanges(a, b) => s"${table}__changes_${a}_$b"
   }
 
   /** Parse a TIMESTAMP AS OF literal: ISO instant (trailing Z/offset),
@@ -173,8 +178,12 @@ object SqlExtensions {
     }
     val afterVersions =
       pass(sql, VersionAsOfRe, m => AtVersion(m.group(2).toLong))
-    val rewritten = pass(afterVersions, TimestampAsOfRe,
+    val afterTimestamps = pass(afterVersions, TimestampAsOfRe,
       m => AtTimestamp(parseTravelTimestamp(m.group(2))))
+    // `t CHANGES FROM a TO b` — CDC rows of commits (a, b] with their
+    // `_commit_version`, the SQL face of Engine.readTableChanges.
+    val rewritten = pass(afterTimestamps, ChangesRe,
+      m => AtChanges(m.group(2).toLong, m.group(3).toLong))
     (rewritten, targets.toSeq)
   }
 

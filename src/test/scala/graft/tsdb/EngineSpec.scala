@@ -416,4 +416,47 @@ class EngineSpec extends AnyFunSuite {
       target = engineB)
     assert(engineB.readTable("xstats").count() == 1)
   }
+
+  test("readTableChanges attributes appended points to their commits") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE ch(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    def batch(offset: Int, n: Int) = (0 until n)
+      .map(i => (1700000000000000L + (offset + i) * 1000000L,
+        (offset + i).toFloat, "t0"))
+      .toDF("ts", "v", "tag")
+    def head = TableManifest.latest(engine.dataFolder.fileSystem,
+      engine.dataFolder.tableDir("ch")).get.version
+    engine.write("ch", batch(0, 50)); val v1 = head
+    engine.write("ch", batch(50, 30)); val v2 = head
+    engine.sql("OPTIMIZE ch"); val vOpt = head
+    assert(vOpt == v2 + 1, "OPTIMIZE must commit a compaction version")
+    engine.write("ch", batch(80, 20)); val v3 = head
+
+    // Every appended point exactly once, attributed to its commit; the
+    // compaction version contributes nothing (rewrites, dataChange=false).
+    val all = engine.readTableChanges("ch", 0L, v3)
+      .select(col("_commit_version"), unix_micros(col("ts")).as("us"), col("v"))
+      .collect()
+    assert(all.length == 100)
+    val byVersion = all.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byVersion == Map(v1 -> 50, v2 -> 30, v3 -> 20))
+    assert(all.filter(_.getLong(0) == v3).map(_.getFloat(2)).sorted.toSeq ==
+      (80 until 100).map(_.toFloat),
+      "the grid must reconstruct each commit's exact values")
+
+    // Incremental windows compose and the compaction window is empty.
+    assert(engine.readTableChanges("ch", v2, v3).count() == 20)
+    assert(engine.readTableChanges("ch", v2, vOpt).count() == 0)
+
+    // A version beyond head is a clear error, not an empty result.
+    assertThrows[IllegalArgumentException] {
+      engine.readTableChanges("ch", 0L, v3 + 99L)
+    }
+
+    // Rollback re-publishes files compaction had swapped out: a window
+    // crossing it re-delivers those points (forward-written history).
+    engine.rollback("ch", v2); val vRb = head
+    assert(engine.readTableChanges("ch", v3, vRb).count() == 80)
+  }
 }

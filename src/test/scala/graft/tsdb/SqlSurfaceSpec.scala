@@ -105,6 +105,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(ambiguous.getMessage.contains("Ambiguous"))
     assert(SqlExtensions.parseTravelTimestamp("1700000000000") ==
       1700000000000L)
+
+    // CDC through SQL: `t CHANGES FROM a TO b` binds the change read of
+    // commits (a, b] with each row's _commit_version.
+    val changes = engine.sql(
+      "SELECT _commit_version, v FROM tv CHANGES FROM 1 TO 2").collect()
+    assert(changes.length == 1, "commit 2 appended exactly one point")
+    assert(changes.head.getLong(0) == 2L && changes.head.getFloat(1) == 3.0f)
+    assert(engine.sql("SELECT COUNT(*) AS n FROM tv CHANGES FROM 0 TO 2")
+      .collect().head.getLong(0) == 3L)
   }
 
   test("include federates a query over a second data folder") {
