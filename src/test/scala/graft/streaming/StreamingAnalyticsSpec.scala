@@ -195,6 +195,47 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "the type-mismatched file must take the fallback reader")
   }
 
+  test("batch CDC and the streaming source deliver the same points") {
+    import spark.implicits._
+    val engine = new graft.tsdb.Engine(spark,
+      Files.createTempDirectory("graft_stream_cdc").toString)
+    engine.sql("CREATE TIME SERIES TABLE cdc(ts TIMESTAMP, v FIELD, tag TAG)")
+    def batch(offset: Int, n: Int) = (0 until n)
+      .map(i => (1700000000000000L + (offset + i) * 1000000L,
+        (offset + i).toFloat, "u0"))
+      .toDF("ts", "v", "tag")
+    engine.write("cdc", batch(0, 60))
+    engine.write("cdc", batch(60, 40))
+    engine.sql("OPTIMIZE cdc") // rewrites only — neither side re-delivers
+    engine.write("cdc", batch(100, 25))
+    val cdcDir = engine.dataFolder.tableDir("cdc")
+    val head = graft.tsdb.TableManifest.latest(
+      new org.apache.hadoop.fs.Path(cdcDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      cdcDir).get.version
+
+    val query = engine.readTableStream("cdc", "v").writeStream
+      .outputMode("append")
+      .format("memory").queryName("cdc_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_cdc_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    // Both sides plan through SegmentStream.addsByVersion, so a fresh
+    // stream and a since-creation change read must agree point-for-point
+    // — including across the compaction commit.
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getFloat(1))
+    val streamed = spark.sql("SELECT unix_micros(ts), v FROM cdc_stream_out")
+      .collect().map(key).sorted.toSeq
+    val cdc = engine.readTableChanges("cdc", 0L, head)
+      .selectExpr("unix_micros(ts)", "v").collect().map(key).sorted.toSeq
+    assert(cdc.length == 125)
+    assert(streamed == cdc,
+      "batch CDC and streaming delivery must be the same point multiset")
+  }
+
   test("maxVersionsPerTrigger drains a backlog as several bounded batches") {
     import spark.implicits._
     val engine = new graft.tsdb.Engine(spark,
