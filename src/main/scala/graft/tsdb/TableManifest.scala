@@ -97,7 +97,19 @@ private[graft] object TableManifest {
     */
   final case class Snapshot(version: Long, committedAtMs: Long,
     files: Seq[String], appliedWalBatches: Seq[String] = Seq.empty,
-    streamVersions: Map[String, Long] = Map.empty)
+    streamVersions: Map[String, Long] = Map.empty,
+    fileStats: Map[String, FileStats] = Map.empty)
+
+  /** Per-file statistics recorded atomically with the commit that added the
+    * file — the role of Delta's per-AddFile `size`/`stats` payload. `size`
+    * lets the scan planner build splits without ever calling the
+    * filesystem (zero per-file RPCs at plan time); the time bounds let it
+    * SKIP files whose segments cannot match a pushed `start_time` /
+    * `end_time` predicate. Stats are advisory: a file absent from the map
+    * is planned via a filesystem probe and never skipped.
+    */
+  final case class FileStats(sizeBytes: Long, minStartUs: Long,
+    maxEndUs: Long)
 
   /** One manifest JSON as stored: exactly one of `files` (inline),
     * `checkpoint` (sidecar name), or `deltaBase` (+ add/remove) is set.
@@ -110,7 +122,8 @@ private[graft] object TableManifest {
     wal: Seq[String], streamVersions: Map[String, Long],
     files: Option[Seq[String]], checkpoint: Option[String],
     deltaBase: Option[Long], add: Seq[String], remove: Seq[String],
-    rewrites: Option[Seq[String]])
+    rewrites: Option[Seq[String]],
+    stats: Map[String, FileStats])
 
   private def manifestDir(tableDir: String) = new Path(s"$tableDir/$DirName")
   private def versionPath(tableDir: String, v: Long) =
@@ -273,9 +286,9 @@ private[graft] object TableManifest {
     val cached = snapshotCache.synchronized(Option(snapshotCache.get(key)))
     cached.filter(_ => fs.exists(versionPath(tableDir, v))).orElse {
       val loaded = readRaw(fs, tableDir, v).flatMap { raw =>
-        resolve(fs, tableDir, raw).map { files =>
+        resolve(fs, tableDir, raw).map { case (files, stats) =>
           Snapshot(raw.version, raw.committedAtMs, files, raw.wal,
-            raw.streamVersions)
+            raw.streamVersions, stats)
         }
       }
       loaded.foreach(s => snapshotCache.synchronized(snapshotCache.put(key, s)))
@@ -283,18 +296,29 @@ private[graft] object TableManifest {
     }
   }
 
-  /** Resolve a raw manifest to its full live list: inline directly,
-    * checkpoint from the sidecar, delta by resolving the base and applying
-    * remove/add. Any unreadable link makes the whole version unresolvable
-    * (the caller falls back to an older version). Bases must be strictly
-    * older than the delta, so the recursion (through the caching [[read]])
-    * always terminates.
+  /** Resolve a raw manifest to its full live list (and the per-file stats
+    * of every live file that has them): inline directly, checkpoint from
+    * the sidecar, delta by resolving the base and applying remove/add
+    * (base stats minus removed files plus the delta's own adds). Any
+    * unreadable link makes the whole version unresolvable (the caller
+    * falls back to an older version). Bases must be strictly older than
+    * the delta, so the recursion (through the caching [[read]]) always
+    * terminates.
     */
-  private def resolve(fs: FileSystem, tableDir: String, raw: Raw): Option[Seq[String]] =
-    raw.files.orElse(raw.checkpoint.flatMap(readCheckpoint(fs, tableDir, _)))
+  private def resolve(fs: FileSystem, tableDir: String,
+      raw: Raw): Option[(Seq[String], Map[String, FileStats])] =
+    raw.files.map { fl =>
+      val live = fl.toSet
+      (fl, raw.stats.filter { case (k, _) => live(k) })
+    }
+      .orElse(raw.checkpoint.flatMap(readCheckpoint(fs, tableDir, _)))
       .orElse(raw.deltaBase.filter(_ < raw.version).flatMap { base =>
         read(fs, tableDir, base).map { parent =>
-          ((parent.files.toSet -- raw.remove) ++ raw.add).toSeq.sorted
+          val files = ((parent.files.toSet -- raw.remove) ++ raw.add).toSeq.sorted
+          val live = files.toSet
+          val stats = ((parent.fileStats -- raw.remove) ++ raw.stats)
+            .filter { case (k, _) => live(k) }
+          (files, stats)
         }
       })
 
