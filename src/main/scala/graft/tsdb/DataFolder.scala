@@ -248,7 +248,19 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     // job orphaned are never resurrected by an unrelated later commit).
     val before = if (hadManifest) Seq.empty else listDataFiles(dir)
     doWrite(staging.toString)
-    val added = listDataFiles(staging.toString)
+    val addedWithSize = listDataFilesWithSize(staging.toString)
+    val added = addedWithSize.map(_._1)
+    // Per-file stats are measured while the files still sit in staging:
+    // sizes fall out of the listing above, segment time bounds out of one
+    // small job. Relative paths are stable across the rename, so the stats
+    // key by exactly the names the manifest will publish.
+    val bounds =
+      if (metadata(table).isTimeSeries) stagedTimeBounds(staging.toString, added)
+      else Map.empty[String, (Long, Long)]
+    val stats = addedWithSize.map { case (rel, size) =>
+      val (mn, mx) = bounds.getOrElse(rel, (Long.MinValue, Long.MaxValue))
+      rel -> TableManifest.FileStats(size, mn, mx)
+    }.toMap
     added.foreach { rel =>
       val target = new Path(dir, rel)
       val parent = target.getParent
@@ -262,7 +274,7 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     // (cleanup completed), keeping the manifest's list tiny.
     val walLive = walBatchDirs(table).toSet
     TableManifest.commit(fs, dir, applyWalBatches, id => !walLive(id),
-      streamVersion = streamVersion) { live =>
+      streamVersion = streamVersion, stats = stats) { live =>
       (if (hadManifest) live else before) ++ added
     }
   }
@@ -305,6 +317,8 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     val staging = new Path(dir, s"$StagingDirName/c${java.util.UUID.randomUUID()}")
     val removed = Seq.newBuilder[String]
     val created = Seq.newBuilder[String]
+    val createdStats = Map.newBuilder[String, TableManifest.FileStats]
+    val snapStats = snapOpt.get.fileStats
     byPartition.foreach { case (part, rels) =>
       val partPath = if (part.isEmpty) new Path(dir) else new Path(dir, part)
       // One listing per partition gives every candidate's size.
@@ -339,8 +353,17 @@ final class DataFolder(val spark: SparkSession, val root: String) {
           val writer = arranged.write.mode("overwrite")
           (if (meta.isTimeSeries) writer.option("compression", "zstd")
            else writer).parquet(stagedPart.toString)
-          val staged = listDataFiles(stagedPart.toString)
-          staged.foreach { stagedRel =>
+          // Outputs inherit the union of their inputs' time bounds (every
+          // input point lands in some output of this partition) — correct,
+          // conservative, and free. Any stats-less input poisons the bound
+          // to the cover-everything sentinel, so skipping stays safe.
+          val inBounds =
+            if (small.forall(snapStats.contains))
+              (small.map(snapStats(_).minStartUs).min,
+                small.map(snapStats(_).maxEndUs).max)
+            else (Long.MinValue, Long.MaxValue)
+          val staged = listDataFilesWithSize(stagedPart.toString)
+          staged.foreach { case (stagedRel, stagedSize) =>
             // The `opt-` name prefix marks provenance: this file re-packs
             // already-committed points. Streaming readers (manifest-diff
             // based) use it to exclude rewrites from delivery — snapshot
@@ -354,6 +377,8 @@ final class DataFolder(val spark: SparkSession, val root: String) {
               throw new java.io.IOException(
                 s"Could not move compacted file $rel into $dir.")
             created += rel
+            createdStats +=
+              rel -> TableManifest.FileStats(stagedSize, inBounds._1, inBounds._2)
           }
           removed ++= small
         }
@@ -367,7 +392,8 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     // `rewrites` records in the COMMIT itself that these adds re-pack
     // already-committed points (Delta's dataChange=false): streaming
     // readers key delivery suppression off the manifest, not file names.
-    TableManifest.commit(fs, dir, rewrites = createdSeq) { live =>
+    TableManifest.commit(fs, dir, rewrites = createdSeq,
+      stats = createdStats.result()) { live =>
       val liveSet = live.toSet
       require(removedSeq.forall(liveSet),
         s"Compaction inputs for $table were removed concurrently " +
@@ -430,23 +456,51 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * ending in .parquet whose path has no hidden component (`_temporary`,
     * `_graft_manifest`, `_graft_stale`, checksums...), relative to the dir.
     */
-  private def listDataFiles(dir: String): Seq[String] = {
+  private def listDataFiles(dir: String): Seq[String] =
+    listDataFilesWithSize(dir).map(_._1)
+
+  /** Same listing, keeping each file's size from the directory listing
+    * itself — the one RPC already paid — so commit-time stats never cost a
+    * per-file getFileStatus.
+    */
+  private def listDataFilesWithSize(dir: String): Seq[(String, Long)] = {
     val base = new Path(dir)
     if (!fs.exists(base)) Seq.empty
     else {
       val baseUri = fs.makeQualified(base).toUri
       val it = fs.listFiles(base, true)
-      val buf = Seq.newBuilder[String]
+      val buf = Seq.newBuilder[(String, Long)]
       while (it.hasNext) {
         val st = it.next()
         val rel = baseUri.relativize(fs.makeQualified(st.getPath).toUri).getPath
         if (rel.endsWith(".parquet") &&
             !rel.split("/").exists(s => s.startsWith("_") || s.startsWith(".")))
-          buf += rel
+          buf += (rel -> st.getLen)
       }
       buf.result()
     }
   }
+
+  /** Per-file (min start_time, max end_time) of freshly staged segment
+    * files: one column-pruned Spark job over just the batch's output (still
+    * page-cache-hot), grouped by file — O(batch), distributed, and the
+    * collect is bounded by the batch's file count. Unknown bounds become
+    * the cover-everything sentinel so a file can never be wrongly skipped.
+    */
+  private def stagedTimeBounds(stagingDir: String,
+      relFiles: Seq[String]): Map[String, (Long, Long)] =
+    if (relFiles.isEmpty) Map.empty
+    else {
+      val stagingUri = fs.makeQualified(new Path(stagingDir)).toUri
+      spark.read.option("basePath", stagingDir)
+        .parquet(relFiles.map(rel => s"$stagingDir/$rel"): _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("start_time")).as("mn"), max(col("end_time")).as("mx"))
+        .collect().map { r =>
+          val full = fs.makeQualified(new Path(new java.net.URI(r.getString(0))))
+          stagingUri.relativize(full.toUri).getPath -> (r.getLong(1), r.getLong(2))
+        }.toMap
+    }
 
   /** Streaming segment scan over the manifest history: offsets are
     * manifest versions, each micro-batch is a commit's data-carrying adds
@@ -508,6 +562,37 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Segment scan pruned to the files that can hold segments OVERLAPPING
+    * the inclusive [startUs, endUs] range, using the manifest's per-file
+    * time bounds — zero data reads and zero filesystem RPCs to decide, the
+    * role of Delta's file-stats data skipping. The predicate is the file
+    * grain of [[GridView.segmentTimePredicate]] (`max_end >= lo AND
+    * min_start <= hi`), so it is inexact in exactly the same way and every
+    * caller's existing segment-level + post-grid filters stay mandatory.
+    * Files without stats (legacy commits, pre-manifest adoptions) are
+    * always kept — stats can only ever shrink the scan, never the answer.
+    *
+    * At 100 TB this is the difference between touching O(files overlapping
+    * the range) and O(all files ever written) for the short-range queries a
+    * long-retention table mostly serves.
+    */
+  def segmentsInRange(table: String, startUs: Option[Long],
+      endUs: Option[Long]): DataFrame = {
+    if (startUs.isEmpty && endUs.isEmpty) return segments(table)
+    val dir = tableDir(table)
+    TableManifest.latest(fs, dir) match {
+      case Some(snapshot) =>
+        val lo = startUs.getOrElse(Long.MinValue)
+        val hi = endUs.getOrElse(Long.MaxValue)
+        val kept = snapshot.files.filter { rel =>
+          snapshot.fileStats.get(rel)
+            .forall(s => s.maxEndUs >= lo && s.minStartUs <= hi)
+        }
+        segmentsFor(table, kept)
+      case scala.None => segments(table) // pre-manifest: no stats to consult
+    }
+  }
+
   /** CDC at the segment-file grain: the data-carrying files each manifest
     * commit in (fromVersion, toVersion] added — the commit's file-list
     * diff against its predecessor, minus the rewrites the commit itself
@@ -557,7 +642,10 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     val target = TableManifest.snapshotAt(fs, tableDir(table), toVersion)
       .getOrElse(throw new IllegalArgumentException(
         s"Table $table has no manifest version $toVersion."))
-    TableManifest.commit(fs, tableDir(table))(_ => target.files)
+    // Resurrect the old version's stats too: the head being rolled away may
+    // have dropped stats for files it had removed.
+    TableManifest.commit(fs, tableDir(table),
+      stats = target.fileStats)(_ => target.files)
   }
 
   private def isEmptyTableDir(dir: String): Boolean = {

@@ -314,7 +314,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       hybridRangeAggregate(meta, selected, aggregates, groupByTags, tagPred,
         startUs, endUs)
     } else {
-      val segments0 = dataFolder.segments(table)
+      val segments0 = dataFolder.segmentsInRange(table, startUs, endUs)
       val segments = tagPred.map(segments0.where).getOrElse(segments0)
       val points = GridView.dataPoints(segments, meta, selected, startUs, endUs)
       if (aggregates.isEmpty) points
@@ -378,7 +378,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       meta: TableMetadata, fields: Seq[String], aggregates: Seq[Aggregate],
       groupByTags: Seq[String], tagPred: Option[Column],
       startUs: Option[Long], endUs: Option[Long]): DataFrame = {
-    val segments0 = dataFolder.segments(meta.name)
+    val segments0 = dataFolder.segmentsInRange(meta.name, startUs, endUs)
       .where(GridView.segmentTimePredicate(startUs, endUs))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
 
@@ -481,7 +481,7 @@ final class Engine(val spark: SparkSession, val root: String) {
     require(sourceMeta.columns.map(c => (c.name, c.role)) ==
       targetMeta.columns.map(c => (c.name, c.role)),
       "Source and target schemas must match for segment-level copy.")
-    val segs = dataFolder.segments(source)
+    val segs = dataFolder.segmentsInRange(source, startMicros, endMicros)
       .where(GridView.segmentTimePredicate(startMicros, endMicros))
     targetEngine.dataFolder.appendSegments(target, segs)
     targetEngine.invalidateViews()

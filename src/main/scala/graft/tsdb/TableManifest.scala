@@ -311,7 +311,11 @@ private[graft] object TableManifest {
       val live = fl.toSet
       (fl, raw.stats.filter { case (k, _) => live(k) })
     }
-      .orElse(raw.checkpoint.flatMap(readCheckpoint(fs, tableDir, _)))
+      .orElse(raw.checkpoint.flatMap(readCheckpoint(fs, tableDir, _)).map {
+        case (fl, sidecarStats) =>
+          val live = fl.toSet
+          (fl, (sidecarStats ++ raw.stats).filter { case (k, _) => live(k) })
+      })
       .orElse(raw.deltaBase.filter(_ < raw.version).flatMap { base =>
         read(fs, tableDir, base).map { parent =>
           val files = ((parent.files.toSet -- raw.remove) ++ raw.add).toSeq.sorted
@@ -346,13 +350,30 @@ private[graft] object TableManifest {
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
         b.result()
       }.getOrElse(Map.empty[String, Long])
+      // Per-file stats: `{"stats": {"<file>": {"size_bytes": n,
+      // "min_start_us": n, "max_end_us": n}}}`. Absent (legacy manifests)
+      // means no file carries stats — never an error.
+      val stats = Option(root.get("stats")).map { node =>
+        val it = node.fields()
+        val b = Map.newBuilder[String, FileStats]
+        while (it.hasNext) {
+          val e = it.next()
+          val v = e.getValue
+          b += e.getKey -> FileStats(
+            v.get("size_bytes").asLong(),
+            v.get("min_start_us").asLong(),
+            v.get("max_end_us").asLong())
+        }
+        b.result()
+      }.getOrElse(Map.empty[String, FileStats])
       if (files.isEmpty && checkpoint.isEmpty && base.isEmpty) scala.None
       else Some(Raw(
         root.get("version").asLong(),
         root.get("committed_at_ms").asLong(),
         strSeq("applied_wal_batches"), streams,
         files, checkpoint, base, strSeq("add"), strSeq("remove"),
-        Option(root.get("rewrites")).map(_ => strSeq("rewrites"))))
+        Option(root.get("rewrites")).map(_ => strSeq("rewrites")),
+        stats))
     } catch { case scala.util.control.NonFatal(_) => scala.None }
 
   /** Same-JVM committers to one table are serialized: cross-process claims
@@ -368,6 +389,11 @@ private[graft] object TableManifest {
   /** Publish a new snapshot computed from the current one. `update` maps
     * the current live set to the next (append = add new files, truncate =
     * empty). Retries on version-claim races.
+    *
+    * `stats` carries per-file statistics for files THIS commit introduces
+    * (or re-measures); stats of carried-forward files follow the live list
+    * automatically and stats of removed files are dropped. Advisory —
+    * committing without stats is always legal.
     */
   def commit(fs: FileSystem, tableDir: String,
       applyWalBatches: Seq[String] = Seq.empty,
@@ -376,7 +402,8 @@ private[graft] object TableManifest {
       checkpointInterval: Long = CheckpointInterval,
       streamVersion: Option[(String, Long)] = scala.None,
       resetStreamVersions: Boolean = false,
-      rewrites: Seq[String] = Seq.empty)
+      rewrites: Seq[String] = Seq.empty,
+      stats: Map[String, FileStats] = Map.empty)
       (update: Seq[String] => Seq[String]): Snapshot = {
     val lock = commitLocks.computeIfAbsent(
       fs.makeQualified(new Path(tableDir)).toString, _ => new Object)
@@ -398,13 +425,20 @@ private[graft] object TableManifest {
       val nextStreams = streamVersion.fold(carriedStreams) { case (ns, v) =>
         carriedStreams.updated(ns, math.max(v, carriedStreams.getOrElse(ns, v)))
       }
+      val nextFiles =
+        update(current.map(_.files).getOrElse(Seq.empty)).distinct.sorted
+      val nextLive = nextFiles.toSet
+      val nextStats =
+        (current.map(_.fileStats).getOrElse(Map.empty[String, FileStats]) ++
+          stats).filter { case (k, _) => nextLive(k) }
       val next = Snapshot(
         maxClaimed + 1L,
         System.currentTimeMillis(),
-        update(current.map(_.files).getOrElse(Seq.empty)).distinct.sorted,
+        nextFiles,
         ((current.map(_.appliedWalBatches).getOrElse(Seq.empty)
           .filterNot(pruneWalBatches)) ++ applyWalBatches).distinct.sorted,
-        nextStreams)
+        nextStreams,
+        nextStats)
 
       // Representation: inline when small; a Parquet checkpoint on the
       // interval (or when there is no base to delta against); otherwise a
@@ -415,7 +449,8 @@ private[graft] object TableManifest {
       val json =
         if (inline) inlineJson(next, rewrites)
         else if (next.version % checkpointInterval == 0 || current.isEmpty) {
-          val name = writeCheckpoint(fs, tableDir, next.version, next.files)
+          val name = writeCheckpoint(fs, tableDir, next.version, next.files,
+            next.fileStats)
           checkpointJson(next, name, rewrites)
         } else {
           val base = current.get
@@ -472,19 +507,43 @@ private[graft] object TableManifest {
   private def render(root: com.fasterxml.jackson.databind.node.ObjectNode) =
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root)
 
+  private def putStats(root: com.fasterxml.jackson.databind.node.ObjectNode,
+      stats: Map[String, FileStats]): Unit =
+    if (stats.nonEmpty) {
+      val node = root.putObject("stats")
+      stats.toSeq.sortBy(_._1).foreach { case (f, s) =>
+        val o = node.putObject(f)
+        o.put("size_bytes", s.sizeBytes)
+        o.put("min_start_us", s.minStartUs)
+        o.put("max_end_us", s.maxEndUs)
+      }
+    }
+
+  /** Inline manifests carry the FULL stats map; each representation stores
+    * stats next to wherever it stores its file names, so resolution cost
+    * stays O(what that representation already reads).
+    */
   private def inlineJson(s: Snapshot, rewrites: Seq[String]): String = {
     val root = baseNode(s, rewrites)
     val arr = root.putArray("files")
     s.files.foreach(arr.add)
+    putStats(root, s.fileStats)
     render(root)
   }
 
+  /** Checkpoint manifests keep stats in the Parquet sidecar (the JSON stays
+    * O(1) no matter the table size).
+    */
   private def checkpointJson(s: Snapshot, name: String, rewrites: Seq[String]): String = {
     val root = baseNode(s, rewrites)
     root.put("checkpoint", name)
     render(root)
   }
 
+  /** Delta manifests carry stats for their ADDED files only — the base
+    * chain carries everything older, so a delta commit writes O(changed
+    * files) of stats, never O(table).
+    */
   private def deltaJson(s: Snapshot, base: Long,
       add: Seq[String], remove: Seq[String], rewrites: Seq[String]): String = {
     val root = baseNode(s, rewrites)
@@ -493,13 +552,25 @@ private[graft] object TableManifest {
     add.foreach(a.add)
     val r = root.putArray("remove")
     remove.foreach(r.add)
+    val added = add.toSet
+    putStats(root, s.fileStats.filter { case (k, _) => added(k) })
     render(root)
   }
 
   // -------------------------------------------------- checkpoint sidecars
 
+  /** Stats columns are OPTIONAL so sidecars written before the feature (and
+    * rows for files that never had stats) read back as stats-less — the
+    * planner then falls back to a filesystem probe and never skips them,
+    * mirroring Delta checkpoints' optional per-AddFile size/stats.
+    */
   private val CheckpointSchema = MessageTypeParser.parseMessageType(
-    "message graft_checkpoint { required binary path (STRING); }")
+    """message graft_checkpoint {
+      |  required binary path (STRING);
+      |  optional int64 size_bytes;
+      |  optional int64 min_start_us;
+      |  optional int64 max_end_us;
+      |}""".stripMargin)
 
   private def isCheckpointName(n: String) =
     n.startsWith("c") && n.endsWith(".parquet")
@@ -509,7 +580,7 @@ private[graft] object TableManifest {
     * unique name.
     */
   private def writeCheckpoint(fs: FileSystem, tableDir: String, v: Long,
-      files: Seq[String]): String = {
+      files: Seq[String], stats: Map[String, FileStats]): String = {
     fs.mkdirs(manifestDir(tableDir))
     val name = f"c$v%010d-${java.util.UUID.randomUUID()}.parquet"
     val path = new Path(manifestDir(tableDir), name)
@@ -522,13 +593,18 @@ private[graft] object TableManifest {
     try files.foreach { f =>
       val g = new SimpleGroup(CheckpointSchema)
       g.add("path", f)
+      stats.get(f).foreach { s =>
+        g.add("size_bytes", s.sizeBytes)
+        g.add("min_start_us", s.minStartUs)
+        g.add("max_end_us", s.maxEndUs)
+      }
       writer.write(g)
     } finally writer.close()
     name
   }
 
   private def readCheckpoint(fs: FileSystem, tableDir: String,
-      name: String): Option[Seq[String]] =
+      name: String): Option[(Seq[String], Map[String, FileStats])] =
     try {
       val path = new Path(manifestDir(tableDir), name)
       if (!fs.exists(path)) scala.None
@@ -538,14 +614,27 @@ private[graft] object TableManifest {
           .withConf(fs.getConf)
           .build()
         val out = Seq.newBuilder[String]
+        val st = Map.newBuilder[String, FileStats]
         try {
           var g = reader.read()
           while (g != null) {
-            out += g.getString("path", 0)
+            val f = g.getString("path", 0)
+            out += f
+            // Legacy sidecars have no stats columns at all; newer ones may
+            // have them null for individual files. Both read as "no stats".
+            val schema = g.getType
+            if (schema.containsField("size_bytes") &&
+                g.getFieldRepetitionCount("size_bytes") > 0 &&
+                g.getFieldRepetitionCount("min_start_us") > 0 &&
+                g.getFieldRepetitionCount("max_end_us") > 0)
+              st += f -> FileStats(
+                g.getLong("size_bytes", 0),
+                g.getLong("min_start_us", 0),
+                g.getLong("max_end_us", 0))
             g = reader.read()
           }
         } finally reader.close()
-        Some(out.result())
+        Some((out.result(), st.result()))
       }
     } catch { case scala.util.control.NonFatal(_) => scala.None }
 

@@ -236,6 +236,59 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       "batch CDC and streaming delivery must be the same point multiset")
   }
 
+  test("batch CDC and the streaming source agree through rollbacks") {
+    import spark.implicits._
+    val engine = new graft.tsdb.Engine(spark,
+      Files.createTempDirectory("graft_stream_rb").toString)
+    engine.sql("CREATE TIME SERIES TABLE rb(ts TIMESTAMP, v FIELD, tag TAG)")
+    def batch(offset: Int, n: Int) = (0 until n)
+      .map(i => (1700000000000000L + (offset + i) * 1000000L,
+        (offset + i).toFloat, "u0"))
+      .toDF("ts", "v", "tag")
+    // History is forward-written, so the two rollback shapes differ:
+    // rolling AWAY data is a pure removal (neither side delivers anything),
+    // while rolling data BACK IN re-publishes old files as ordinary adds
+    // (both sides must re-deliver those points, a second time).
+    engine.write("rb", batch(0, 60))   // v1
+    engine.write("rb", batch(60, 40))  // v2
+    engine.rollback("rb", 1L)          // v3: removal-only — delivers nothing
+    engine.rollback("rb", 2L)          // v4: re-adds v2's files — re-delivery
+    engine.write("rb", batch(100, 25)) // v5
+
+    val dir = engine.dataFolder.tableDir("rb")
+    val head = graft.tsdb.TableManifest.latest(
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), dir).get.version
+    assert(head == 5L)
+
+    val query = engine.readTableStream("rb", "v").writeStream
+      .outputMode("append")
+      .format("memory").queryName("rb_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_rb_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getFloat(1))
+    val streamed = spark.sql("SELECT unix_micros(ts), v FROM rb_stream_out")
+      .collect().map(key).sorted.toSeq
+    val cdc = engine.readTableChanges("rb", 0L, head)
+      .selectExpr("unix_micros(ts)", "v").collect().map(key).sorted.toSeq
+    // 60 (v1) + 40 (v2) + 0 (v3 removal) + 40 (v4 re-publish) + 25 (v5).
+    assert(cdc.length == 165,
+      s"rollback re-publication must re-deliver v2's points, got ${cdc.length}")
+    val rolledInKeys = (60 until 100)
+      .map(i => (1700000000000000L + i * 1000000L, i.toFloat))
+    assert(rolledInKeys.forall(k => cdc.count(_ == k) == 2),
+      "each rolled-back-in point appears exactly twice in forward history")
+    assert(streamed == cdc,
+      "batch CDC and streaming delivery must agree through rollbacks")
+
+    // And the table's PRESENT state is just the rolled-back-to data + tail.
+    assert(engine.readTable("rb").count() == 125L)
+  }
+
   test("maxVersionsPerTrigger drains a backlog as several bounded batches") {
     import spark.implicits._
     val engine = new graft.tsdb.Engine(spark,

@@ -476,6 +476,164 @@ class ManifestSpec extends AnyFunSuite {
     assert(next.files.size == 6)
   }
 
+  test("per-file stats survive delta, checkpoint, and removal resolution") {
+    // Commit-protocol grain: stats ride every representation — inline JSON,
+    // delta JSON (adds only), and the Parquet checkpoint sidecar — and a
+    // removed file's stats vanish with it.
+    val dir = Files.createTempDirectory("graft_stats").toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def st(i: Long) = TableManifest.FileStats(100L + i, 1000L * i, 1000L * i + 999L)
+    def commit(stats: Map[String, TableManifest.FileStats])(
+        update: Seq[String] => Seq[String]) =
+      TableManifest.commit(fs, dir, inlineThreshold = 2, checkpointInterval = 4,
+        stats = stats)(update)
+
+    // v1: checkpoint (3 files > threshold, no base).
+    commit(Map("a.parquet" -> st(1), "b.parquet" -> st(2), "c.parquet" -> st(3)))(
+      _ => Seq("a.parquet", "b.parquet", "c.parquet"))
+    // v2, v3: deltas adding one file each (one of them stats-less).
+    commit(Map("d.parquet" -> st(4)))(_ :+ "d.parquet")
+    commit(Map.empty)(_ :+ "e.parquet")
+    // v4: checkpoint again (interval), removing b.
+    commit(Map.empty)(_.filterNot(_ == "b.parquet"))
+
+    // Commits cache their own snapshots; flood the LRU with another table's
+    // history so the assertions below resolve from DISK (JSON + sidecar),
+    // proving the serialization round-trip and not the in-JVM cache.
+    val decoy = Files.createTempDirectory("graft_stats_decoy").toString
+    (0 until 20).foreach(i =>
+      TableManifest.commit(fs, decoy)(_ :+ s"x$i.parquet"))
+
+    val head = TableManifest.latest(fs, dir).get
+    assert(head.version == 4L)
+    assert(head.fileStats == Map(
+      "a.parquet" -> st(1), "c.parquet" -> st(3), "d.parquet" -> st(4)),
+      "stats must flow checkpoint -> delta -> checkpoint; removed and " +
+        "stats-less files must have no entry")
+
+    // Resolution straight out of the v4 checkpoint sidecar (cache-bust by
+    // reading the historical version 3 delta chain too).
+    assert(TableManifest.snapshotAt(fs, dir, 3L).get.fileStats ==
+      Map("a.parquet" -> st(1), "b.parquet" -> st(2), "c.parquet" -> st(3),
+        "d.parquet" -> st(4)))
+  }
+
+  test("appends record time bounds; range scans skip files by them") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE sk(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    def points(loUs: Long, n: Int, tag: String) =
+      (0 until n).map(i => (loUs + i * 1000L, i.toFloat, tag))
+        .toDF("ts_us", "v", "tag")
+    engine.write("sk", points(1_000_000L, 300, "a"))  // [1.0s, 1.299s]
+    engine.write("sk", points(60_000_000L, 300, "a")) // [60.0s, 60.299s]
+
+    val fs = new org.apache.hadoop.fs.Path(engine.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = TableManifest.latest(fs, engine.dataFolder.tableDir("sk")).get
+    assert(snap.files.nonEmpty && snap.files.forall(snap.fileStats.contains),
+      "every appended file must carry stats")
+    snap.fileStats.values.foreach { s =>
+      assert(s.sizeBytes > 0L)
+      assert(s.minStartUs >= 1_000_000L && s.maxEndUs <= 60_299_000L)
+    }
+
+    // A scan of the second range must not open the first append's files.
+    val all = engine.dataFolder.segments("sk").inputFiles.length
+    val ranged = engine.dataFolder
+      .segmentsInRange("sk", Some(60_000_000L), Some(61_000_000L))
+    assert(ranged.inputFiles.length < all,
+      s"expected file skipping, scanned ${ranged.inputFiles.length} of $all")
+    // And the skipped scan still answers exactly.
+    assert(engine.readTimeSeriesTable("sk",
+      startTime = Some(java.time.Instant.ofEpochSecond(60L)),
+      endTime = Some(java.time.Instant.ofEpochSecond(61L))).count() == 300)
+  }
+
+  test("files without stats are never skipped; compaction keeps bounds") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE ns(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    def points(loUs: Long, n: Int, tag: String) =
+      (0 until n).map(i => (loUs + i * 1000L, i.toFloat, tag))
+        .toDF("ts_us", "v", "tag")
+    engine.write("ns", points(1_000_000L, 200, "a"))
+
+    // Rewind to a pre-manifest layout: the adoption commit gives the legacy
+    // files NO stats, so no range may ever skip them.
+    val dir = engine.dataFolder.tableDir("ns")
+    val manifestDir = new java.io.File(dir, TableManifest.DirName)
+    manifestDir.listFiles().foreach(_.delete())
+    manifestDir.delete()
+    engine.write("ns", points(60_000_000L, 200, "b"))
+
+    val fs = new org.apache.hadoop.fs.Path(engine.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = TableManifest.latest(fs, dir).get
+    assert(snap.fileStats.nonEmpty && snap.fileStats.size < snap.files.size,
+      "adopted legacy files must be stats-less, fresh ones stats-ful")
+    val ranged = engine.dataFolder
+      .segmentsInRange("ns", Some(60_000_000L), Some(61_000_000L))
+    val legacyKept = snap.files.filterNot(snap.fileStats.contains)
+      .forall(rel => ranged.inputFiles.exists(_.endsWith(rel)))
+    assert(legacyKept, "a stats-less file must always be scanned")
+    assert(engine.readTimeSeriesTable("ns",
+      startTime = Some(java.time.Instant.ofEpochSecond(60L)),
+      endTime = Some(java.time.Instant.ofEpochSecond(61L))).count() == 200)
+
+    // Compaction: outputs inherit the union of their inputs' bounds — but
+    // here a stats-less input poisons the union to cover-everything, so the
+    // compacted file must carry the sentinel (size still real).
+    val (compacted, created) = engine.compact("ns", targetBytes = 64L * 1024 * 1024)
+    if (compacted > 0) {
+      val after = TableManifest.latest(fs, dir).get
+      val createdRels = after.files.filter(_.contains(DataFolder.CompactedFilePrefix))
+      assert(createdRels.nonEmpty)
+      createdRels.foreach { rel =>
+        val s = after.fileStats(rel)
+        assert(s.sizeBytes > 0L)
+        assert(s.minStartUs == Long.MinValue && s.maxEndUs == Long.MaxValue,
+          "a stats-less input must poison the output bound to cover-everything")
+      }
+    }
+  }
+
+  test("compaction outputs inherit union bounds; rollback resurrects stats") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE cb(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    def points(loUs: Long, n: Int, tag: String) =
+      (0 until n).map(i => (loUs + i * 1000L, i.toFloat, tag))
+        .toDF("ts_us", "v", "tag")
+    engine.write("cb", points(1_000_000L, 200, "a"))   // v1
+    engine.write("cb", points(60_000_000L, 200, "a"))  // v2
+
+    val fs = new org.apache.hadoop.fs.Path(engine.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = engine.dataFolder.tableDir("cb")
+    val v2 = TableManifest.latest(fs, dir).get
+
+    val (compacted, created) = engine.compact("cb", targetBytes = 64L * 1024 * 1024)
+    assert(compacted > 0 && created > 0)
+    val v3 = TableManifest.latest(fs, dir).get
+    val createdRels = v3.files.filter(_.contains(DataFolder.CompactedFilePrefix))
+    assert(createdRels.nonEmpty && createdRels.forall(v3.fileStats.contains),
+      "compaction outputs must carry stats")
+    createdRels.foreach { rel =>
+      val s = v3.fileStats(rel)
+      assert(s.minStartUs == 1_000_000L && s.maxEndUs == 60_199_000L,
+        s"union of input bounds expected, got $s")
+    }
+
+    // Rollback to v2 must resurrect v2's stats map wholesale.
+    engine.rollback("cb", v2.version)
+    val head = TableManifest.latest(fs, dir).get
+    assert(head.files == v2.files)
+    assert(head.fileStats == v2.fileStats,
+      "rollback must carry the target version's stats, not the head's")
+  }
+
   test("pre-manifest tables are adopted on their first committed write") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE legacy(ts_us TIMESTAMP, v FIELD, tag TAG)")
