@@ -22,7 +22,9 @@ object TsQueries {
   /** Bump when the segment format or build recipe changes so stale caches
     * from earlier builds are discarded.
     */
-  private val CacheVersion = "v3"
+  // v4: manifests carry per-file stats (size + time bounds) — rebuild so
+  // the benched tables exercise manifest-planned, stats-skipping scans.
+  private val CacheVersion = "v4"
 
   /** Build (once per JVM x scale factor) a data folder holding the events
     * time series tables; reused across queries via an on-disk marker.

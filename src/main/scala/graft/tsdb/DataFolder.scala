@@ -553,9 +553,7 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     def empty = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     snapshotFor(table, asOfVersion) match {
       case Some(snapshot) =>
-        if (snapshot.files.isEmpty) empty
-        else spark.read.option("basePath", dir).schema(schema)
-          .parquet(snapshot.files.map(rel => s"$dir/$rel"): _*)
+        segmentScan(table, snapshot.files, snapshot.fileStats)
       case scala.None => // pre-manifest table: every file on disk is live
         if (isEmptyTableDir(dir)) empty
         else spark.read.schema(schema).parquet(dir)
@@ -588,7 +586,7 @@ final class DataFolder(val spark: SparkSession, val root: String) {
           snapshot.fileStats.get(rel)
             .forall(s => s.maxEndUs >= lo && s.minStartUs <= hi)
         }
-        segmentsFor(table, kept)
+        segmentScan(table, kept, snapshot.fileStats)
       case scala.None => segments(table) // pre-manifest: no stats to consult
     }
   }
@@ -611,17 +609,42 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     SegmentStream.addsByVersion(fs, tableDir(table), fromVersion, toVersion)
   }
 
-  /** Segment scan over an explicit committed file list (CDC reads);
-    * `basePath` keeps the field_column partition pruning intact.
+  /** Segment scan over an explicit committed file list (CDC reads read
+    * HISTORICAL commits' files, so stats come from the newest snapshot
+    * when present and a bounded per-file probe otherwise).
     */
-  private[tsdb] def segmentsFor(table: String, relFiles: Seq[String]): DataFrame = {
+  private[tsdb] def segmentsFor(table: String, relFiles: Seq[String]): DataFrame =
+    segmentScan(table, relFiles,
+      TableManifest.latest(fs, tableDir(table))
+        .map(_.fileStats).getOrElse(Map.empty))
+
+  /** The one segment-scan builder: plans straight from manifest metadata
+    * ([[org.apache.spark.sql.graft.ManifestScan]]) — the file list and
+    * sizes are handed to Spark without listing anything, keeping plan time
+    * flat in table size. Files the manifest has no size for are probed
+    * individually (bounded: legacy adoptions and historical CDC lists);
+    * external layouts that don't encode `field_column=` fall back to the
+    * listing-based reader wholesale.
+    */
+  private def segmentScan(table: String, relFiles: Seq[String],
+      stats: Map[String, TableManifest.FileStats]): DataFrame = {
     val meta = metadata(table)
     val dir = tableDir(table)
     val schema = SegmentSchema.forTags(meta.tagColumns)
     if (relFiles.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-    else spark.read.option("basePath", dir).schema(schema)
-      .parquet(relFiles.map(rel => s"$dir/$rel"): _*)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val qualifiedDir = fs.makeQualified(new Path(dir))
+    val withSizes = relFiles.map { rel =>
+      val p = new Path(qualifiedDir, rel)
+      val size = stats.get(rel).map(_.sizeBytes)
+        .getOrElse(fs.getFileStatus(p).getLen)
+      (p, size)
+    }
+    org.apache.spark.sql.graft.ManifestScan
+      .parquetScan(spark, qualifiedDir, withSizes, schema,
+        Some(SegmentSchema.FieldColumn))
+      .getOrElse(spark.read.option("basePath", dir).schema(schema)
+        .parquet(relFiles.map(rel => s"$dir/$rel"): _*))
   }
 
   private def snapshotFor(table: String,

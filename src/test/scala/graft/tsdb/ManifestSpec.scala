@@ -539,6 +539,16 @@ class ManifestSpec extends AnyFunSuite {
       assert(s.minStartUs >= 1_000_000L && s.maxEndUs <= 60_299_000L)
     }
 
+    // Scans plan straight off the manifest: the index is ours (no listing
+    // at plan time) and the size estimate is the TRUE manifest byte sum —
+    // what broadcast decisions over the segment relation will read.
+    val seg = engine.dataFolder.segments("sk")
+    assert(seg.queryExecution.executedPlan.toString.contains("ManifestFileIndex"),
+      "segment scans must plan through the manifest-driven file index")
+    assert(seg.queryExecution.optimizedPlan.stats.sizeInBytes ==
+      BigInt(snap.fileStats.values.map(_.sizeBytes).sum),
+      "plan size estimate must be the manifest's exact byte sum")
+
     // A scan of the second range must not open the first append's files.
     val all = engine.dataFolder.segments("sk").inputFiles.length
     val ranged = engine.dataFolder
