@@ -706,8 +706,23 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     TableManifest.latest(fs, dir) match {
       case Some(snapshot) =>
         emptyOr({ files =>
-          val reader = declared.fold(spark.read)(spark.read.schema)
-          reader.option("basePath", dir).parquet(files.map(rel => s"$dir/$rel"): _*)
+          // Same zero-RPC planning as segment scans when the schema is
+          // declared (unpartitioned layout); schema-inferred tables read
+          // footers anyway, so they keep the listing-based reader.
+          val planned = declared.flatMap { schema =>
+            val qualifiedDir = fs.makeQualified(new Path(dir))
+            val withSizes = files.map { rel =>
+              val p = new Path(qualifiedDir, rel)
+              (p, snapshot.fileStats.get(rel).map(_.sizeBytes)
+                .getOrElse(fs.getFileStatus(p).getLen))
+            }
+            org.apache.spark.sql.graft.ManifestScan
+              .parquetScan(spark, qualifiedDir, withSizes, schema, scala.None)
+          }
+          planned.getOrElse {
+            val reader = declared.fold(spark.read)(spark.read.schema)
+            reader.option("basePath", dir).parquet(files.map(rel => s"$dir/$rel"): _*)
+          }
         }, snapshot.files)
       case scala.None =>
         if (declared.nonEmpty && isEmptyTableDir(dir))

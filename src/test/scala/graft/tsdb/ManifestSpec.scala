@@ -644,6 +644,35 @@ class ManifestSpec extends AnyFunSuite {
       "rollback must carry the target version's stats, not the head's")
   }
 
+  test("manifest-planned scans touch no filesystem at plan time") {
+    // 100,000 PHANTOM files — none exists anywhere on disk. Planning a
+    // pruned, filtered scan over them can only succeed if the planner
+    // performs zero filesystem operations (listing or stat of any phantom
+    // path would fail or hang); spark.read.parquet over the same list
+    // throws at planning. This is the 100 TB shape: plan cost must be
+    // driver-CPU over manifest metadata, never O(files) metadata RPCs.
+    val base = new org.apache.hadoop.fs.Path(
+      "file:/graft-phantom-does-not-exist/tables/t")
+    val files = (0 until 100000).map { i =>
+      (new org.apache.hadoop.fs.Path(base,
+        f"field_column=${i % 4}/part-$i%06d.parquet"), 8L * 1024 * 1024)
+    }
+    val schema = SegmentSchema.forTags(Seq("tag"))
+    val t0 = System.nanoTime()
+    val df = org.apache.spark.sql.graft.ManifestScan
+      .parquetScan(spark, base, files, schema, Some("field_column")).get
+    val pruned = df.where(col("field_column") === 0 && col("end_time") >= 5L)
+    val plan = pruned.queryExecution.executedPlan.toString // forces planning
+    val planSec = (System.nanoTime() - t0) / 1e9
+    assert(plan.contains("ManifestFileIndex"))
+    assert(plan.contains("PartitionFilters") && plan.contains("field_column"),
+      "partition pruning must survive manifest planning")
+    assert(planSec < 30.0, f"planning 100k files took $planSec%.1f s")
+    assert(pruned.queryExecution.optimizedPlan.stats.sizeInBytes ==
+      BigInt(100000L * 8L * 1024 * 1024),
+      "size estimate must come from the manifest sizes")
+  }
+
   test("pre-manifest tables are adopted on their first committed write") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE legacy(ts_us TIMESTAMP, v FIELD, tag TAG)")
