@@ -156,8 +156,15 @@ object ScaleDrive {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val nFiles = 100000
       val initial = (0 until nFiles).map(i => f"field_column=0/part-$i%06d.parquet")
-      timed(f"manifest checkpoint commit ($nFiles%,d files)") {
-        graft.tsdb.TableManifest.commit(fs, dir)(_ => initial)
+      // Every file carries per-file stats (size + disjoint hour-long time
+      // bounds), the Delta-AddFile-shaped payload the planner skips by.
+      val initialStats = initial.zipWithIndex.map { case (rel, i) =>
+        rel -> graft.tsdb.TableManifest.FileStats(
+          1024L * 1024 * 1024, i * 3600_000000L, (i + 1) * 3600_000000L - 1)
+      }.toMap
+      timed(f"manifest checkpoint commit ($nFiles%,d files + stats)") {
+        graft.tsdb.TableManifest.commit(fs, dir, stats = initialStats)(
+          _ => initial)
       }
       timed("25 delta commits (+4 files each)") {
         (0 until 25).foreach { c =>
@@ -171,6 +178,8 @@ object ScaleDrive {
       }
       assert(resolved.files.size == nFiles + 100,
         s"resolved ${resolved.files.size} files, expected ${nFiles + 100}")
+      assert(resolved.fileStats.size == nFiles,
+        "stats must survive the checkpoint + delta chain at scale")
       val sizes = new java.io.File(s"$dir/${graft.tsdb.TableManifest.DirName}")
         .listFiles().map(f => (f.getName, f.length()))
       val cpBytes = sizes.filter(_._1.endsWith(".parquet")).map(_._2).sum
@@ -178,6 +187,36 @@ object ScaleDrive {
         !s._1.startsWith("c")).map(_._2).max
       println(f"  checkpoints: ${cpBytes / 1024.0}%.0f KiB total, " +
         f"largest delta JSON: ${deltaBytes / 1024.0}%.1f KiB")
+
+      // Manifest data skipping + scan planning at the same scale, over
+      // PHANTOM paths (none exists on disk): a narrow time range keeps 1
+      // stats-ful file of 100,000 (the 100 stats-less delta adds are
+      // conservatively kept — absent stats never skip), and planning the
+      // pruned scan is pure driver CPU over manifest metadata — the
+      // 100 TB contrast to an O(files) getFileStatus storm.
+      val lo = 42000L * 3600_000000L
+      val hi = lo + 3600_000000L - 1
+      val kept = timed("time-range file skipping (100,100 files)") {
+        resolved.files.filter { rel =>
+          resolved.fileStats.get(rel)
+            .forall(s => s.maxEndUs >= lo && s.minStartUs <= hi)
+        }
+      }
+      println(f"  kept ${kept.size}%,d of ${resolved.files.size}%,d files " +
+        "(1 in-range + 100 stats-less)")
+      assert(kept.size == 101, s"expected 101 kept, got ${kept.size}")
+      val base = new org.apache.hadoop.fs.Path(s"file:$dir/tables/phantom")
+      val schema = graft.tsdb.SegmentSchema.forTags(Seq("tag"))
+      val withSizes = resolved.files.map { rel =>
+        (new org.apache.hadoop.fs.Path(base, rel),
+          resolved.fileStats.get(rel).map(_.sizeBytes).getOrElse(1L))
+      }
+      timed("plan filtered scan over 100,100 phantom files") {
+        val df = org.apache.spark.sql.graft.ManifestScan
+          .parquetScan(spark, base, withSizes, schema, Some("field_column")).get
+        df.where(org.apache.spark.sql.functions.col("end_time") >= lo)
+          .queryExecution.executedPlan
+      }
     }
 
     // ------------------------------------ deep version history (head hint)
