@@ -255,7 +255,17 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       engine: Engine, meta: TableMetadata, groupTags: Seq[String],
       specs: Seq[AggSpec],
       tagPred: Option[org.apache.spark.sql.Column] = scala.None): DataFrame = {
-    val segments0 = engine.dataFolder.segments(meta.name)
+    // Restrict the scan to the aggregated fields' partitions (ingest keeps
+    // fields timestamp-aligned, so tag groups are identical across field
+    // partitions and the per-field conditionals below are unchanged):
+    // `SELECT sum(f1) FROM t` on a 32-field table reads 1/32 of it.
+    val aggFields = specs.collect { case FieldAgg(_, f, _) => f }.distinct
+    val segments0 =
+      if (aggFields.toSet == meta.fieldColumns.toSet)
+        engine.dataFolder.segments(meta.name)
+      else engine.dataFolder.segments(meta.name)
+        .where(col(SegmentSchema.FieldColumn)
+          .isin(aggFields.map(f => meta.fieldIndex(f): Any): _*))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
     val aggCols = specs.collect { case FieldAgg(kind, field, outName) =>
       SegmentAggregates.aggColumnFor(kind, meta.fieldIndex(field)).as(outName)

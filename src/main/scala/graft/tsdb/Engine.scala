@@ -326,6 +326,15 @@ final class Engine(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Partition predicate selecting exactly the aggregated fields'
+    * `field_column` directories (all-fields = no restriction needed).
+    */
+  private def fieldColumnPredicate(meta: TableMetadata,
+      fields: Seq[String]): Column =
+    if (fields.toSet == meta.fieldColumns.toSet) lit(true)
+    else col(SegmentSchema.FieldColumn)
+      .isin(fields.map(f => meta.fieldIndex(f): Any): _*)
+
   private def gridAggColumn(agg: Aggregate, f: String): Column = agg match {
     case Aggregate.Count => count(col(f)).as(s"count_$f")
     case Aggregate.Min => min(col(f)).as(s"min_$f")
@@ -355,7 +364,12 @@ final class Engine(val spark: SparkSession, val root: String) {
   private def segmentNativeAggregate(
       meta: TableMetadata, fields: Seq[String], aggregates: Seq[Aggregate],
       groupByTags: Seq[String], tagPred: Option[Column]): DataFrame = {
+    // Restrict to the aggregated fields' partitions FIRST: the per-field
+    // conditional aggregation below is correct either way, but without
+    // this predicate a 1-of-N-fields aggregate scans all N `field_column`
+    // directories instead of pruning to one.
     val segments0 = dataFolder.segments(meta.name)
+      .where(fieldColumnPredicate(meta, fields))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
 
     val aggs = for (agg <- aggregates; f <- fields) yield {
@@ -379,6 +393,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       groupByTags: Seq[String], tagPred: Option[Column],
       startUs: Option[Long], endUs: Option[Long]): DataFrame = {
     val segments0 = dataFolder.segmentsInRange(meta.name, startUs, endUs)
+      .where(fieldColumnPredicate(meta, fields))
       .where(GridView.segmentTimePredicate(startUs, endUs))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
 

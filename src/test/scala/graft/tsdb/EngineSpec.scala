@@ -132,6 +132,36 @@ class EngineSpec extends AnyFunSuite {
     assert(avgRel <= 1e-5, s"AVG relative error $avgRel exceeds 0.001%")
   }
 
+  test("aggregating a field subset prunes the other fields' partitions") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE fp(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    engine.write("fp", makePointsDf(500, Seq("a", "b")))
+
+    // Segment-native 1-of-2-fields aggregate: the scan must carry a
+    // field_column partition filter — at a 32-field industrial table this
+    // is the difference between reading 1/32 and 32/32 of the segments.
+    val one = engine.readTimeSeriesTable("fp", Seq("field_2"),
+      engine.Aggregate.Sum)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("field_column"),
+      s"expected a field_column partition filter, plan:\n$plan")
+
+    // Same for the hybrid (time-ranged) shape.
+    val ranged = engine.readTimeSeriesTable("fp", Seq("field_2"),
+      engine.Aggregate.Sum, startTime = Some(java.time.Instant.EPOCH))
+    val rplan = ranged.queryExecution.executedPlan.toString
+    assert(rplan.contains("PartitionFilters") && rplan.contains("field_column"))
+
+    // And the pruned aggregate still answers exactly: sum(field_2) from
+    // the one partition equals the gridded sum over reconstructed points.
+    val pruned = one.collect().head.getDouble(0)
+    val full = engine.readTable("fp").agg(sum(col("field_2")))
+      .collect().head.getDouble(0)
+    assert(math.abs((pruned - full) / full) <= 1e-5,
+      s"pruned=$pruned vs gridded=$full")
+  }
+
   test("tag-grouped segment-native aggregates match gridded group-by") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE gagg(ts_us TIMESTAMP, field_1 FIELD, " +
