@@ -525,6 +525,43 @@ object PipelineQueries {
         .orderBy("doc_id")
     }, Some(qualityOracle)),
 
+    // Repetition filters (Gopher-style): duplicated-line character mass
+    // and repeated-2-gram fraction per document — the cheap degenerate-text
+    // screens (boilerplate pages, generation loops) a corpus pipeline runs
+    // before anything expensive. The oracle replays both signals with
+    // DuckDB list lambdas over the identical tokenization.
+    ("text_repetition", (s: SparkSession, d: String) => {
+      table(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.duplicateNgramFraction(col("text"), 2)
+            .as("dup_2gram_frac"),
+          TextAnalysis.duplicateNgramFraction(col("text"), 3)
+            .as("dup_3gram_frac"))
+        .orderBy("doc_id")
+      // (duplicateLineCharFraction is spec-tested on multi-line docs: the
+      // synthetic corpus is single-line, so it carries no oracle signal.)
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            w -> w <> '') AS ws
+        FROM documents),
+      m AS (
+        SELECT doc_id,
+          list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i + 1]) AS g2,
+          list_transform(range(1, len(ws) - 1),
+            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]) AS g3
+        FROM t)
+      SELECT doc_id,
+        floor(CASE WHEN len(g2) > 0 THEN
+            (len(g2) - len(list_distinct(g2))) / CAST(len(g2) AS DOUBLE)
+          ELSE 0 END * 10000) / 10000 AS dup_2gram_frac,
+        floor(CASE WHEN len(g3) > 0 THEN
+            (len(g3) - len(list_distinct(g3))) / CAST(len(g3) AS DOUBLE)
+          ELSE 0 END * 10000) / 10000 AS dup_3gram_frac
+      FROM m ORDER BY doc_id""")),
+
     // Multimodal: binary blobs + typed metadata; byte counts are
     // SQL-checkable, decoded features are engine-defined (spec-tested).
     ("multimodal_meta", (s: SparkSession, d: String) => {

@@ -370,6 +370,39 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition signals: known documents produce exact fractions") {
+    import spark.implicits._
+    val cases = Seq(
+      // 4 lines, "nav bar" duplicated (2 occurrences x 7 chars = 14 of 25).
+      ("nav bar\nunique1\nnav bar\nbody", 14.0 / 25.0),
+      ("a\nb\nc", 0.0),
+      ("", 0.0),
+      ("   \n \n  ", 0.0), // only blank lines
+      ("same\nsame\nsame", 1.0))
+    val lineRows = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.duplicateLineCharFraction($"text").as("f"))
+      .collect().map(_.getDouble(0))
+    cases.map(_._2).zip(lineRows).foreach { case (exp, got) =>
+      assert(math.abs(got - math.floor(exp * 10000) / 10000) < 1e-9,
+        s"expected $exp, got $got")
+    }
+
+    val gramCases = Seq(
+      // "a b" appears 3x among 4 2-grams -> 2 repeats of 4.
+      ("a b a b a", 2.0 / 4.0),
+      ("loop loop loop loop", 2.0 / 3.0), // "loop loop" x3 -> 2 repeats
+      ("all words differ here", 0.0),
+      ("one", 0.0), // fewer than n words
+      ("", 0.0))
+    val gramRows = gramCases.map(_._1).toDF("text")
+      .select(TextAnalysis.duplicateNgramFraction($"text", 2).as("f"))
+      .collect().map(_.getDouble(0))
+    gramCases.map(_._2).zip(gramRows).foreach { case (exp, got) =>
+      assert(math.abs(got - math.floor(exp * 10000) / 10000) < 1e-9,
+        s"expected $exp, got $got")
+    }
+  }
+
   test("multimodal stub pipeline preserves schema and determinism") {
     val assets = Multimodal.synthesizeAssets(docs, "doc_id", "text", "image")
     // Compare names/types; nullability differs by construction path.
