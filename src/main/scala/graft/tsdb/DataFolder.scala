@@ -482,25 +482,68 @@ final class DataFolder(val spark: SparkSession, val root: String) {
   }
 
   /** Per-file (min start_time, max end_time) of freshly staged segment
-    * files: one column-pruned Spark job over just the batch's output (still
-    * page-cache-hot), grouped by file — O(batch), distributed, and the
-    * collect is bounded by the batch's file count. Unknown bounds become
-    * the cover-everything sentinel so a file can never be wrongly skipped.
+    * files. Typical batches read the bounds straight out of the Parquet
+    * FOOTERS driver-side (row-group column statistics — milliseconds per
+    * file, no job-scheduling latency on the commit path); batches larger
+    * than [[DataFolder.FooterBoundsMaxFiles]] switch to one column-pruned
+    * distributed Spark job so the driver never serially stats an unbounded
+    * list. A file whose footer lacks usable statistics (external writer
+    * with stats disabled) simply reports no bounds and the caller records
+    * the cover-everything sentinel — a file can never be wrongly skipped.
     */
   private def stagedTimeBounds(stagingDir: String,
       relFiles: Seq[String]): Map[String, (Long, Long)] =
     if (relFiles.isEmpty) Map.empty
-    else {
-      val stagingUri = fs.makeQualified(new Path(stagingDir)).toUri
-      spark.read.option("basePath", stagingDir)
-        .parquet(relFiles.map(rel => s"$stagingDir/$rel"): _*)
-        .groupBy(input_file_name().as("file"))
-        .agg(min(col("start_time")).as("mn"), max(col("end_time")).as("mx"))
-        .collect().map { r =>
-          val full = fs.makeQualified(new Path(new java.net.URI(r.getString(0))))
-          stagingUri.relativize(full.toUri).getPath -> (r.getLong(1), r.getLong(2))
-        }.toMap
-    }
+    else if (relFiles.size > DataFolder.FooterBoundsMaxFiles)
+      stagedTimeBoundsJob(stagingDir, relFiles)
+    else relFiles.flatMap { rel =>
+      footerTimeBounds(new Path(s"$stagingDir/$rel")).map(rel -> _)
+    }.toMap
+
+  /** Bounds of one segment file from its footer's row-group statistics;
+    * None when any row group lacks them.
+    */
+  private def footerTimeBounds(path: Path): Option[(Long, Long)] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, fs.getConf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var ok = blocks.nonEmpty
+        blocks.foreach { b =>
+          val cols = b.getColumns.asScala
+          def stat(name: String) = cols
+            .find(_.getPath.toDotString == name).map(_.getStatistics)
+            .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
+          (stat("start_time"), stat("end_time")) match {
+            case (Some(s), Some(e)) =>
+              mn = math.min(mn, s.genericGetMin.asInstanceOf[java.lang.Long])
+              mx = math.max(mx, e.genericGetMax.asInstanceOf[java.lang.Long])
+            case _ => ok = false
+          }
+        }
+        if (ok) Some((mn, mx)) else scala.None
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => scala.None }
+
+  /** Distributed bounds for large batches: one column-pruned job grouped
+    * by file, collect bounded by the batch's file count.
+    */
+  private def stagedTimeBoundsJob(stagingDir: String,
+      relFiles: Seq[String]): Map[String, (Long, Long)] = {
+    val stagingUri = fs.makeQualified(new Path(stagingDir)).toUri
+    spark.read.option("basePath", stagingDir)
+      .parquet(relFiles.map(rel => s"$stagingDir/$rel"): _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("start_time")).as("mn"), max(col("end_time")).as("mx"))
+      .collect().map { r =>
+        val full = fs.makeQualified(new Path(new java.net.URI(r.getString(0))))
+        stagingUri.relativize(full.toUri).getPath -> (r.getLong(1), r.getLong(2))
+      }.toMap
+  }
 
   /** Streaming segment scan over the manifest history: offsets are
     * manifest versions, each micro-batch is a commit's data-carrying adds
@@ -751,6 +794,11 @@ object DataFolder {
     * file lists — treat them like any other segment file.
     */
   val CompactedFilePrefix = "opt-"
+
+  /** Commit-time stats collection reads footers driver-side up to this many
+    * staged files; larger batches use a distributed Spark job instead.
+    */
+  val FooterBoundsMaxFiles = 256
 
   /** Max points buffered per series chunk before segments are cut, matching
     * the reference's uncompressed buffer capacity
