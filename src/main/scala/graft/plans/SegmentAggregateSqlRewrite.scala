@@ -220,7 +220,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             col(t).isin(vs.map(v => v: Any): _*)
           }
       buildWholeTable(engine, m.meta, m.groupTags, m.specs,
-        preds.reduceOption(_ && _))
+        preds.reduceOption(_ && _), m.tagEq)
     } else {
       // Filtered path: route through the engine's structured read — tag
       // equalities and IN-lists stay segment-native prunes, a time range
@@ -254,18 +254,19 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   private def buildWholeTable(
       engine: Engine, meta: TableMetadata, groupTags: Seq[String],
       specs: Seq[AggSpec],
-      tagPred: Option[org.apache.spark.sql.Column] = scala.None): DataFrame = {
+      tagPred: Option[org.apache.spark.sql.Column] = scala.None,
+      tagEq: Map[String, String] = Map.empty): DataFrame = {
     // Restrict the scan to the aggregated fields' partitions (ingest keeps
     // fields timestamp-aligned, so tag groups are identical across field
     // partitions and the per-field conditionals below are unchanged):
     // `SELECT sum(f1) FROM t` on a 32-field table reads 1/32 of it.
     val aggFields = specs.collect { case FieldAgg(_, f, _) => f }.distinct
+    val base = engine.dataFolder
+      .segmentsPruned(meta.name, scala.None, scala.None, tagEq)
     val segments0 =
-      if (aggFields.toSet == meta.fieldColumns.toSet)
-        engine.dataFolder.segments(meta.name)
-      else engine.dataFolder.segments(meta.name)
-        .where(col(SegmentSchema.FieldColumn)
-          .isin(aggFields.map(f => meta.fieldIndex(f): Any): _*))
+      if (aggFields.toSet == meta.fieldColumns.toSet) base
+      else base.where(col(SegmentSchema.FieldColumn)
+        .isin(aggFields.map(f => meta.fieldIndex(f): Any): _*))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
     val aggCols = specs.collect { case FieldAgg(kind, field, outName) =>
       SegmentAggregates.aggColumnFor(kind, meta.fieldIndex(field)).as(outName)

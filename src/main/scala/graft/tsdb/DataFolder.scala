@@ -251,15 +251,18 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     val addedWithSize = listDataFilesWithSize(staging.toString)
     val added = addedWithSize.map(_._1)
     // Per-file stats are measured while the files still sit in staging:
-    // sizes fall out of the listing above, segment time bounds out of one
-    // small job. Relative paths are stable across the rename, so the stats
-    // key by exactly the names the manifest will publish.
-    val bounds =
-      if (metadata(table).isTimeSeries) stagedTimeBounds(staging.toString, added)
-      else Map.empty[String, (Long, Long)]
+    // sizes fall out of the listing above, time and tag bounds out of the
+    // footers (or one small job). Relative paths are stable across the
+    // rename, so the stats key by exactly the names the manifest publishes.
+    val tableMeta = metadata(table)
+    val staged =
+      if (tableMeta.isTimeSeries)
+        stagedFileMeta(staging.toString, added, tableMeta.tagColumns)
+      else Map.empty[String, StagedMeta]
     val stats = addedWithSize.map { case (rel, size) =>
-      val (mn, mx) = bounds.getOrElse(rel, (Long.MinValue, Long.MaxValue))
-      rel -> TableManifest.FileStats(size, mn, mx)
+      val m = staged.getOrElse(rel, StagedMeta(scala.None, Map.empty))
+      val (mn, mx) = m.timeBounds.getOrElse((Long.MinValue, Long.MaxValue))
+      rel -> TableManifest.FileStats(size, mn, mx, m.tagBounds)
     }.toMap
     added.foreach { rel =>
       val target = new Path(dir, rel)
@@ -353,15 +356,27 @@ final class DataFolder(val spark: SparkSession, val root: String) {
           val writer = arranged.write.mode("overwrite")
           (if (meta.isTimeSeries) writer.option("compression", "zstd")
            else writer).parquet(stagedPart.toString)
-          // Outputs inherit the union of their inputs' time bounds (every
-          // input point lands in some output of this partition) — correct,
-          // conservative, and free. Any stats-less input poisons the bound
-          // to the cover-everything sentinel, so skipping stays safe.
+          // Outputs inherit the union of their inputs' time and tag bounds
+          // (every input point lands in some output of this partition) —
+          // correct, conservative, and free. Any stats-less input poisons
+          // the time bound to the cover-everything sentinel (and drops tag
+          // bounds), so skipping stays safe.
+          val haveAll = small.forall(snapStats.contains)
           val inBounds =
-            if (small.forall(snapStats.contains))
+            if (haveAll)
               (small.map(snapStats(_).minStartUs).min,
                 small.map(snapStats(_).maxEndUs).max)
             else (Long.MinValue, Long.MaxValue)
+          val inTagBounds: Map[String, (String, String)] =
+            if (haveAll) {
+              val all = small.map(snapStats)
+              meta.tagColumns.flatMap { t =>
+                val bs = all.map(_.tagBounds.get(t))
+                if (bs.forall(_.isDefined))
+                  Some(t -> (bs.map(_.get._1).min, bs.map(_.get._2).max))
+                else scala.None
+              }.toMap
+            } else Map.empty
           val staged = listDataFilesWithSize(stagedPart.toString)
           staged.foreach { case (stagedRel, stagedSize) =>
             // The `opt-` name prefix marks provenance: this file re-packs
@@ -377,8 +392,8 @@ final class DataFolder(val spark: SparkSession, val root: String) {
               throw new java.io.IOException(
                 s"Could not move compacted file $rel into $dir.")
             created += rel
-            createdStats +=
-              rel -> TableManifest.FileStats(stagedSize, inBounds._1, inBounds._2)
+            createdStats += rel -> TableManifest.FileStats(
+              stagedSize, inBounds._1, inBounds._2, inTagBounds)
           }
           removed ++= small
         }
@@ -481,67 +496,105 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Per-file (min start_time, max end_time) of freshly staged segment
-    * files. Typical batches read the bounds straight out of the Parquet
-    * FOOTERS driver-side (row-group column statistics — milliseconds per
-    * file, no job-scheduling latency on the commit path); batches larger
-    * than [[DataFolder.FooterBoundsMaxFiles]] switch to one column-pruned
+  /** Per-file statistics payload of a freshly staged segment file: time
+    * bounds plus per-tag-column [min, max] value ranges. Tag bounds are
+    * kept only when every row group has them AND both ends are pure ASCII
+    * (Java string order, Parquet UTF8 byte order, and Spark UTF8String
+    * order all agree on ASCII — a non-ASCII bound is dropped rather than
+    * risking an order-mismatch skip).
+    */
+  private final case class StagedMeta(
+    timeBounds: Option[(Long, Long)],
+    tagBounds: Map[String, (String, String)])
+
+  private def isAscii(s: String): Boolean = s.forall(_ < 0x80)
+
+  /** Staged-file statistics. Typical batches read the Parquet FOOTERS
+    * driver-side (row-group column statistics — milliseconds per file, no
+    * job-scheduling latency on the commit path); batches larger than
+    * [[DataFolder.FooterBoundsMaxFiles]] switch to one column-pruned
     * distributed Spark job so the driver never serially stats an unbounded
     * list. A file whose footer lacks usable statistics (external writer
     * with stats disabled) simply reports no bounds and the caller records
     * the cover-everything sentinel — a file can never be wrongly skipped.
     */
-  private def stagedTimeBounds(stagingDir: String,
-      relFiles: Seq[String]): Map[String, (Long, Long)] =
+  private def stagedFileMeta(stagingDir: String, relFiles: Seq[String],
+      tagCols: Seq[String]): Map[String, StagedMeta] =
     if (relFiles.isEmpty) Map.empty
     else if (relFiles.size > DataFolder.FooterBoundsMaxFiles)
-      stagedTimeBoundsJob(stagingDir, relFiles)
-    else relFiles.flatMap { rel =>
-      footerTimeBounds(new Path(s"$stagingDir/$rel")).map(rel -> _)
+      stagedFileMetaJob(stagingDir, relFiles, tagCols)
+    else relFiles.map { rel =>
+      rel -> footerMeta(new Path(s"$stagingDir/$rel"), tagCols)
     }.toMap
 
-  /** Bounds of one segment file from its footer's row-group statistics;
-    * None when any row group lacks them.
-    */
-  private def footerTimeBounds(path: Path): Option[(Long, Long)] =
+  /** One file's stats from its footer's row-group statistics. */
+  private def footerMeta(path: Path, tagCols: Seq[String]): StagedMeta =
     try {
       import scala.jdk.CollectionConverters._
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, fs.getConf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
+        def stat(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+            name: String) = b.getColumns.asScala
+          .find(_.getPath.toDotString == name).map(_.getStatistics)
+          .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
         var mn = Long.MaxValue
         var mx = Long.MinValue
-        var ok = blocks.nonEmpty
+        var timeOk = blocks.nonEmpty
         blocks.foreach { b =>
-          val cols = b.getColumns.asScala
-          def stat(name: String) = cols
-            .find(_.getPath.toDotString == name).map(_.getStatistics)
-            .filter(s => s != null && !s.isEmpty && s.hasNonNullValue)
-          (stat("start_time"), stat("end_time")) match {
+          (stat(b, "start_time"), stat(b, "end_time")) match {
             case (Some(s), Some(e)) =>
               mn = math.min(mn, s.genericGetMin.asInstanceOf[java.lang.Long])
               mx = math.max(mx, e.genericGetMax.asInstanceOf[java.lang.Long])
-            case _ => ok = false
+            case _ => timeOk = false
           }
         }
-        if (ok) Some((mn, mx)) else scala.None
+        val tags = tagCols.flatMap { t =>
+          val perBlock = blocks.map(stat(_, t))
+          if (blocks.isEmpty || perBlock.exists(_.isEmpty)) scala.None
+          else {
+            def str(x: Any) =
+              x.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+            val los = perBlock.map(s => str(s.get.genericGetMin: Any))
+            val his = perBlock.map(s => str(s.get.genericGetMax: Any))
+            if ((los ++ his).forall(isAscii)) Some(t -> (los.min, his.max))
+            else scala.None
+          }
+        }.toMap
+        StagedMeta(if (timeOk) Some((mn, mx)) else scala.None, tags)
       } finally reader.close()
-    } catch { case scala.util.control.NonFatal(_) => scala.None }
+    } catch {
+      case scala.util.control.NonFatal(_) => StagedMeta(scala.None, Map.empty)
+    }
 
-  /** Distributed bounds for large batches: one column-pruned job grouped
-    * by file, collect bounded by the batch's file count.
+  /** Distributed stats for large batches: one column-pruned job grouped by
+    * file, collect bounded by the batch's file count. Spark's string
+    * min/max order UTF8Strings byte-wise, matching the footer path.
     */
-  private def stagedTimeBoundsJob(stagingDir: String,
-      relFiles: Seq[String]): Map[String, (Long, Long)] = {
+  private def stagedFileMetaJob(stagingDir: String, relFiles: Seq[String],
+      tagCols: Seq[String]): Map[String, StagedMeta] = {
     val stagingUri = fs.makeQualified(new Path(stagingDir)).toUri
+    val aggs = Seq(min(col("start_time")).as("mn"),
+      max(col("end_time")).as("mx")) ++
+      tagCols.zipWithIndex.flatMap { case (t, i) =>
+        Seq(min(col(t)).as(s"__tlo_$i"), max(col(t)).as(s"__thi_$i"))
+      }
     spark.read.option("basePath", stagingDir)
       .parquet(relFiles.map(rel => s"$stagingDir/$rel"): _*)
       .groupBy(input_file_name().as("file"))
-      .agg(min(col("start_time")).as("mn"), max(col("end_time")).as("mx"))
+      .agg(aggs.head, aggs.tail: _*)
       .collect().map { r =>
         val full = fs.makeQualified(new Path(new java.net.URI(r.getString(0))))
-        stagingUri.relativize(full.toUri).getPath -> (r.getLong(1), r.getLong(2))
+        val rel = stagingUri.relativize(full.toUri).getPath
+        val tags = tagCols.zipWithIndex.flatMap { case (t, i) =>
+          val lo = r.getAs[String](s"__tlo_$i")
+          val hi = r.getAs[String](s"__thi_$i")
+          if (lo != null && hi != null && isAscii(lo) && isAscii(hi))
+            Some(t -> (lo, hi))
+          else scala.None
+        }.toMap
+        rel -> StagedMeta(Some((r.getLong(1), r.getLong(2))), tags)
       }.toMap
   }
 
@@ -618,16 +671,35 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * long-retention table mostly serves.
     */
   def segmentsInRange(table: String, startUs: Option[Long],
-      endUs: Option[Long]): DataFrame = {
-    if (startUs.isEmpty && endUs.isEmpty) return segments(table)
+      endUs: Option[Long]): DataFrame =
+    segmentsPruned(table, startUs, endUs, Map.empty)
+
+  /** [[segmentsInRange]] plus tag-equality skipping: a file whose recorded
+    * [min, max] range for a filtered tag cannot contain the requested
+    * value is never opened — `WHERE tag = 'sensor-123'` over a tag-sorted
+    * layout (ingest range-partitions by tags, compaction re-sorts) touches
+    * O(files holding that series), not O(table). Absent tag bounds (legacy
+    * commits, non-ASCII values) keep the file; exact predicates downstream
+    * are unchanged.
+    */
+  def segmentsPruned(table: String, startUs: Option[Long],
+      endUs: Option[Long], tagEq: Map[String, String]): DataFrame = {
+    if (startUs.isEmpty && endUs.isEmpty && tagEq.isEmpty)
+      return segments(table)
     val dir = tableDir(table)
     TableManifest.latest(fs, dir) match {
       case Some(snapshot) =>
         val lo = startUs.getOrElse(Long.MinValue)
         val hi = endUs.getOrElse(Long.MaxValue)
         val kept = snapshot.files.filter { rel =>
-          snapshot.fileStats.get(rel)
-            .forall(s => s.maxEndUs >= lo && s.minStartUs <= hi)
+          snapshot.fileStats.get(rel).forall { s =>
+            s.maxEndUs >= lo && s.minStartUs <= hi &&
+              tagEq.forall { case (t, v) =>
+                s.tagBounds.get(t).forall { case (mn, mx) =>
+                  mn.compareTo(v) <= 0 && v.compareTo(mx) <= 0
+                }
+              }
+          }
         }
         segmentScan(table, kept, snapshot.fileStats)
       case scala.None => segments(table) // pre-manifest: no stats to consult
@@ -653,13 +725,20 @@ final class DataFolder(val spark: SparkSession, val root: String) {
   }
 
   /** Segment scan over an explicit committed file list (CDC reads read
-    * HISTORICAL commits' files, so stats come from the newest snapshot
-    * when present and a bounded per-file probe otherwise).
+    * HISTORICAL commits' files, so stats come from the version that
+    * committed them when the caller knows it — every file a commit adds is
+    * live, with stats, in that commit's snapshot — from the newest
+    * snapshot otherwise, and from a bounded per-file probe as the last
+    * resort).
     */
-  private[tsdb] def segmentsFor(table: String, relFiles: Seq[String]): DataFrame =
-    segmentScan(table, relFiles,
-      TableManifest.latest(fs, tableDir(table))
-        .map(_.fileStats).getOrElse(Map.empty))
+  private[tsdb] def segmentsFor(table: String, relFiles: Seq[String],
+      atVersion: Option[Long] = scala.None): DataFrame = {
+    val stats = atVersion
+      .flatMap(v => TableManifest.snapshotAt(fs, tableDir(table), v))
+      .orElse(TableManifest.latest(fs, tableDir(table)))
+      .map(_.fileStats).getOrElse(Map.empty)
+    segmentScan(table, relFiles, stats)
+  }
 
   /** The one segment-scan builder: plans straight from manifest metadata
     * ([[org.apache.spark.sql.graft.ManifestScan]]) — the file list and

@@ -204,7 +204,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       s"$table has no manifest version $toVersion yet (head is $head).")
     val perVersion = dataFolder.changedDataFiles(table, fromVersion, toVersion)
     val frames = perVersion.map { case (v, files) =>
-      GridView.dataPoints(dataFolder.segmentsFor(table, files), meta,
+      GridView.dataPoints(dataFolder.segmentsFor(table, files, Some(v)), meta,
         meta.fieldColumns).withColumn("_commit_version", lit(v))
     }
     if (frames.isEmpty)
@@ -309,12 +309,13 @@ final class Engine(val spark: SparkSession, val root: String) {
         groupByTags.forall(meta.tagColumns.contains)
 
     if (segmentNativeEligible) {
-      segmentNativeAggregate(meta, selected, aggregates, groupByTags, tagPred)
+      segmentNativeAggregate(meta, selected, aggregates, groupByTags, tagPred,
+        tagFilters)
     } else if (hybridEligible) {
       hybridRangeAggregate(meta, selected, aggregates, groupByTags, tagPred,
-        startUs, endUs)
+        startUs, endUs, tagFilters)
     } else {
-      val segments0 = dataFolder.segmentsInRange(table, startUs, endUs)
+      val segments0 = dataFolder.segmentsPruned(table, startUs, endUs, tagFilters)
       val segments = tagPred.map(segments0.where).getOrElse(segments0)
       val points = GridView.dataPoints(segments, meta, selected, startUs, endUs)
       if (aggregates.isEmpty) points
@@ -363,12 +364,15 @@ final class Engine(val spark: SparkSession, val root: String) {
     */
   private def segmentNativeAggregate(
       meta: TableMetadata, fields: Seq[String], aggregates: Seq[Aggregate],
-      groupByTags: Seq[String], tagPred: Option[Column]): DataFrame = {
+      groupByTags: Seq[String], tagPred: Option[Column],
+      tagEq: Map[String, String] = Map.empty): DataFrame = {
     // Restrict to the aggregated fields' partitions FIRST: the per-field
     // conditional aggregation below is correct either way, but without
     // this predicate a 1-of-N-fields aggregate scans all N `field_column`
-    // directories instead of pruning to one.
-    val segments0 = dataFolder.segments(meta.name)
+    // directories instead of pruning to one. Tag equalities additionally
+    // skip whole files via manifest tag bounds.
+    val segments0 = dataFolder
+      .segmentsPruned(meta.name, scala.None, scala.None, tagEq)
       .where(fieldColumnPredicate(meta, fields))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
 
@@ -391,8 +395,10 @@ final class Engine(val spark: SparkSession, val root: String) {
   private def hybridRangeAggregate(
       meta: TableMetadata, fields: Seq[String], aggregates: Seq[Aggregate],
       groupByTags: Seq[String], tagPred: Option[Column],
-      startUs: Option[Long], endUs: Option[Long]): DataFrame = {
-    val segments0 = dataFolder.segmentsInRange(meta.name, startUs, endUs)
+      startUs: Option[Long], endUs: Option[Long],
+      tagEq: Map[String, String] = Map.empty): DataFrame = {
+    val segments0 = dataFolder
+      .segmentsPruned(meta.name, startUs, endUs, tagEq)
       .where(fieldColumnPredicate(meta, fields))
       .where(GridView.segmentTimePredicate(startUs, endUs))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)

@@ -105,11 +105,16 @@ private[graft] object TableManifest {
     * lets the scan planner build splits without ever calling the
     * filesystem (zero per-file RPCs at plan time); the time bounds let it
     * SKIP files whose segments cannot match a pushed `start_time` /
-    * `end_time` predicate. Stats are advisory: a file absent from the map
-    * is planned via a filesystem probe and never skipped.
+    * `end_time` predicate; `tagBounds` holds per-TAG-column [min, max]
+    * value ranges so tag-equality predicates (`WHERE tag = 'sensor-123'`,
+    * the dominant TSDB access pattern) skip files too. Tag bounds are
+    * recorded only when ASCII (Java string order, Parquet byte order, and
+    * Spark UTF8String order then agree); a tag absent from the map never
+    * skips. Stats are advisory: a file absent entirely is planned via a
+    * filesystem probe and never skipped.
     */
   final case class FileStats(sizeBytes: Long, minStartUs: Long,
-    maxEndUs: Long)
+    maxEndUs: Long, tagBounds: Map[String, (String, String)] = Map.empty)
 
   /** One manifest JSON as stored: exactly one of `files` (inline),
     * `checkpoint` (sidecar name), or `deltaBase` (+ add/remove) is set.
@@ -351,18 +356,30 @@ private[graft] object TableManifest {
         b.result()
       }.getOrElse(Map.empty[String, Long])
       // Per-file stats: `{"stats": {"<file>": {"size_bytes": n,
-      // "min_start_us": n, "max_end_us": n}}}`. Absent (legacy manifests)
-      // means no file carries stats — never an error.
+      // "min_start_us": n, "max_end_us": n, "tags": {"t": ["lo","hi"]}}}}`.
+      // Absent (legacy manifests) means no file carries stats — never an
+      // error; `tags` is optional per file.
       val stats = Option(root.get("stats")).map { node =>
         val it = node.fields()
         val b = Map.newBuilder[String, FileStats]
         while (it.hasNext) {
           val e = it.next()
           val v = e.getValue
+          val tags = Option(v.get("tags")).map { tn =>
+            val tit = tn.fields()
+            val tb = Map.newBuilder[String, (String, String)]
+            while (tit.hasNext) {
+              val te = tit.next()
+              tb += te.getKey ->
+                (te.getValue.get(0).asText(), te.getValue.get(1).asText())
+            }
+            tb.result()
+          }.getOrElse(Map.empty[String, (String, String)])
           b += e.getKey -> FileStats(
             v.get("size_bytes").asLong(),
             v.get("min_start_us").asLong(),
-            v.get("max_end_us").asLong())
+            v.get("max_end_us").asLong(),
+            tags)
         }
         b.result()
       }.getOrElse(Map.empty[String, FileStats])
@@ -516,6 +533,14 @@ private[graft] object TableManifest {
         o.put("size_bytes", s.sizeBytes)
         o.put("min_start_us", s.minStartUs)
         o.put("max_end_us", s.maxEndUs)
+        if (s.tagBounds.nonEmpty) {
+          val tn = o.putObject("tags")
+          s.tagBounds.toSeq.sortBy(_._1).foreach { case (t, (lo, hi)) =>
+            val arr = tn.putArray(t)
+            arr.add(lo)
+            arr.add(hi)
+          }
+        }
       }
     }
 
@@ -570,7 +595,36 @@ private[graft] object TableManifest {
       |  optional int64 size_bytes;
       |  optional int64 min_start_us;
       |  optional int64 max_end_us;
+      |  optional binary tag_bounds (STRING);
       |}""".stripMargin)
+
+  /** Compact JSON for the sidecar's per-file tag bounds column:
+    * `{"t":["lo","hi"],...}` — schema-free so the sidecar layout never
+    * depends on a table's tag columns.
+    */
+  private def tagBoundsJson(tb: Map[String, (String, String)]): String = {
+    val o = mapper.createObjectNode()
+    tb.toSeq.sortBy(_._1).foreach { case (t, (lo, hi)) =>
+      val arr = o.putArray(t)
+      arr.add(lo)
+      arr.add(hi)
+    }
+    mapper.writeValueAsString(o)
+  }
+
+  private def parseTagBounds(json: String): Map[String, (String, String)] =
+    try {
+      val node = mapper.readTree(json)
+      val it = node.fields()
+      val b = Map.newBuilder[String, (String, String)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (e.getValue.get(0).asText(), e.getValue.get(1).asText())
+      }
+      b.result()
+    } catch {
+      case scala.util.control.NonFatal(_) => Map.empty[String, (String, String)]
+    }
 
   private def isCheckpointName(n: String) =
     n.startsWith("c") && n.endsWith(".parquet")
@@ -597,6 +651,7 @@ private[graft] object TableManifest {
         g.add("size_bytes", s.sizeBytes)
         g.add("min_start_us", s.minStartUs)
         g.add("max_end_us", s.maxEndUs)
+        if (s.tagBounds.nonEmpty) g.add("tag_bounds", tagBoundsJson(s.tagBounds))
       }
       writer.write(g)
     } finally writer.close()
@@ -626,11 +681,18 @@ private[graft] object TableManifest {
             if (schema.containsField("size_bytes") &&
                 g.getFieldRepetitionCount("size_bytes") > 0 &&
                 g.getFieldRepetitionCount("min_start_us") > 0 &&
-                g.getFieldRepetitionCount("max_end_us") > 0)
+                g.getFieldRepetitionCount("max_end_us") > 0) {
+              val tags =
+                if (schema.containsField("tag_bounds") &&
+                    g.getFieldRepetitionCount("tag_bounds") > 0)
+                  parseTagBounds(g.getString("tag_bounds", 0))
+                else Map.empty[String, (String, String)]
               st += f -> FileStats(
                 g.getLong("size_bytes", 0),
                 g.getLong("min_start_us", 0),
-                g.getLong("max_end_us", 0))
+                g.getLong("max_end_us", 0),
+                tags)
+            }
             g = reader.read()
           }
         } finally reader.close()

@@ -644,6 +644,61 @@ class ManifestSpec extends AnyFunSuite {
       "rollback must carry the target version's stats, not the head's")
   }
 
+  test("tag-equality predicates skip files via manifest tag bounds") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE tg(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    def points(loUs: Long, n: Int, tagPrefix: String) =
+      (0 until n).map(i =>
+        (loUs + i * 1000L, i.toFloat, s"$tagPrefix${i % 4}"))
+        .toDF("ts_us", "v", "tag")
+    engine.write("tg", points(1_000_000L, 200, "aaa"))
+    engine.write("tg", points(2_000_000L, 200, "zzz"))
+
+    val fs = new org.apache.hadoop.fs.Path(engine.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = TableManifest.latest(fs, engine.dataFolder.tableDir("tg")).get
+    assert(snap.fileStats.nonEmpty &&
+      snap.fileStats.values.forall(_.tagBounds.contains("tag")),
+      "appends must record per-file tag bounds")
+
+    // A tag-equality scan must not open the other append's files.
+    val all = engine.dataFolder.segments("tg").inputFiles.length
+    val pruned = engine.dataFolder
+      .segmentsPruned("tg", scala.None, scala.None, Map("tag" -> "zzz1"))
+    assert(pruned.inputFiles.length < all,
+      s"expected tag skipping, scanned ${pruned.inputFiles.length} of $all")
+
+    // The skipped plans still answer exactly, in every aggregate shape.
+    val cnt = engine.readTimeSeriesTable("tg", Seq("v"),
+      engine.Aggregate.Count, tagFilters = Map("tag" -> "zzz1"))
+      .collect().head.getLong(0)
+    assert(cnt == 50, s"expected 50 zzz1 points, got $cnt")
+    val ranged = engine.readTimeSeriesTable("tg", Seq("v"),
+      engine.Aggregate.Count, tagFilters = Map("tag" -> "zzz1"),
+      startTime = Some(java.time.Instant.EPOCH)).collect().head.getLong(0)
+    assert(ranged == 50)
+
+    // A value outside every file's bounds scans nothing and returns 0.
+    val none = engine.readTimeSeriesTable("tg", Seq("v"),
+      engine.Aggregate.Count, tagFilters = Map("tag" -> "mmm9"))
+      .collect().head.getLong(0)
+    assert(none == 0)
+
+    // Non-ASCII tags: bounds are dropped (never wrong), files always kept.
+    engine.write("tg", points(3_000_000L, 40, "séns"))
+    val snap2 = TableManifest.latest(fs, engine.dataFolder.tableDir("tg")).get
+    val newFiles = snap2.files.filterNot(snap.files.toSet)
+    assert(newFiles.nonEmpty)
+    assert(newFiles.forall(f =>
+      !snap2.fileStats(f).tagBounds.contains("tag")),
+      "non-ASCII tag values must not record bounds")
+    val cnt2 = engine.readTimeSeriesTable("tg", Seq("v"),
+      engine.Aggregate.Count, tagFilters = Map("tag" -> "séns1"))
+      .collect().head.getLong(0)
+    assert(cnt2 == 10, s"non-ASCII series must still be found, got $cnt2")
+  }
+
   test("manifest-planned scans touch no filesystem at plan time") {
     // 100,000 PHANTOM files — none exists anywhere on disk. Planning a
     // pruned, filtered scan over them can only succeed if the planner
