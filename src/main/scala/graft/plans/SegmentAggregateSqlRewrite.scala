@@ -220,7 +220,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             col(t).isin(vs.map(v => v: Any): _*)
           }
       buildWholeTable(engine, m.meta, m.groupTags, m.specs,
-        preds.reduceOption(_ && _), m.tagEq)
+        preds.reduceOption(_ && _), m.tagEq, m.tagIn)
     } else {
       // Filtered path: route through the engine's structured read — tag
       // equalities and IN-lists stay segment-native prunes, a time range
@@ -255,14 +255,15 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       engine: Engine, meta: TableMetadata, groupTags: Seq[String],
       specs: Seq[AggSpec],
       tagPred: Option[org.apache.spark.sql.Column] = scala.None,
-      tagEq: Map[String, String] = Map.empty): DataFrame = {
+      tagEq: Map[String, String] = Map.empty,
+      tagIn: Map[String, Seq[String]] = Map.empty): DataFrame = {
     // Restrict the scan to the aggregated fields' partitions (ingest keeps
     // fields timestamp-aligned, so tag groups are identical across field
     // partitions and the per-field conditionals below are unchanged):
     // `SELECT sum(f1) FROM t` on a 32-field table reads 1/32 of it.
     val aggFields = specs.collect { case FieldAgg(_, f, _) => f }.distinct
     val base = engine.dataFolder
-      .segmentsPruned(meta.name, scala.None, scala.None, tagEq)
+      .segmentsPruned(meta.name, scala.None, scala.None, tagEq, tagIn)
     val segments0 =
       if (aggFields.toSet == meta.fieldColumns.toSet) base
       else base.where(col(SegmentSchema.FieldColumn)

@@ -22,9 +22,10 @@ object TsQueries {
   /** Bump when the segment format or build recipe changes so stale caches
     * from earlier builds are discarded.
     */
-  // v4: manifests carry per-file stats (size + time bounds) — rebuild so
-  // the benched tables exercise manifest-planned, stats-skipping scans.
-  private val CacheVersion = "v4"
+  // v5: manifests carry per-file tag bounds too — rebuild so benched
+  // tables exercise tag-equality file skipping on top of the v4
+  // (size + time bounds) manifest-planned scans.
+  private val CacheVersion = "v5"
 
   /** Build (once per JVM x scale factor) a data folder holding the events
     * time series tables; reused across queries via an on-disk marker.
@@ -292,6 +293,29 @@ object TsQueries {
       SELECT CAST(user_id AS VARCHAR) AS user, count(*) AS n,
         min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
       FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Tag-selective aggregate — the dominant TSDB access pattern (`WHERE
+    // tag = value`): manifest tag bounds skip every file whose per-file
+    // [min, max] tag range cannot hold the requested users, so over the
+    // tag-sorted layout the scan opens O(files holding those series).
+    // Count + sum(len-weighted) shapes verify both the equality and
+    // IN-list skip paths against the raw events.
+    ("ts_tag_filter_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val eq = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Count, tagFilters = Map("user" -> "7"))
+        .select(col("count_value").as("n_eq"))
+      val in = engine.readTimeSeriesTable("events_lossless", Seq("value"),
+        engine.Aggregate.Count,
+        tagInFilters = Map("user" -> Seq("3", "55", "107")))
+        .select(col("count_value").as("n_in"))
+      eq.crossJoin(in)
+    }, Some("""
+      SELECT
+        (SELECT count(*) FROM events WHERE CAST(user_id AS VARCHAR) = '7')
+          AS n_eq,
+        (SELECT count(*) FROM events
+         WHERE CAST(user_id AS VARCHAR) IN ('3', '55', '107')) AS n_in""")),
 
     // Multivariate reconstruction: two stored fields reassembled by
     // (tags, timestamp) in one conditional-aggregation shuffle.

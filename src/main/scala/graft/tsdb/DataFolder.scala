@@ -674,30 +674,35 @@ final class DataFolder(val spark: SparkSession, val root: String) {
       endUs: Option[Long]): DataFrame =
     segmentsPruned(table, startUs, endUs, Map.empty)
 
-  /** [[segmentsInRange]] plus tag-equality skipping: a file whose recorded
+  /** [[segmentsInRange]] plus tag skipping: a file whose recorded
     * [min, max] range for a filtered tag cannot contain the requested
-    * value is never opened — `WHERE tag = 'sensor-123'` over a tag-sorted
-    * layout (ingest range-partitions by tags, compaction re-sorts) touches
-    * O(files holding that series), not O(table). Absent tag bounds (legacy
-    * commits, non-ASCII values) keep the file; exact predicates downstream
-    * are unchanged.
+    * value (any of them, for IN-lists) is never opened — `WHERE tag =
+    * 'sensor-123'` over a tag-sorted layout (ingest range-partitions by
+    * tags, compaction re-sorts) touches O(files holding that series), not
+    * O(table). Absent tag bounds (legacy commits, non-ASCII values) keep
+    * the file; exact predicates downstream are unchanged.
     */
   def segmentsPruned(table: String, startUs: Option[Long],
-      endUs: Option[Long], tagEq: Map[String, String]): DataFrame = {
-    if (startUs.isEmpty && endUs.isEmpty && tagEq.isEmpty)
+      endUs: Option[Long], tagEq: Map[String, String],
+      tagIn: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    if (startUs.isEmpty && endUs.isEmpty && tagEq.isEmpty && tagIn.isEmpty)
       return segments(table)
     val dir = tableDir(table)
     TableManifest.latest(fs, dir) match {
       case Some(snapshot) =>
         val lo = startUs.getOrElse(Long.MinValue)
         val hi = endUs.getOrElse(Long.MaxValue)
+        def inBounds(s: TableManifest.FileStats, t: String,
+            vs: Seq[String]): Boolean =
+          s.tagBounds.get(t).forall { case (mn, mx) =>
+            vs.exists(v => mn.compareTo(v) <= 0 && v.compareTo(mx) <= 0)
+          }
         val kept = snapshot.files.filter { rel =>
           snapshot.fileStats.get(rel).forall { s =>
             s.maxEndUs >= lo && s.minStartUs <= hi &&
-              tagEq.forall { case (t, v) =>
-                s.tagBounds.get(t).forall { case (mn, mx) =>
-                  mn.compareTo(v) <= 0 && v.compareTo(mx) <= 0
-                }
+              tagEq.forall { case (t, v) => inBounds(s, t, Seq(v)) } &&
+              tagIn.forall { case (t, vs) =>
+                vs.isEmpty || inBounds(s, t, vs)
               }
           }
         }

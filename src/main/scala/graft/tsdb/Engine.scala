@@ -310,12 +310,13 @@ final class Engine(val spark: SparkSession, val root: String) {
 
     if (segmentNativeEligible) {
       segmentNativeAggregate(meta, selected, aggregates, groupByTags, tagPred,
-        tagFilters)
+        tagFilters, tagInFilters)
     } else if (hybridEligible) {
       hybridRangeAggregate(meta, selected, aggregates, groupByTags, tagPred,
-        startUs, endUs, tagFilters)
+        startUs, endUs, tagFilters, tagInFilters)
     } else {
-      val segments0 = dataFolder.segmentsPruned(table, startUs, endUs, tagFilters)
+      val segments0 = dataFolder.segmentsPruned(table, startUs, endUs,
+        tagFilters, tagInFilters)
       val segments = tagPred.map(segments0.where).getOrElse(segments0)
       val points = GridView.dataPoints(segments, meta, selected, startUs, endUs)
       if (aggregates.isEmpty) points
@@ -365,14 +366,15 @@ final class Engine(val spark: SparkSession, val root: String) {
   private def segmentNativeAggregate(
       meta: TableMetadata, fields: Seq[String], aggregates: Seq[Aggregate],
       groupByTags: Seq[String], tagPred: Option[Column],
-      tagEq: Map[String, String] = Map.empty): DataFrame = {
+      tagEq: Map[String, String] = Map.empty,
+      tagIn: Map[String, Seq[String]] = Map.empty): DataFrame = {
     // Restrict to the aggregated fields' partitions FIRST: the per-field
     // conditional aggregation below is correct either way, but without
     // this predicate a 1-of-N-fields aggregate scans all N `field_column`
-    // directories instead of pruning to one. Tag equalities additionally
-    // skip whole files via manifest tag bounds.
+    // directories instead of pruning to one. Tag equalities and IN-lists
+    // additionally skip whole files via manifest tag bounds.
     val segments0 = dataFolder
-      .segmentsPruned(meta.name, scala.None, scala.None, tagEq)
+      .segmentsPruned(meta.name, scala.None, scala.None, tagEq, tagIn)
       .where(fieldColumnPredicate(meta, fields))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
 
@@ -396,9 +398,10 @@ final class Engine(val spark: SparkSession, val root: String) {
       meta: TableMetadata, fields: Seq[String], aggregates: Seq[Aggregate],
       groupByTags: Seq[String], tagPred: Option[Column],
       startUs: Option[Long], endUs: Option[Long],
-      tagEq: Map[String, String] = Map.empty): DataFrame = {
+      tagEq: Map[String, String] = Map.empty,
+      tagIn: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val segments0 = dataFolder
-      .segmentsPruned(meta.name, startUs, endUs, tagEq)
+      .segmentsPruned(meta.name, startUs, endUs, tagEq, tagIn)
       .where(fieldColumnPredicate(meta, fields))
       .where(GridView.segmentTimePredicate(startUs, endUs))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
