@@ -236,6 +236,32 @@ object TsQueries {
       FROM events, r
       WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
 
+    // Time-bucketed downsampling per tag: daily buckets answered by the
+    // generalized hybrid plan — segments contained in one day contribute
+    // closed-form partials from metadata, only day-straddling segments are
+    // gridded. At a 100 TB retention window this reads the segment
+    // relation, not the points (the reference reconstructs everything for
+    // any time GROUP BY).
+    ("ts_bucket_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.readTimeSeriesTableBucketed("events_lossless",
+          java.time.Duration.ofDays(1), Seq("value"),
+          Seq(engine.Aggregate.Count, engine.Aggregate.Sum,
+            engine.Aggregate.Min, engine.Aggregate.Max),
+          groupByTags = Seq("user"))
+        .select(col("user"), unix_micros(col("bucket")).as("bucket_us"),
+          col("count_value").as("n"), round(col("sum_value"), 2).as("sum_v"),
+          col("min_value").as("mn"), col("max_value").as("mx"))
+        .orderBy("user", "bucket_us")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(epoch_us(ts) AS BIGINT)
+          - CAST(epoch_us(ts) AS BIGINT) % 86400000000 AS bucket_us,
+        count(*) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
+        min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // The same ranged aggregate expressed as PLAIN SQL with literal
     // timestamp bounds: the Catalyst rewrite routes it through the hybrid
     // plan (interior segments from metadata, boundary segments gridded) —

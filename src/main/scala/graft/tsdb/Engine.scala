@@ -290,13 +290,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
 
     // Equality and IN-list tag filters both prune the segment relation
-    // before ANY plan (segment-native, hybrid, or grid) touches it; sorted
-    // for a deterministic predicate order.
-    val tagPred: Option[Column] =
-      (tagFilters.toSeq.sortBy(_._1).map { case (k, v) => col(k) === v } ++
-        tagInFilters.toSeq.sortBy(_._1).map { case (k, vs) =>
-          col(k).isin(vs.map(v => v: Any): _*)
-        }).reduceOption(_ && _)
+    // before ANY plan (segment-native, hybrid, or grid) touches it.
+    val tagPred: Option[Column] = tagPredicate(tagFilters, tagInFilters)
 
     val segmentNativeEligible =
       aggregates.nonEmpty &&
@@ -328,6 +323,94 @@ final class Engine(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Time-bucketed (downsampling) aggregates: every requested aggregate of
+    * every selected field per fixed-width epoch-aligned timestamp bucket,
+    * optionally grouped by tags and restricted to a time range. The hybrid
+    * split generalizes the two-sided range plan of
+    * [[readTimeSeriesTableMulti]] to N buckets: segments wholly inside one
+    * bucket (and the range) contribute closed-form partials straight from
+    * segment metadata; only segments straddling a bucket or range edge are
+    * gridded. Downsampling a long retention window therefore touches the
+    * ~10^4×-smaller segment relation for almost all data — the reference
+    * has no bucketed rewrite at all (its aggregate rewrite handles only
+    * ungrouped whole-table aggregates,
+    * /root/reference/crates/modelardb_storage/src/optimizer/model_simple_aggregates.rs:49-63,
+    * so any GROUP BY on time reconstructs every point).
+    *
+    * Output columns: group-by tags, then `bucket` (TimestampType, the
+    * inclusive bucket start, floor semantics for pre-epoch timestamps),
+    * then `<kind>_<field>` per aggregate and field. Empty buckets are
+    * absent, matching a points-level GROUP BY.
+    */
+  def readTimeSeriesTableBucketed(
+      table: String,
+      bucket: java.time.Duration,
+      fields: Seq[String] = Seq.empty,
+      aggregates: Seq[Aggregate] = Seq.empty,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    val bucketUs = Math.addExact(
+      Math.multiplyExact(bucket.getSeconds, 1000000L), bucket.getNano / 1000L)
+    require(bucketUs > 0, "Bucket width must be at least one microsecond.")
+    require(aggregates.nonEmpty && !aggregates.contains(Aggregate.None),
+      "Bucketed reads require at least one real aggregate kind.")
+    require(aggregates.distinct == aggregates,
+      "Duplicate aggregate kinds would produce duplicate output columns.")
+    require(groupByTags.forall(meta.tagColumns.contains),
+      s"Group-by columns must be tags of $table.")
+    require(!groupByTags.contains("bucket"),
+      "A group-by tag named 'bucket' would collide with the output bucket column.")
+    val selected = if (fields.isEmpty) meta.fieldColumns else fields
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+
+    val segments0 = dataFolder
+      .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
+      .where(fieldColumnPredicate(meta, selected))
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPredicate(tagFilters, tagInFilters)
+      .map(segments0.where).getOrElse(segments0)
+
+    // Epoch-floor bucketing in exact BIGINT arithmetic: x - pmod(x, w) ==
+    // floor(x/w)*w for any sign of x, so pre-epoch points keep floor
+    // semantics (a double-based floor(x/w) would lose exactness past 2^53).
+    def bucketOf(c: Column): Column = c - pmod(c, lit(bucketUs))
+
+    val inRange = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+      endUs.map(hi => col("end_time") <= hi).toSeq)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val contained =
+      inRange && bucketOf(col("start_time")) === bucketOf(col("end_time"))
+
+    val keys = groupByTags.map(col)
+    val segPartials = segmentPartialAggs(meta, selected)
+    val interior = segments.where(contained)
+      .groupBy((keys :+ bucketOf(col("start_time")).as("__graft_bucket")): _*)
+      .agg(segPartials.head, segPartials.tail: _*)
+
+    val ptPartials = pointPartialAggs(meta, selected)
+    val boundary = GridView
+      .explodedPoints(segments.where(!contained), meta, selected, startUs, endUs)
+      .groupBy((keys :+ bucketOf(col("__graft_ts")).as("__graft_bucket")): _*)
+      .agg(ptPartials.head, ptPartials.tail: _*)
+
+    // A group's partials can arrive from both sides (a bucket with interior
+    // AND boundary segments), so merge on (tags, bucket) before projecting.
+    val combineAggs = combinePartialAggs(selected)
+    val combined = interior.unionByName(boundary)
+      .groupBy((keys :+ col("__graft_bucket")): _*)
+      .agg(combineAggs.head, combineAggs.tail: _*)
+
+    combined.select((keys :+
+      timestamp_micros(col("__graft_bucket")).as("bucket")) ++
+      finalAggColumns(aggregates, selected): _*)
+  }
+
   /** Partition predicate selecting exactly the aggregated fields'
     * `field_column` directories (all-fields = no restriction needed).
     */
@@ -354,6 +437,77 @@ final class Engine(val spark: SparkSession, val root: String) {
     case Aggregate.Avg => "avg"
     case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
   }
+
+  /** Equality and IN-list tag filters as one predicate over the segment
+    * relation (tags are denormalized into every segment row); sorted for a
+    * deterministic predicate order.
+    */
+  private def tagPredicate(tagEq: Map[String, String],
+      tagIn: Map[String, Seq[String]]): Option[Column] =
+    (tagEq.toSeq.sortBy(_._1).map { case (k, v) => col(k) === v } ++
+      tagIn.toSeq.sortBy(_._1).map { case (k, vs) =>
+        col(k).isin(vs.map(v => v: Any): _*)
+      }).reduceOption(_ && _)
+
+  // Shared partial-aggregate builders for the hybrid and bucketed plans.
+  // Both emit the same (__cnt/__sum/__min/__max per field) shape so
+  // metadata-only and gridded partials union and combine uniformly.
+
+  /** Closed-form per-field partials over segment metadata rows. */
+  private def segmentPartialAggs(
+      meta: TableMetadata, fields: Seq[String]): Seq[Column] =
+    fields.flatMap { f =>
+      val i = meta.fieldIndex(f)
+      Seq(
+        SegmentAggregates.aggColumnFor("count", i).as(s"__cnt_$f"),
+        SegmentAggregates.aggColumnFor("sum", i).as(s"__sum_$f"),
+        SegmentAggregates.aggColumnFor("min", i).as(s"__min_$f"),
+        SegmentAggregates.aggColumnFor("max", i).as(s"__max_$f"))
+    }
+
+  /** The same partials over pre-assembly exploded points: the multivariate
+    * reassembly in GridView.dataPoints drops rows missing any field, and
+    * per-field segments split at different timestamps, so a timestamp whose
+    * field-A segment straddles an edge while its field-B segment is
+    * interior would lose its A value there.
+    */
+  private def pointPartialAggs(
+      meta: TableMetadata, fields: Seq[String]): Seq[Column] =
+    fields.flatMap { f =>
+      val v = when(
+        col(SegmentSchema.FieldColumn) === meta.fieldIndex(f),
+        col("__graft_value"))
+      Seq(
+        count(v).as(s"__cnt_$f"),
+        sum(v.cast("double")).as(s"__sum_$f"),
+        min(v).as(s"__min_$f"),
+        max(v).as(s"__max_$f"))
+    }
+
+  /** Merge interior and boundary partials of the same output group. */
+  private def combinePartialAggs(fields: Seq[String]): Seq[Column] =
+    fields.flatMap { f =>
+      Seq(
+        coalesce(sum(col(s"__cnt_$f")), lit(0L)).as(s"__cnt_$f"),
+        sum(col(s"__sum_$f")).as(s"__sum_$f"),
+        min(col(s"__min_$f")).as(s"__min_$f"),
+        max(col(s"__max_$f")).as(s"__max_$f"))
+    }
+
+  /** Every requested aggregate kind projected from the combined partials —
+    * the single pass is shared no matter how many kinds are asked for.
+    */
+  private def finalAggColumns(
+      aggregates: Seq[Aggregate], fields: Seq[String]): Seq[Column] =
+    for (agg <- aggregates; f <- fields) yield agg match {
+      case Aggregate.Count => col(s"__cnt_$f").as(s"count_$f")
+      case Aggregate.Min => col(s"__min_$f").as(s"min_$f")
+      case Aggregate.Max => col(s"__max_$f").as(s"max_$f")
+      case Aggregate.Sum => col(s"__sum_$f").as(s"sum_$f")
+      case Aggregate.Avg =>
+        (col(s"__sum_$f") / col(s"__cnt_$f")).as(s"avg_$f")
+      case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
+    }
 
   /** COUNT/MIN/MAX/SUM/AVG (optionally grouped by tags) straight from
     * segment metadata — the Spark shape of the reference's
@@ -411,67 +565,29 @@ final class Engine(val spark: SparkSession, val root: String) {
 
     // Both paths emit partials: tags..., then count/sum/min/max per field.
     val interior = {
-      val aggs = fields.flatMap { f =>
-        val i = meta.fieldIndex(f)
-        Seq(
-          SegmentAggregates.aggColumnFor("count", i).as(s"__cnt_$f"),
-          SegmentAggregates.aggColumnFor("sum", i).as(s"__sum_$f"),
-          SegmentAggregates.aggColumnFor("min", i).as(s"__min_$f"),
-          SegmentAggregates.aggColumnFor("max", i).as(s"__max_$f"))
-      }
+      val aggs = segmentPartialAggs(meta, fields)
       val in = segments.where(contained)
       if (groupByTags.isEmpty) in.agg(aggs.head, aggs.tail: _*)
       else in.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
 
     val boundary = {
-      // Per-field partials over the pre-assembly exploded points: the
-      // multivariate reassembly in GridView.dataPoints drops rows missing
-      // any field, and per-field segments split at different timestamps, so
-      // a timestamp whose field-A segment straddles the range edge while
-      // its field-B segment is interior would lose its A value there.
       val points = GridView.explodedPoints(
         segments.where(!contained), meta, fields, startUs, endUs)
-      val aggs = fields.flatMap { f =>
-        val v = when(
-          col(SegmentSchema.FieldColumn) === meta.fieldIndex(f),
-          col("__graft_value"))
-        Seq(
-          count(v).as(s"__cnt_$f"),
-          sum(v.cast("double")).as(s"__sum_$f"),
-          min(v).as(s"__min_$f"),
-          max(v).as(s"__max_$f"))
-      }
+      val aggs = pointPartialAggs(meta, fields)
       if (groupByTags.isEmpty) points.agg(aggs.head, aggs.tail: _*)
       else points.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
 
     val partials = interior.unionByName(boundary)
-    val combineAggs = fields.flatMap { f =>
-      Seq(
-        coalesce(sum(col(s"__cnt_$f")), lit(0L)).as(s"__cnt_$f"),
-        sum(col(s"__sum_$f")).as(s"__sum_$f"),
-        min(col(s"__min_$f")).as(s"__min_$f"),
-        max(col(s"__max_$f")).as(s"__max_$f"))
-    }
+    val combineAggs = combinePartialAggs(fields)
     val combined =
       if (groupByTags.isEmpty) partials.agg(combineAggs.head, combineAggs.tail: _*)
       else partials.groupBy(groupByTags.map(col): _*)
         .agg(combineAggs.head, combineAggs.tail: _*)
 
-    // Every requested aggregate kind is projected from the same combined
-    // partials — the single pass is shared no matter how many are asked for.
-    val finalCols = groupByTags.map(col) ++ (
-      for (agg <- aggregates; f <- fields) yield agg match {
-        case Aggregate.Count => col(s"__cnt_$f").as(s"count_$f")
-        case Aggregate.Min => col(s"__min_$f").as(s"min_$f")
-        case Aggregate.Max => col(s"__max_$f").as(s"max_$f")
-        case Aggregate.Sum => col(s"__sum_$f").as(s"sum_$f")
-        case Aggregate.Avg =>
-          (col(s"__sum_$f") / col(s"__cnt_$f")).as(s"avg_$f")
-        case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
-      })
-    combined.select(finalCols: _*)
+    combined.select(
+      (groupByTags.map(col) ++ finalAggColumns(aggregates, fields)): _*)
   }
 
   /** Copy the result of a SQL query into a normal table (the reference

@@ -223,6 +223,92 @@ class EngineSpec extends AnyFunSuite {
     assert(grouped == expectedGrouped)
   }
 
+  test("bucketed aggregates match gridded bucket group-by on both paths") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE bkt(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    // field_1 steps every 37 points: PMC-Mean segments of ~3.7ms, shorter
+    // than the bucket, so runs land interior or straddle depending on
+    // phase. field_2 is incompressible: one long MacaqueV segment per tag,
+    // always boundary.
+    val rows = Seq("a", "b").flatMap { tag =>
+      (1 to 2000).map { i =>
+        (i * 100L, (i / 37).toFloat,
+          ((i * 2654435761L) % 1000L).toFloat / 10f, tag)
+      }
+    }
+    import spark.implicits._
+    engine.write("bkt", rows.toDF("ts_us", "field_1", "field_2", "tag"))
+
+    val bucketUs = 10000L // 100 points per bucket at the 100us cadence
+    val bucket = java.time.Duration.ofMillis(10)
+    def floorB(c: org.apache.spark.sql.Column) = c - pmod(c, lit(bucketUs))
+
+    // The fixture must exercise BOTH plans: segments contained in one
+    // bucket (closed forms) and segments straddling a bucket edge (grid).
+    val segs = engine.dataFolder.segments("bkt")
+      .where(col(SegmentSchema.FieldColumn) === 0)
+    val sameB = floorB(col("start_time")) === floorB(col("end_time"))
+    assert(segs.where(sameB).count() > 0, "no interior (closed-form) segments")
+    assert(segs.where(!sameB).count() > 0, "no boundary (gridded) segments")
+
+    val got = engine.readTimeSeriesTableBucketed("bkt", bucket, Seq("field_1"),
+        Seq(engine.Aggregate.Count, engine.Aggregate.Sum,
+          engine.Aggregate.Min, engine.Aggregate.Max, engine.Aggregate.Avg),
+        groupByTags = Seq("tag"))
+      .select(col("tag"), unix_micros(col("bucket")).as("b"),
+        col("count_field_1"), col("sum_field_1"), col("min_field_1"),
+        col("max_field_1"), col("avg_field_1"))
+      .orderBy("tag", "b").collect()
+
+    val points = engine.readTable("bkt")
+      .select(col("tag"), unix_micros(col("ts_us")).as("us"), col("field_1"))
+    val want = points
+      .groupBy(col("tag"), floorB(col("us")).as("b"))
+      .agg(count("field_1"), sum(col("field_1").cast("double")),
+        min("field_1"), max("field_1"),
+        sum(col("field_1").cast("double")) / count("field_1"))
+      .orderBy("tag", "b").collect()
+
+    assert(got.nonEmpty && got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1))
+      assert(g.getLong(2) == w.getLong(2), s"COUNT at ${g.get(0)}/${g.get(1)}")
+      assert(g.getFloat(4) == w.getFloat(4), s"MIN at ${g.get(0)}/${g.get(1)}")
+      assert(g.getFloat(5) == w.getFloat(5), s"MAX at ${g.get(0)}/${g.get(1)}")
+      assert(math.abs((g.getDouble(3) - w.getDouble(3)) / w.getDouble(3)) <= 1e-5)
+      assert(math.abs((g.getDouble(6) - w.getDouble(6)) / w.getDouble(6)) <= 1e-5)
+    }
+
+    // Range edges that split buckets mid-way: the edge buckets must
+    // aggregate only in-range points, across BOTH fields.
+    val (lo, hi) = (55550L, 151230L)
+    def inst(us: Long) = java.time.Instant.ofEpochSecond(0L, us * 1000L)
+    val gotR = engine.readTimeSeriesTableBucketed("bkt", bucket,
+        Seq("field_1", "field_2"), Seq(engine.Aggregate.Count, engine.Aggregate.Sum),
+        groupByTags = Seq("tag"),
+        startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+      .select(col("tag"), unix_micros(col("bucket")).as("b"),
+        col("count_field_1"), col("sum_field_1"),
+        col("count_field_2"), col("sum_field_2"))
+      .orderBy("tag", "b").collect()
+    val pts2 = engine.readTable("bkt")
+      .select(col("tag"), unix_micros(col("ts_us")).as("us"),
+        col("field_1"), col("field_2"))
+      .where(col("us") >= lo && col("us") <= hi)
+    val wantR = pts2.groupBy(col("tag"), floorB(col("us")).as("b"))
+      .agg(count("field_1"), sum(col("field_1").cast("double")),
+        count("field_2"), sum(col("field_2").cast("double")))
+      .orderBy("tag", "b").collect()
+    assert(gotR.nonEmpty && gotR.length == wantR.length)
+    gotR.zip(wantR).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1))
+      assert(g.getLong(2) == w.getLong(2) && g.getLong(4) == w.getLong(4))
+      assert(math.abs((g.getDouble(3) - w.getDouble(3)) / w.getDouble(3)) <= 1e-5)
+      assert(math.abs((g.getDouble(5) - w.getDouble(5)) / w.getDouble(5)) <= 1e-5)
+    }
+  }
+
   test("multi-aggregate read answers all kinds from one pass") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE magg(ts_us TIMESTAMP, field_1 FIELD, " +
