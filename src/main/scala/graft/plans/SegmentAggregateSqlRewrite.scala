@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, PredicateHelper}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, PredicateHelper, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, TimestampType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
 
@@ -24,6 +25,15 @@ import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
   * interior segments answered from metadata, only boundary segments
   * reconstructed. Any other predicate blocks the rewrite and the query
   * grids as before.
+  *
+  * Two further shapes rewrite (also beyond the reference):
+  *  - a `date_trunc('DAY'|'HOUR'|'MINUTE'|'SECOND', ts)` grouping under a
+  *    UTC session routes through the bucketed hybrid plan
+  *    ([[graft.tsdb.Engine.readTimeSeriesTableBucketed]]) — downsampling
+  *    GROUP BYs read segment metadata for every bucket-contained segment;
+  *  - aggregate-free tag groupings (`SELECT DISTINCT tag`, plain
+  *    `GROUP BY tag`) become DISTINCT over the segment relation, exact
+  *    because tags are denormalized into every segment row.
   */
 object SegmentAggregateSqlRewrite extends PredicateHelper {
 
@@ -31,14 +41,16 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   private[plans] final case class FieldAgg(kind: String, field: String, outName: String)
     extends AggSpec
   private[plans] final case class TagRef(tag: String) extends AggSpec
+  private[plans] final case class BucketRef(outName: String) extends AggSpec
 
-  /** A rewritable aggregate: the table, tag-only groupings, simple
-    * aggregate specs, and the (possibly empty) parsed filter.
+  /** A rewritable aggregate: the table, tag-only groupings, an optional
+    * time-bucket grouping width, simple aggregate specs, and the (possibly
+    * empty) parsed filter.
     */
   private[plans] final case class MatchResult(
     meta: TableMetadata, groupTags: Seq[String], specs: Seq[AggSpec],
     startUs: Option[Long], endUs: Option[Long], tagEq: Map[String, String],
-    tagIn: Map[String, Seq[String]])
+    tagIn: Map[String, Seq[String]], bucketUs: Option[Long] = scala.None)
 
   /** Attempt the rewrite; None leaves the original DataFrame untouched. */
   def tryRewrite(engine: Engine, df: DataFrame): Option[DataFrame] = {
@@ -65,22 +77,69 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         case a: AttributeReference if tagNames.contains(a.name) => Some(a.name)
         case _ => None
       }
-      if (groupTags.size != groupings.size) None
+      val bucketWidths = groupings.flatMap(bucketWidthUs(meta, _))
+      if (groupTags.size + bucketWidths.size != groupings.size) None
+      else if (bucketWidths.size > 1) None // two time groupings: grid it
       else {
-        val specs = results.map(spec(meta, groupTags.toSet, _))
+        val bucketUs = bucketWidths.headOption
+        val specs = results.map(spec(meta, groupTags.toSet, bucketUs, _))
         if (specs.exists(_.isEmpty)) None
-        else filterCond match {
-          case scala.None =>
-            Some(MatchResult(meta, groupTags, specs.flatten, scala.None,
-              scala.None, Map.empty, Map.empty))
-          case Some(cond) => parseFilter(meta, cond).map {
-            case (lo, hi, tags, tagIn) =>
-              MatchResult(meta, groupTags, specs.flatten, lo, hi, tags, tagIn)
+        else {
+          val flat = specs.flatten
+          val hasAgg = flat.exists(_.isInstanceOf[FieldAgg])
+          filterCond match {
+            case _ if !hasAgg && bucketUs.nonEmpty =>
+              // Distinct buckets need point-level exactness (a segment
+              // overlapping a bucket may have no point in it) — grid it.
+              None
+            case scala.None =>
+              Some(MatchResult(meta, groupTags, flat, scala.None,
+                scala.None, Map.empty, Map.empty, bucketUs))
+            case Some(cond) => parseFilter(meta, cond).flatMap {
+              case (lo, hi, tags, tagIn) =>
+                // No aggregates + a time range would need gridding for the
+                // same reason; tag-only predicates stay metadata-exact.
+                if (!hasAgg && (lo.nonEmpty || hi.nonEmpty)) None
+                else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
+                  tagIn, bucketUs))
+            }
           }
         }
       }
     }
   }
+
+  /** A grouping expression that is a fixed-width epoch-aligned truncation
+    * of the timestamp column — `date_trunc('DAY'|'HOUR'|'MINUTE'|'SECOND',
+    * ts)` under a zero-offset time zone (with a UTC session, truncation IS
+    * the epoch-floor bucket; under any other zone the truncated boundaries
+    * shift or vary with DST, so the rewrite declines). WEEK/MONTH/YEAR are
+    * not epoch-aligned fixed widths and always grid.
+    */
+  private def bucketWidthUs(meta: TableMetadata, e: Expression): Option[Long] =
+    e match {
+      case TruncTimestamp(Literal(fmt: UTF8String, StringType),
+          a: AttributeReference, tzId)
+          if a.name == meta.timestampColumn && a.dataType == TimestampType &&
+            tzId.exists(isUtcZone) =>
+        fmt.toString.toUpperCase(java.util.Locale.ROOT) match {
+          case "DAY" | "DD" => Some(86400000000L)
+          case "HOUR" => Some(3600000000L)
+          case "MINUTE" => Some(60000000L)
+          case "SECOND" => Some(1000000L)
+          case "MILLISECOND" => Some(1000L)
+          case "MICROSECOND" => Some(1L)
+          case _ => None
+        }
+      case _ => None
+    }
+
+  private def isUtcZone(id: String): Boolean =
+    try {
+      val rules = java.time.ZoneId.of(id).getRules
+      rules.isFixedOffset &&
+        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
+    } catch { case _: java.time.DateTimeException => false }
 
   /** Parse a filter into (startUs, endUs, tag equalities, tag IN-lists):
     * only conjunctions of `ts <cmp> TIMESTAMP-literal`, `tag = string`,
@@ -179,10 +238,14 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   }
 
   private def spec(
-      meta: TableMetadata, groupTags: Set[String],
+      meta: TableMetadata, groupTags: Set[String], bucketUs: Option[Long],
       expr: org.apache.spark.sql.catalyst.expressions.NamedExpression): Option[AggSpec] =
     expr match {
       case a: AttributeReference if groupTags.contains(a.name) => Some(TagRef(a.name))
+      case Alias(e, outName) if bucketWidthUs(meta, e).exists(bucketUs.contains) =>
+        // The analyzer already guarantees a non-aggregate result expression
+        // appears among the groupings, so this is THE bucket grouping.
+        Some(BucketRef(outName))
       case Alias(AggregateExpression(fn, Complete, false, None, _), outName) =>
         fn match {
           case Count(Seq(a: AttributeReference))
@@ -211,7 +274,42 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     }
 
   private[plans] def build(engine: Engine, m: MatchResult): DataFrame = {
-    if (m.startUs.isEmpty && m.endUs.isEmpty) {
+    if (!m.specs.exists(_.isInstanceOf[FieldAgg])) {
+      // Pure tag grouping (`SELECT DISTINCT tag`, `GROUP BY tag` with no
+      // aggregates): every tag combination is denormalized into its
+      // segments, so DISTINCT over the segment relation is exact —
+      // metadata-only, no reconstruction. (matchAggregate already declined
+      // time ranges and bucket groupings here.)
+      val preds =
+        m.tagEq.toSeq.sortBy(_._1).map { case (t, v) => col(t) === v } ++
+          m.tagIn.toSeq.sortBy(_._1).map { case (t, vs) =>
+            col(t).isin(vs.map(v => v: Any): _*)
+          }
+      val segments0 = engine.dataFolder
+        .segmentsPruned(m.meta.name, scala.None, scala.None, m.tagEq, m.tagIn)
+      val segments = preds.reduceOption(_ && _)
+        .map(segments0.where).getOrElse(segments0)
+      val ordered = m.specs.collect { case TagRef(tag) => col(tag) }
+      segments.select(ordered: _*).distinct()
+    } else if (m.bucketUs.nonEmpty) {
+      // Time-bucket grouping: the generalized hybrid plan — contained
+      // segments answered by closed forms, bucket-straddlers gridded.
+      val fields = m.specs.collect { case FieldAgg(_, f, _) => f }.distinct
+      val kinds = m.specs.collect { case FieldAgg(k, _, _) => k }.distinct
+      val aggs: Seq[engine.Aggregate] = kinds.map(kindToAggregate(engine))
+      def inst(us: Long) = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      val bucketed = engine.readTimeSeriesTableBucketed(m.meta.name,
+        java.time.Duration.of(m.bucketUs.get, java.time.temporal.ChronoUnit.MICROS),
+        fields, aggs, m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
+        m.tagEq, m.tagIn)
+      val ordered = m.specs.map {
+        case TagRef(tag) => col(tag)
+        case BucketRef(outName) => col("bucket").as(outName)
+        case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
+      }
+      bucketed.select(ordered: _*)
+    } else if (m.startUs.isEmpty && m.endUs.isEmpty) {
       // No time range: tag equalities and IN-lists prune the denormalized
       // segment relation directly — still metadata-only.
       val preds =
@@ -236,6 +334,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       val ordered = m.specs.map {
         case TagRef(tag) => col(tag)
         case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
+        case BucketRef(_) =>
+          throw new IllegalStateException("bucket groupings branch earlier")
       }
       multi.select(ordered: _*)
     }
@@ -281,6 +381,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     val ordered = specs.map {
       case TagRef(tag) => col(tag)
       case FieldAgg(_, _, outName) => col(outName)
+      case BucketRef(_) =>
+        throw new IllegalStateException("bucket groupings branch earlier")
     }
     grouped.select(ordered: _*)
   }

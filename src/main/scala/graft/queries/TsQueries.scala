@@ -262,6 +262,26 @@ object TsQueries {
         min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // The same downsampling expressed as PLAIN SQL: the Catalyst rewrite
+    // recognizes the UTC date_trunc grouping and routes it through the
+    // bucketed hybrid plan.
+    ("ts_sql_bucket_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, date_trunc('DAY', ts) AS day_ts, count(value) AS n, " +
+          "sum(value) AS sv, min(value) AS mn, max(value) AS mx " +
+          "FROM events_lossless GROUP BY user, date_trunc('DAY', ts)")
+        .select(col("user"), unix_micros(col("day_ts")).as("bucket_us"),
+          col("n"), round(col("sv"), 2).as("sum_v"), col("mn"), col("mx"))
+        .orderBy("user", "bucket_us")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+        count(*) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
+        min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // The same ranged aggregate expressed as PLAIN SQL with literal
     // timestamp bounds: the Catalyst rewrite routes it through the hybrid
     // plan (interior segments from metadata, boundary segments gridded) —

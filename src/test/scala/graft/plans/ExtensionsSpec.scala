@@ -92,6 +92,35 @@ class ExtensionsSpec extends AnyFunSuite {
       gridded.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
   }
 
+  test("date_trunc groupings rewrite through the extensions splice") {
+    freshEngine()
+    // ORDER BY sits above the Aggregate: the rule must rewrite it in
+    // place and the spliced Project must preserve the Sort's exprIds —
+    // including the BucketRef output (TimestampType passthrough).
+    val df = spark.sql(
+      "SELECT tag, date_trunc('HOUR', ts) AS h, COUNT(v) AS n, AVG(v) AS a " +
+        "FROM ext GROUP BY tag, date_trunc('HOUR', ts) ORDER BY tag, h")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("segmentlen"),
+      s"bucketed rewrite must use closed forms for contained segments:\n$plan")
+
+    val gridded = spark.sql(
+      "SELECT tag, date_trunc('HOUR', ts) AS h, COUNT(v) AS n, AVG(v) AS a " +
+        "FROM ext WHERE v <= CAST('Infinity' AS FLOAT) " +
+        "GROUP BY tag, date_trunc('HOUR', ts) ORDER BY tag, h")
+    assert(gridded.queryExecution.executedPlan.toString.contains("Generate"))
+    val got = df.collect()
+    val want = gridded.collect()
+    assert(got.nonEmpty && got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getTimestamp(1) == w.getTimestamp(1))
+      assert(g.getLong(2) == w.getLong(2))
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) <=
+        math.abs(w.getDouble(3)) * 1e-5)
+    }
+  }
+
   test("filters, expressions, and spoofed aliases behave per contract") {
     freshEngine()
     // A tag equality no longer blocks the rewrite: tags are denormalized

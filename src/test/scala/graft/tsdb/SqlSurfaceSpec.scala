@@ -187,6 +187,109 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .count())
   }
 
+  test("date_trunc groupings rewrite to the bucketed hybrid plan") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE bk(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    // Steps of 37 points at a 1-minute cadence: PMC segments of ~37 min,
+    // far shorter than a DAY bucket, so interior (closed-form) segments
+    // exist and day-crossing runs grid.
+    val df = (0 until 4000).map { i =>
+      (1700000000000000L + i * 60000000L, (i / 37).toFloat, s"t${i % 2}")
+    }.toDF("ts", "v", "tag")
+    engine.write("bk", df)
+
+    // No ORDER BY inside the statement: Engine.sql's rewrite matches a
+    // root Aggregate (the session-extensions rule handles nested shapes).
+    val sqlDf = engine.sql(
+      "SELECT tag, date_trunc('DAY', ts) AS d, COUNT(v) AS n, SUM(v) AS s " +
+        "FROM bk GROUP BY tag, date_trunc('DAY', ts)").orderBy("tag", "d")
+    val planText = sqlDf.queryExecution.executedPlan.toString
+    assert(planText.contains("segmentlen"),
+      s"expected the closed-form interior side in the plan:\n$planText")
+
+    val expect = engine.readTable("bk")
+      .groupBy(col("tag"), date_trunc("DAY", col("ts")).as("d"))
+      .agg(count("v").as("n"), sum(col("v").cast("double")).as("s"))
+      .orderBy("tag", "d").collect()
+    val got = sqlDf.collect()
+    assert(got.nonEmpty && got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0))
+      assert(g.getTimestamp(1) == e.getTimestamp(1))
+      assert(g.getLong(2) == e.getLong(2))
+      assert(math.abs(g.getDouble(3) - e.getDouble(3)) <=
+        math.abs(e.getDouble(3)) * 1e-5)
+    }
+
+    // A time range composes with the bucketing (edge buckets aggregate
+    // only in-range points).
+    val ranged = engine.sql(
+      "SELECT date_trunc('HOUR', ts) AS h, COUNT(v) AS n FROM bk " +
+        "WHERE ts >= TIMESTAMP '2023-11-15 00:10:30' GROUP BY 1").orderBy("h")
+    val rangedExpect = engine.readTable("bk")
+      .where(col("ts") >= lit("2023-11-15 00:10:30").cast("timestamp"))
+      .groupBy(date_trunc("HOUR", col("ts")).as("h")).agg(count("v").as("n"))
+      .orderBy("h").collect()
+    val rangedGot = ranged.collect()
+    assert(rangedGot.nonEmpty && rangedGot.length == rangedExpect.length)
+    rangedGot.zip(rangedExpect).foreach { case (g, e) =>
+      assert(g.getTimestamp(0) == e.getTimestamp(0) && g.getLong(1) == e.getLong(1))
+    }
+
+    // Under a non-UTC session zone day boundaries are not epoch-aligned:
+    // the rewrite declines, and the gridded plan still answers correctly
+    // in that zone.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val nyDf = engine.sql(
+        "SELECT date_trunc('DAY', ts) AS d, COUNT(v) AS n FROM bk " +
+          "GROUP BY date_trunc('DAY', ts)")
+      assert(!nyDf.queryExecution.executedPlan.toString.contains("segmentlen"),
+        "non-UTC date_trunc must not take the closed-form plan")
+      val nyExpect = engine.readTable("bk")
+        .groupBy(date_trunc("DAY", col("ts")).as("d")).agg(count("v").as("n"))
+        .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+      assert(nyDf.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+        == nyExpect)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("aggregate-free tag groupings rewrite to segment-relation DISTINCT") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE dt(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    // 'early' exists only in the first five points — a later time range
+    // must exclude it.
+    engine.write("dt", (1 to 100).map { i =>
+      (i * 100L, i.toFloat, if (i <= 5) "early" else s"t${i % 3}")
+    }.toDF("ts", "v", "tag"))
+
+    val distinctDf = engine.sql("SELECT tag FROM dt GROUP BY tag")
+    assert(!distinctDf.queryExecution.executedPlan.toString.contains("Generate"),
+      "tag DISTINCT must stay on the segment relation")
+    assert(distinctDf.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("early", "t0", "t1", "t2"))
+
+    // With a tag filter it stays metadata-only; with a time range it must
+    // fall back to the grid (a segment overlapping the range may have no
+    // point inside it) and stay exact.
+    val filtered = engine.sql(
+      "SELECT tag FROM dt WHERE tag IN ('t0', 'early') GROUP BY tag")
+    assert(!filtered.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(filtered.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("early", "t0"))
+
+    val ranged = engine.sql("SELECT tag FROM dt " +
+      "WHERE ts >= TIMESTAMP '1970-01-01 00:00:00.000501' GROUP BY tag")
+    assert(ranged.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("t0", "t1", "t2"))
+
+    // SELECT DISTINCT compiles to the same Aggregate shape.
+    assert(engine.sql("SELECT DISTINCT tag FROM dt").collect().length == 4)
+  }
+
   test("create normal table via SQL with reference type aliases") {
     val engine = newEngine()
     engine.sql("CREATE TABLE normal_table(timestamp TIMESTAMP, values REAL, metadata REAL)")
