@@ -282,6 +282,39 @@ object TsQueries {
         min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Resampling with gap fill: each user's daily-bucket axis densified
+    // between its first and last observed day, empty buckets filled by
+    // last-observation-carried-forward. The downsampling underneath still
+    // answers from segment closed forms; densification generates rows
+    // proportional to the OUTPUT, never to the points.
+    ("ts_resample_locf", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.readTimeSeriesTableResampled("events_lossless",
+          java.time.Duration.ofDays(1), Seq("value"),
+          Seq(engine.Aggregate.Count, engine.Aggregate.Avg),
+          groupByTags = Seq("user"), fill = engine.FillPolicy.Locf)
+        .select(col("user"), unix_micros(col("bucket")).as("bucket_us"),
+          col("count_value").as("n"), round(col("avg_value"), 4).as("avg_v"))
+        .orderBy("user", "bucket_us")
+    }, Some("""
+      WITH agg AS (
+        SELECT CAST(user_id AS VARCHAR) AS u,
+          CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS b,
+          count(*) AS n,
+          avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)) AS a
+        FROM events GROUP BY 1, 2),
+      spans AS (SELECT u, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1),
+      grid AS (
+        SELECT u, unnest(generate_series(lo, hi, 86400000000)) AS b
+        FROM spans)
+      SELECT g.u AS user, g.b AS bucket_us,
+        CAST(last_value(a.n IGNORE NULLS) OVER w AS BIGINT) AS n,
+        round(last_value(a.a IGNORE NULLS) OVER w, 4) AS avg_v
+      FROM grid g LEFT JOIN agg a ON a.u = g.u AND a.b = g.b
+      WINDOW w AS (PARTITION BY g.u ORDER BY g.b
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY 1, 2""")),
+
     // The same ranged aggregate expressed as PLAIN SQL with literal
     // timestamp bounds: the Catalyst rewrite routes it through the hybrid
     // plan (interior segments from metadata, boundary segments gridded) —

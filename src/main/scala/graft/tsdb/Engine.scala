@@ -41,6 +41,17 @@ final class Engine(val spark: SparkSession, val root: String) {
     case object Avg extends Aggregate
   }
 
+  /** How [[readTimeSeriesTableResampled]] fills materialized empty
+    * buckets: `Nulls` leaves every aggregate column NULL (counts 0 would
+    * be a lie for min/max, so uniformity wins); `Locf` carries the last
+    * observed bucket's aggregate row forward within each tag group.
+    */
+  sealed trait FillPolicy
+  object FillPolicy {
+    case object Nulls extends FillPolicy
+    case object Locf extends FillPolicy
+  }
+
   // -------------------------------------------------------------------- DDL
 
   def create(meta: TableMetadata): Unit = {
@@ -409,6 +420,58 @@ final class Engine(val spark: SparkSession, val root: String) {
     combined.select((keys :+
       timestamp_micros(col("__graft_bucket")).as("bucket")) ++
       finalAggColumns(aggregates, selected): _*)
+  }
+
+  /** Resampling: [[readTimeSeriesTableBucketed]] plus materialized empty
+    * buckets — each tag group's bucket axis is densified between its first
+    * and last observed bucket (`sequence` + `explode`, rows proportional
+    * to the output, never to the points) and gaps are filled per `fill`
+    * (NULL or last-observation-carried-forward). The downsampling itself
+    * still answers from segment closed forms wherever segments are
+    * bucket-contained. With no tag grouping the LOCF window is a single
+    * global series (one partition by construction — it IS one series).
+    *
+    * Output matches [[readTimeSeriesTableBucketed]]: tags, `bucket`,
+    * `<kind>_<field>` — plus the filled rows.
+    */
+  def readTimeSeriesTableResampled(
+      table: String,
+      bucket: java.time.Duration,
+      fields: Seq[String] = Seq.empty,
+      aggregates: Seq[Aggregate] = Seq.empty,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty,
+      fill: FillPolicy = FillPolicy.Nulls): DataFrame = {
+    val agg = readTimeSeriesTableBucketed(table, bucket, fields, aggregates,
+      groupByTags, startTime, endTime, tagFilters, tagInFilters)
+    val bucketUs = Math.addExact(
+      Math.multiplyExact(bucket.getSeconds, 1000000L), bucket.getNano / 1000L)
+    val keys = groupByTags.map(col)
+    val aggColNames = agg.columns.filterNot(groupByTags.contains)
+      .filterNot(_ == "bucket").toSeq
+
+    val withB = agg.withColumn("__b", unix_micros(col("bucket"))).drop("bucket")
+    val spans = withB.groupBy(keys: _*)
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+    val grid = spans.select(
+      (keys :+ explode(sequence(col("__lo"), col("__hi"), lit(bucketUs)))
+        .as("__b")): _*)
+    val dense = grid.join(withB, groupByTags :+ "__b", "left")
+
+    val filled = fill match {
+      case FillPolicy.Nulls => dense
+      case FillPolicy.Locf =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keys: _*).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        aggColNames.foldLeft(dense)((df, c) =>
+          df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    }
+    filled.select((keys :+ timestamp_micros(col("__b")).as("bucket")) ++
+      aggColNames.map(col): _*)
   }
 
   /** Partition predicate selecting exactly the aggregated fields'

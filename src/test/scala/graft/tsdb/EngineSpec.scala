@@ -309,6 +309,50 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("resampled reads densify gaps and fill per policy") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE rs(ts_us TIMESTAMP, f FIELD, tag TAG)")
+    import spark.implicits._
+    // 1ms buckets; tag a has points in buckets 0,1,4,5 (2,3 are gaps),
+    // tag b only in 2,3 — spans are per group.
+    val rows = Seq(
+      (100L, 1.0f, "a"), (200L, 2.0f, "a"),
+      (1100L, 3.0f, "a"),
+      (4100L, 4.0f, "a"), (5900L, 5.0f, "a"),
+      (2100L, 6.0f, "b"), (3100L, 7.0f, "b"))
+    engine.write("rs", rows.toDF("ts_us", "f", "tag"))
+
+    def run(fill: engine.FillPolicy) =
+      engine.readTimeSeriesTableResampled("rs", java.time.Duration.ofMillis(1),
+          Seq("f"), Seq(engine.Aggregate.Count, engine.Aggregate.Avg),
+          groupByTags = Seq("tag"), fill = fill)
+        .select(col("tag"), unix_micros(col("bucket")).as("b"),
+          col("count_f"), col("avg_f"))
+        .orderBy("tag", "b").collect()
+
+    val nulls = run(engine.FillPolicy.Nulls)
+    // a: buckets 0..5 densified (6 rows); b: 2..3 (2 rows).
+    assert(nulls.length == 8)
+    assert(nulls.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("a", 0L), ("a", 1000L), ("a", 2000L), ("a", 3000L), ("a", 4000L),
+      ("a", 5000L), ("b", 2000L), ("b", 3000L)))
+    val gapA = nulls.filter(r => r.getString(0) == "a" &&
+      (r.getLong(1) == 2000L || r.getLong(1) == 3000L))
+    assert(gapA.forall(r => r.isNullAt(2) && r.isNullAt(3)),
+      "Nulls fill must leave gap aggregates NULL")
+    val a0 = nulls.find(r => r.getString(0) == "a" && r.getLong(1) == 0L).get
+    assert(a0.getLong(2) == 2L && math.abs(a0.getDouble(3) - 1.5) < 1e-9)
+
+    val locf = run(engine.FillPolicy.Locf)
+    assert(locf.length == 8)
+    val l = locf.map(r => ((r.getString(0), r.getLong(1)),
+      (r.getLong(2), r.getDouble(3)))).toMap
+    assert(l(("a", 2000L)) == ((1L, 3.0)) && l(("a", 3000L)) == ((1L, 3.0)),
+      "Locf must carry bucket 1's aggregates across the gap")
+    assert(l(("a", 4000L)) == ((1L, 4.0)), "observed buckets keep their own values")
+    assert(l(("b", 2000L)) == ((1L, 6.0)) && l(("b", 3000L)) == ((1L, 7.0)))
+  }
+
   test("multi-aggregate read answers all kinds from one pass") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE magg(ts_us TIMESTAMP, field_1 FIELD, " +
