@@ -404,10 +404,13 @@ final class Engine(val spark: SparkSession, val root: String) {
       .groupBy((keys :+ bucketOf(col("start_time")).as("__graft_bucket")): _*)
       .agg(segPartials.head, segPartials.tail: _*)
 
-    val ptPartials = pointPartialAggs(meta, selected)
+    // Boundary segments emit per-bucket partials straight from the decode
+    // generator (one row per overlapped bucket, not per point).
+    val ptPartials = partialMergeAggs(meta, selected)
     val boundary = GridView
-      .explodedPoints(segments.where(!contained), meta, selected, startUs, endUs)
-      .groupBy((keys :+ bucketOf(col("__graft_ts")).as("__graft_bucket")): _*)
+      .bucketPartials(segments.where(!contained), meta, selected, bucketUs,
+        startUs, endUs)
+      .groupBy((keys :+ col("__graft_bucket")): _*)
       .agg(ptPartials.head, ptPartials.tail: _*)
 
     // A group's partials can arrive from both sides (a bucket with interior
@@ -528,23 +531,22 @@ final class Engine(val spark: SparkSession, val root: String) {
         SegmentAggregates.aggColumnFor("max", i).as(s"__max_$f"))
     }
 
-  /** The same partials over pre-assembly exploded points: the multivariate
-    * reassembly in GridView.dataPoints drops rows missing any field, and
-    * per-field segments split at different timestamps, so a timestamp whose
-    * field-A segment straddles an edge while its field-B segment is
-    * interior would lose its A value there.
+  /** Merge the BucketPartials generator's per-(segment, bucket) rows into
+    * the same per-field __cnt/__sum/__min/__max shape as
+    * [[segmentPartialAggs]]. Partials stay per-field naturally (a segment
+    * row IS one field's), so the multivariate edge case that forces
+    * pre-assembly exploded points — per-field segments splitting at
+    * different timestamps — never arises here.
     */
-  private def pointPartialAggs(
+  private def partialMergeAggs(
       meta: TableMetadata, fields: Seq[String]): Seq[Column] =
     fields.flatMap { f =>
-      val v = when(
-        col(SegmentSchema.FieldColumn) === meta.fieldIndex(f),
-        col("__graft_value"))
+      val isF = col(SegmentSchema.FieldColumn) === meta.fieldIndex(f)
       Seq(
-        count(v).as(s"__cnt_$f"),
-        sum(v.cast("double")).as(s"__sum_$f"),
-        min(v).as(s"__min_$f"),
-        max(v).as(s"__max_$f"))
+        coalesce(sum(when(isF, col("__bp_cnt"))), lit(0L)).as(s"__cnt_$f"),
+        sum(when(isF, col("__bp_sum"))).as(s"__sum_$f"),
+        min(when(isF, col("__bp_min"))).as(s"__min_$f"),
+        max(when(isF, col("__bp_max"))).as(s"__max_$f"))
     }
 
   /** Merge interior and boundary partials of the same output group. */
@@ -635,11 +637,13 @@ final class Engine(val spark: SparkSession, val root: String) {
     }
 
     val boundary = {
-      val points = GridView.explodedPoints(
-        segments.where(!contained), meta, fields, startUs, endUs)
-      val aggs = pointPartialAggs(meta, fields)
-      if (groupByTags.isEmpty) points.agg(aggs.head, aggs.tail: _*)
-      else points.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      // One partial row per boundary segment (bucket width = MaxValue):
+      // the boundary side's point stream never materializes either.
+      val parts = GridView.bucketPartials(
+        segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs)
+      val aggs = partialMergeAggs(meta, fields)
+      if (groupByTags.isEmpty) parts.agg(aggs.head, aggs.tail: _*)
+      else parts.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
 
     val partials = interior.unionByName(boundary)

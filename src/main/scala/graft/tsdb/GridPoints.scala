@@ -69,3 +69,102 @@ case class GridPoints(
     copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3),
       newChildren(4), newChildren(5), newChildren(6), newChildren(7))
 }
+
+/** Per-bucket partial aggregates computed inside the decode loop: one
+  * output row per epoch-floor bucket the segment's (range-clipped) points
+  * fall in, instead of one row per point. A downsampling aggregate over
+  * bucket-straddling segments emits O(buckets per segment) rows where
+  * gridding emits O(points) — at 100 TB the point stream never
+  * materializes, and the HashAggregate above merges tiny partials.
+  * `bucketUs = Long.MaxValue` degenerates to one partial per segment,
+  * which is exactly what a range aggregate's boundary side needs.
+  *
+  * Rows are (bucket, cnt, sum, min, max); emission flushes on bucket
+  * change, so correctness does NOT depend on decode order — out-of-order
+  * timestamps only produce extra partial rows that the downstream
+  * merge (sum/sum/min/max) combines to the same totals.
+  */
+case class BucketPartials(
+    bucketUs: Long, rangeStartUs: Option[Long], rangeEndUs: Option[Long],
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression with Generator with CodegenFallback {
+
+  require(bucketUs > 0, "Bucket width must be positive.")
+
+  override def children: Seq[Expression] = Seq(
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("__graft_bucket", LongType, nullable = false),
+    StructField("__bp_cnt", LongType, nullable = false),
+    StructField("__bp_sum", DoubleType, nullable = false),
+    StructField("__bp_min", FloatType, nullable = false),
+    StructField("__bp_max", FloatType, nullable = false)))
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val mt = modelTypeId.eval(input)
+    val st = startTime.eval(input)
+    val et = endTime.eval(input)
+    val mn0 = minValue.eval(input)
+    val mx0 = maxValue.eval(input)
+    if (mt == null || st == null || et == null || mn0 == null || mx0 == null) {
+      return Iterator.empty
+    }
+    val tsBuf = new LongBuf(128)
+    val vBuf = new FloatBuf(128)
+    Models.grid(
+      mt.asInstanceOf[Byte], st.asInstanceOf[Long], et.asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      mn0.asInstanceOf[Float], mx0.asInstanceOf[Float],
+      values.eval(input).asInstanceOf[Array[Byte]],
+      residuals.eval(input).asInstanceOf[Array[Byte]],
+      tsBuf, vBuf)
+
+    val lo = rangeStartUs.getOrElse(Long.MinValue)
+    val hi = rangeEndUs.getOrElse(Long.MaxValue)
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](4)
+    var bucket = 0L
+    var cnt = 0L
+    var sum = 0.0
+    var mn = Float.PositiveInfinity
+    var mx = Float.NegativeInfinity
+    def flush(): Unit = if (cnt > 0) {
+      val r = new GenericInternalRow(5)
+      r.setLong(0, bucket)
+      r.setLong(1, cnt)
+      r.setDouble(2, sum)
+      r.setFloat(3, mn)
+      r.setFloat(4, mx)
+      out += r
+    }
+    var i = 0
+    while (i < tsBuf.length) {
+      val t = tsBuf(i)
+      if (t >= lo && t <= hi) {
+        val b = Math.floorDiv(t, bucketUs) * bucketUs
+        if (cnt > 0 && b != bucket) {
+          flush(); cnt = 0; sum = 0.0
+          mn = Float.PositiveInfinity; mx = Float.NegativeInfinity
+        }
+        bucket = b
+        val v = vBuf(i)
+        cnt += 1
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+      }
+      i += 1
+    }
+    flush()
+    out
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(bucketUs, rangeStartUs, rangeEndUs, newChildren(0), newChildren(1),
+      newChildren(2), newChildren(3), newChildren(4), newChildren(5),
+      newChildren(6), newChildren(7))
+}

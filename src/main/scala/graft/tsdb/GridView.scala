@@ -110,6 +110,33 @@ object GridView {
     gridded.where(exact)
   }
 
+  /** Per-bucket partial aggregates straight from the decode generator: one
+    * row per (segment, overlapped bucket) with columns (__graft_bucket,
+    * __bp_cnt, __bp_sum, __bp_min, __bp_max, tags..., field_column) —
+    * range clipping applied exactly inside the generator. The companion of
+    * [[explodedPoints]] for aggregating consumers: the point stream never
+    * materializes.
+    */
+  private[graft] def bucketPartials(
+      segments: DataFrame, meta: TableMetadata, fields: Seq[String],
+      bucketUs: Long, startMicros: Option[Long] = None,
+      endMicros: Option[Long] = None): DataFrame = {
+    val fieldIdx = fields.map(meta.fieldIndex)
+    val pruned = segments
+      .where(col(SegmentSchema.FieldColumn).isin(fieldIdx.map(i => i: Any): _*))
+      .where(segmentTimePredicate(startMicros, endMicros))
+
+    import org.apache.spark.sql.graft.ColumnBridge
+    def attr(name: String) = ColumnBridge.expression(col(name))
+    pruned.select(
+      (ColumnBridge.column(BucketPartials(bucketUs, startMicros, endMicros,
+          attr("model_type_id"), attr("start_time"), attr("end_time"),
+          attr("timestamps"), attr("min_value"), attr("max_value"),
+          attr("values"), attr("residuals"))) +:
+        meta.tagColumns.map(col) :+
+        col(SegmentSchema.FieldColumn)): _*)
+  }
+
   /** Add derivable generated columns and project to logical-schema order. */
   private def withGeneratedAndOrder(
       df: DataFrame, meta: TableMetadata, fields: Seq[String]): DataFrame = {

@@ -92,6 +92,32 @@ object ScaleDrive {
         .count()
     }
 
+    // Downsampling at scale, both regimes. Buckets narrower than the
+    // segment span (1h here vs ~2.7h segments): everything is boundary,
+    // but the decode generator emits per-bucket partials — O(buckets)
+    // rows, never a 10M-point stream. Buckets wider than the span (1d):
+    // segments are bucket-contained and answer from closed forms with no
+    // decode at all.
+    for ((label, dur, trunc) <- Seq(
+        ("1h", java.time.Duration.ofHours(1), "HOUR"),
+        ("1d", java.time.Duration.ofDays(1), "DAY"))) {
+      val bucketed = timed(s"bucketed downsample ($label/tag)") {
+        val rows = engine.readTimeSeriesTableBucketed("big", dur, Seq("v"),
+          Seq(engine.Aggregate.Count, engine.Aggregate.Avg),
+          groupByTags = Seq("tag")).collect()
+        println(f"  buckets: ${rows.length}%,d")
+        rows.map(r => ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+      }
+      timed(s"gridded downsample control ($label)") {
+        val rows = engine.readTable("big")
+          .groupBy(col("tag"), date_trunc(trunc, col("ts")).as("b"))
+          .agg(count("v")).collect()
+        val ctrl = rows.map(r =>
+          ((r.getString(0), r.getTimestamp(1)), r.getLong(2))).toMap
+        assert(bucketed == ctrl, "bucketed counts diverge from gridded control")
+      }
+    }
+
     val bytes = {
       def walk(f: java.io.File): Long =
         if (f.isDirectory) f.listFiles().map(walk).sum

@@ -309,6 +309,48 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket partials match exploded points per bucket on every model shape") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE bp(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    // Linear+noise and random fields: Swing/PMC/MacaqueV segments with
+    // residuals all occur.
+    engine.write("bp", makePointsDf(1500, Seq("a", "b")))
+    val meta = engine.dataFolder.metadata("bp")
+    val segs = engine.dataFolder.segments("bp")
+    val fields = Seq("field_1", "field_2")
+
+    for ((b, lo, hi) <- Seq(
+        (10000L, Option.empty[Long], Option.empty[Long]),
+        (10000L, Some(33333L), Some(111111L)),
+        (Long.MaxValue, Some(33333L), Option.empty[Long]))) {
+      def key(r: Row) = (r.get(0).toString, r.getLong(1))
+      val parts = GridView.bucketPartials(segs, meta, fields, b, lo, hi)
+        .groupBy(col(SegmentSchema.FieldColumn),
+          col("__graft_bucket").as("bk"))
+        .agg(sum("__bp_cnt").as("n"), sum("__bp_sum").as("s"),
+          min("__bp_min").as("mn"), max("__bp_max").as("mx"))
+        .collect().map(r => key(r) ->
+          (r.getLong(2), r.getDouble(3), r.getFloat(4), r.getFloat(5))).toMap
+      val pts = GridView.explodedPoints(segs, meta, fields, lo, hi)
+        .groupBy(col(SegmentSchema.FieldColumn),
+          (col("__graft_ts") - pmod(col("__graft_ts"), lit(b))).as("bk"))
+        .agg(count("__graft_value").as("n"),
+          sum(col("__graft_value").cast("double")).as("s"),
+          min("__graft_value").as("mn"), max("__graft_value").as("mx"))
+        .collect().map(r => key(r) ->
+          (r.getLong(2), r.getDouble(3), r.getFloat(4), r.getFloat(5))).toMap
+      assert(parts.nonEmpty && parts.keySet == pts.keySet, s"bucket sets at $b")
+      parts.foreach { case (k, (n, s, mn, mx)) =>
+        val (n2, s2, mn2, mx2) = pts(k)
+        assert(n == n2, s"count at $k width $b")
+        assert(mn == mn2 && mx == mx2, s"min/max at $k width $b")
+        assert(math.abs(s - s2) <= math.abs(s2).max(1.0) * 1e-9,
+          s"sum at $k width $b")
+      }
+    }
+  }
+
   test("resampled reads densify gaps and fill per policy") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE rs(ts_us TIMESTAMP, f FIELD, tag TAG)")
