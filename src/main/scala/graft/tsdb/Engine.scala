@@ -398,27 +398,32 @@ final class Engine(val spark: SparkSession, val root: String) {
     val contained =
       inRange && bucketOf(col("start_time")) === bucketOf(col("end_time"))
 
+    // Both sides emit raw partial rows in ONE shape — (tags...,
+    // field_column, __graft_bucket, cnt/sum/min/max) — merged by a single
+    // aggregation: contained segments contribute closed-form per-segment
+    // expressions (no decode), straddlers per-bucket rows from the decode
+    // generator. One shuffle on the output keys, no union-of-aggregates
+    // combine layer.
     val keys = groupByTags.map(col)
-    val segPartials = segmentPartialAggs(meta, selected)
-    val interior = segments.where(contained)
-      .groupBy((keys :+ bucketOf(col("start_time")).as("__graft_bucket")): _*)
-      .agg(segPartials.head, segPartials.tail: _*)
+    val interior = segments.where(contained).select(
+      keys ++ Seq(
+        col(SegmentSchema.FieldColumn),
+        bucketOf(col("start_time")).as("__graft_bucket"),
+        SegmentAggregates.lenCol.as("__bp_cnt"),
+        SegmentAggregates.sumCol.as("__bp_sum"),
+        col("min_value").as("__bp_min"),
+        col("max_value").as("__bp_max")): _*)
+    val boundary = GridView.bucketPartials(
+      segments.where(!contained), meta, selected, bucketUs, startUs, endUs)
+      .select(keys ++ Seq(
+        col(SegmentSchema.FieldColumn), col("__graft_bucket"),
+        col("__bp_cnt"), col("__bp_sum"),
+        col("__bp_min"), col("__bp_max")): _*)
 
-    // Boundary segments emit per-bucket partials straight from the decode
-    // generator (one row per overlapped bucket, not per point).
-    val ptPartials = partialMergeAggs(meta, selected)
-    val boundary = GridView
-      .bucketPartials(segments.where(!contained), meta, selected, bucketUs,
-        startUs, endUs)
-      .groupBy((keys :+ col("__graft_bucket")): _*)
-      .agg(ptPartials.head, ptPartials.tail: _*)
-
-    // A group's partials can arrive from both sides (a bucket with interior
-    // AND boundary segments), so merge on (tags, bucket) before projecting.
-    val combineAggs = combinePartialAggs(selected)
+    val mergeAggs = partialMergeAggs(meta, selected)
     val combined = interior.unionByName(boundary)
       .groupBy((keys :+ col("__graft_bucket")): _*)
-      .agg(combineAggs.head, combineAggs.tail: _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
 
     combined.select((keys :+
       timestamp_micros(col("__graft_bucket")).as("bucket")) ++
@@ -515,25 +520,10 @@ final class Engine(val spark: SparkSession, val root: String) {
         col(k).isin(vs.map(v => v: Any): _*)
       }).reduceOption(_ && _)
 
-  // Shared partial-aggregate builders for the hybrid and bucketed plans.
-  // Both emit the same (__cnt/__sum/__min/__max per field) shape so
-  // metadata-only and gridded partials union and combine uniformly.
-
-  /** Closed-form per-field partials over segment metadata rows. */
-  private def segmentPartialAggs(
-      meta: TableMetadata, fields: Seq[String]): Seq[Column] =
-    fields.flatMap { f =>
-      val i = meta.fieldIndex(f)
-      Seq(
-        SegmentAggregates.aggColumnFor("count", i).as(s"__cnt_$f"),
-        SegmentAggregates.aggColumnFor("sum", i).as(s"__sum_$f"),
-        SegmentAggregates.aggColumnFor("min", i).as(s"__min_$f"),
-        SegmentAggregates.aggColumnFor("max", i).as(s"__max_$f"))
-    }
-
-  /** Merge the BucketPartials generator's per-(segment, bucket) rows into
-    * the same per-field __cnt/__sum/__min/__max shape as
-    * [[segmentPartialAggs]]. Partials stay per-field naturally (a segment
+  /** Merge raw partial rows — closed-form per-segment (interior) and
+    * decode-generator per-bucket (boundary), both shaped (field_column,
+    * __bp_cnt/__bp_sum/__bp_min/__bp_max) — into per-field
+    * __cnt/__sum/__min/__max. Partials stay per-field naturally (a segment
     * row IS one field's), so the multivariate edge case that forces
     * pre-assembly exploded points — per-field segments splitting at
     * different timestamps — never arises here.
@@ -547,16 +537,6 @@ final class Engine(val spark: SparkSession, val root: String) {
         sum(when(isF, col("__bp_sum"))).as(s"__sum_$f"),
         min(when(isF, col("__bp_min"))).as(s"__min_$f"),
         max(when(isF, col("__bp_max"))).as(s"__max_$f"))
-    }
-
-  /** Merge interior and boundary partials of the same output group. */
-  private def combinePartialAggs(fields: Seq[String]): Seq[Column] =
-    fields.flatMap { f =>
-      Seq(
-        coalesce(sum(col(s"__cnt_$f")), lit(0L)).as(s"__cnt_$f"),
-        sum(col(s"__sum_$f")).as(s"__sum_$f"),
-        min(col(s"__min_$f")).as(s"__min_$f"),
-        max(col(s"__max_$f")).as(s"__max_$f"))
     }
 
   /** Every requested aggregate kind projected from the combined partials —
@@ -628,30 +608,30 @@ final class Engine(val spark: SparkSession, val root: String) {
     val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
       endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
 
-    // Both paths emit partials: tags..., then count/sum/min/max per field.
-    val interior = {
-      val aggs = segmentPartialAggs(meta, fields)
-      val in = segments.where(contained)
-      if (groupByTags.isEmpty) in.agg(aggs.head, aggs.tail: _*)
-      else in.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    }
-
-    val boundary = {
-      // One partial row per boundary segment (bucket width = MaxValue):
-      // the boundary side's point stream never materializes either.
-      val parts = GridView.bucketPartials(
-        segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs)
-      val aggs = partialMergeAggs(meta, fields)
-      if (groupByTags.isEmpty) parts.agg(aggs.head, aggs.tail: _*)
-      else parts.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    }
+    // Both sides emit raw partial rows in one shape, merged by a single
+    // aggregation: interior segments as closed-form per-segment
+    // expressions, boundary segments as one decode-generator partial each
+    // (bucket width = MaxValue) — no point stream, no combine layer.
+    val interior = segments.where(contained).select(
+      groupByTags.map(col) ++ Seq(
+        col(SegmentSchema.FieldColumn),
+        SegmentAggregates.lenCol.as("__bp_cnt"),
+        SegmentAggregates.sumCol.as("__bp_sum"),
+        col("min_value").as("__bp_min"),
+        col("max_value").as("__bp_max")): _*)
+    val boundary = GridView.bucketPartials(
+      segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs)
+      .select(groupByTags.map(col) ++ Seq(
+        col(SegmentSchema.FieldColumn),
+        col("__bp_cnt"), col("__bp_sum"),
+        col("__bp_min"), col("__bp_max")): _*)
 
     val partials = interior.unionByName(boundary)
-    val combineAggs = combinePartialAggs(fields)
+    val mergeAggs = partialMergeAggs(meta, fields)
     val combined =
-      if (groupByTags.isEmpty) partials.agg(combineAggs.head, combineAggs.tail: _*)
+      if (groupByTags.isEmpty) partials.agg(mergeAggs.head, mergeAggs.tail: _*)
       else partials.groupBy(groupByTags.map(col): _*)
-        .agg(combineAggs.head, combineAggs.tail: _*)
+        .agg(mergeAggs.head, mergeAggs.tail: _*)
 
     combined.select(
       (groupByTags.map(col) ++ finalAggColumns(aggregates, fields)): _*)
