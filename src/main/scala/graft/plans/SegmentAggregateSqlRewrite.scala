@@ -27,10 +27,14 @@ import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
   * grids as before.
   *
   * Two further shapes rewrite (also beyond the reference):
-  *  - a `date_trunc('DAY'|'HOUR'|'MINUTE'|'SECOND', ts)` grouping under a
-  *    UTC session routes through the bucketed hybrid plan
-  *    ([[graft.tsdb.Engine.readTimeSeriesTableBucketed]]) — downsampling
-  *    GROUP BYs read segment metadata for every bucket-contained segment;
+  *  - a `date_trunc(unit, ts)` grouping routes through a hybrid
+    *  downsampling plan: fixed-width epoch-aligned units under a UTC
+    *  session through [[graft.tsdb.Engine.readTimeSeriesTableBucketed]],
+    *  and every other (unit, zone) combination — WEEK/MONTH/QUARTER/YEAR,
+    *  non-UTC offsets, DST zones — through
+    *  [[graft.tsdb.Engine.readTimeSeriesTableTruncated]], which buckets by
+    *  the identical truncation expression; either way bucket-contained
+    *  segments answer from metadata closed forms;
   *  - aggregate-free tag groupings (`SELECT DISTINCT tag`, plain
   *    `GROUP BY tag`) become DISTINCT over the segment relation, exact
   *    because tags are denormalized into every segment row.
@@ -43,14 +47,23 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   private[plans] final case class TagRef(tag: String) extends AggSpec
   private[plans] final case class BucketRef(outName: String) extends AggSpec
 
+  /** How a `date_trunc` grouping buckets time: a fixed width in micros
+    * (epoch-aligned, answered by the pmod plan) or a calendar truncation
+    * (unit + explicit zone, answered by the TruncTimestamp plan).
+    */
+  private[plans] sealed trait BucketSpec
+  private[plans] final case class FixedUs(us: Long) extends BucketSpec
+  private[plans] final case class CalendarTrunc(unit: String, zone: String)
+    extends BucketSpec
+
   /** A rewritable aggregate: the table, tag-only groupings, an optional
-    * time-bucket grouping width, simple aggregate specs, and the (possibly
+    * time-bucket grouping, simple aggregate specs, and the (possibly
     * empty) parsed filter.
     */
   private[plans] final case class MatchResult(
     meta: TableMetadata, groupTags: Seq[String], specs: Seq[AggSpec],
     startUs: Option[Long], endUs: Option[Long], tagEq: Map[String, String],
-    tagIn: Map[String, Seq[String]], bucketUs: Option[Long] = scala.None)
+    tagIn: Map[String, Seq[String]], bucket: Option[BucketSpec] = scala.None)
 
   /** Attempt the rewrite; None leaves the original DataFrame untouched. */
   def tryRewrite(engine: Engine, df: DataFrame): Option[DataFrame] = {
@@ -77,31 +90,31 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         case a: AttributeReference if tagNames.contains(a.name) => Some(a.name)
         case _ => None
       }
-      val bucketWidths = groupings.flatMap(bucketWidthUs(meta, _))
-      if (groupTags.size + bucketWidths.size != groupings.size) None
-      else if (bucketWidths.size > 1) None // two time groupings: grid it
+      val bucketSpecs = groupings.flatMap(bucketSpecOf(meta, _))
+      if (groupTags.size + bucketSpecs.size != groupings.size) None
+      else if (bucketSpecs.size > 1) None // two time groupings: grid it
       else {
-        val bucketUs = bucketWidths.headOption
-        val specs = results.map(spec(meta, groupTags.toSet, bucketUs, _))
+        val bucket = bucketSpecs.headOption
+        val specs = results.map(spec(meta, groupTags.toSet, bucket, _))
         if (specs.exists(_.isEmpty)) None
         else {
           val flat = specs.flatten
           val hasAgg = flat.exists(_.isInstanceOf[FieldAgg])
           filterCond match {
-            case _ if !hasAgg && bucketUs.nonEmpty =>
+            case _ if !hasAgg && bucket.nonEmpty =>
               // Distinct buckets need point-level exactness (a segment
               // overlapping a bucket may have no point in it) — grid it.
               None
             case scala.None =>
               Some(MatchResult(meta, groupTags, flat, scala.None,
-                scala.None, Map.empty, Map.empty, bucketUs))
+                scala.None, Map.empty, Map.empty, bucket))
             case Some(cond) => parseFilter(meta, cond).flatMap {
               case (lo, hi, tags, tagIn) =>
                 // No aggregates + a time range would need gridding for the
                 // same reason; tag-only predicates stay metadata-exact.
                 if (!hasAgg && (lo.nonEmpty || hi.nonEmpty)) None
                 else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
-                  tagIn, bucketUs))
+                  tagIn, bucket))
             }
           }
         }
@@ -109,20 +122,22 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     }
   }
 
-  /** A grouping expression that is a fixed-width epoch-aligned truncation
-    * of the timestamp column — `date_trunc('DAY'|'HOUR'|'MINUTE'|'SECOND',
-    * ts)` under a zero-offset time zone (with a UTC session, truncation IS
-    * the epoch-floor bucket; under any other zone the truncated boundaries
-    * shift or vary with DST, so the rewrite declines). WEEK/MONTH/YEAR are
-    * not epoch-aligned fixed widths and always grid.
+  /** A grouping expression that is a truncation of the timestamp column —
+    * `date_trunc(unit, ts)`. Fixed-width epoch-aligned units under a
+    * zero-offset zone become [[FixedUs]] (truncation IS the epoch-floor
+    * bucket, answered by exact BIGINT pmod); every other recognized
+    * (unit, zone) combination — WEEK/MONTH/QUARTER/YEAR, non-zero offsets,
+    * DST zones — becomes [[CalendarTrunc]], answered by a hybrid plan that
+    * buckets with the identical TruncTimestamp expression.
     */
-  private def bucketWidthUs(meta: TableMetadata, e: Expression): Option[Long] =
+  private def bucketSpecOf(
+      meta: TableMetadata, e: Expression): Option[BucketSpec] =
     e match {
       case TruncTimestamp(Literal(fmt: UTF8String, StringType),
           a: AttributeReference, tzId)
-          if a.name == meta.timestampColumn && a.dataType == TimestampType &&
-            tzId.exists(isUtcZone) =>
-        fmt.toString.toUpperCase(java.util.Locale.ROOT) match {
+          if a.name == meta.timestampColumn && a.dataType == TimestampType =>
+        val unit = fmt.toString.toUpperCase(java.util.Locale.ROOT)
+        val fixedUs = unit match {
           case "DAY" | "DD" => Some(86400000000L)
           case "HOUR" => Some(3600000000L)
           case "MINUTE" => Some(60000000L)
@@ -131,6 +146,10 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           case "MICROSECOND" => Some(1L)
           case _ => None
         }
+        if (fixedUs.nonEmpty && tzId.exists(isUtcZone)) fixedUs.map(FixedUs)
+        else tzId.filter(z =>
+          graft.tsdb.Engine.TruncUnits.contains(unit) && isValidZone(z))
+          .map(CalendarTrunc(unit, _))
       case _ => None
     }
 
@@ -140,6 +159,10 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       rules.isFixedOffset &&
         rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0
     } catch { case _: java.time.DateTimeException => false }
+
+  private def isValidZone(id: String): Boolean =
+    try { java.time.ZoneId.of(id); true }
+    catch { case _: java.time.DateTimeException => false }
 
   /** Parse a filter into (startUs, endUs, tag equalities, tag IN-lists):
     * only conjunctions of `ts <cmp> TIMESTAMP-literal`, `tag = string`,
@@ -238,11 +261,11 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   }
 
   private def spec(
-      meta: TableMetadata, groupTags: Set[String], bucketUs: Option[Long],
+      meta: TableMetadata, groupTags: Set[String], bucket: Option[BucketSpec],
       expr: org.apache.spark.sql.catalyst.expressions.NamedExpression): Option[AggSpec] =
     expr match {
       case a: AttributeReference if groupTags.contains(a.name) => Some(TagRef(a.name))
-      case Alias(e, outName) if bucketWidthUs(meta, e).exists(bucketUs.contains) =>
+      case Alias(e, outName) if bucketSpecOf(meta, e).exists(bucket.contains) =>
         // The analyzer already guarantees a non-aggregate result expression
         // appears among the groupings, so this is THE bucket grouping.
         Some(BucketRef(outName))
@@ -291,7 +314,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         .map(segments0.where).getOrElse(segments0)
       val ordered = m.specs.collect { case TagRef(tag) => col(tag) }
       segments.select(ordered: _*).distinct()
-    } else if (m.bucketUs.nonEmpty) {
+    } else if (m.bucket.nonEmpty) {
       // Time-bucket grouping: the generalized hybrid plan — contained
       // segments answered by closed forms, bucket-straddlers gridded.
       val fields = m.specs.collect { case FieldAgg(_, f, _) => f }.distinct
@@ -299,10 +322,15 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       val aggs: Seq[engine.Aggregate] = kinds.map(kindToAggregate(engine))
       def inst(us: Long) = java.time.Instant.ofEpochSecond(
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
-      val bucketed = engine.readTimeSeriesTableBucketed(m.meta.name,
-        java.time.Duration.of(m.bucketUs.get, java.time.temporal.ChronoUnit.MICROS),
-        fields, aggs, m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
-        m.tagEq, m.tagIn)
+      val bucketed = m.bucket.get match {
+        case FixedUs(us) => engine.readTimeSeriesTableBucketed(m.meta.name,
+          java.time.Duration.of(us, java.time.temporal.ChronoUnit.MICROS),
+          fields, aggs, m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
+          m.tagEq, m.tagIn)
+        case CalendarTrunc(unit, zone) => engine.readTimeSeriesTableTruncated(
+          m.meta.name, unit, zone, fields, aggs, m.groupTags,
+          m.startUs.map(inst), m.endUs.map(inst), m.tagEq, m.tagIn)
+      }
       val ordered = m.specs.map {
         case TagRef(tag) => col(tag)
         case BucketRef(outName) => col("bucket").as(outName)

@@ -282,6 +282,28 @@ object TsQueries {
         min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Calendar-truncation downsampling: WEEK is not epoch-aligned, so the
+    // fixed-width pmod plan cannot answer it — the rewrite routes through
+    // the calendar hybrid plan (TruncTimestamp buckets segment bounds and
+    // points identically; week-contained segments answer from closed
+    // forms). Both Spark and DuckDB truncate weeks to Monday.
+    ("ts_sql_week_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, date_trunc('WEEK', ts) AS wk_ts, count(value) AS n, " +
+          "sum(value) AS sv, min(value) AS mn, max(value) AS mx " +
+          "FROM events_lossless GROUP BY user, date_trunc('WEEK', ts)")
+        .select(col("user"), unix_micros(col("wk_ts")).as("bucket_us"),
+          col("n"), round(col("sv"), 2).as("sum_v"), col("mn"), col("mx"))
+        .orderBy("user", "bucket_us")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(epoch_us(date_trunc('week', ts)) AS BIGINT) AS bucket_us,
+        count(*) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
+        min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Resampling with gap fill: each user's daily-bucket axis densified
     // between its first and last observed day, empty buckets filled by
     // last-observation-carried-forward. The downsampling underneath still

@@ -482,6 +482,107 @@ final class Engine(val spark: SparkSession, val root: String) {
       aggColNames.map(col): _*)
   }
 
+  /** Calendar-truncation downsampling: [[readTimeSeriesTableBucketed]]
+    * generalized from fixed-width epoch-aligned buckets to
+    * `date_trunc(unit, ts)` in an arbitrary time zone — WEEK (fixed width
+    * but not epoch-aligned), MONTH/QUARTER/YEAR (not fixed width at all),
+    * and zones with non-zero offsets or DST transitions. Containment is
+    * decided by truncating each segment's BOUNDS with the exact expression
+    * that buckets the points, so segments whose truncated start equals
+    * their truncated end still contribute closed-form metadata partials
+    * with zero decode; only segments straddling a calendar boundary (or
+    * the range edge) decode, and those explode points for themselves
+    * alone. At a month grain a segment straddles at most once per month —
+    * the decoded fraction stays negligible at any scale.
+    *
+    * Output matches [[readTimeSeriesTableBucketed]]: group-by tags, then
+    * `bucket` (TimestampType, the truncated bucket start in `zone`), then
+    * `<kind>_<field>`. Empty buckets are absent.
+    */
+  def readTimeSeriesTableTruncated(
+      table: String,
+      unit: String,
+      zone: String = "UTC",
+      fields: Seq[String] = Seq.empty,
+      aggregates: Seq[Aggregate] = Seq.empty,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    val normalized = unit.toUpperCase(java.util.Locale.ROOT)
+    require(Engine.TruncUnits.contains(normalized),
+      s"Unsupported truncation unit '$unit' (one of ${Engine.TruncUnits.mkString(", ")}).")
+    java.time.ZoneId.of(zone) // validates; throws DateTimeException otherwise
+    require(aggregates.nonEmpty && !aggregates.contains(Aggregate.None),
+      "Truncated reads require at least one real aggregate kind.")
+    require(aggregates.distinct == aggregates,
+      "Duplicate aggregate kinds would produce duplicate output columns.")
+    require(groupByTags.forall(meta.tagColumns.contains),
+      s"Group-by columns must be tags of $table.")
+    require(!groupByTags.contains("bucket"),
+      "A group-by tag named 'bucket' would collide with the output bucket column.")
+    val selected = if (fields.isEmpty) meta.fieldColumns else fields
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+
+    val segments0 = dataFolder
+      .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
+      .where(fieldColumnPredicate(meta, selected))
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPredicate(tagFilters, tagInFilters)
+      .map(segments0.where).getOrElse(segments0)
+
+    // The truncation applied to a micros-epoch Long column, yielding the
+    // bucket start as micros again. Built as a raw TruncTimestamp carrying
+    // the EXPLICIT zone so the plan never depends on the session time zone.
+    def truncOf(c: Column): Column = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, TruncTimestamp}
+      unix_micros(ColumnBridge.column(TruncTimestamp(CLit(normalized),
+        ColumnBridge.expression(timestamp_micros(c)), Some(zone))))
+    }
+
+    val inRange = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+      endUs.map(hi => col("end_time") <= hi).toSeq)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val contained =
+      inRange && truncOf(col("start_time")) === truncOf(col("end_time"))
+
+    // Same single-aggregation merge as the fixed-width plan: interior
+    // segments emit closed-form partial rows, boundary segments exploded
+    // per-point partials bucketed by the identical truncation expression.
+    val keys = groupByTags.map(col)
+    val interior = segments.where(contained).select(
+      keys ++ Seq(
+        col(SegmentSchema.FieldColumn),
+        truncOf(col("start_time")).as("__graft_bucket"),
+        SegmentAggregates.lenCol.as("__bp_cnt"),
+        SegmentAggregates.sumCol.as("__bp_sum"),
+        col("min_value").as("__bp_min"),
+        col("max_value").as("__bp_max")): _*)
+    val boundary = GridView
+      .explodedPoints(segments.where(!contained), meta, selected, startUs, endUs)
+      .select(keys ++ Seq(
+        col(SegmentSchema.FieldColumn),
+        truncOf(col("__graft_ts")).as("__graft_bucket"),
+        lit(1L).as("__bp_cnt"),
+        col("__graft_value").cast(DoubleType).as("__bp_sum"),
+        col("__graft_value").as("__bp_min"),
+        col("__graft_value").as("__bp_max")): _*)
+
+    val mergeAggs = partialMergeAggs(meta, selected)
+    val combined = interior.unionByName(boundary)
+      .groupBy((keys :+ col("__graft_bucket")): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+
+    combined.select((keys :+
+      timestamp_micros(col("__graft_bucket")).as("bucket")) ++
+      finalAggColumns(aggregates, selected): _*)
+  }
+
   /** Partition predicate selecting exactly the aggregated fields'
     * `field_column` directories (all-fields = no restriction needed).
     */
@@ -852,6 +953,13 @@ final class Engine(val spark: SparkSession, val root: String) {
 }
 
 object Engine {
+  /** Truncation units accepted by [[Engine.readTimeSeriesTableTruncated]] —
+    * the levels Spark's `date_trunc` resolves for timestamps.
+    */
+  val TruncUnits: Set[String] = Set(
+    "YEAR", "YYYY", "YY", "QUARTER", "MONTH", "MM", "MON", "WEEK",
+    "DAY", "DD", "HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND")
+
   private val lastRegistrant =
     new java.util.WeakHashMap[SparkSession, Engine]()
 

@@ -309,6 +309,96 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("calendar-truncated aggregates match gridded date_trunc group-by") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE cal(ts_us TIMESTAMP, field_1 FIELD, " +
+      "tag TAG)")
+    // 10-minute cadence from 2024-02-20 through late March: spans week and
+    // month boundaries and the America/New_York spring-forward transition
+    // (2024-03-10, a 23-hour day). Steps of 37 points: PMC segments of
+    // ~6.2 h, so WEEK, MONTH, and zoned DAY buckets all mix interior
+    // (closed-form) segments with boundary-straddlers.
+    val t0us = java.time.Instant.parse("2024-02-20T00:00:00Z")
+      .getEpochSecond * 1000000L
+    import spark.implicits._
+    val rows = Seq("a", "b").flatMap { tag =>
+      (0 until 5200).map { i => (t0us + i * 600000000L, (i / 37).toFloat, tag) }
+    }
+    engine.write("cal", rows.toDF("ts_us", "field_1", "tag"))
+
+    import org.apache.spark.sql.graft.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, TruncTimestamp}
+    for ((unit, zone, expectInterior) <- Seq(
+        ("WEEK", "UTC", true), ("MONTH", "UTC", true),
+        ("DAY", "America/New_York", true),
+        // +05:30 hour buckets: every ~6.2 h segment straddles — the
+        // boundary-only regime must also be exact.
+        ("HOUR", "Asia/Kolkata", false))) {
+      def truncUs(c: org.apache.spark.sql.Column) =
+        unix_micros(ColumnBridge.column(TruncTimestamp(
+          CLit(unit), ColumnBridge.expression(c), Some(zone))))
+
+      val segs = engine.dataFolder.segments("cal")
+      val sameB = truncUs(timestamp_micros(col("start_time"))) ===
+        truncUs(timestamp_micros(col("end_time")))
+      if (expectInterior)
+        assert(segs.where(sameB).count() > 0, s"no interior segs $unit/$zone")
+      assert(segs.where(!sameB).count() > 0, s"no boundary segs $unit/$zone")
+
+      val got = engine.readTimeSeriesTableTruncated("cal", unit, zone,
+          Seq("field_1"), Seq(engine.Aggregate.Count, engine.Aggregate.Sum,
+            engine.Aggregate.Min, engine.Aggregate.Max),
+          groupByTags = Seq("tag"))
+        .select(col("tag"), unix_micros(col("bucket")).as("b"),
+          col("count_field_1"), col("sum_field_1"), col("min_field_1"),
+          col("max_field_1"))
+        .orderBy("tag", "b").collect()
+
+      val want = engine.readTable("cal")
+        .groupBy(col("tag"), truncUs(col("ts_us")).as("b"))
+        .agg(count("field_1"), sum(col("field_1").cast("double")),
+          min("field_1"), max("field_1"))
+        .orderBy("tag", "b").collect()
+
+      assert(got.nonEmpty && got.length == want.length, s"$unit/$zone buckets")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1),
+          s"$unit/$zone key")
+        assert(g.getLong(2) == w.getLong(2), s"$unit/$zone COUNT at ${g.get(1)}")
+        assert(g.getFloat(4) == w.getFloat(4) && g.getFloat(5) == w.getFloat(5),
+          s"$unit/$zone MIN/MAX at ${g.get(1)}")
+        assert(math.abs(g.getDouble(3) - w.getDouble(3)) <=
+          math.abs(w.getDouble(3)) * 1e-5 + 1e-9, s"$unit/$zone SUM at ${g.get(1)}")
+      }
+    }
+
+    // Range edges that split months mid-way: the edge buckets must
+    // aggregate only in-range points.
+    val lo = java.time.Instant.parse("2024-02-25T07:13:00Z")
+    val hi = java.time.Instant.parse("2024-03-20T15:47:00Z")
+    val gotR = engine.readTimeSeriesTableTruncated("cal", "MONTH", "UTC",
+        Seq("field_1"), Seq(engine.Aggregate.Count, engine.Aggregate.Sum),
+        groupByTags = Seq("tag"), startTime = Some(lo), endTime = Some(hi))
+      .select(col("tag"), unix_micros(col("bucket")).as("b"),
+        col("count_field_1"), col("sum_field_1"))
+      .orderBy("tag", "b").collect()
+    val (usLo, usHi) =
+      (lo.getEpochSecond * 1000000L, hi.getEpochSecond * 1000000L)
+    val wantR = engine.readTable("cal")
+      .where(unix_micros(col("ts_us")) >= usLo &&
+        unix_micros(col("ts_us")) <= usHi)
+      .groupBy(col("tag"), unix_micros(date_trunc("MONTH", col("ts_us"))).as("b"))
+      .agg(count("field_1"), sum(col("field_1").cast("double")))
+      .orderBy("tag", "b").collect()
+    assert(gotR.nonEmpty && gotR.length == wantR.length)
+    gotR.zip(wantR).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1))
+      assert(g.getLong(2) == w.getLong(2))
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) <=
+        math.abs(w.getDouble(3)) * 1e-5)
+    }
+  }
+
   test("bucket partials match exploded points per bucket on every model shape") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE bp(ts_us TIMESTAMP, field_1 FIELD, " +

@@ -238,22 +238,60 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
 
     // Under a non-UTC session zone day boundaries are not epoch-aligned:
-    // the rewrite declines, and the gridded plan still answers correctly
-    // in that zone.
+    // the rewrite routes through the CALENDAR hybrid plan (same
+    // TruncTimestamp expression buckets segment bounds and points), so the
+    // closed-form interior side still appears and results match the
+    // gridded group-by in that zone.
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
     try {
       spark.conf.set("spark.sql.session.timeZone", "America/New_York")
       val nyDf = engine.sql(
         "SELECT date_trunc('DAY', ts) AS d, COUNT(v) AS n FROM bk " +
           "GROUP BY date_trunc('DAY', ts)")
-      assert(!nyDf.queryExecution.executedPlan.toString.contains("segmentlen"),
-        "non-UTC date_trunc must not take the closed-form plan")
+      assert(nyDf.queryExecution.executedPlan.toString.contains("segmentlen"),
+        "non-UTC date_trunc must take the calendar closed-form plan")
       val nyExpect = engine.readTable("bk")
         .groupBy(date_trunc("DAY", col("ts")).as("d")).agg(count("v").as("n"))
         .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
       assert(nyDf.collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
         == nyExpect)
     } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("WEEK and MONTH date_trunc groupings rewrite to the calendar plan") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE cw(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    // 1-hour cadence from 2024-02-01 over ~6 weeks: crosses week AND month
+    // boundaries. Steps of 37 points: PMC segments of ~37 h, so weekly and
+    // monthly buckets hold interior segments and boundary-straddlers.
+    val df = (0 until 1000).map { i =>
+      (1706745600000000L + i * 3600000000L, (i / 37).toFloat, s"t${i % 2}")
+    }.toDF("ts", "v", "tag")
+    engine.write("cw", df)
+
+    for (unit <- Seq("WEEK", "MONTH")) {
+      val sqlDf = engine.sql(
+        s"SELECT tag, date_trunc('$unit', ts) AS b, COUNT(v) AS n, " +
+          s"SUM(v) AS s FROM cw GROUP BY tag, date_trunc('$unit', ts)")
+        .orderBy("tag", "b")
+      val planText = sqlDf.queryExecution.executedPlan.toString
+      assert(planText.contains("segmentlen"),
+        s"expected the closed-form interior side for $unit:\n$planText")
+      val expect = engine.readTable("cw")
+        .groupBy(col("tag"), date_trunc(unit, col("ts")).as("b"))
+        .agg(count("v").as("n"), sum(col("v").cast("double")).as("s"))
+        .orderBy("tag", "b").collect()
+      val got = sqlDf.collect()
+      assert(got.nonEmpty && got.length == expect.length, s"$unit buckets")
+      got.zip(expect).foreach { case (g, e) =>
+        assert(g.getString(0) == e.getString(0))
+        assert(g.getTimestamp(1) == e.getTimestamp(1))
+        assert(g.getLong(2) == e.getLong(2), s"$unit COUNT at ${g.get(1)}")
+        assert(math.abs(g.getDouble(3) - e.getDouble(3)) <=
+          math.abs(e.getDouble(3)) * 1e-5, s"$unit SUM at ${g.get(1)}")
+      }
+    }
   }
 
   test("aggregate-free tag groupings rewrite to segment-relation DISTINCT") {
