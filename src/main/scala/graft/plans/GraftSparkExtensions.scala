@@ -1,8 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 import graft.tsdb.Engine
@@ -68,19 +67,7 @@ class SegmentAggregateRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def rewrite(engines: List[Engine], agg: Aggregate): Option[LogicalPlan] =
-    engines.iterator.flatMap { engine =>
-      SegmentAggregateSqlRewrite.matchAggregate(engine, agg)
-        .map { matched =>
-          val rewritten = SegmentAggregateSqlRewrite
-            .build(engine, matched)
-            .queryExecution.analyzed
-          // Splice under the original attribute identities: parents resolve
-          // against the Aggregate's exprIds, which must survive the swap.
-          val aliases = rewritten.output.zip(agg.output).map { case (n, o) =>
-            val value = if (n.dataType == o.dataType) n else Cast(n, o.dataType)
-            Alias(value, o.name)(exprId = o.exprId, qualifier = o.qualifier)
-          }
-          Project(aliases, rewritten)
-        }
-    }.nextOption()
+    engines.iterator
+      .flatMap(SegmentAggregateSqlRewrite.spliceRewrite(_, agg))
+      .nextOption()
 }

@@ -65,13 +65,44 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     startUs: Option[Long], endUs: Option[Long], tagEq: Map[String, String],
     tagIn: Map[String, Seq[String]], bucket: Option[BucketSpec] = scala.None)
 
-  /** Attempt the rewrite; None leaves the original DataFrame untouched. */
+  /** Attempt the rewrite; None leaves the original DataFrame untouched.
+    *
+    * The matching Aggregate may sit anywhere in the plan — under the Sort
+    * of an ORDER BY, the Filter of a HAVING, a LIMIT, or joined against
+    * other relations — the aggregate subtree alone is swapped for its
+    * segment-native equivalent ([[spliceRewrite]] preserves the subtree's
+    * output attributes, so parents are untouched).
+    */
   def tryRewrite(engine: Engine, df: DataFrame): Option[DataFrame] = {
-    df.queryExecution.analyzed match {
-      case agg: Aggregate => matchAggregate(engine, agg).map(build(engine, _))
-      case _ => None
+    var hit = false
+    val transformed = df.queryExecution.analyzed.transformUp {
+      case agg: Aggregate => spliceRewrite(engine, agg) match {
+        case Some(swapped) => hit = true; swapped
+        case scala.None => agg
+      }
     }
+    if (hit)
+      Some(org.apache.spark.sql.graft.PlanBridge.ofRows(engine.spark, transformed))
+    else scala.None
   }
+
+  /** Rewrite one matching Aggregate into the analyzed plan of its
+    * segment-native equivalent, spliced under the ORIGINAL output
+    * attributes (names, exprIds, qualifiers, types) so parent operators
+    * resolve unchanged. None when the aggregate doesn't match.
+    */
+  private[plans] def spliceRewrite(
+      engine: Engine, agg: Aggregate): Option[LogicalPlan] =
+    matchAggregate(engine, agg).map { m =>
+      val rewritten = build(engine, m).queryExecution.analyzed
+      val aliases = rewritten.output.zip(agg.output).map { case (n, o) =>
+        val value =
+          if (n.dataType == o.dataType) n
+          else org.apache.spark.sql.catalyst.expressions.Cast(n, o.dataType)
+        Alias(value, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+      }
+      Project(aliases, rewritten)
+    }
 
   /** Shared matcher: an Aggregate whose child is exactly the registered
     * view (optionally under a parseable Filter), tag-only groupings, and

@@ -14,3 +14,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** `Dataset.ofRows` is likewise `private[sql]` in Spark 4: re-exported here
+  * so the engine can turn a transformed logical plan (e.g. an aggregate
+  * subtree swapped for its segment-native equivalent) back into a
+  * DataFrame.
+  */
+object PlanBridge {
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

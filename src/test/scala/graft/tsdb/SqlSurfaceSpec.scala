@@ -294,6 +294,53 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("ORDER BY, HAVING, and LIMIT above the aggregate keep the rewrite") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE oh(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    val df = (0 until 600).map { i =>
+      (1706745600000000L + i * 60000000L, (i / 37).toFloat, s"t${i % 3}")
+    }.toDF("ts", "v", "tag")
+    engine.write("oh", df)
+
+    // The Aggregate sits under Sort/Filter/Limit operators — the subtree
+    // still swaps for the segment-native plan and parents run unchanged.
+    val sqlDf = engine.sql(
+      "SELECT tag, COUNT(v) AS n, MAX(v) AS mx FROM oh GROUP BY tag " +
+        "HAVING COUNT(v) > 10 ORDER BY mx DESC, tag LIMIT 2")
+    val planText = sqlDf.queryExecution.executedPlan.toString
+    assert(planText.contains("segmentlen"),
+      s"expected the segment-native aggregate under ORDER BY/HAVING:\n$planText")
+    assert(!planText.toLowerCase.contains("gridpoints"),
+      s"no reconstruction expected:\n$planText")
+    val expect = engine.readTable("oh").groupBy("tag")
+      .agg(count("v").as("n"), max("v").as("mx"))
+      .where(col("n") > 10).orderBy(col("mx").desc, col("tag")).limit(2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getFloat(2))).toSeq
+    val got = sqlDf.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getFloat(2))).toSeq
+    assert(got == expect)
+
+    // A bucketed aggregate under ORDER BY ... LIMIT (top-k buckets).
+    val topDays = engine.sql(
+      "SELECT date_trunc('HOUR', ts) AS h, SUM(v) AS s FROM oh " +
+        "GROUP BY date_trunc('HOUR', ts) ORDER BY s DESC LIMIT 3")
+    val topPlan = topDays.queryExecution.executedPlan.toString
+    assert(topPlan.contains("segmentsum"),
+      s"expected the bucketed hybrid plan under ORDER BY/LIMIT:\n$topPlan")
+    val expectTop = engine.readTable("oh")
+      .groupBy(date_trunc("HOUR", col("ts")).as("h"))
+      .agg(sum(col("v").cast("double")).as("s"))
+      .orderBy(col("s").desc).limit(3)
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq
+    val gotTop = topDays.collect()
+      .map(r => (r.getTimestamp(0), r.getDouble(1))).toSeq
+    assert(gotTop.map(_._1) == expectTop.map(_._1))
+    gotTop.zip(expectTop).foreach { case (g, e) =>
+      assert(math.abs(g._2 - e._2) <= math.abs(e._2) * 1e-9)
+    }
+  }
+
   test("aggregate-free tag groupings rewrite to segment-relation DISTINCT") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE dt(ts TIMESTAMP, v FIELD, tag TAG)")
