@@ -37,7 +37,12 @@ import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
     *  segments answer from metadata closed forms;
   *  - aggregate-free tag groupings (`SELECT DISTINCT tag`, plain
   *    `GROUP BY tag`) become DISTINCT over the segment relation, exact
-  *    because tags are denormalized into every segment row.
+  *    because tags are denormalized into every segment row;
+  *  - `min(ts)`/`max(ts)` (the table-extent query) answer from
+  *    `start_time`/`end_time` metadata, and `count(ts)`/`count(tag)`
+  *    equal `count(*)` (both columns are non-null by construction) —
+  *    these decline time ranges and bucket groupings, which would need
+  *    boundary-segment timestamp decode.
   */
 object SegmentAggregateSqlRewrite extends PredicateHelper {
 
@@ -46,6 +51,12 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     extends AggSpec
   private[plans] final case class TagRef(tag: String) extends AggSpec
   private[plans] final case class BucketRef(outName: String) extends AggSpec
+  /** MIN/MAX of the timestamp column itself — the table-extent query,
+    * answered from `start_time`/`end_time` metadata alone (exact: segment
+    * bounds are the actual first/last point of each segment).
+    */
+  private[plans] final case class TsAgg(kind: String, outName: String)
+    extends AggSpec
 
   /** How a `date_trunc` grouping buckets time: a fixed width in micros
     * (epoch-aligned, answered by the pmod plan) or a calendar truncation
@@ -130,11 +141,16 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         if (specs.exists(_.isEmpty)) None
         else {
           val flat = specs.flatten
-          val hasAgg = flat.exists(_.isInstanceOf[FieldAgg])
+          val hasAgg = flat.exists(s =>
+            s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg])
+          val hasTsAgg = flat.exists(_.isInstanceOf[TsAgg])
           filterCond match {
             case _ if !hasAgg && bucket.nonEmpty =>
               // Distinct buckets need point-level exactness (a segment
               // overlapping a bucket may have no point in it) — grid it.
+              None
+            case _ if hasTsAgg && bucket.nonEmpty =>
+              // min/max(ts) per bucket would need boundary decode — grid it.
               None
             case scala.None =>
               Some(MatchResult(meta, groupTags, flat, scala.None,
@@ -143,7 +159,9 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
               case (lo, hi, tags, tagIn) =>
                 // No aggregates + a time range would need gridding for the
                 // same reason; tag-only predicates stay metadata-exact.
-                if (!hasAgg && (lo.nonEmpty || hi.nonEmpty)) None
+                // min/max(ts) under a time range would need boundary-segment
+                // timestamp decode — grid that too.
+                if ((!hasAgg || hasTsAgg) && (lo.nonEmpty || hi.nonEmpty)) None
                 else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
                   tagIn, bucket))
             }
@@ -314,6 +332,18 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             // timestamp-aligned and each field's len equals the row count
             // of the reconstructed view.
             Some(FieldAgg("count", meta.fieldColumns.head, outName))
+          case Count(Seq(a: AttributeReference))
+              if a.name == meta.timestampColumn ||
+                meta.tagColumns.contains(a.name) =>
+            // ts and tag columns are non-null by construction, so their
+            // count is the row count — same closed form as count(*).
+            Some(FieldAgg("count", meta.fieldColumns.head, outName))
+          case Min(a: AttributeReference)
+              if a.name == meta.timestampColumn && a.dataType == TimestampType =>
+            Some(TsAgg("min", outName))
+          case Max(a: AttributeReference)
+              if a.name == meta.timestampColumn && a.dataType == TimestampType =>
+            Some(TsAgg("max", outName))
           case Min(a: AttributeReference) if meta.fieldColumns.contains(a.name) =>
             Some(FieldAgg("min", a.name, outName))
           case Max(a: AttributeReference) if meta.fieldColumns.contains(a.name) =>
@@ -328,7 +358,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     }
 
   private[plans] def build(engine: Engine, m: MatchResult): DataFrame = {
-    if (!m.specs.exists(_.isInstanceOf[FieldAgg])) {
+    if (!m.specs.exists(s => s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg])) {
       // Pure tag grouping (`SELECT DISTINCT tag`, `GROUP BY tag` with no
       // aggregates): every tag combination is denormalized into its
       // segments, so DISTINCT over the segment relation is exact —
@@ -366,6 +396,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         case TagRef(tag) => col(tag)
         case BucketRef(outName) => col("bucket").as(outName)
         case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
+        case TsAgg(_, _) =>
+          throw new IllegalStateException("ts aggregates decline buckets")
       }
       bucketed.select(ordered: _*)
     } else if (m.startUs.isEmpty && m.endUs.isEmpty) {
@@ -395,6 +427,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
         case BucketRef(_) =>
           throw new IllegalStateException("bucket groupings branch earlier")
+        case TsAgg(_, _) =>
+          throw new IllegalStateException("ts aggregates decline time ranges")
       }
       multi.select(ordered: _*)
     }
@@ -420,7 +454,13 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     // fields timestamp-aligned, so tag groups are identical across field
     // partitions and the per-field conditionals below are unchanged):
     // `SELECT sum(f1) FROM t` on a 32-field table reads 1/32 of it.
-    val aggFields = specs.collect { case FieldAgg(_, f, _) => f }.distinct
+    // A TsAgg-only query still needs one field partition scanned (any one:
+    // fields are timestamp-aligned, so every partition spans the same time
+    // extent).
+    val fieldAggFields = specs.collect { case FieldAgg(_, f, _) => f }.distinct
+    val aggFields =
+      if (fieldAggFields.nonEmpty) fieldAggFields
+      else Seq(meta.fieldColumns.head)
     val base = engine.dataFolder
       .segmentsPruned(meta.name, scala.None, scala.None, tagEq, tagIn)
     val segments0 =
@@ -428,8 +468,13 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       else base.where(col(SegmentSchema.FieldColumn)
         .isin(aggFields.map(f => meta.fieldIndex(f): Any): _*))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
-    val aggCols = specs.collect { case FieldAgg(kind, field, outName) =>
-      SegmentAggregates.aggColumnFor(kind, meta.fieldIndex(field)).as(outName)
+    val aggCols = specs.collect {
+      case FieldAgg(kind, field, outName) =>
+        SegmentAggregates.aggColumnFor(kind, meta.fieldIndex(field)).as(outName)
+      case TsAgg("min", outName) =>
+        timestamp_micros(min(col("start_time"))).as(outName)
+      case TsAgg(_, outName) =>
+        timestamp_micros(max(col("end_time"))).as(outName)
     }
 
     val grouped =
@@ -440,6 +485,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     val ordered = specs.map {
       case TagRef(tag) => col(tag)
       case FieldAgg(_, _, outName) => col(outName)
+      case TsAgg(_, outName) => col(outName)
       case BucketRef(_) =>
         throw new IllegalStateException("bucket groupings branch earlier")
     }

@@ -418,6 +418,24 @@ object TsQueries {
         (SELECT count(*) FROM events
          WHERE CAST(user_id AS VARCHAR) IN ('3', '55', '107')) AS n_in""")),
 
+    // Per-series time extent through plain SQL: min/max(ts) answered from
+    // start_time/end_time metadata, count(ts) from segment lengths — the
+    // whole query is metadata-only (no reconstruction), and the ORDER BY
+    // above the aggregate rides the plan splice.
+    ("ts_extent", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, MIN(ts) AS t0, MAX(ts) AS t1, COUNT(ts) AS n " +
+          "FROM events_lossless GROUP BY user ORDER BY user")
+        .select(col("user"), unix_micros(col("t0")).as("t0_us"),
+          unix_micros(col("t1")).as("t1_us"), col("n"))
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(min(epoch_us(ts)) AS BIGINT) AS t0_us,
+        CAST(max(epoch_us(ts)) AS BIGINT) AS t1_us,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
     // Multivariate reconstruction: two stored fields reassembled by
     // (tags, timestamp) in one conditional-aggregation shuffle.
     ("ts_multifield_roundtrip", (s: SparkSession, d: String) => {

@@ -341,6 +341,64 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("min/max(ts) and count(ts/tag) answer from segment metadata") {
+    val engine = newEngine()
+    engine.sql(
+      "CREATE TIME SERIES TABLE ext(ts TIMESTAMP, a FIELD, b FIELD, tag TAG)")
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (0 until 900).map { i =>
+      (1706745600000000L + i * 30000000L + (i % 5) * 1000L,
+        rng.nextFloat() * 10, rng.nextFloat() * 50, s"t${i % 4}")
+    }.toDF("ts", "a", "b", "tag")
+    engine.write("ext", df)
+
+    // Whole-table extent: metadata only, no reconstruction.
+    val extent = engine.sql(
+      "SELECT MIN(ts) AS t0, MAX(ts) AS t1, COUNT(ts) AS n, COUNT(tag) AS m FROM ext")
+    val planText = extent.queryExecution.executedPlan.toString
+    assert(!planText.contains("Generate"),
+      s"extent query must stay segment-native:\n$planText")
+    val exp = engine.readTable("ext")
+      .agg(min(col("ts")), max(col("ts")), count(col("ts")), count(col("tag")))
+      .collect().head
+    val got = extent.collect().head
+    assert(got.getTimestamp(0) == exp.getTimestamp(0))
+    assert(got.getTimestamp(1) == exp.getTimestamp(1))
+    assert(got.getLong(2) == exp.getLong(2) && got.getLong(3) == exp.getLong(3))
+
+    // Per-tag extent mixed with a field aggregate, tag-equality pruned.
+    val perTag = engine.sql(
+      "SELECT tag, MIN(ts) AS t0, MAX(ts) AS t1, SUM(b) AS s FROM ext " +
+        "WHERE tag IN ('t1', 't3') GROUP BY tag ORDER BY tag")
+    assert(!perTag.queryExecution.executedPlan.toString.contains("Generate"),
+      "per-tag extent must stay segment-native")
+    val expTag = engine.readTable("ext").where(col("tag").isin("t1", "t3"))
+      .groupBy("tag")
+      .agg(min(col("ts")).as("t0"), max(col("ts")).as("t1"),
+        sum(col("b").cast("double")).as("s"))
+      .orderBy("tag").collect()
+    val gotTag = perTag.collect()
+    assert(gotTag.length == expTag.length)
+    gotTag.zip(expTag).foreach { case (g, e) =>
+      assert(g.getString(0) == e.getString(0))
+      assert(g.getTimestamp(1) == e.getTimestamp(1))
+      assert(g.getTimestamp(2) == e.getTimestamp(2))
+      assert(math.abs(g.getDouble(3) - e.getDouble(3)) <=
+        math.abs(e.getDouble(3)) * 1e-9)
+    }
+
+    // Under a time range min(ts) needs boundary decode — it must grid.
+    val ranged = engine.sql(
+      "SELECT MIN(ts) AS t0 FROM ext WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'")
+    assert(ranged.queryExecution.executedPlan.toString.contains("Generate"),
+      "ranged extent must reconstruct")
+    assert(ranged.collect().head.getTimestamp(0) ==
+      engine.readTable("ext")
+        .where(col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp"))
+        .agg(min(col("ts"))).collect().head.getTimestamp(0))
+  }
+
   test("aggregate-free tag groupings rewrite to segment-relation DISTINCT") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE dt(ts TIMESTAMP, v FIELD, tag TAG)")
