@@ -40,6 +40,69 @@ object Signatures {
   def words(text: String): Array[String] =
     text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
+  /** Fraction of word n-grams that repeat an earlier n-gram in the same
+    * document (`1 - distinct/total`), truncated to 4 decimals; 0.0 with
+    * fewer than n words. One pass with a hash set — the equivalent
+    * higher-order-function expression tree is interpreted (no codegen for
+    * lambda functions) and re-evaluates the gram array once per reference.
+    */
+  def duplicateNgramFraction(text: String, n: Int): Double = {
+    if (text == null) return 0.0
+    val ws = words(text)
+    val total = ws.length - n + 1
+    if (total <= 0) 0.0
+    else {
+      val seen = new java.util.HashSet[String](total * 2)
+      val sb = new java.lang.StringBuilder
+      var dup = 0
+      var i = 0
+      while (i < total) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(ws(i + k))
+          k += 1
+        }
+        if (!seen.add(sb.toString)) dup += 1
+        i += 1
+      }
+      math.floor(dup.toDouble / total * 10000.0) / 10000.0
+    }
+  }
+
+  /** Fraction of line characters (code points, as Spark's `length`) in
+    * lines that occur more than once, truncated to 4 decimals. Lines are
+    * space-trimmed exactly like Spark's `trim` (0x20 only); blank lines
+    * drop; 0.0 with no non-blank lines. Two passes over the lines where
+    * the expression form is O(lines^2) interpreted.
+    */
+  def duplicateLineCharFraction(text: String): Double = {
+    if (text == null) return 0.0
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    text.split("\n", -1).foreach { raw =>
+      var b = 0
+      var e = raw.length
+      while (b < e && raw.charAt(b) == ' ') b += 1
+      while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+      if (e > b) lines += raw.substring(b, e)
+    }
+    var tot = 0L
+    val counts = new java.util.HashMap[String, Integer]
+    lines.foreach { l =>
+      tot += l.codePointCount(0, l.length)
+      counts.merge(l, 1, (a, b) => a + b)
+    }
+    if (tot == 0L) 0.0
+    else {
+      var dup = 0L
+      lines.foreach { l =>
+        if (counts.get(l) > 1) dup += l.codePointCount(0, l.length)
+      }
+      math.floor(dup.toDouble / tot * 10000.0) / 10000.0
+    }
+  }
+
   /** Distinct word k-shingles joined with single spaces. */
   def wordShingles(text: String, k: Int): Array[String] = {
     val ws = words(text)

@@ -91,37 +91,30 @@ object TextAnalysis {
     * Gopher-style repetition filter that catches boilerplate-heavy pages
     * (navigation bars, cookie banners) cheap enough to run on every
     * document. Lines are trimmed; blank lines are ignored; 0.0 for
-    * documents with no non-blank lines. Pure expression: the per-document
-    * quadratic runs over a handful of lines, never across rows.
+    * documents with no non-blank lines. One-pass [[Signatures]] kernel:
+    * the equivalent higher-order-function expression is interpreted (no
+    * codegen for lambdas) and quadratic in the line count.
     */
-  def duplicateLineCharFraction(text: Column): Column = {
-    val lines = filter(transform(split(text, "\n"), l => trim(l)),
-      l => l =!= lit(""))
-    val tot = aggregate(lines, lit(0L),
-      (acc, l) => acc + length(l).cast("long"))
-    val dup = aggregate(lines, lit(0L), (acc, l) =>
-      acc + when(size(filter(lines, x => x === l)) > 1,
-        length(l).cast("long")).otherwise(lit(0L)))
-    trunc4(when(tot > 0, dup.cast("double") / tot.cast("double"))
-      .otherwise(lit(0.0)))
-  }
+  def duplicateLineCharFraction(text: Column): Column =
+    dupLineCharUdf(text)
+
+  private val dupLineCharUdf =
+    udf { text: String => Signatures.duplicateLineCharFraction(text) }
 
   /** Fraction of word n-grams that are repeats of an earlier n-gram in the
     * same document (`1 - distinct/total`) — high values flag degenerate
     * repetitive text (keyword stuffing, generation loops). Lowercased,
     * whitespace-tokenized; 0.0 for documents with fewer than n words.
+    * One-pass [[Signatures]] kernel: the expression form re-evaluates the
+    * interpreted gram array once per reference (no CSE inside lambdas).
     */
   def duplicateNgramFraction(text: Column, n: Int): Column = {
     require(n >= 1, "n-gram size must be positive")
-    val ws = filter(words(text), w => w =!= lit(""))
-    val cnt = size(ws)
-    val grams = transform(sequence(lit(1), cnt - (n - 1)), i =>
-      concat_ws(" ", (0 until n).map(k => element_at(ws, i + k)): _*))
-    trunc4(when(cnt >= n,
-      (size(grams) - size(array_distinct(grams))).cast("double") /
-        size(grams).cast("double"))
-      .otherwise(lit(0.0)))
+    dupNgramUdf(text, lit(n))
   }
+
+  private val dupNgramUdf =
+    udf { (text: String, n: Int) => Signatures.duplicateNgramFraction(text, n) }
 
   /** Order-sensitive document fingerprint of whitespace-normalized,
     * lowercased text. MD5-based so any engine can reproduce it.

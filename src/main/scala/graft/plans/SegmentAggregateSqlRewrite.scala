@@ -1,11 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, PredicateHelper, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CreateNamedStruct, EqualTo, ExprId, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, PredicateHelper, Remainder, Subtract, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
@@ -56,6 +56,11 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     * bounds are the actual first/last point of each segment).
     */
   private[plans] final case class TsAgg(kind: String, outName: String)
+    extends AggSpec
+  /** A reference to the `window(ts, …)` grouping struct in the output:
+    * the whole struct, or its `.start`/`.end` field.
+    */
+  private[plans] final case class WindowPart(part: String, outName: String)
     extends AggSpec
 
   /** How a `date_trunc` grouping buckets time: a fixed width in micros
@@ -122,22 +127,72 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   private[plans] def matchAggregate(engine: Engine, agg: Aggregate):
       Option[MatchResult] = {
     val Aggregate(groupings, results, child, _) = agg
-    val (filterCond, source) = child match {
+    // The analyzer lowers `GROUP BY window(ts, …)` into a Project that
+    // computes the window struct (plus attribute passthrough) over a
+    // Filter(isnotnull(ts)); peel that pair off before the view match.
+    // ts is non-null by construction, so dropping the filter is sound.
+    val groupingIds = groupings.collect {
+      case a: AttributeReference => a.exprId
+    }.toSet
+    val (windowAlias, child1) = child match {
+      case Project(projList, Filter(IsNotNull(a: AttributeReference), rest))
+          if a.dataType == TimestampType &&
+            projList.forall {
+              case _: AttributeReference => true
+              case al @ Alias(_: CreateNamedStruct, _) =>
+                groupingIds.contains(al.exprId)
+              case _ => false
+            } &&
+            projList.count(_.isInstanceOf[Alias]) == 1 =>
+        (projList.collectFirst {
+          case al @ Alias(_: CreateNamedStruct, _) => (al, a)
+        }, rest)
+      case other => (scala.None, other)
+    }
+    val (filterCond, source) = child1 match {
       case Filter(cond, inner) => (Some(cond), inner)
       case other => (scala.None, other)
     }
     viewTable(engine, source).flatMap { meta =>
+      val windowBucket: Option[(ExprId, Long)] = windowAlias.flatMap {
+        case (al, tsAttr) =>
+          if (tsAttr.name != meta.timestampColumn) scala.None
+          else windowWidth(engine, meta, source, al)
+            .map(w => (al.exprId, w))
+      }
+      // A window projection we can't prove is a plain tumbling window
+      // leaves a grouping attribute nothing else can satisfy — decline.
+      if (windowAlias.nonEmpty && windowBucket.isEmpty) scala.None
+      else matchGroupings(engine, meta, groupings, results, filterCond,
+        windowBucket)
+    }
+  }
+
+  private def matchGroupings(
+      engine: Engine, meta: TableMetadata,
+      groupings: Seq[Expression],
+      results: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      filterCond: Option[Expression],
+      windowBucket: Option[(ExprId, Long)]): Option[MatchResult] = {
+    {
       val tagNames = meta.tagColumns.toSet
       val groupTags = groupings.flatMap {
         case a: AttributeReference if tagNames.contains(a.name) => Some(a.name)
         case _ => None
       }
-      val bucketSpecs = groupings.flatMap(bucketSpecOf(meta, _))
+      val windowGroups = groupings.count {
+        case a: AttributeReference => windowBucket.exists(_._1 == a.exprId)
+        case _ => false
+      }
+      val bucketSpecs = groupings.flatMap(bucketSpecOf(meta, _)) ++
+        (if (windowGroups == 1) windowBucket.map(w => FixedUs(w._2)).toSeq
+         else Seq.empty)
       if (groupTags.size + bucketSpecs.size != groupings.size) None
       else if (bucketSpecs.size > 1) None // two time groupings: grid it
       else {
         val bucket = bucketSpecs.headOption
-        val specs = results.map(spec(meta, groupTags.toSet, bucket, _))
+        val specs = results.map(
+          spec(meta, groupTags.toSet, bucket, windowBucket.map(_._1), _))
         if (specs.exists(_.isEmpty)) None
         else {
           val flat = specs.flatten
@@ -168,6 +223,43 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           }
         }
       }
+    }
+  }
+
+  /** The bucket width of a verified tumbling `window(ts, w)` projection,
+    * or None when the struct is not one.
+    *
+    * Candidate width and start-offset literals are read off the struct's
+    * `(ts - off) % w` arithmetic, then the candidate is PROVEN by
+    * re-analyzing `window(ts, w, w, off)` over the same source subtree and
+    * requiring semantic equality with the analyzer's emitted struct — a
+    * hand-written `named_struct(…) AS window` that isn't exactly Spark's
+    * tumbling-window arithmetic can never match. Sliding windows take an
+    * explode-based plan shape and never reach here; non-zero start offsets
+    * are declined (the bucketed plan floors at the epoch).
+    */
+  private def windowWidth(
+      engine: Engine, meta: TableMetadata, source: LogicalPlan,
+      al: Alias): Option[Long] = {
+    val widths = al.child.collect {
+      case Remainder(_, Literal(w: Long, LongType), _) => w
+    }.distinct
+    val offsets = al.child.collect {
+      case Remainder(Subtract(_, Literal(o: Long, LongType), _), _, _) => o
+    }.distinct
+    (widths, offsets) match {
+      case (Seq(w), Seq(0L)) if w > 0 =>
+        val ref = org.apache.spark.sql.graft.PlanBridge
+          .ofRows(engine.spark, source)
+          .select(window(col(meta.timestampColumn),
+            s"$w microseconds", s"$w microseconds", "0 microseconds"))
+          .queryExecution.analyzed
+        val refStruct = ref.collectFirst {
+          case Project(pl, _) if pl.exists(_.isInstanceOf[Alias]) =>
+            pl.collectFirst { case Alias(c: CreateNamedStruct, _) => c }
+        }.flatten
+        if (refStruct.exists(al.child.semanticEquals)) Some(w) else scala.None
+      case _ => scala.None
     }
   }
 
@@ -311,8 +403,16 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
 
   private def spec(
       meta: TableMetadata, groupTags: Set[String], bucket: Option[BucketSpec],
+      windowId: Option[ExprId],
       expr: org.apache.spark.sql.catalyst.expressions.NamedExpression): Option[AggSpec] =
     expr match {
+      case a: AttributeReference if windowId.contains(a.exprId) =>
+        Some(WindowPart("struct", a.name))
+      case Alias(a: AttributeReference, outName) if windowId.contains(a.exprId) =>
+        Some(WindowPart("struct", outName))
+      case Alias(GetStructField(a: AttributeReference, ord, _), outName)
+          if windowId.contains(a.exprId) =>
+        Some(WindowPart(if (ord == 0) "start" else "end", outName))
       case a: AttributeReference if groupTags.contains(a.name) => Some(TagRef(a.name))
       case Alias(e, outName) if bucketSpecOf(meta, e).exists(bucket.contains) =>
         // The analyzer already guarantees a non-aggregate result expression
@@ -395,6 +495,22 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       val ordered = m.specs.map {
         case TagRef(tag) => col(tag)
         case BucketRef(outName) => col("bucket").as(outName)
+        case WindowPart(part, outName) =>
+          // Tumbling window output: bucket IS the window start; end is one
+          // width later (FixedUs is the only BucketSpec reaching here —
+          // window groupings are matched as epoch-aligned fixed widths).
+          val widthUs = m.bucket.get match {
+            case FixedUs(us) => us
+            case other => throw new IllegalStateException(
+              s"window grouping over non-fixed bucket $other")
+          }
+          val start = col("bucket")
+          val end = timestamp_micros(unix_micros(col("bucket")) + widthUs)
+          part match {
+            case "start" => start.as(outName)
+            case "end" => end.as(outName)
+            case _ => struct(start.as("start"), end.as("end")).as(outName)
+          }
         case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
         case TsAgg(_, _) =>
           throw new IllegalStateException("ts aggregates decline buckets")
@@ -425,7 +541,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       val ordered = m.specs.map {
         case TagRef(tag) => col(tag)
         case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
-        case BucketRef(_) =>
+        case BucketRef(_) | WindowPart(_, _) =>
           throw new IllegalStateException("bucket groupings branch earlier")
         case TsAgg(_, _) =>
           throw new IllegalStateException("ts aggregates decline time ranges")
@@ -486,7 +602,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       case TagRef(tag) => col(tag)
       case FieldAgg(_, _, outName) => col(outName)
       case TsAgg(_, outName) => col(outName)
-      case BucketRef(_) =>
+      case BucketRef(_) | WindowPart(_, _) =>
         throw new IllegalStateException("bucket groupings branch earlier")
     }
     grouped.select(ordered: _*)

@@ -282,6 +282,29 @@ object TsQueries {
         min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Tumbling-window downsampling through Spark's canonical GROUP BY
+    // window(ts, ...): the analyzer's window-struct projection is proven
+    // equivalent to epoch-floor bucketing and routed through the same
+    // bucketed hybrid plan (bucket-contained segments answer from closed
+    // forms); window.start is the bucket, window.end one width later.
+    ("ts_sql_window_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT window.start AS h_ts, user, count(value) AS n, " +
+          "sum(value) AS sv, max(value) AS mx " +
+          "FROM events_lossless GROUP BY window(ts, '6 hours'), user")
+        .select(unix_micros(col("h_ts")).as("bucket_us"), col("user"),
+          col("n"), round(col("sv"), 2).as("sum_v"), col("mx"))
+        .orderBy("bucket_us", "user")
+    }, Some("""
+      SELECT CAST(epoch_us(ts) - epoch_us(ts) % 21600000000 AS BIGINT)
+          AS bucket_us,
+        CAST(user_id AS VARCHAR) AS user,
+        count(*) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
+        max(CAST(value AS FLOAT4)) AS mx
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Calendar-truncation downsampling: WEEK is not epoch-aligned, so the
     // fixed-width pmod plan cannot answer it — the rewrite routes through
     // the calendar hybrid plan (TruncTimestamp buckets segment bounds and

@@ -341,6 +341,77 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("GROUP BY window(ts, ...) rewrites to the bucketed hybrid plan") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE win(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (0 until 800).map { i =>
+      (1706745600000000L + i * 45000000L + (i % 7) * 3000L,
+        rng.nextFloat() * 20, s"t${i % 3}")
+    }.toDF("ts", "v", "tag")
+    engine.write("win", df)
+
+    // window.start projection + tag grouping + ORDER BY above the agg.
+    val sqlDf = engine.sql(
+      "SELECT window.start AS h, tag, SUM(v) AS s, COUNT(*) AS n FROM win " +
+        "GROUP BY window(ts, '1 hour'), tag ORDER BY h, tag")
+    val planText = sqlDf.queryExecution.executedPlan.toString
+    assert(planText.contains("segmentsum"),
+      s"expected the bucketed hybrid plan for window grouping:\n$planText")
+    val expect = engine.readTable("win")
+      .groupBy(window(col("ts"), "1 hour"), col("tag"))
+      .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+      .select(col("window.start").as("h"), col("tag"), col("s"), col("n"))
+      .orderBy("h", "tag").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val got = sqlDf.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(got.length == expect.length)
+    got.zip(expect).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && g._4 == e._4)
+      assert(math.abs(g._3 - e._3) <= math.abs(e._3) * 1e-9)
+    }
+
+    // The whole window struct as output: start/end reconstructed from the
+    // bucket, end = start + width.
+    val structDf = engine.sql(
+      "SELECT window, MAX(v) AS mx FROM win GROUP BY window(ts, '30 minutes')")
+    assert(structDf.queryExecution.executedPlan.toString.contains("bucketpartials")
+      || structDf.queryExecution.executedPlan.toString.contains("segment"),
+      "struct-output window aggregate must stay segment-native")
+    val gotStruct = structDf.collect().map { r =>
+      val w = r.getStruct(0)
+      (w.getTimestamp(0), w.getTimestamp(1), r.getFloat(1))
+    }.sortBy(_._1.getTime)
+    val expStruct = engine.readTable("win")
+      .groupBy(window(col("ts"), "30 minutes")).agg(max("v").as("mx"))
+      .collect().map { r =>
+        val w = r.getStruct(0)
+        (w.getTimestamp(0), w.getTimestamp(1), r.getFloat(1))
+      }.sortBy(_._1.getTime)
+    assert(gotStruct.toSeq == expStruct.toSeq)
+    gotStruct.foreach { case (s, e, _) =>
+      assert(e.getTime - s.getTime == 30L * 60 * 1000)
+    }
+
+    // A non-zero start offset floors off the epoch — declines and grids.
+    val offset = engine.sql(
+      "SELECT window, COUNT(*) AS n FROM win " +
+        "GROUP BY window(ts, '1 hour', '1 hour', '7 minutes')")
+    assert(offset.queryExecution.executedPlan.toString.contains("Generate"),
+      "offset windows must reconstruct")
+    assert(offset.collect().map(_.getLong(1)).sum == 800L)
+
+    // A hand-written struct aliased 'window' is not Spark's tumbling
+    // arithmetic — it must decline (and still answer correctly).
+    val spoof = engine.sql(
+      "SELECT w.s AS h, COUNT(*) AS n FROM " +
+        "(SELECT named_struct('s', date_trunc('HOUR', ts)) AS w, v FROM win) " +
+        "GROUP BY w")
+    assert(spoof.collect().map(_.getLong(1)).sum == 800L)
+  }
+
   test("min/max(ts) and count(ts/tag) answer from segment metadata") {
     val engine = newEngine()
     engine.sql(
