@@ -40,9 +40,11 @@ import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
   *    because tags are denormalized into every segment row;
   *  - `min(ts)`/`max(ts)` (the table-extent query) answer from
   *    `start_time`/`end_time` metadata, and `count(ts)`/`count(tag)`
-  *    equal `count(*)` (both columns are non-null by construction) —
-  *    these decline time ranges and bucket groupings, which would need
-  *    boundary-segment timestamp decode.
+  *    equal `count(*)` (both columns are non-null by construction);
+  *    under a time range or bucket grouping the extent rides the hybrid
+  *    plan's `__bp_tmin`/`__bp_tmax` timestamp partials — interior
+  *    segments answer from their bounds, boundary segments from the
+  *    decode generator — still never materializing points.
   */
 object SegmentAggregateSqlRewrite extends PredicateHelper {
 
@@ -198,14 +200,21 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           val flat = specs.flatten
           val hasAgg = flat.exists(s =>
             s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg])
-          val hasTsAgg = flat.exists(_.isInstanceOf[TsAgg])
-          filterCond match {
+          // A tag column named like an internal output of the rewritten
+          // plan ('bucket', or a produced '<kind>_<column>') would make
+          // the engine's readers throw or the final select ambiguous —
+          // decline and let the query grid instead of aborting.
+          val produced = flat.collect {
+            case FieldAgg(k, f, _) => s"${k}_$f"
+            case TsAgg(k, _) => s"${k}_${meta.timestampColumn}"
+          }.toSet ++ (if (bucket.nonEmpty) Set("bucket") else Set.empty)
+          val collides = groupTags.exists(t =>
+            produced.contains(t) || t.startsWith("__"))
+          if (collides) None
+          else filterCond match {
             case _ if !hasAgg && bucket.nonEmpty =>
               // Distinct buckets need point-level exactness (a segment
               // overlapping a bucket may have no point in it) — grid it.
-              None
-            case _ if hasTsAgg && bucket.nonEmpty =>
-              // min/max(ts) per bucket would need boundary decode — grid it.
               None
             case scala.None =>
               Some(MatchResult(meta, groupTags, flat, scala.None,
@@ -214,9 +223,9 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
               case (lo, hi, tags, tagIn) =>
                 // No aggregates + a time range would need gridding for the
                 // same reason; tag-only predicates stay metadata-exact.
-                // min/max(ts) under a time range would need boundary-segment
-                // timestamp decode — grid that too.
-                if ((!hasAgg || hasTsAgg) && (lo.nonEmpty || hi.nonEmpty)) None
+                // (min/max(ts) under a time range or bucket now answers
+                // from the __bp_tmin/__bp_tmax partials — no decline.)
+                if (!hasAgg && (lo.nonEmpty || hi.nonEmpty)) None
                 else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
                   tagIn, bucket))
             }
@@ -478,19 +487,25 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     } else if (m.bucket.nonEmpty) {
       // Time-bucket grouping: the generalized hybrid plan — contained
       // segments answered by closed forms, bucket-straddlers gridded.
-      val fields = m.specs.collect { case FieldAgg(_, f, _) => f }.distinct
+      val fields0 = m.specs.collect { case FieldAgg(_, f, _) => f }.distinct
+      // A ts-extent-only query still scans one field partition (any one:
+      // fields are timestamp-aligned) rather than all of them.
+      val fields =
+        if (fields0.nonEmpty) fields0 else Seq(m.meta.fieldColumns.head)
       val kinds = m.specs.collect { case FieldAgg(k, _, _) => k }.distinct
       val aggs: Seq[engine.Aggregate] = kinds.map(kindToAggregate(engine))
+      val tsAggs: Seq[engine.Aggregate] = m.specs
+        .collect { case TsAgg(k, _) => k }.distinct.map(kindToAggregate(engine))
       def inst(us: Long) = java.time.Instant.ofEpochSecond(
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
       val bucketed = m.bucket.get match {
         case FixedUs(us) => engine.readTimeSeriesTableBucketed(m.meta.name,
           java.time.Duration.of(us, java.time.temporal.ChronoUnit.MICROS),
           fields, aggs, m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
-          m.tagEq, m.tagIn)
+          m.tagEq, m.tagIn, tsAggs)
         case CalendarTrunc(unit, zone) => engine.readTimeSeriesTableTruncated(
           m.meta.name, unit, zone, fields, aggs, m.groupTags,
-          m.startUs.map(inst), m.endUs.map(inst), m.tagEq, m.tagIn)
+          m.startUs.map(inst), m.endUs.map(inst), m.tagEq, m.tagIn, tsAggs)
       }
       val ordered = m.specs.map {
         case TagRef(tag) => col(tag)
@@ -512,8 +527,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             case _ => struct(start.as("start"), end.as("end")).as(outName)
           }
         case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
-        case TsAgg(_, _) =>
-          throw new IllegalStateException("ts aggregates decline buckets")
+        case TsAgg(kind, outName) =>
+          col(s"${kind}_${m.meta.timestampColumn}").as(outName)
       }
       bucketed.select(ordered: _*)
     } else if (m.startUs.isEmpty && m.endUs.isEmpty) {
@@ -531,20 +546,25 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       // equalities and IN-lists stay segment-native prunes, a time range
       // takes the hybrid interior/boundary plan. One pass answers every
       // requested kind.
-      val fields = m.specs.collect { case FieldAgg(_, f, _) => f }.distinct
+      val fields0 = m.specs.collect { case FieldAgg(_, f, _) => f }.distinct
+      val fields =
+        if (fields0.nonEmpty) fields0 else Seq(m.meta.fieldColumns.head)
       val kinds = m.specs.collect { case FieldAgg(k, _, _) => k }.distinct
       val aggs: Seq[engine.Aggregate] = kinds.map(kindToAggregate(engine))
+      val tsAggs: Seq[engine.Aggregate] = m.specs
+        .collect { case TsAgg(k, _) => k }.distinct.map(kindToAggregate(engine))
       def inst(us: Long) = java.time.Instant.ofEpochSecond(
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
       val multi = engine.readTimeSeriesTableMulti(m.meta.name, fields, aggs,
-        m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq, m.tagIn)
+        m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq, m.tagIn,
+        tsAggs)
       val ordered = m.specs.map {
         case TagRef(tag) => col(tag)
         case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
         case BucketRef(_) | WindowPart(_, _) =>
           throw new IllegalStateException("bucket groupings branch earlier")
-        case TsAgg(_, _) =>
-          throw new IllegalStateException("ts aggregates decline time ranges")
+        case TsAgg(kind, outName) =>
+          col(s"${kind}_${m.meta.timestampColumn}").as(outName)
       }
       multi.select(ordered: _*)
     }

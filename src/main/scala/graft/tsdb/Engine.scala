@@ -278,8 +278,11 @@ final class Engine(val spark: SparkSession, val root: String) {
     * /root/reference/crates/modelardb_storage/src/optimizer/model_simple_aggregates.rs:255-334.)
     *
     * Output columns: group-by tags first, then `<kind>_<field>` for each
-    * aggregate in order, each field in order. An empty `aggregates` returns
-    * the reconstructed points unchanged.
+    * aggregate in order, each field in order, then `<kind>_<tsColumn>` for
+    * each timestamp aggregate (Min/Max only — the range-restricted table
+    * extent, answered from segment bounds and boundary-decode timestamp
+    * partials, never from materialized points). An empty `aggregates` and
+    * `tsAggregates` returns the reconstructed points unchanged.
     */
   def readTimeSeriesTableMulti(
       table: String,
@@ -289,14 +292,23 @@ final class Engine(val spark: SparkSession, val root: String) {
       startTime: Option[java.time.Instant] = scala.None,
       endTime: Option[java.time.Instant] = scala.None,
       tagFilters: Map[String, String] = Map.empty,
-      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      tagInFilters: Map[String, Seq[String]] = Map.empty,
+      tsAggregates: Seq[Aggregate] = Seq.empty): DataFrame = {
     val meta = dataFolder.metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
     require(!aggregates.contains(Aggregate.None),
       "Pass an empty aggregates list for a plain read, not Aggregate.None.")
     require(aggregates.distinct == aggregates,
       "Duplicate aggregate kinds would produce duplicate output columns.")
-    val selected = if (fields.isEmpty) meta.fieldColumns else fields
+    validateTsAggregates(tsAggregates)
+    val hasAgg = aggregates.nonEmpty || tsAggregates.nonEmpty
+    // A ts-extent-only query still needs one field partition scanned (any
+    // one: fields are timestamp-aligned, so every partition spans the same
+    // extent) — don't widen to all of them.
+    val selected =
+      if (fields.nonEmpty) fields
+      else if (aggregates.isEmpty && tsAggregates.nonEmpty) Seq(meta.fieldColumns.head)
+      else meta.fieldColumns
     val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
     val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
 
@@ -305,29 +317,35 @@ final class Engine(val spark: SparkSession, val root: String) {
     val tagPred: Option[Column] = tagPredicate(tagFilters, tagInFilters)
 
     val segmentNativeEligible =
-      aggregates.nonEmpty &&
+      hasAgg &&
         startUs.isEmpty && endUs.isEmpty &&
         groupByTags.forall(meta.tagColumns.contains)
 
     val hybridEligible =
-      aggregates.nonEmpty &&
+      hasAgg &&
         (startUs.nonEmpty || endUs.nonEmpty) &&
         groupByTags.forall(meta.tagColumns.contains)
 
     if (segmentNativeEligible) {
       segmentNativeAggregate(meta, selected, aggregates, groupByTags, tagPred,
-        tagFilters, tagInFilters)
+        tagFilters, tagInFilters, tsAggregates)
     } else if (hybridEligible) {
       hybridRangeAggregate(meta, selected, aggregates, groupByTags, tagPred,
-        startUs, endUs, tagFilters, tagInFilters)
+        startUs, endUs, tagFilters, tagInFilters, tsAggregates)
     } else {
       val segments0 = dataFolder.segmentsPruned(table, startUs, endUs,
         tagFilters, tagInFilters)
       val segments = tagPred.map(segments0.where).getOrElse(segments0)
       val points = GridView.dataPoints(segments, meta, selected, startUs, endUs)
-      if (aggregates.isEmpty) points
+      if (!hasAgg) points
       else {
-        val aggs = for (agg <- aggregates; f <- selected) yield gridAggColumn(agg, f)
+        val tsName = meta.timestampColumn
+        val aggs =
+          (for (agg <- aggregates; f <- selected) yield gridAggColumn(agg, f)) ++
+            tsAggregates.map {
+              case Aggregate.Min => min(col(tsName)).as(s"min_$tsName")
+              case _ => max(col(tsName)).as(s"max_$tsName")
+            }
         if (groupByTags.isEmpty) points.agg(aggs.head, aggs.tail: _*)
         else points.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
       }
@@ -362,21 +380,27 @@ final class Engine(val spark: SparkSession, val root: String) {
       startTime: Option[java.time.Instant] = scala.None,
       endTime: Option[java.time.Instant] = scala.None,
       tagFilters: Map[String, String] = Map.empty,
-      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      tagInFilters: Map[String, Seq[String]] = Map.empty,
+      tsAggregates: Seq[Aggregate] = Seq.empty): DataFrame = {
     val meta = dataFolder.metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
     val bucketUs = Math.addExact(
       Math.multiplyExact(bucket.getSeconds, 1000000L), bucket.getNano / 1000L)
     require(bucketUs > 0, "Bucket width must be at least one microsecond.")
-    require(aggregates.nonEmpty && !aggregates.contains(Aggregate.None),
+    require((aggregates.nonEmpty || tsAggregates.nonEmpty) &&
+      !aggregates.contains(Aggregate.None),
       "Bucketed reads require at least one real aggregate kind.")
     require(aggregates.distinct == aggregates,
       "Duplicate aggregate kinds would produce duplicate output columns.")
+    validateTsAggregates(tsAggregates)
     require(groupByTags.forall(meta.tagColumns.contains),
       s"Group-by columns must be tags of $table.")
     require(!groupByTags.contains("bucket"),
       "A group-by tag named 'bucket' would collide with the output bucket column.")
-    val selected = if (fields.isEmpty) meta.fieldColumns else fields
+    val selected =
+      if (fields.nonEmpty) fields
+      else if (aggregates.isEmpty) Seq(meta.fieldColumns.head)
+      else meta.fieldColumns
     val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
     val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
 
@@ -399,35 +423,30 @@ final class Engine(val spark: SparkSession, val root: String) {
       inRange && bucketOf(col("start_time")) === bucketOf(col("end_time"))
 
     // Both sides emit raw partial rows in ONE shape — (tags...,
-    // field_column, __graft_bucket, cnt/sum/min/max) — merged by a single
-    // aggregation: contained segments contribute closed-form per-segment
-    // expressions (no decode), straddlers per-bucket rows from the decode
-    // generator. One shuffle on the output keys, no union-of-aggregates
-    // combine layer.
+    // field_column, __graft_bucket, cnt/sum/min/max/tmin/tmax) — merged by
+    // a single aggregation: contained segments contribute closed-form
+    // per-segment expressions (no decode), straddlers per-bucket rows from
+    // the decode generator. One shuffle on the output keys, no
+    // union-of-aggregates combine layer.
     val keys = groupByTags.map(col)
-    val interior = segments.where(contained).select(
-      keys ++ Seq(
-        col(SegmentSchema.FieldColumn),
-        bucketOf(col("start_time")).as("__graft_bucket"),
-        SegmentAggregates.lenCol.as("__bp_cnt"),
-        SegmentAggregates.sumCol.as("__bp_sum"),
-        col("min_value").as("__bp_min"),
-        col("max_value").as("__bp_max")): _*)
+    val interior = interiorPartials(segments.where(contained), keys,
+      Some(bucketOf(col("start_time"))))
     val boundary = GridView.bucketPartials(
       segments.where(!contained), meta, selected, bucketUs, startUs, endUs)
       .select(keys ++ Seq(
         col(SegmentSchema.FieldColumn), col("__graft_bucket"),
         col("__bp_cnt"), col("__bp_sum"),
-        col("__bp_min"), col("__bp_max")): _*)
+        col("__bp_min"), col("__bp_max"),
+        col("__bp_tmin"), col("__bp_tmax")): _*)
 
-    val mergeAggs = partialMergeAggs(meta, selected)
+    val mergeAggs = partialMergeAggs(meta, selected, tsAggregates.nonEmpty)
     val combined = interior.unionByName(boundary)
       .groupBy((keys :+ col("__graft_bucket")): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
 
     combined.select((keys :+
       timestamp_micros(col("__graft_bucket")).as("bucket")) ++
-      finalAggColumns(aggregates, selected): _*)
+      finalAggColumns(aggregates, selected, tsAggregates, meta.timestampColumn): _*)
   }
 
   /** Resampling: [[readTimeSeriesTableBucketed]] plus materialized empty
@@ -509,22 +528,28 @@ final class Engine(val spark: SparkSession, val root: String) {
       startTime: Option[java.time.Instant] = scala.None,
       endTime: Option[java.time.Instant] = scala.None,
       tagFilters: Map[String, String] = Map.empty,
-      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      tagInFilters: Map[String, Seq[String]] = Map.empty,
+      tsAggregates: Seq[Aggregate] = Seq.empty): DataFrame = {
     val meta = dataFolder.metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
     val normalized = unit.toUpperCase(java.util.Locale.ROOT)
     require(Engine.TruncUnits.contains(normalized),
       s"Unsupported truncation unit '$unit' (one of ${Engine.TruncUnits.mkString(", ")}).")
-    java.time.ZoneId.of(zone) // validates; throws DateTimeException otherwise
-    require(aggregates.nonEmpty && !aggregates.contains(Aggregate.None),
+    val zoneId = java.time.ZoneId.of(zone) // validates; throws otherwise
+    require((aggregates.nonEmpty || tsAggregates.nonEmpty) &&
+      !aggregates.contains(Aggregate.None),
       "Truncated reads require at least one real aggregate kind.")
     require(aggregates.distinct == aggregates,
       "Duplicate aggregate kinds would produce duplicate output columns.")
+    validateTsAggregates(tsAggregates)
     require(groupByTags.forall(meta.tagColumns.contains),
       s"Group-by columns must be tags of $table.")
     require(!groupByTags.contains("bucket"),
       "A group-by tag named 'bucket' would collide with the output bucket column.")
-    val selected = if (fields.isEmpty) meta.fieldColumns else fields
+    val selected =
+      if (fields.nonEmpty) fields
+      else if (aggregates.isEmpty) Seq(meta.fieldColumns.head)
+      else meta.fieldColumns
     val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
     val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
 
@@ -548,21 +573,34 @@ final class Engine(val spark: SparkSession, val root: String) {
     val inRange = (startUs.map(lo => col("start_time") >= lo).toSeq ++
       endUs.map(hi => col("end_time") <= hi).toSeq)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val contained =
-      inRange && truncOf(col("start_time")) === truncOf(col("end_time"))
+    // Equal truncated bounds prove containment only where the truncation
+    // is monotonic over the segment's span — true for any fixed-offset
+    // zone, but a DST (or historical-offset) transition INSIDE the span
+    // can truncate an interior point outside the shared bucket (e.g.
+    // America/Sao_Paulo's midnight fall-backs regress the local date). In
+    // transition-capable zones, containment additionally requires the
+    // span to be (a) shorter than the zone's minimum gap between
+    // consecutive transitions and (b) offset-equal at both ends — together
+    // those prove zero transitions inside, hence a fixed offset over the
+    // span, hence monotonicity. Segments failing the proof just decode.
+    val safetyPreds: Seq[Column] = Engine.minTransitionGapUs(zoneId) match {
+      case scala.None => Seq.empty // fixed-offset zone: always monotonic
+      case Some(gap) =>
+        def offsetOf(c: Column): Column =
+          unix_micros(from_utc_timestamp(timestamp_micros(c), zone)) - c
+        Seq(col("end_time") - col("start_time") < gap,
+          offsetOf(col("start_time")) === offsetOf(col("end_time")))
+    }
+    val contained = (Seq(inRange,
+      truncOf(col("start_time")) === truncOf(col("end_time"))) ++
+      safetyPreds).reduce(_ && _)
 
     // Same single-aggregation merge as the fixed-width plan: interior
     // segments emit closed-form partial rows, boundary segments exploded
     // per-point partials bucketed by the identical truncation expression.
     val keys = groupByTags.map(col)
-    val interior = segments.where(contained).select(
-      keys ++ Seq(
-        col(SegmentSchema.FieldColumn),
-        truncOf(col("start_time")).as("__graft_bucket"),
-        SegmentAggregates.lenCol.as("__bp_cnt"),
-        SegmentAggregates.sumCol.as("__bp_sum"),
-        col("min_value").as("__bp_min"),
-        col("max_value").as("__bp_max")): _*)
+    val interior = interiorPartials(segments.where(contained), keys,
+      Some(truncOf(col("start_time"))))
     val boundary = GridView
       .explodedPoints(segments.where(!contained), meta, selected, startUs, endUs)
       .select(keys ++ Seq(
@@ -571,16 +609,18 @@ final class Engine(val spark: SparkSession, val root: String) {
         lit(1L).as("__bp_cnt"),
         col("__graft_value").cast(DoubleType).as("__bp_sum"),
         col("__graft_value").as("__bp_min"),
-        col("__graft_value").as("__bp_max")): _*)
+        col("__graft_value").as("__bp_max"),
+        col("__graft_ts").as("__bp_tmin"),
+        col("__graft_ts").as("__bp_tmax")): _*)
 
-    val mergeAggs = partialMergeAggs(meta, selected)
+    val mergeAggs = partialMergeAggs(meta, selected, tsAggregates.nonEmpty)
     val combined = interior.unionByName(boundary)
       .groupBy((keys :+ col("__graft_bucket")): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
 
     combined.select((keys :+
       timestamp_micros(col("__graft_bucket")).as("bucket")) ++
-      finalAggColumns(aggregates, selected): _*)
+      finalAggColumns(aggregates, selected, tsAggregates, meta.timestampColumn): _*)
   }
 
   /** Partition predicate selecting exactly the aggregated fields'
@@ -621,16 +661,69 @@ final class Engine(val spark: SparkSession, val root: String) {
         col(k).isin(vs.map(v => v: Any): _*)
       }).reduceOption(_ && _)
 
+  /** Only Min/Max make sense for the timestamp column (its count equals
+    * the row count, its sum is meaningless).
+    */
+  private def validateTsAggregates(tsAggregates: Seq[Aggregate]): Unit = {
+    require(tsAggregates.forall(a =>
+      a == Aggregate.Min || a == Aggregate.Max),
+      "Timestamp aggregates support only Min and Max.")
+    require(tsAggregates.distinct == tsAggregates,
+      "Duplicate timestamp aggregate kinds would produce duplicate columns.")
+  }
+
+  /** Closed-form partial rows for interior (range/bucket-contained)
+    * segments: (keys..., field_column[, __graft_bucket], __bp_cnt/__bp_sum/
+    * __bp_min/__bp_max/__bp_tmin/__bp_tmax), zero decode for fitted models.
+    *
+    * NaN note: segment min/max metadata is written NaN-IGNORING (the
+    * reference's f32 fmin/fmax semantics, Compressor.scala), but Spark's
+    * float ordering sorts NaN greatest, so MAX must surface NaN as soon as
+    * a segment hides one among other values. The sum partial — computed
+    * for every row here anyway — detects it for free: a float sum is NaN
+    * iff the values hold a NaN or both infinities, and the stored bounds
+    * disambiguate the both-infinities case. (MIN needs no adjustment:
+    * Spark MIN skips NaN unless every value is NaN, and an all-NaN segment
+    * already stores NaN bounds.) The one undetectable corner — a segment
+    * holding +Inf AND -Inf AND NaN — keeps metadata semantics. The
+    * chained select is deliberate: CollapseProject won't inline the
+    * non-cheap sum expression twice.
+    */
+  private def interiorPartials(
+      segments: DataFrame, keys: Seq[Column],
+      bucketCol: Option[Column] = scala.None): DataFrame = {
+    val base = segments.select(
+      keys ++ Seq(col(SegmentSchema.FieldColumn)) ++
+        bucketCol.map(_.as("__graft_bucket")).toSeq ++ Seq(
+        SegmentAggregates.lenCol.as("__bp_cnt"),
+        SegmentAggregates.sumCol.as("__bp_sum"),
+        col("min_value").as("__bp_min"),
+        col("max_value").as("__bp_max0"),
+        col("start_time").as("__bp_tmin"),
+        col("end_time").as("__bp_tmax")): _*)
+    val infMix = col("__bp_min") === lit(Float.NegativeInfinity) &&
+      col("__bp_max0") === lit(Float.PositiveInfinity)
+    base
+      .withColumn("__bp_max",
+        when(isnan(col("__bp_sum")) && !infMix, lit(Float.NaN))
+          .otherwise(col("__bp_max0")))
+      .drop("__bp_max0")
+  }
+
   /** Merge raw partial rows — closed-form per-segment (interior) and
     * decode-generator per-bucket (boundary), both shaped (field_column,
-    * __bp_cnt/__bp_sum/__bp_min/__bp_max) — into per-field
-    * __cnt/__sum/__min/__max. Partials stay per-field naturally (a segment
-    * row IS one field's), so the multivariate edge case that forces
-    * pre-assembly exploded points — per-field segments splitting at
-    * different timestamps — never arises here.
+    * __bp_cnt/__bp_sum/__bp_min/__bp_max/__bp_tmin/__bp_tmax) — into
+    * per-field __cnt/__sum/__min/__max (plus global __tmin/__tmax when a
+    * timestamp extent was requested: fields are timestamp-aligned, so the
+    * extent over any field's partials is the extent over all). Partials
+    * stay per-field naturally (a segment row IS one field's), so the
+    * multivariate edge case that forces pre-assembly exploded points —
+    * per-field segments splitting at different timestamps — never arises
+    * here.
     */
   private def partialMergeAggs(
-      meta: TableMetadata, fields: Seq[String]): Seq[Column] =
+      meta: TableMetadata, fields: Seq[String],
+      withTs: Boolean = false): Seq[Column] =
     fields.flatMap { f =>
       val isF = col(SegmentSchema.FieldColumn) === meta.fieldIndex(f)
       Seq(
@@ -638,14 +731,18 @@ final class Engine(val spark: SparkSession, val root: String) {
         sum(when(isF, col("__bp_sum"))).as(s"__sum_$f"),
         min(when(isF, col("__bp_min"))).as(s"__min_$f"),
         max(when(isF, col("__bp_max"))).as(s"__max_$f"))
-    }
+    } ++ (if (withTs)
+      Seq(min(col("__bp_tmin")).as("__tmin"), max(col("__bp_tmax")).as("__tmax"))
+    else Seq.empty)
 
   /** Every requested aggregate kind projected from the combined partials —
     * the single pass is shared no matter how many kinds are asked for.
     */
   private def finalAggColumns(
-      aggregates: Seq[Aggregate], fields: Seq[String]): Seq[Column] =
-    for (agg <- aggregates; f <- fields) yield agg match {
+      aggregates: Seq[Aggregate], fields: Seq[String],
+      tsAggregates: Seq[Aggregate] = Seq.empty,
+      tsName: String = "ts"): Seq[Column] =
+    (for (agg <- aggregates; f <- fields) yield agg match {
       case Aggregate.Count => col(s"__cnt_$f").as(s"count_$f")
       case Aggregate.Min => col(s"__min_$f").as(s"min_$f")
       case Aggregate.Max => col(s"__max_$f").as(s"max_$f")
@@ -653,6 +750,9 @@ final class Engine(val spark: SparkSession, val root: String) {
       case Aggregate.Avg =>
         (col(s"__sum_$f") / col(s"__cnt_$f")).as(s"avg_$f")
       case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
+    }) ++ tsAggregates.map {
+      case Aggregate.Min => timestamp_micros(col("__tmin")).as(s"min_$tsName")
+      case _ => timestamp_micros(col("__tmax")).as(s"max_$tsName")
     }
 
   /** COUNT/MIN/MAX/SUM/AVG (optionally grouped by tags) straight from
@@ -667,7 +767,8 @@ final class Engine(val spark: SparkSession, val root: String) {
       meta: TableMetadata, fields: Seq[String], aggregates: Seq[Aggregate],
       groupByTags: Seq[String], tagPred: Option[Column],
       tagEq: Map[String, String] = Map.empty,
-      tagIn: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      tagIn: Map[String, Seq[String]] = Map.empty,
+      tsAggregates: Seq[Aggregate] = Seq.empty): DataFrame = {
     // Restrict to the aggregated fields' partitions FIRST: the per-field
     // conditional aggregation below is correct either way, but without
     // this predicate a 1-of-N-fields aggregate scans all N `field_column`
@@ -678,9 +779,15 @@ final class Engine(val spark: SparkSession, val root: String) {
       .where(fieldColumnPredicate(meta, fields))
     val segments = tagPred.map(segments0.where).getOrElse(segments0)
 
-    val aggs = for (agg <- aggregates; f <- fields) yield {
+    val tsName = meta.timestampColumn
+    val aggs = (for (agg <- aggregates; f <- fields) yield {
       val kind = kindOf(agg)
       SegmentAggregates.aggColumnFor(kind, meta.fieldIndex(f)).as(s"${kind}_$f")
+    }) ++ tsAggregates.map {
+      // Segment bounds ARE the first/last point of each segment — exact.
+      case Aggregate.Min =>
+        timestamp_micros(min(col("start_time"))).as(s"min_$tsName")
+      case _ => timestamp_micros(max(col("end_time"))).as(s"max_$tsName")
     }
     if (groupByTags.isEmpty) segments.agg(aggs.head, aggs.tail: _*)
     else segments.groupBy(groupByTags.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -699,7 +806,8 @@ final class Engine(val spark: SparkSession, val root: String) {
       groupByTags: Seq[String], tagPred: Option[Column],
       startUs: Option[Long], endUs: Option[Long],
       tagEq: Map[String, String] = Map.empty,
-      tagIn: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      tagIn: Map[String, Seq[String]] = Map.empty,
+      tsAggregates: Seq[Aggregate] = Seq.empty): DataFrame = {
     val segments0 = dataFolder
       .segmentsPruned(meta.name, startUs, endUs, tagEq, tagIn)
       .where(fieldColumnPredicate(meta, fields))
@@ -713,29 +821,26 @@ final class Engine(val spark: SparkSession, val root: String) {
     // aggregation: interior segments as closed-form per-segment
     // expressions, boundary segments as one decode-generator partial each
     // (bucket width = MaxValue) — no point stream, no combine layer.
-    val interior = segments.where(contained).select(
-      groupByTags.map(col) ++ Seq(
-        col(SegmentSchema.FieldColumn),
-        SegmentAggregates.lenCol.as("__bp_cnt"),
-        SegmentAggregates.sumCol.as("__bp_sum"),
-        col("min_value").as("__bp_min"),
-        col("max_value").as("__bp_max")): _*)
+    val interior = interiorPartials(segments.where(contained),
+      groupByTags.map(col))
     val boundary = GridView.bucketPartials(
       segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs)
       .select(groupByTags.map(col) ++ Seq(
         col(SegmentSchema.FieldColumn),
         col("__bp_cnt"), col("__bp_sum"),
-        col("__bp_min"), col("__bp_max")): _*)
+        col("__bp_min"), col("__bp_max"),
+        col("__bp_tmin"), col("__bp_tmax")): _*)
 
     val partials = interior.unionByName(boundary)
-    val mergeAggs = partialMergeAggs(meta, fields)
+    val mergeAggs = partialMergeAggs(meta, fields, tsAggregates.nonEmpty)
     val combined =
       if (groupByTags.isEmpty) partials.agg(mergeAggs.head, mergeAggs.tail: _*)
       else partials.groupBy(groupByTags.map(col): _*)
         .agg(mergeAggs.head, mergeAggs.tail: _*)
 
     combined.select(
-      (groupByTags.map(col) ++ finalAggColumns(aggregates, fields)): _*)
+      (groupByTags.map(col) ++ finalAggColumns(aggregates, fields,
+        tsAggregates, meta.timestampColumn)): _*)
   }
 
   /** Copy the result of a SQL query into a normal table (the reference
@@ -959,6 +1064,41 @@ object Engine {
   val TruncUnits: Set[String] = Set(
     "YEAR", "YYYY", "YY", "QUARTER", "MONTH", "MM", "MON", "WEEK",
     "DAY", "DD", "HOUR", "MINUTE", "SECOND", "MILLISECOND", "MICROSECOND")
+
+  /** The minimum gap (micros) between consecutive offset transitions of a
+    * zone, or None for fixed-offset zones (no transitions, truncation
+    * always monotonic). A segment span shorter than this gap whose end
+    * offsets are equal provably contains zero transitions — the
+    * monotonicity proof [[Engine.readTimeSeriesTableTruncated]]'s
+    * closed-form containment relies on. Historical transitions come from
+    * the zone's rules; recurring (yearly-periodic) rules are sampled over
+    * a two-decade window past the last historical one. Cached per zone —
+    * the TZDB is immutable within a JVM run.
+    */
+  private[tsdb] def minTransitionGapUs(zone: java.time.ZoneId): Option[Long] =
+    transitionGapCache.computeIfAbsent(zone.getId, _ => {
+      val rules = zone.getRules
+      if (rules.isFixedOffset) scala.None
+      else {
+        import scala.jdk.CollectionConverters._
+        def us(i: java.time.Instant): Long =
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            i.getNano / 1000L)
+        val hist = rules.getTransitions.asScala.toSeq.map(_.getInstant)
+        val lastYear = hist.lastOption
+          .map(_.atZone(java.time.ZoneOffset.UTC).getYear).getOrElse(2000)
+        val recurring = for {
+          rule <- rules.getTransitionRules.asScala.toSeq
+          year <- (lastYear - 1) to (lastYear + 21)
+        } yield rule.createTransition(year).getInstant
+        val all = (hist ++ recurring).map(us).distinct.sorted
+        if (all.size < 2) Some(Long.MaxValue)
+        else Some(all.sliding(2).map(p => p(1) - p(0)).min)
+      }
+    })
+
+  private val transitionGapCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
 
   private val lastRegistrant =
     new java.util.WeakHashMap[SparkSession, Engine]()

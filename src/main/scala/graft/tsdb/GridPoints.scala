@@ -79,10 +79,13 @@ case class GridPoints(
   * `bucketUs = Long.MaxValue` degenerates to one partial per segment,
   * which is exactly what a range aggregate's boundary side needs.
   *
-  * Rows are (bucket, cnt, sum, min, max); emission flushes on bucket
-  * change, so correctness does NOT depend on decode order — out-of-order
-  * timestamps only produce extra partial rows that the downstream
-  * merge (sum/sum/min/max) combines to the same totals.
+  * Rows are (bucket, cnt, sum, min, max, tmin, tmax); emission flushes on
+  * bucket change, so correctness does NOT depend on decode order —
+  * out-of-order timestamps only produce extra partial rows that the
+  * downstream merge (sum/sum/min/max/min/max) combines to the same totals.
+  * The tmin/tmax columns are the bucket's first/last in-range timestamps,
+  * letting `min/max(ts)` under a time range or bucket grouping answer
+  * without ever materializing points.
   */
 case class BucketPartials(
     bucketUs: Long, rangeStartUs: Option[Long], rangeEndUs: Option[Long],
@@ -102,7 +105,9 @@ case class BucketPartials(
     StructField("__bp_cnt", LongType, nullable = false),
     StructField("__bp_sum", DoubleType, nullable = false),
     StructField("__bp_min", FloatType, nullable = false),
-    StructField("__bp_max", FloatType, nullable = false)))
+    StructField("__bp_max", FloatType, nullable = false),
+    StructField("__bp_tmin", LongType, nullable = false),
+    StructField("__bp_tmax", LongType, nullable = false)))
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val mt = modelTypeId.eval(input)
@@ -129,15 +134,24 @@ case class BucketPartials(
     var bucket = 0L
     var cnt = 0L
     var sum = 0.0
-    var mn = Float.PositiveInfinity
+    var mn = Float.PositiveInfinity // running extremes over non-NaN values
     var mx = Float.NegativeInfinity
+    var nanSeen = false
+    var nonNanSeen = false
+    var tmn = Long.MaxValue
+    var tmx = Long.MinValue
     def flush(): Unit = if (cnt > 0) {
-      val r = new GenericInternalRow(5)
+      val r = new GenericInternalRow(7)
       r.setLong(0, bucket)
       r.setLong(1, cnt)
       r.setDouble(2, sum)
-      r.setFloat(3, mn)
-      r.setFloat(4, mx)
+      // Spark's float ordering sorts NaN greatest: MIN ignores NaN unless
+      // every value is NaN, MAX is NaN as soon as one value is. The ±Inf
+      // init sentinels never escape — an all-NaN bucket is (NaN, NaN).
+      r.setFloat(3, if (nonNanSeen) mn else Float.NaN)
+      r.setFloat(4, if (nanSeen) Float.NaN else mx)
+      r.setLong(5, tmn)
+      r.setLong(6, tmx)
       out += r
     }
     var i = 0
@@ -148,13 +162,21 @@ case class BucketPartials(
         if (cnt > 0 && b != bucket) {
           flush(); cnt = 0; sum = 0.0
           mn = Float.PositiveInfinity; mx = Float.NegativeInfinity
+          nanSeen = false; nonNanSeen = false
+          tmn = Long.MaxValue; tmx = Long.MinValue
         }
         bucket = b
         val v = vBuf(i)
         cnt += 1
         sum += v
-        if (v < mn) mn = v
-        if (v > mx) mx = v
+        if (java.lang.Float.isNaN(v)) nanSeen = true
+        else {
+          nonNanSeen = true
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+        if (t < tmn) tmn = t
+        if (t > tmx) tmx = t
       }
       i += 1
     }

@@ -309,6 +309,148 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN values keep Spark min/max semantics on closed-form paths") {
+    val engine = newEngine()
+    engine.sql(
+      "CREATE TIME SERIES TABLE nanb(ts_us TIMESTAMP, field_1 FIELD, tag TAG)")
+    // Lossless field with NaN sprinkled through incompressible (MacaqueV)
+    // stretches plus an all-NaN run (PMC NaN segments). With 10 ms buckets
+    // (100 points) NaN lands in interior segments (metadata closed forms,
+    // NaN surfaced via the sum partial), boundary straddlers (decode
+    // generator), and whole all-NaN buckets.
+    import spark.implicits._
+    val rows = (1 to 4000).map { i =>
+      val v =
+        if (i >= 1200 && i < 1450) Float.NaN
+        else if (i % 97 == 0) Float.NaN
+        else ((i * 2654435761L) % 1000L).toFloat / 10f
+      (i * 100L, v, "n")
+    }
+    engine.write("nanb", rows.toDF("ts_us", "field_1", "tag"))
+
+    val bucketUs = 10000L
+    def floorB(c: org.apache.spark.sql.Column) = c - pmod(c, lit(bucketUs))
+    val got = engine.readTimeSeriesTableBucketed("nanb",
+        java.time.Duration.ofMillis(10), Seq("field_1"),
+        Seq(engine.Aggregate.Count, engine.Aggregate.Sum,
+          engine.Aggregate.Min, engine.Aggregate.Max))
+      .select(unix_micros(col("bucket")).as("b"), col("count_field_1"),
+        col("sum_field_1"), col("min_field_1"), col("max_field_1"))
+      .orderBy("b").collect()
+    val want = engine.readTable("nanb")
+      .select(unix_micros(col("ts_us")).as("us"), col("field_1"))
+      .groupBy(floorB(col("us")).as("b"))
+      .agg(count("field_1"), sum(col("field_1").cast("double")),
+        min("field_1"), max("field_1"))
+      .orderBy("b").collect()
+    assert(got.nonEmpty && got.length == want.length)
+    // Buckets holding a NaN must answer MAX = NaN (Spark sorts NaN
+    // greatest) and never the ±Inf init sentinels; MIN ignores NaN unless
+    // the whole bucket is NaN.
+    var nanMaxBuckets = 0
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0))
+      assert(g.getLong(1) == w.getLong(1))
+      val (gs, ws) = (g.getDouble(2), w.getDouble(2))
+      assert((gs.isNaN && ws.isNaN) ||
+        math.abs(gs - ws) <= math.abs(ws) * 1e-5 + 1e-9,
+        s"SUM at ${g.getLong(0)}: $gs vs $ws")
+      assert(java.lang.Float.compare(g.getFloat(3), w.getFloat(3)) == 0,
+        s"MIN at ${g.getLong(0)}: ${g.getFloat(3)} vs ${w.getFloat(3)}")
+      assert(java.lang.Float.compare(g.getFloat(4), w.getFloat(4)) == 0,
+        s"MAX at ${g.getLong(0)}: ${g.getFloat(4)} vs ${w.getFloat(4)}")
+      if (g.getFloat(4).isNaN) nanMaxBuckets += 1
+    }
+    assert(nanMaxBuckets > 0, "fixture produced no NaN buckets")
+
+    // Range-hybrid shape (interior metadata partials + boundary decode)
+    // over a window containing NaN data.
+    def inst(us: Long) = java.time.Instant.ofEpochSecond(0L, us * 1000L)
+    val (lo, hi) = (100000L, 160000L) // covers part of the all-NaN run
+    val gr = engine.readTimeSeriesTable("nanb", Seq("field_1"),
+        engine.Aggregate.Max, startTime = Some(inst(lo)),
+        endTime = Some(inst(hi)))
+      .collect().head.getFloat(0)
+    val wr = engine.readTable("nanb")
+      .where(unix_micros(col("ts_us")).between(lo, hi))
+      .agg(max("field_1")).collect().head.getFloat(0)
+    assert(wr.isNaN, "fixture range must include a NaN")
+    assert(java.lang.Float.compare(gr, wr) == 0, s"ranged MAX: $gr vs $wr")
+  }
+
+  test("timestamp extents answer from partials under ranges and buckets") {
+    val engine = newEngine()
+    engine.sql(
+      "CREATE TIME SERIES TABLE tse(ts_us TIMESTAMP, field_1 FIELD, tag TAG)")
+    import spark.implicits._
+    // Irregular cadence so segment bounds don't coincide with bucket
+    // edges; steps of 37 give PMC segments mixing interior and straddler.
+    val rows = Seq("a", "b").flatMap { tag =>
+      (1 to 2000).map(i => (i * 100L + (i % 7) * 3L, (i / 37).toFloat, tag))
+    }
+    engine.write("tse", rows.toDF("ts_us", "field_1", "tag"))
+
+    def inst(us: Long) = java.time.Instant.ofEpochSecond(0L, us * 1000L)
+    val (lo, hi) = (55557L, 151231L)
+    val got = engine.readTimeSeriesTableMulti("tse", Seq("field_1"),
+        Seq(engine.Aggregate.Count), groupByTags = Seq("tag"),
+        startTime = Some(inst(lo)), endTime = Some(inst(hi)),
+        tsAggregates = Seq(engine.Aggregate.Min, engine.Aggregate.Max))
+      .select(col("tag"), col("count_field_1"),
+        unix_micros(col("min_ts_us")), unix_micros(col("max_ts_us")))
+      .orderBy("tag").collect()
+    val want = engine.readTable("tse")
+      .select(col("tag"), unix_micros(col("ts_us")).as("us"))
+      .where(col("us").between(lo, hi))
+      .groupBy("tag")
+      .agg(count(col("us")), min(col("us")), max(col("us")))
+      .orderBy("tag").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getLong(1) == w.getLong(1))
+      assert(g.getLong(2) == w.getLong(2), s"min(ts) for ${g.getString(0)}")
+      assert(g.getLong(3) == w.getLong(3), s"max(ts) for ${g.getString(0)}")
+    }
+
+    // Per-bucket first/last timestamps (ts-extent-only: no field agg).
+    val bucketUs = 10000L
+    def floorB(c: org.apache.spark.sql.Column) = c - pmod(c, lit(bucketUs))
+    val gotB = engine.readTimeSeriesTableBucketed("tse",
+        java.time.Duration.ofMillis(10), groupByTags = Seq("tag"),
+        tsAggregates = Seq(engine.Aggregate.Min, engine.Aggregate.Max))
+      .select(col("tag"), unix_micros(col("bucket")).as("b"),
+        unix_micros(col("min_ts_us")), unix_micros(col("max_ts_us")))
+      .orderBy("tag", "b").collect()
+    val wantB = engine.readTable("tse")
+      .select(col("tag"), unix_micros(col("ts_us")).as("us"))
+      .groupBy(col("tag"), floorB(col("us")).as("b"))
+      .agg(min(col("us")), max(col("us")))
+      .orderBy("tag", "b").collect()
+    assert(gotB.length == wantB.length && gotB.nonEmpty)
+    gotB.zip(wantB).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1))
+      assert(g.getLong(2) == w.getLong(2), s"bucket min(ts) at ${g.getLong(1)}")
+      assert(g.getLong(3) == w.getLong(3), s"bucket max(ts) at ${g.getLong(1)}")
+    }
+  }
+
+  test("zone transition gaps drive truncation containment safety") {
+    // Fixed-offset zones are always monotonic — no guard needed.
+    assert(Engine.minTransitionGapUs(java.time.ZoneId.of("UTC")).isEmpty)
+    assert(Engine.minTransitionGapUs(java.time.ZoneId.of("+05:30")).isEmpty)
+    // DST zones: the minimum gap between consecutive transitions is far
+    // longer than any realistic segment (months), so interior segments
+    // keep their closed forms.
+    for (z <- Seq("America/New_York", "America/Sao_Paulo",
+        "Australia/Lord_Howe", "Europe/Dublin")) {
+      val gap = Engine.minTransitionGapUs(java.time.ZoneId.of(z))
+      assert(gap.nonEmpty, s"$z should report transitions")
+      assert(gap.get > 30L * 86400000000L,
+        s"$z min gap ${gap.get}us implausibly small")
+    }
+  }
+
   test("calendar-truncated aggregates match gridded date_trunc group-by") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE cal(ts_us TIMESTAMP, field_1 FIELD, " +

@@ -459,15 +459,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
         math.abs(e.getDouble(3)) * 1e-9)
     }
 
-    // Under a time range min(ts) needs boundary decode — it must grid.
+    // Under a time range the extent rides the hybrid plan: interior
+    // segments answer from their bounds, boundary segments from the
+    // decode generator's timestamp partials — points never materialize.
     val ranged = engine.sql(
-      "SELECT MIN(ts) AS t0 FROM ext WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'")
-    assert(ranged.queryExecution.executedPlan.toString.contains("Generate"),
-      "ranged extent must reconstruct")
-    assert(ranged.collect().head.getTimestamp(0) ==
-      engine.readTable("ext")
-        .where(col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp"))
-        .agg(min(col("ts"))).collect().head.getTimestamp(0))
+      "SELECT MIN(ts) AS t0, MAX(ts) AS t1 FROM ext " +
+        "WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'")
+    val rangedPlan = ranged.queryExecution.executedPlan.toString
+    assert(rangedPlan.contains("bucketpartials"),
+      s"ranged extent must use timestamp partials:\n$rangedPlan")
+    assert(!rangedPlan.contains("gridpoints"),
+      s"ranged extent must not materialize points:\n$rangedPlan")
+    val rangedExp = engine.readTable("ext")
+      .where(col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp"))
+      .agg(min(col("ts")), max(col("ts"))).collect().head
+    val rangedGot = ranged.collect().head
+    assert(rangedGot.getTimestamp(0) == rangedExp.getTimestamp(0))
+    assert(rangedGot.getTimestamp(1) == rangedExp.getTimestamp(1))
+
+    // Per-bucket extent (first/last point per hour) — same partials, no
+    // point stream, mixed with a field aggregate.
+    val bucketed = engine.sql(
+      "SELECT date_trunc('HOUR', ts) AS h, MIN(ts) AS t0, MAX(ts) AS t1, " +
+        "COUNT(a) AS n FROM ext GROUP BY 1 ORDER BY 1")
+    val bucketedPlan = bucketed.queryExecution.executedPlan.toString
+    assert(!bucketedPlan.contains("gridpoints"),
+      s"bucketed extent must not materialize points:\n$bucketedPlan")
+    val bucketedExp = engine.readTable("ext")
+      .groupBy(date_trunc("HOUR", col("ts")).as("h"))
+      .agg(min(col("ts")), max(col("ts")), count(col("a")))
+      .orderBy("h").collect()
+    val bucketedGot = bucketed.collect()
+    assert(bucketedGot.length == bucketedExp.length && bucketedGot.nonEmpty)
+    bucketedGot.zip(bucketedExp).foreach { case (g, e) =>
+      assert(g.getTimestamp(0) == e.getTimestamp(0))
+      assert(g.getTimestamp(1) == e.getTimestamp(1))
+      assert(g.getTimestamp(2) == e.getTimestamp(2))
+      assert(g.getLong(3) == e.getLong(3))
+    }
   }
 
   test("aggregate-free tag groupings rewrite to segment-relation DISTINCT") {
