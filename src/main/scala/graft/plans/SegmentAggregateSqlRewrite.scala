@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, CreateNamedStruct, EqualTo, ExprId, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, PredicateHelper, Remainder, Subtract, TruncTimestamp}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, CreateNamedStruct, Divide, EqualTo, ExprId, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Multiply, PredicateHelper, Remainder, Subtract, TruncTimestamp, UnaryMinus}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DoubleType, FloatType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.tsdb.{Engine, SegmentAggregates, SegmentSchema, TableMetadata}
@@ -59,6 +60,27 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     */
   private[plans] final case class TsAgg(kind: String, outName: String)
     extends AggSpec
+  /** COUNT(DISTINCT tag...) — exact over the denormalized segment
+    * relation (every tag combination with ≥1 point has ≥1 segment row,
+    * and tags are non-null by construction). Declines time ranges and
+    * bucket groupings: a segment overlapping a range may have no point
+    * inside it, so segment-level DISTINCT would overcount there.
+    */
+  private[plans] final case class TagDistinctAgg(tags: Seq[String], outName: String)
+    extends AggSpec
+  /** An aggregate of a LINEAR expression `a*f + b` of one stored field
+    * (including generated columns that are linear over a stored field):
+    * sum(a*f+b) = a*sum(f) + b*count(f), avg likewise, count(a*f+b) =
+    * count(f) (f non-null, literal divisors non-zero), and min/max
+    * re-apply the ORIGINAL expression to the closed-form extreme of f
+    * (max of f for a < 0) — exact, because correctly-rounded float ops
+    * with finite literals are weakly monotone. `substitute` rebuilds the
+    * original expression tree around a replacement for the field leaf.
+    */
+  private[plans] final case class FieldExprAgg(
+    kind: String, field: String, outName: String,
+    scale: Double, shift: Double,
+    substitute: Expression => Expression) extends AggSpec
   /** A reference to the `window(ts, …)` grouping struct in the output:
     * the whole struct, or its `.start`/`.end` field.
     */
@@ -194,27 +216,32 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       else {
         val bucket = bucketSpecs.headOption
         val specs = results.map(
-          spec(meta, groupTags.toSet, bucket, windowBucket.map(_._1), _))
+          spec(engine, meta, groupTags.toSet, bucket, windowBucket.map(_._1), _))
         if (specs.exists(_.isEmpty)) None
         else {
           val flat = specs.flatten
           val hasAgg = flat.exists(s =>
-            s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg])
+            s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
+              s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg])
+          val hasTagDistinct = flat.exists(_.isInstanceOf[TagDistinctAgg])
           // A tag column named like an internal output of the rewritten
           // plan ('bucket', or a produced '<kind>_<column>') would make
           // the engine's readers throw or the final select ambiguous —
           // decline and let the query grid instead of aborting.
-          val produced = flat.collect {
-            case FieldAgg(k, f, _) => s"${k}_$f"
-            case TsAgg(k, _) => s"${k}_${meta.timestampColumn}"
+          val produced = flat.flatMap {
+            case FieldAgg(k, f, _) => Seq(s"${k}_$f")
+            case TsAgg(k, _) => Seq(s"${k}_${meta.timestampColumn}")
+            case fe: FieldExprAgg => baseKinds(fe).map(k => s"${k}_${fe.field}")
+            case _ => Seq.empty
           }.toSet ++ (if (bucket.nonEmpty) Set("bucket") else Set.empty)
           val collides = groupTags.exists(t =>
             produced.contains(t) || t.startsWith("__"))
           if (collides) None
           else filterCond match {
-            case _ if !hasAgg && bucket.nonEmpty =>
-              // Distinct buckets need point-level exactness (a segment
-              // overlapping a bucket may have no point in it) — grid it.
+            case _ if (!hasAgg || hasTagDistinct) && bucket.nonEmpty =>
+              // Distinct buckets (and DISTINCT-tag counts per bucket)
+              // need point-level exactness: a segment overlapping a
+              // bucket may have no point in it — grid it.
               None
             case scala.None =>
               Some(MatchResult(meta, groupTags, flat, scala.None,
@@ -222,10 +249,13 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             case Some(cond) => parseFilter(meta, cond).flatMap {
               case (lo, hi, tags, tagIn) =>
                 // No aggregates + a time range would need gridding for the
-                // same reason; tag-only predicates stay metadata-exact.
-                // (min/max(ts) under a time range or bucket now answers
-                // from the __bp_tmin/__bp_tmax partials — no decline.)
-                if (!hasAgg && (lo.nonEmpty || hi.nonEmpty)) None
+                // same reason, and so would COUNT(DISTINCT tag) — a
+                // segment overlapping the range may have no point inside.
+                // Tag-only predicates stay metadata-exact. (min/max(ts)
+                // under a time range or bucket answers from the
+                // __bp_tmin/__bp_tmax partials — no decline.)
+                if ((!hasAgg || hasTagDistinct) && (lo.nonEmpty || hi.nonEmpty))
+                  None
                 else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
                   tagIn, bucket))
             }
@@ -411,6 +441,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   }
 
   private def spec(
+      engine: Engine,
       meta: TableMetadata, groupTags: Set[String], bucket: Option[BucketSpec],
       windowId: Option[ExprId],
       expr: org.apache.spark.sql.catalyst.expressions.NamedExpression): Option[AggSpec] =
@@ -427,6 +458,13 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         // The analyzer already guarantees a non-aggregate result expression
         // appears among the groupings, so this is THE bucket grouping.
         Some(BucketRef(outName))
+      case Alias(AggregateExpression(Count(args), Complete, true, None, _), outName)
+          if args.nonEmpty && args.forall {
+            case a: AttributeReference => meta.tagColumns.contains(a.name)
+            case _ => false
+          } =>
+        Some(TagDistinctAgg(
+          args.collect { case a: AttributeReference => a.name }, outName))
       case Alias(AggregateExpression(fn, Complete, false, None, _), outName) =>
         fn match {
           case Count(Seq(a: AttributeReference))
@@ -461,13 +499,179 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             Some(FieldAgg("sum", a.name, outName))
           case Average(a: AttributeReference, _) if meta.fieldColumns.contains(a.name) =>
             Some(FieldAgg("avg", a.name, outName))
+          // Linear expressions of one stored field — including generated
+          // columns that are linear over a stored field — fold onto the
+          // base field's closed forms. Bare stored-field cases matched
+          // above keep their plain FieldAgg plans.
+          case Count(Seq(e1)) =>
+            linearOf(engine, meta, e1).map(le =>
+              FieldExprAgg("count", le.field, outName, le.scale, le.shift,
+                le.substitute))
+          case Min(e1) =>
+            linearOf(engine, meta, e1).map(le =>
+              FieldExprAgg("min", le.field, outName, le.scale, le.shift,
+                le.substitute))
+          case Max(e1) =>
+            linearOf(engine, meta, e1).map(le =>
+              FieldExprAgg("max", le.field, outName, le.scale, le.shift,
+                le.substitute))
+          case Sum(e1, _) =>
+            linearOf(engine, meta, e1).map(le =>
+              FieldExprAgg("sum", le.field, outName, le.scale, le.shift,
+                le.substitute))
+          case Average(e1, _) =>
+            linearOf(engine, meta, e1).map(le =>
+              FieldExprAgg("avg", le.field, outName, le.scale, le.shift,
+                le.substitute))
           case _ => None
         }
       case _ => None
     }
 
+  /** The linear decomposition `scale * field + shift` of an analyzed
+    * expression over exactly ONE stored-field occurrence, plus a
+    * `substitute` that rebuilds the original expression tree around a
+    * replacement for the field leaf (used for exact min/max: correctly
+    * rounded +,-,*,/ by finite literals and float<->double widenings are
+    * weakly monotone, so applying the original ops to the closed-form
+    * extreme reproduces the per-point result bit-for-bit).
+    */
+  private final case class LinearExpr(
+    field: String, scale: Double, shift: Double,
+    substitute: Expression => Expression)
+
+  private def linearOf(
+      engine: Engine, meta: TableMetadata, e: Expression,
+      allowGenerated: Boolean = true): Option[LinearExpr] = {
+    def go(x: Expression):
+        Option[(ExprId, Expression => Expression, String, Double, Double)] =
+      x match {
+        case a: AttributeReference
+            if meta.fieldColumns.contains(a.name) && a.dataType == FloatType =>
+          Some((a.exprId, (repl: Expression) => repl, a.name, 1.0, 0.0))
+        case a: AttributeReference
+            if allowGenerated && a.dataType == FloatType &&
+              meta.generatedColumns.exists(_.name == a.name) =>
+          for {
+            g <- meta.generatedColumns.find(_.name == a.name)
+            template <- analyzeGenerated(engine, meta, g.generatedExpr)
+            inner <- linearOf(engine, meta, template, allowGenerated = false)
+          } yield (a.exprId, (repl: Expression) => inner.substitute(repl),
+            inner.field, inner.scale, inner.shift)
+        // Widening float->double (Divide and decimal-literal arithmetic
+        // insert it) is exact; narrowing back to float (the generated
+        // column cast) is correctly rounded — both weakly monotone.
+        case Cast(c, DoubleType, _, _) if c.dataType == FloatType => go(c)
+        case Cast(c, FloatType, _, _)
+            if c.dataType == DoubleType || c.dataType == FloatType => go(c)
+        case Multiply(l, r, _) => (go(l), constOf(r)) match {
+          case (Some((id, lr, f, s, b)), Some(c)) => Some((id, lr, f, s * c, b * c))
+          case _ => (constOf(l), go(r)) match {
+            case (Some(c), Some((id, lr, f, s, b))) => Some((id, lr, f, s * c, b * c))
+            case _ => scala.None
+          }
+        }
+        case Divide(l, r, _) => (go(l), constOf(r)) match {
+          case (Some((id, lr, f, s, b)), Some(c)) if c != 0.0 =>
+            Some((id, lr, f, s / c, b / c))
+          case _ => scala.None
+        }
+        case Add(l, r, _) => (go(l), constOf(r)) match {
+          case (Some((id, lr, f, s, b)), Some(c)) => Some((id, lr, f, s, b + c))
+          case _ => (constOf(l), go(r)) match {
+            case (Some(c), Some((id, lr, f, s, b))) => Some((id, lr, f, s, b + c))
+            case _ => scala.None
+          }
+        }
+        case Subtract(l, r, _) => (go(l), constOf(r)) match {
+          case (Some((id, lr, f, s, b)), Some(c)) => Some((id, lr, f, s, b - c))
+          case _ => (constOf(l), go(r)) match {
+            case (Some(c), Some((id, lr, f, s, b))) => Some((id, lr, f, -s, c - b))
+            case _ => scala.None
+          }
+        }
+        case UnaryMinus(c, _) =>
+          go(c).map { case (id, lr, f, s, b) => (id, lr, f, -s, -b) }
+        case _ => scala.None
+      }
+    go(e).filter { case (_, _, _, s, b) =>
+      // scale == 0 degenerates to a constant (and breaks the min/max
+      // direction choice); non-finite coefficients break monotonicity.
+      s != 0.0 && java.lang.Double.isFinite(s) && java.lang.Double.isFinite(b)
+    }.map { case (id, leafRepl, f, s, b) =>
+      LinearExpr(f, s, b, repl => e.transform {
+        case a: AttributeReference if a.exprId == id => leafRepl(repl)
+      })
+    }
+  }
+
+  /** A finite literal (possibly under foldable casts) as a Double. */
+  private def constOf(e: Expression): Option[Double] =
+    if (e.foldable && e.deterministic &&
+        e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) {
+      e.eval(InternalRow.empty) match {
+        case null => scala.None
+        case d: org.apache.spark.sql.types.Decimal =>
+          Some(d.toDouble).filter(java.lang.Double.isFinite)
+        case n: java.lang.Number =>
+          Some(n.doubleValue()).filter(java.lang.Double.isFinite)
+        case _ => scala.None
+      }
+    } else scala.None
+
+  /** The analyzed expression a generated column computes in the logical
+    * view — `expr(sql).cast(FLOAT)` resolved against the stored-field
+    * schema, mirroring GridView.withGeneratedAndOrder exactly.
+    */
+  private def analyzeGenerated(
+      engine: Engine, meta: TableMetadata, sql: String): Option[Expression] =
+    try {
+      val schema = org.apache.spark.sql.types.StructType(meta.fieldColumns.map(
+        f => org.apache.spark.sql.types.StructField(f, FloatType, nullable = false)))
+      val empty = engine.spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      empty.select(org.apache.spark.sql.functions.expr(sql)
+          .cast(FloatType).as("__g"))
+        .queryExecution.analyzed.collectFirst {
+          case Project(Seq(Alias(c, _)), _) => c
+        }
+    } catch { case scala.util.control.NonFatal(_) => scala.None }
+
+  /** The base closed-form kinds a linear-expression aggregate needs from
+    * the segment readers.
+    */
+  private def baseKinds(fe: FieldExprAgg): Seq[String] = fe.kind match {
+    case "count" => Seq("count")
+    case "sum" => if (fe.shift == 0.0) Seq("sum") else Seq("sum", "count")
+    case "avg" => Seq("avg")
+    case "min" => Seq(if (fe.scale > 0) "min" else "max")
+    case _ => Seq(if (fe.scale > 0) "max" else "min")
+  }
+
+  /** The output column of a linear-expression aggregate over base
+    * closed-form columns: count passes through (f is non-null and the
+    * literals finite with non-zero divisors, so the expression never
+    * nulls a row), sum/avg fold the coefficients, min/max re-apply the
+    * ORIGINAL expression to the base extreme — exact by monotonicity.
+    */
+  private def exprAggColumn(
+      fe: FieldExprAgg,
+      base: String => org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    fe.kind match {
+      case "count" => base("count")
+      case "sum" =>
+        if (fe.shift == 0.0) lit(fe.scale) * base("sum")
+        else lit(fe.scale) * base("sum") + lit(fe.shift) * base("count")
+      case "avg" => lit(fe.scale) * base("avg") + lit(fe.shift)
+      case _ => ColumnBridge.column(
+        fe.substitute(ColumnBridge.expression(base(baseKinds(fe).head))))
+    }
+  }
+
   private[plans] def build(engine: Engine, m: MatchResult): DataFrame = {
-    if (!m.specs.exists(s => s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg])) {
+    if (!m.specs.exists(s => s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
+        s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg])) {
       // Pure tag grouping (`SELECT DISTINCT tag`, `GROUP BY tag` with no
       // aggregates): every tag combination is denormalized into its
       // segments, so DISTINCT over the segment relation is exact —
@@ -487,12 +691,19 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     } else if (m.bucket.nonEmpty) {
       // Time-bucket grouping: the generalized hybrid plan — contained
       // segments answered by closed forms, bucket-straddlers gridded.
-      val fields0 = m.specs.collect { case FieldAgg(_, f, _) => f }.distinct
+      val fields0 = m.specs.collect {
+        case FieldAgg(_, f, _) => f
+        case fe: FieldExprAgg => fe.field
+      }.distinct
       // A ts-extent-only query still scans one field partition (any one:
       // fields are timestamp-aligned) rather than all of them.
       val fields =
         if (fields0.nonEmpty) fields0 else Seq(m.meta.fieldColumns.head)
-      val kinds = m.specs.collect { case FieldAgg(k, _, _) => k }.distinct
+      val kinds = m.specs.flatMap {
+        case FieldAgg(k, _, _) => Seq(k)
+        case fe: FieldExprAgg => baseKinds(fe)
+        case _ => Seq.empty
+      }.distinct
       val aggs: Seq[engine.Aggregate] = kinds.map(kindToAggregate(engine))
       val tsAggs: Seq[engine.Aggregate] = m.specs
         .collect { case TsAgg(k, _) => k }.distinct.map(kindToAggregate(engine))
@@ -527,8 +738,12 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             case _ => struct(start.as("start"), end.as("end")).as(outName)
           }
         case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
+        case fe: FieldExprAgg =>
+          exprAggColumn(fe, k => col(s"${k}_${fe.field}")).as(fe.outName)
         case TsAgg(kind, outName) =>
           col(s"${kind}_${m.meta.timestampColumn}").as(outName)
+        case TagDistinctAgg(_, _) =>
+          throw new IllegalStateException("distinct-tag counts decline buckets")
       }
       bucketed.select(ordered: _*)
     } else if (m.startUs.isEmpty && m.endUs.isEmpty) {
@@ -546,10 +761,17 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       // equalities and IN-lists stay segment-native prunes, a time range
       // takes the hybrid interior/boundary plan. One pass answers every
       // requested kind.
-      val fields0 = m.specs.collect { case FieldAgg(_, f, _) => f }.distinct
+      val fields0 = m.specs.collect {
+        case FieldAgg(_, f, _) => f
+        case fe: FieldExprAgg => fe.field
+      }.distinct
       val fields =
         if (fields0.nonEmpty) fields0 else Seq(m.meta.fieldColumns.head)
-      val kinds = m.specs.collect { case FieldAgg(k, _, _) => k }.distinct
+      val kinds = m.specs.flatMap {
+        case FieldAgg(k, _, _) => Seq(k)
+        case fe: FieldExprAgg => baseKinds(fe)
+        case _ => Seq.empty
+      }.distinct
       val aggs: Seq[engine.Aggregate] = kinds.map(kindToAggregate(engine))
       val tsAggs: Seq[engine.Aggregate] = m.specs
         .collect { case TsAgg(k, _) => k }.distinct.map(kindToAggregate(engine))
@@ -561,10 +783,14 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       val ordered = m.specs.map {
         case TagRef(tag) => col(tag)
         case FieldAgg(kind, field, outName) => col(s"${kind}_$field").as(outName)
+        case fe: FieldExprAgg =>
+          exprAggColumn(fe, k => col(s"${k}_${fe.field}")).as(fe.outName)
         case BucketRef(_) | WindowPart(_, _) =>
           throw new IllegalStateException("bucket groupings branch earlier")
         case TsAgg(kind, outName) =>
           col(s"${kind}_${m.meta.timestampColumn}").as(outName)
+        case TagDistinctAgg(_, _) =>
+          throw new IllegalStateException("distinct-tag counts decline ranges")
       }
       multi.select(ordered: _*)
     }
@@ -593,7 +819,10 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     // A TsAgg-only query still needs one field partition scanned (any one:
     // fields are timestamp-aligned, so every partition spans the same time
     // extent).
-    val fieldAggFields = specs.collect { case FieldAgg(_, f, _) => f }.distinct
+    val fieldAggFields = specs.collect {
+      case FieldAgg(_, f, _) => f
+      case fe: FieldExprAgg => fe.field
+    }.distinct
     val aggFields =
       if (fieldAggFields.nonEmpty) fieldAggFields
       else Seq(meta.fieldColumns.head)
@@ -611,6 +840,15 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         timestamp_micros(min(col("start_time"))).as(outName)
       case TsAgg(_, outName) =>
         timestamp_micros(max(col("end_time"))).as(outName)
+      case TagDistinctAgg(tags, outName) =>
+        // Exact: every tag combination with ≥1 point has ≥1 segment row.
+        // Restricting to the aggregated fields' partitions is safe — tag
+        // combinations are identical across field partitions (alignment).
+        countDistinct(col(tags.head), tags.tail.map(col): _*).as(outName)
+      case fe: FieldExprAgg =>
+        val idx = meta.fieldIndex(fe.field)
+        exprAggColumn(fe, k => SegmentAggregates.aggColumnFor(k, idx))
+          .as(fe.outName)
     }
 
     val grouped =
@@ -622,6 +860,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       case TagRef(tag) => col(tag)
       case FieldAgg(_, _, outName) => col(outName)
       case TsAgg(_, outName) => col(outName)
+      case TagDistinctAgg(_, outName) => col(outName)
+      case fe: FieldExprAgg => col(fe.outName)
       case BucketRef(_) | WindowPart(_, _) =>
         throw new IllegalStateException("bucket groupings branch earlier")
     }

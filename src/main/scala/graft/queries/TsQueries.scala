@@ -25,7 +25,7 @@ object TsQueries {
   // v5: manifests carry per-file tag bounds too — rebuild so benched
   // tables exercise tag-equality file skipping on top of the v4
   // (size + time bounds) manifest-planned scans.
-  private val CacheVersion = "v5"
+  private val CacheVersion = "v6" // v6: events_multi gained generated column vf
 
   /** Build (once per JVM x scale factor) a data folder holding the events
     * time series tables; reused across queries via an on-disk marker.
@@ -129,8 +129,12 @@ object TsQueries {
     engine.sql(
       "CREATE TIME SERIES TABLE events_lossy(ts TIMESTAMP, value FIELD(1.0%), user TAG)")
     engine.write("events_lossy", events)
+    // vf is GENERATED (never stored): a linear map of value with a
+    // power-of-two scale and exactly-representable shift, so float and
+    // double evaluation orders round identically — cross-engine exact.
     engine.sql("CREATE TIME SERIES TABLE events_multi(" +
-      "ts TIMESTAMP, value FIELD, value2 FIELD, user TAG)")
+      "ts TIMESTAMP, value FIELD, value2 FIELD, " +
+      "vf FIELD AS (value * 0.5 - 8.0), user TAG)")
     engine.write("events_multi", events.withColumn("value2", col("value") * 2.0f))
   }
 
@@ -458,6 +462,107 @@ object TsQueries {
         CAST(max(epoch_us(ts)) AS BIGINT) AS t1_us,
         CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Time extent RESTRICTED to a range — first/last event inside a
+    // window, the "what data do we actually have here" dashboard probe.
+    // Interior segments answer from their bounds, boundary segments from
+    // the decode generator's timestamp partials; points never materialize
+    // (plan-asserted in SqlSurfaceSpec).
+    ("ts_extent_range", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val (lo, hi) = eventsWindow(s, d)
+      engine.sql(
+        s"SELECT MIN(ts) AS t0, MAX(ts) AS t1, COUNT(value) AS n " +
+          s"FROM events_lossless " +
+          s"WHERE ts >= TIMESTAMP '${fmtTs(lo)}' AND ts <= TIMESTAMP '${fmtTs(hi)}'")
+        .select(unix_micros(col("t0")).as("t0_us"),
+          unix_micros(col("t1")).as("t1_us"), col("n"))
+    }, Some("""
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
+      r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo, lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b)
+      SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS t0_us,
+        CAST(max(epoch_us(ts)) AS BIGINT) AS t1_us,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events, r
+      WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
+
+    // Per-bucket first/last observation: min/max(ts) under a date_trunc
+    // grouping rides the bucketed hybrid plan's timestamp partials
+    // instead of reconstructing — the reference's rewrite refuses any
+    // GROUP BY at all (model_simple_aggregates.rs:209-250).
+    ("ts_extent_bucket", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT date_trunc('DAY', ts) AS day_ts, MIN(ts) AS t0, " +
+          "MAX(ts) AS t1, COUNT(value) AS n " +
+          "FROM events_lossless GROUP BY date_trunc('DAY', ts)")
+        .select(unix_micros(col("day_ts")).as("bucket_us"),
+          unix_micros(col("t0")).as("t0_us"),
+          unix_micros(col("t1")).as("t1_us"), col("n"))
+        .orderBy("bucket_us")
+    }, Some("""
+      SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS bucket_us,
+        CAST(min(epoch_us(ts)) AS BIGINT) AS t0_us,
+        CAST(max(epoch_us(ts)) AS BIGINT) AS t1_us,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Aggregates of LINEAR expressions of a field fold onto the base
+    // field's closed forms: sum(a*f+b) = a*sum + b*count, min/max re-apply
+    // the original ops to the base extreme (negative scale flips the
+    // direction) — all metadata-only; the reference's rewrite matches bare
+    // columns exclusively. Scales are powers of two so float (DuckDB) and
+    // double (Spark) evaluation round identically on the exact columns.
+    ("ts_linear_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT COUNT(value / 2) AS n, SUM(value * 2 + 1) AS sv, " +
+          "MIN(value * -4) AS mn, MAX(value / 2) AS mx, " +
+          "AVG(value * 0.5) AS av FROM events_lossless")
+        .select(col("n"), round(col("sv"), 2).as("sum_v"),
+          col("mn"), col("mx"), round(col("av"), 4).as("av"))
+    }, Some("""
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE) * 2 + 1), 2) AS sum_v,
+        CAST(min(CAST(value AS FLOAT4) * -4) AS DOUBLE) AS mn,
+        CAST(max(CAST(value AS FLOAT4) / 2) AS DOUBLE) AS mx,
+        round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE) * 0.5), 4) AS av
+      FROM events""")),
+
+    // The same fold through a GENERATED column (vf = value * 0.5 - 8.0,
+    // computed at query time, never stored): the rewrite re-analyzes the
+    // generated expression, proves it linear over the stored field, and
+    // answers from that field's segment metadata.
+    ("ts_generated_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, MIN(vf) AS mn, MAX(vf) AS mx, COUNT(vf) AS n, " +
+          "SUM(vf) AS sv FROM events_multi GROUP BY user ORDER BY user")
+        .select(col("user"), col("mn"), col("mx"), col("n"),
+          round(col("sv"), 2).as("sum_v"))
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        min(CAST(value AS FLOAT4) * 0.5 - 8.0) AS mn,
+        max(CAST(value AS FLOAT4) * 0.5 - 8.0) AS mx,
+        CAST(count(*) AS BIGINT) AS n,
+        round(sum(CAST(CAST(CAST(value AS FLOAT4) * 0.5 - 8.0 AS FLOAT4) AS DOUBLE)), 2)
+          AS sum_v
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // COUNT(DISTINCT tag) straight off the denormalized segment relation
+    // — exact (every tag combination with ≥1 point has ≥1 segment row),
+    // metadata-only, mixed with plain closed-form aggregates in one scan.
+    // The reference's rewrite refuses DISTINCT entirely.
+    ("ts_count_distinct", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT COUNT(DISTINCT user) AS u, COUNT(value) AS n, " +
+          "MAX(value) AS mx FROM events_lossless")
+    }, Some("""
+      SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+        CAST(count(*) AS BIGINT) AS n,
+        max(CAST(value AS FLOAT4)) AS mx
+      FROM events""")),
 
     // Multivariate reconstruction: two stored fields reassembled by
     // (tags, timestamp) in one conditional-aggregation shuffle.

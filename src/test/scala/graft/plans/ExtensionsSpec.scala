@@ -142,10 +142,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(spoofed.collect().head.getLong(0) ==
       filteredControl.collect().head.getLong(0))
 
-    // Aggregates the segment metadata cannot answer (e.g. over an
-    // expression) still grid, as do filters on field values.
+    // LINEAR expressions of a field now fold onto the base closed forms
+    // (sum(a*f) = a*sum(f)) — still no reconstruction, same answer as the
+    // gridded control; non-linear expressions and filters on field values
+    // still grid.
     val exprAgg = spark.sql("SELECT SUM(v * 2) AS s FROM ext")
-    assert(exprAgg.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(!exprAgg.queryExecution.executedPlan.toString.contains("Generate"),
+      "linear-expression aggregate must stay segment-native")
+    val exprControl = spark.sql("SELECT SUM(v * 2) AS s FROM ext " +
+      "WHERE v <= CAST('Infinity' AS FLOAT)")
+    assert(exprControl.queryExecution.executedPlan.toString.contains("Generate"))
+    assert(math.abs(exprAgg.collect().head.getDouble(0) -
+      exprControl.collect().head.getDouble(0)) <=
+      math.abs(exprControl.collect().head.getDouble(0)) * 1e-6 + 1e-9)
+    val nonLinear = spark.sql("SELECT SUM(v * v) AS s FROM ext")
+    assert(nonLinear.queryExecution.executedPlan.toString.contains("Generate"))
     val fieldFiltered = spark.sql("SELECT COUNT(v) AS n FROM ext WHERE v > 50")
     assert(fieldFiltered.queryExecution.executedPlan.toString.contains("Generate"))
 

@@ -477,6 +477,28 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rangedGot.getTimestamp(0) == rangedExp.getTimestamp(0))
     assert(rangedGot.getTimestamp(1) == rangedExp.getTimestamp(1))
 
+    // COUNT(DISTINCT tag) is exact on the segment relation — no
+    // reconstruction even mixed with other closed forms and a tag prune.
+    val dcount = engine.sql(
+      "SELECT COUNT(DISTINCT tag) AS u, COUNT(a) AS n FROM ext " +
+        "WHERE tag IN ('t0', 't1', 't2')")
+    assert(!dcount.queryExecution.executedPlan.toString.contains("Generate"),
+      "distinct-tag count must stay segment-native")
+    val dgot = dcount.collect().head
+    assert(dgot.getLong(0) == 3L)
+    assert(dgot.getLong(1) == engine.readTable("ext")
+      .where(col("tag").isin("t0", "t1", "t2")).count())
+
+    // Under a time range COUNT(DISTINCT tag) must grid (a segment
+    // overlapping the range may have no point inside it) — and stay exact.
+    val dranged = engine.sql(
+      "SELECT COUNT(DISTINCT tag) AS u FROM ext " +
+        "WHERE ts >= TIMESTAMP '2024-02-01 00:00:00'")
+    assert(dranged.collect().head.getLong(0) ==
+      engine.readTable("ext")
+        .where(col("ts") >= lit("2024-02-01 00:00:00").cast("timestamp"))
+        .select("tag").distinct().count())
+
     // Per-bucket extent (first/last point per hour) — same partials, no
     // point stream, mixed with a field aggregate.
     val bucketed = engine.sql(
@@ -497,6 +519,100 @@ class SqlSurfaceSpec extends AnyFunSuite {
       assert(g.getTimestamp(2) == e.getTimestamp(2))
       assert(g.getLong(3) == e.getLong(3))
     }
+  }
+
+  test("linear field expressions keep segment-native closed forms") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE lin(ts TIMESTAMP, a FIELD, " +
+      "g FIELD AS (a * 1.8 + 32.0), tag TAG)")
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val df = (0 until 1200).map { i =>
+      (1706745600000000L + i * 60000000L, rng.nextFloat() * 40 - 10, s"t${i % 3}")
+    }.toDF("ts", "a", "tag")
+    engine.write("lin", df)
+
+    // sum(a*f+b) = a*sum+b*count, avg folds, count passes through, and
+    // min/max re-apply the original float ops to the base extreme (sign
+    // of the scale picks min vs max) — all metadata-only.
+    val q = engine.sql(
+      "SELECT SUM(a * 2.5) AS s, MIN(a * -3) AS mn, MAX(2 - a) AS mx, " +
+        "COUNT(a / 2) AS n, AVG(a * 0.5 + 1) AS av FROM lin")
+    assert(!q.queryExecution.executedPlan.toString.contains("Generate"),
+      "linear expressions must stay segment-native")
+    val exp = engine.readTable("lin").agg(
+      sum(col("a") * lit(2.5)), min(col("a") * lit(-3)),
+      max(lit(2) - col("a")), count(col("a") / lit(2)),
+      avg(col("a") * lit(0.5) + lit(1))).collect().head
+    val got = q.collect().head
+    assert(math.abs(got.getDouble(0) - exp.getDouble(0)) <=
+      math.abs(exp.getDouble(0)) * 1e-6 + 1e-9, "SUM of linear expr")
+    assert(got.getDouble(1) == exp.getDouble(1), "MIN with negative scale")
+    assert(got.getDouble(2) == exp.getDouble(2), "MAX of 2 - a")
+    assert(got.getLong(3) == exp.getLong(3), "COUNT of expr")
+    assert(math.abs(got.getDouble(4) - exp.getDouble(4)) <=
+      math.abs(exp.getDouble(4)) * 1e-6 + 1e-9, "AVG of linear expr")
+
+    // Generated columns that are linear over a stored field fold the same
+    // way — grouped, still no reconstruction, min/max bit-exact.
+    val qg = engine.sql("SELECT tag, MIN(g) AS mn, MAX(g) AS mx, " +
+      "SUM(g) AS s FROM lin GROUP BY tag ORDER BY tag")
+    assert(!qg.queryExecution.executedPlan.toString.contains("Generate"),
+      "linear generated columns must stay segment-native")
+    val expG = engine.readTable("lin").groupBy("tag")
+      .agg(min(col("g")), max(col("g")), sum(col("g")))
+      .orderBy("tag").collect()
+    val gotG = qg.collect()
+    assert(gotG.length == expG.length && gotG.nonEmpty)
+    gotG.zip(expG).foreach { case (gr, er) =>
+      assert(gr.getString(0) == er.getString(0))
+      assert(gr.getFloat(1) == er.getFloat(1), s"gen MIN for ${gr.getString(0)}")
+      assert(gr.getFloat(2) == er.getFloat(2), s"gen MAX for ${gr.getString(0)}")
+      assert(math.abs(gr.getDouble(3) - er.getDouble(3)) <=
+        math.abs(er.getDouble(3)) * 1e-6 + 1e-9)
+    }
+
+    // Under a time range the linear fold rides the hybrid partials.
+    val qr = engine.sql("SELECT MAX(a * 2) AS mx, MIN(g) AS mn FROM lin " +
+      "WHERE ts >= TIMESTAMP '2024-02-01 05:00:00' " +
+      "AND ts <= TIMESTAMP '2024-02-01 15:00:00'")
+    val rPlan = qr.queryExecution.executedPlan.toString
+    assert(rPlan.contains("bucketpartials") && !rPlan.contains("gridpoints"),
+      s"ranged linear fold must use partials:\n$rPlan")
+    val expR = engine.readTable("lin")
+      .where(col("ts").between(
+        lit("2024-02-01 05:00:00").cast("timestamp"),
+        lit("2024-02-01 15:00:00").cast("timestamp")))
+      .agg(max(col("a") * lit(2)), min(col("g"))).collect().head
+    val gotR = qr.collect().head
+    assert(gotR.getDouble(0) == expR.getDouble(0))
+    assert(gotR.getFloat(1) == expR.getFloat(1))
+
+    // Per-bucket linear fold — closed forms for contained segments.
+    val qb = engine.sql("SELECT date_trunc('DAY', ts) AS d, " +
+      "SUM(a * 2 + 1) AS s, MIN(2 - a) AS mn FROM lin GROUP BY 1 ORDER BY 1")
+    assert(!qb.queryExecution.executedPlan.toString.contains("gridpoints"),
+      "bucketed linear fold must not materialize points")
+    val expB = engine.readTable("lin")
+      .groupBy(date_trunc("DAY", col("ts")).as("d"))
+      .agg(sum(col("a") * lit(2) + lit(1)), min(lit(2) - col("a")))
+      .orderBy("d").collect()
+    val gotB = qb.collect()
+    assert(gotB.length == expB.length && gotB.nonEmpty)
+    gotB.zip(expB).foreach { case (gr, er) =>
+      assert(gr.getTimestamp(0) == er.getTimestamp(0))
+      assert(math.abs(gr.getDouble(1) - er.getDouble(1)) <=
+        math.abs(er.getDouble(1)) * 1e-6 + 1e-9)
+      assert(gr.getDouble(2) == er.getDouble(2))
+    }
+
+    // Non-linear expressions decline and grid — still exact.
+    val nl = engine.sql("SELECT MAX(a * a) AS m FROM lin")
+    assert(nl.queryExecution.executedPlan.toString.contains("Generate"),
+      "non-linear expressions must reconstruct")
+    assert(nl.collect().head.getFloat(0) ==
+      engine.readTable("lin").agg(max(col("a") * col("a")))
+        .collect().head.getFloat(0))
   }
 
   test("aggregate-free tag groupings rewrite to segment-relation DISTINCT") {
