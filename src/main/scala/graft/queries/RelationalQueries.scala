@@ -303,18 +303,33 @@ object RelationalQueries {
     // lands on one task per group. Rank error is <= group_size / accuracy
     // (here 1e-4 of the group) — no SQL oracle because the sketch is
     // engine-defined; exactness is bounded against q20 in the spec suite.
+    // The sketch itself is engine-defined, so the GATE is tolerance: each
+    // approx percentile must land inside the exact percentile band at
+    // p ± 0.005 (accuracy 10000 bounds rank error to group_size / 10000,
+    // orders of magnitude tighter). Both sides come out of one
+    // aggregation; the oracle checks the booleans plus the group keys.
     ("q20_percentiles_approx", (s: SparkSession, d: String) => {
       table(s, d, "orders")
         .groupBy("o_orderstatus")
         .agg(
           expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.9), 10000)")
-            .as("pcts"))
+            .as("pcts"),
+          expr("percentile(o_totalprice, " +
+            "array(0.245, 0.255, 0.495, 0.505, 0.895, 0.905))").as("band"))
         .select(col("o_orderstatus"),
-          (floor(element_at(col("pcts"), 1) * 100d) / 100d).as("p25"),
-          (floor(element_at(col("pcts"), 2) * 100d) / 100d).as("p50"),
-          (floor(element_at(col("pcts"), 3) * 100d) / 100d).as("p90"))
+          element_at(col("pcts"), 1)
+            .between(element_at(col("band"), 1), element_at(col("band"), 2))
+            .as("p25_ok"),
+          element_at(col("pcts"), 2)
+            .between(element_at(col("band"), 3), element_at(col("band"), 4))
+            .as("p50_ok"),
+          element_at(col("pcts"), 3)
+            .between(element_at(col("band"), 5), element_at(col("band"), 6))
+            .as("p90_ok"))
         .orderBy("o_orderstatus")
-    }, None),
+    }, Some("""
+      SELECT o_orderstatus, TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p90_ok
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
 
     ("q10_set_ops", (s: SparkSession, d: String) => {
       val orders = table(s, d, "orders")
@@ -352,13 +367,29 @@ object RelationalQueries {
     // per-row benefit. p=12 keeps the plan small; per-row cost is the
     // same. No SQL oracle — sketch estimates are engine-defined; the
     // spec suite bounds them against q11's exact counts.
+    // GATE: each HLL estimate must sit within 2x its configured rsd of
+    // the exact count (computed in the same aggregation); n_rows stays an
+    // exact cross-engine check. Sketch + exact together cost more than
+    // the pure sketch — the pure-approx scale argument lives in the q11
+    // comment above; this row verifies the estimates are sane.
     ("q11_distinct_counts_approx", (s: SparkSession, d: String) => {
       table(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("n_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.02).as("n_suppliers"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("n_orders"),
-        count(lit(1)).as("n_rows"))
-    }, None),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          approx_count_distinct(col("l_suppkey"), 0.02).as("asu"),
+          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+          countDistinct(col("l_partkey")).as("ep"),
+          countDistinct(col("l_suppkey")).as("esu"),
+          countDistinct(col("l_orderkey")).as("eo"),
+          count(lit(1)).as("n_rows"))
+        .select(
+          (abs(col("ap").cast("double") / col("ep") - 1d) <= 0.04).as("parts_ok"),
+          (abs(col("asu").cast("double") / col("esu") - 1d) <= 0.04).as("suppliers_ok"),
+          (abs(col("ao").cast("double") / col("eo") - 1d) <= 0.04).as("orders_ok"),
+          col("n_rows"))
+    }, Some("""
+      SELECT TRUE AS parts_ok, TRUE AS suppliers_ok, TRUE AS orders_ok,
+        count(*) AS n_rows
+      FROM lineitem""")),
 
     ("q14_event_pivot", (s: SparkSession, d: String) => {
       table(s, d, "events")

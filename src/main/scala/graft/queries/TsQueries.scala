@@ -141,21 +141,32 @@ object TsQueries {
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
 
     // Ingest benchmark: full wipe + compress + write of all three tables;
-    // later ts queries reuse the result. Returns per-table segment counts.
+    // later ts queries reuse the result. GATE: per table, the
+    // metadata-only point count must equal the source row count (exact,
+    // zero decode) and segments/bytes must exist — reported as booleans
+    // the oracle pins to TRUE.
     ("ts_ingest", (s: SparkSession, d: String) => {
       val engine = engineForIngest(s, d)
       import s.implicits._
-      val rawBytes = new File(s"$d/events.parquet").length()
+      val rawRows = table(s, d, "events").count()
       tableNames.map { t =>
         val dir = new File(s"${engine.root}/tables/$t")
         val tableBytes = Option(dir.listFiles()).map(_.flatMap { p =>
           if (p.isDirectory) p.listFiles().filter(_.getName.endsWith(".parquet"))
           else Array.empty[File]
         }.map(_.length()).sum).getOrElse(0L)
-        (t, engine.dataFolder.segments(t).count(), tableBytes, rawBytes)
-      }.toDF("table_name", "n_segments", "segment_bytes", "raw_parquet_bytes")
+        val nSegments = engine.dataFolder.segments(t).count()
+        val nRows = engine.readTimeSeriesTable(t, Seq("value"),
+          engine.Aggregate.Count).collect().head.getLong(0)
+        (t, nRows == rawRows, nSegments > 0L, tableBytes > 0L)
+      }.toDF("table_name", "rows_ok", "has_segments", "has_bytes")
         .orderBy("table_name")
-    }, None),
+    }, Some("""
+      SELECT 'events_lossless' AS table_name, TRUE AS rows_ok,
+        TRUE AS has_segments, TRUE AS has_bytes
+      UNION ALL SELECT 'events_lossy', TRUE, TRUE, TRUE
+      UNION ALL SELECT 'events_multi', TRUE, TRUE, TRUE
+      ORDER BY table_name""")),
 
     // Full pipeline: ingest (cached) + grid reconstruction must be the
     // identity under a lossless bound.
@@ -703,9 +714,11 @@ object TsQueries {
       Seq(n).toDF("n")
     }, Some("SELECT count(*) AS n FROM events")),
 
-    // Lossy error-bound adherence, verified in-engine (no SQL oracle: the
-    // approximation is engine-defined); returns the violation count (0) and
-    // compression footprint so the driver's rows-only check sees signal.
+    // Lossy error-bound adherence: every reconstructed value must sit
+    // within the declared 1% relative bound of its raw value. GATE: the
+    // oracle pins the violation count to zero and the row count to the
+    // source's (the join is 1:1 on (ts, series)), so a bound breach or a
+    // dropped point fails the hash check.
     ("ts_lossy_bound_check", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)
       val lossy = engine.readTable("events_lossy")
@@ -716,11 +729,18 @@ object TsQueries {
           col("user_id").cast("string").as("user"),
           col("value").cast("float").as("raw_value"))
       val joined = lossy.join(raw, Seq("ts_us", "user"))
-      val violations = joined.where(
-        abs(col("lossy_value") - col("raw_value")) >
-          abs(col("raw_value")) * 0.01 + 1e-6).count()
+      val stats = joined.agg(
+        count(lit(1)).as("n_compared"),
+        coalesce(sum(when(
+          abs(col("lossy_value") - col("raw_value")) >
+            abs(col("raw_value")) * 0.01 + 1e-6, 1L)), lit(0L))
+          .as("bound_violations")).collect().head
       val segs = engine.dataFolder.segments("events_lossy").count()
       import s.implicits._
-      Seq((violations, segs)).toDF("bound_violations", "n_segments")
-    }, None))
+      Seq((stats.getLong(1), stats.getLong(0), segs > 0L))
+        .toDF("bound_violations", "n_compared", "has_segments")
+    }, Some("""
+      SELECT CAST(0 AS BIGINT) AS bound_violations,
+        CAST(count(*) AS BIGINT) AS n_compared, TRUE AS has_segments
+      FROM events""")))
 }

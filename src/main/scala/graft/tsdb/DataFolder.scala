@@ -792,10 +792,15 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     val target = TableManifest.snapshotAt(fs, tableDir(table), toVersion)
       .getOrElse(throw new IllegalArgumentException(
         s"Table $table has no manifest version $toVersion."))
-    // Resurrect the old version's stats too: the head being rolled away may
-    // have dropped stats for files it had removed.
+    // Resurrect the old version's stats for the files this commit
+    // re-introduces; files still live at the head carry their stats
+    // automatically (and the manifest contract forbids re-attaching stats
+    // to carried files — deltas would drop them on disk).
+    val headLive = TableManifest.latest(fs, tableDir(table))
+      .map(_.files.toSet).getOrElse(Set.empty)
     TableManifest.commit(fs, tableDir(table),
-      stats = target.fileStats)(_ => target.files)
+      stats = target.fileStats.filter { case (f, _) => !headLive(f) })(
+      _ => target.files)
   }
 
   private def isEmptyTableDir(dir: String): Boolean = {

@@ -408,9 +408,16 @@ private[graft] object TableManifest {
     * empty). Retries on version-claim races.
     *
     * `stats` carries per-file statistics for files THIS commit introduces
-    * (or re-measures); stats of carried-forward files follow the live list
-    * automatically and stats of removed files are dropped. Advisory —
-    * committing without stats is always legal.
+    * — and ONLY those (enforced): the delta representation persists stats
+    * for its `add` list alone, so a re-measured stat attached to a
+    * carried-forward file would merge into this process's in-memory
+    * snapshot but silently revert to the parent's value for any process
+    * resolving the chain from disk. Data files are immutable here, so
+    * re-measuring has no use case; if one ever appears, persist it by
+    * rewriting the file under a new name (or forcing a checkpoint), not
+    * by relaxing this contract. Stats of carried-forward files follow the
+    * live list automatically and stats of removed files are dropped.
+    * Advisory — committing without stats is always legal.
     */
   def commit(fs: FileSystem, tableDir: String,
       applyWalBatches: Seq[String] = Seq.empty,
@@ -445,6 +452,14 @@ private[graft] object TableManifest {
       val nextFiles =
         update(current.map(_.files).getOrElse(Seq.empty)).distinct.sorted
       val nextLive = nextFiles.toSet
+      // Stats may only accompany files this commit adds (see Scaladoc):
+      // anything else would persist on some representations (inline,
+      // checkpoint) but not on deltas — fail fast instead of diverging.
+      val carried = current.map(_.files.toSet).getOrElse(Set.empty)
+      val strayStats = stats.keySet.filter(f => !nextLive(f) || carried(f))
+      require(strayStats.isEmpty,
+        s"Stats attached to files not added by this commit: " +
+          s"${strayStats.take(3).mkString(", ")}")
       val nextStats =
         (current.map(_.fileStats).getOrElse(Map.empty[String, FileStats]) ++
           stats).filter { case (k, _) => nextLive(k) }
