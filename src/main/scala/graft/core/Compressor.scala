@@ -109,12 +109,19 @@ object Compressor {
       out: ArrayBuffer[Segment]): Unit = {
     if (maybeModel != null) {
       val model = maybeModel
-      if (residualsEndIndex - model.endIndex <= ResidualValuesMaxLength) {
+      // A model with NaN parameters (an all-NaN run accepted under the
+      // lossless bound's equal-or-NaN rule) must not absorb residuals:
+      // the min/max re-encoding relies on orderings NaN breaks, and the
+      // residual XOR chain would seed from a misdecoded last value.
+      val nanParams = model.minValue.isNaN || model.maxValue.isNaN
+      if (!nanParams && residualsEndIndex - model.endIndex <= ResidualValuesMaxLength) {
         out += finishSegment(errorBound, model, residualsEndIndex, timestamps, values)
       } else {
         out += finishSegment(errorBound, model, model.endIndex, timestamps, values)
-        out += compressResidualsAsSeparateSegment(
-          errorBound, model.endIndex + 1, residualsEndIndex, timestamps, values)
+        if (residualsEndIndex > model.endIndex) {
+          out += compressResidualsAsSeparateSegment(
+            errorBound, model.endIndex + 1, residualsEndIndex, timestamps, values)
+        }
       }
     } else {
       out += compressResidualsAsSeparateSegment(

@@ -1,136 +1,61 @@
 package graft.tsdb
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, GenericInternalRow}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{CollectionGenerator, Expression, Generator, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 import graft.core.{FloatBuf, LongBuf, Models}
 
-/** Native Catalyst generator reconstructing a segment's data points — the
-  * expression-level form of the reference's GridExec
-  * (/root/reference/crates/modelardb_storage/src/query/grid_exec.rs:56-437).
-  *
-  * Compared to the earlier `explode(udf(...))` formulation this emits
-  * (timestamp, value) rows straight from the decode buffers: no per-point
-  * Tuple2 allocation, no CatalystTypeConverters pass over a materialized
-  * array, and no follow-up struct-field projection. The generator itself is
-  * CodegenFallback (one virtual call per segment, amortized over its
-  * points); the surrounding Generate/Project/Filter pipeline stays in
-  * whole-stage codegen.
+/** Static decode kernels shared by the generators' interpreted eval and
+  * their generated code: each produces the per-segment output rows as one
+  * ArrayData, which GenerateExec's whole-stage codegen iterates inline
+  * (the Inline-generator contract). The decode loop itself stays a single
+  * JVM call per segment — what codegen buys is fusing the per-row
+  * iteration with the downstream filter/project/partial-aggregate instead
+  * of breaking the stage at the Generate boundary.
   */
-case class GridPoints(
-    modelTypeId: Expression, startTime: Expression, endTime: Expression,
-    timestamps: Expression, minValue: Expression, maxValue: Expression,
-    values: Expression, residuals: Expression)
-  extends Expression with Generator with CodegenFallback {
+object DecodeKernels {
+  private val empty = new GenericArrayData(Array.empty[Any])
 
-  override def children: Seq[Expression] = Seq(
-    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
-    values, residuals)
+  def emptyArray(): ArrayData = empty
 
-  override def elementSchema: StructType = StructType(Seq(
-    StructField("__graft_ts", LongType, nullable = false),
-    StructField("__graft_value", FloatType, nullable = false)))
-
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val mt = modelTypeId.eval(input)
-    val st = startTime.eval(input)
-    val et = endTime.eval(input)
-    val mn = minValue.eval(input)
-    val mx = maxValue.eval(input)
-    if (mt == null || st == null || et == null || mn == null || mx == null) {
-      return Iterator.empty
-    }
+  /** Reconstructed (timestamp, value) rows of one segment. */
+  def gridArray(mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
+      mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): ArrayData = {
     val tsBuf = new LongBuf(128)
     val vBuf = new FloatBuf(128)
-    Models.grid(
-      mt.asInstanceOf[Byte], st.asInstanceOf[Long], et.asInstanceOf[Long],
-      timestamps.eval(input).asInstanceOf[Array[Byte]],
-      mn.asInstanceOf[Float], mx.asInstanceOf[Float],
-      values.eval(input).asInstanceOf[Array[Byte]],
-      residuals.eval(input).asInstanceOf[Array[Byte]],
-      tsBuf, vBuf)
-    new Iterator[InternalRow] {
-      private var i = 0
-      override def hasNext: Boolean = i < tsBuf.length
-      override def next(): InternalRow = {
-        val r = new GenericInternalRow(2)
-        r.setLong(0, tsBuf(i))
-        r.setFloat(1, vBuf(i))
-        i += 1
-        r
-      }
+    Models.grid(mt, st, et, tsBytes, mn, mx, values, residuals, tsBuf, vBuf)
+    val out = new Array[Any](tsBuf.length)
+    var i = 0
+    while (i < tsBuf.length) {
+      val r = new GenericInternalRow(2)
+      r.setLong(0, tsBuf(i))
+      r.setFloat(1, vBuf(i))
+      out(i) = r
+      i += 1
     }
+    new GenericArrayData(out)
   }
 
-  override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): Expression =
-    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3),
-      newChildren(4), newChildren(5), newChildren(6), newChildren(7))
-}
-
-/** Per-bucket partial aggregates computed inside the decode loop: one
-  * output row per epoch-floor bucket the segment's (range-clipped) points
-  * fall in, instead of one row per point. A downsampling aggregate over
-  * bucket-straddling segments emits O(buckets per segment) rows where
-  * gridding emits O(points) — at 100 TB the point stream never
-  * materializes, and the HashAggregate above merges tiny partials.
-  * `bucketUs = Long.MaxValue` degenerates to one partial per segment,
-  * which is exactly what a range aggregate's boundary side needs.
-  *
-  * Rows are (bucket, cnt, sum, min, max, tmin, tmax); emission flushes on
-  * bucket change, so correctness does NOT depend on decode order —
-  * out-of-order timestamps only produce extra partial rows that the
-  * downstream merge (sum/sum/min/max/min/max) combines to the same totals.
-  * The tmin/tmax columns are the bucket's first/last in-range timestamps,
-  * letting `min/max(ts)` under a time range or bucket grouping answer
-  * without ever materializing points.
-  */
-case class BucketPartials(
-    bucketUs: Long, rangeStartUs: Option[Long], rangeEndUs: Option[Long],
-    modelTypeId: Expression, startTime: Expression, endTime: Expression,
-    timestamps: Expression, minValue: Expression, maxValue: Expression,
-    values: Expression, residuals: Expression)
-  extends Expression with Generator with CodegenFallback {
-
-  require(bucketUs > 0, "Bucket width must be positive.")
-
-  override def children: Seq[Expression] = Seq(
-    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
-    values, residuals)
-
-  override def elementSchema: StructType = StructType(Seq(
-    StructField("__graft_bucket", LongType, nullable = false),
-    StructField("__bp_cnt", LongType, nullable = false),
-    StructField("__bp_sum", DoubleType, nullable = false),
-    StructField("__bp_min", FloatType, nullable = false),
-    StructField("__bp_max", FloatType, nullable = false),
-    StructField("__bp_tmin", LongType, nullable = false),
-    StructField("__bp_tmax", LongType, nullable = false)))
-
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val mt = modelTypeId.eval(input)
-    val st = startTime.eval(input)
-    val et = endTime.eval(input)
-    val mn0 = minValue.eval(input)
-    val mx0 = maxValue.eval(input)
-    if (mt == null || st == null || et == null || mn0 == null || mx0 == null) {
-      return Iterator.empty
-    }
+  /** Per-bucket partial rows (bucket, cnt, sum, min, max, tmin, tmax) of
+    * one segment, range-clipped to [lo, hi]. Emission flushes on bucket
+    * change, so correctness does NOT depend on decode order — out-of-order
+    * timestamps only produce extra partial rows that the downstream merge
+    * combines to the same totals.
+    */
+  def bucketPartialsArray(bucketUs: Long, lo: Long, hi: Long,
+      mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
+      mn0: Float, mx0: Float, values: Array[Byte],
+      residuals: Array[Byte]): ArrayData = {
     val tsBuf = new LongBuf(128)
     val vBuf = new FloatBuf(128)
-    Models.grid(
-      mt.asInstanceOf[Byte], st.asInstanceOf[Long], et.asInstanceOf[Long],
-      timestamps.eval(input).asInstanceOf[Array[Byte]],
-      mn0.asInstanceOf[Float], mx0.asInstanceOf[Float],
-      values.eval(input).asInstanceOf[Array[Byte]],
-      residuals.eval(input).asInstanceOf[Array[Byte]],
-      tsBuf, vBuf)
+    Models.grid(mt, st, et, tsBytes, mn0, mx0, values, residuals, tsBuf, vBuf)
 
-    val lo = rangeStartUs.getOrElse(Long.MinValue)
-    val hi = rangeEndUs.getOrElse(Long.MaxValue)
-    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](4)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
     var bucket = 0L
     var cnt = 0L
     var sum = 0.0
@@ -181,8 +106,171 @@ case class BucketPartials(
       i += 1
     }
     flush()
-    out
+    new GenericArrayData(out.toArray)
   }
+}
+
+/** Shared shape of the decode generators: Inline-style collection
+  * generators whose doGenCode is one static kernel call, so GenerateExec
+  * keeps the surrounding pipeline in whole-stage codegen.
+  */
+private[tsdb] trait DecodeGenerator extends Generator with CollectionGenerator {
+  def modelTypeId: Expression
+  def startTime: Expression
+  def endTime: Expression
+  def timestamps: Expression
+  def minValue: Expression
+  def maxValue: Expression
+  def values: Expression
+  def residuals: Expression
+
+  override def children: Seq[Expression] = Seq(
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+
+  override def collectionType: DataType =
+    ArrayType(elementSchema, containsNull = false)
+  override val inline: Boolean = true
+  override val position: Boolean = false
+
+  /** Java call producing the segment's ArrayData from the evaluated child
+    * values (in children order).
+    */
+  protected def kernelCall(args: Seq[String]): String
+
+  protected def rowsOf(input: InternalRow): ArrayData = {
+    val mt = modelTypeId.eval(input)
+    val st = startTime.eval(input)
+    val et = endTime.eval(input)
+    val mn = minValue.eval(input)
+    val mx = maxValue.eval(input)
+    if (mt == null || st == null || et == null || mn == null || mx == null) {
+      DecodeKernels.emptyArray()
+    } else {
+      evalKernel(
+        mt.asInstanceOf[Byte], st.asInstanceOf[Long], et.asInstanceOf[Long],
+        timestamps.eval(input).asInstanceOf[Array[Byte]],
+        mn.asInstanceOf[Float], mx.asInstanceOf[Float],
+        values.eval(input).asInstanceOf[Array[Byte]],
+        residuals.eval(input).asInstanceOf[Array[Byte]])
+    }
+  }
+
+  protected def evalKernel(mt: Byte, st: Long, et: Long, ts: Array[Byte],
+      mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): ArrayData
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = rowsOf(input)
+    val n = elementSchema.length
+    new Iterator[InternalRow] {
+      private var i = 0
+      override def hasNext: Boolean = i < arr.numElements()
+      override def next(): InternalRow = { i += 1; arr.getStruct(i - 1, n) }
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val arrCls = classOf[ArrayData].getName
+    val anyNull = Seq(evals(0), evals(1), evals(2), evals(4), evals(5))
+      .map(_.isNull).mkString("(", " || ", ")")
+    val call = kernelCall(evals.map(_.value.toString))
+    val childCode = evals.map(_.code).reduce(_ + _)
+    ev.copy(
+      code = childCode +
+        code"""
+           |$arrCls ${ev.value} = null;
+           |if ($anyNull) {
+           |  ${ev.value} = graft.tsdb.DecodeKernels.emptyArray();
+           |} else {
+           |  ${ev.value} = $call;
+           |}
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+}
+
+/** Native Catalyst generator reconstructing a segment's data points — the
+  * expression-level form of the reference's GridExec
+  * (/root/reference/crates/modelardb_storage/src/query/grid_exec.rs:56-437).
+  *
+  * Compared to the earlier `explode(udf(...))` formulation this emits
+  * (timestamp, value) rows straight from the decode buffers: no per-point
+  * Tuple2 allocation, no CatalystTypeConverters pass over a materialized
+  * array, and no follow-up struct-field projection. As an Inline-style
+  * collection generator with real codegen, the Generate operator and its
+  * consumers stay inside one whole-stage-codegen span.
+  */
+case class GridPoints(
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression with DecodeGenerator {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("__graft_ts", LongType, nullable = false),
+    StructField("__graft_value", FloatType, nullable = false)))
+
+  override protected def evalKernel(mt: Byte, st: Long, et: Long,
+      ts: Array[Byte], mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): ArrayData =
+    DecodeKernels.gridArray(mt, st, et, ts, mn, mx, values, residuals)
+
+  override protected def kernelCall(args: Seq[String]): String =
+    s"graft.tsdb.DecodeKernels.gridArray(${args.mkString(", ")})"
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3),
+      newChildren(4), newChildren(5), newChildren(6), newChildren(7))
+}
+
+/** Per-bucket partial aggregates computed inside the decode loop: one
+  * output row per epoch-floor bucket the segment's (range-clipped) points
+  * fall in, instead of one row per point. A downsampling aggregate over
+  * bucket-straddling segments emits O(buckets per segment) rows where
+  * gridding emits O(points) — at 100 TB the point stream never
+  * materializes, and the HashAggregate above merges tiny partials.
+  * `bucketUs = Long.MaxValue` degenerates to one partial per segment,
+  * which is exactly what a range aggregate's boundary side needs.
+  *
+  * Rows are (bucket, cnt, sum, min, max, tmin, tmax); see
+  * [[DecodeKernels.bucketPartialsArray]] for the order-independence and
+  * NaN semantics. The tmin/tmax columns are the bucket's first/last
+  * in-range timestamps, letting `min/max(ts)` under a time range or
+  * bucket grouping answer without ever materializing points.
+  */
+case class BucketPartials(
+    bucketUs: Long, rangeStartUs: Option[Long], rangeEndUs: Option[Long],
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression with DecodeGenerator {
+
+  require(bucketUs > 0, "Bucket width must be positive.")
+
+  private def lo: Long = rangeStartUs.getOrElse(Long.MinValue)
+  private def hi: Long = rangeEndUs.getOrElse(Long.MaxValue)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("__graft_bucket", LongType, nullable = false),
+    StructField("__bp_cnt", LongType, nullable = false),
+    StructField("__bp_sum", DoubleType, nullable = false),
+    StructField("__bp_min", FloatType, nullable = false),
+    StructField("__bp_max", FloatType, nullable = false),
+    StructField("__bp_tmin", LongType, nullable = false),
+    StructField("__bp_tmax", LongType, nullable = false)))
+
+  override protected def evalKernel(mt: Byte, st: Long, et: Long,
+      ts: Array[Byte], mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): ArrayData =
+    DecodeKernels.bucketPartialsArray(bucketUs, lo, hi, mt, st, et, ts,
+      mn, mx, values, residuals)
+
+  override protected def kernelCall(args: Seq[String]): String =
+    s"graft.tsdb.DecodeKernels.bucketPartialsArray(" +
+      s"${bucketUs}L, ${lo}L, ${hi}L, ${args.mkString(", ")})"
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =

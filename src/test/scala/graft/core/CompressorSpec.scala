@@ -106,6 +106,31 @@ class CompressorSpec extends AnyFunSuite with SeededChecks {
       s"compressed $compressedBytes >= raw $rawBytes")
   }
 
+  test("NaN runs round-trip losslessly, alone and against residual runs") {
+    // An all-NaN run fits PMC-Mean under the lossless equal-or-NaN rule;
+    // followed by an incompressible run it must NOT absorb those values as
+    // residuals (NaN breaks the min/max parameter re-encode orderings and
+    // the residual XOR seed). Exact bit-level identity is required.
+    val rng = new scala.util.Random(11)
+    val patterns = Seq[Int => Float](
+      i => if (i < 60) Float.NaN else (rng.nextFloat() * 2 - 1) * 1e5f,
+      i => if (i >= 60 && i < 120) Float.NaN
+        else if (i % 7 == 0) Float.NaN
+        else (rng.nextFloat() * 2 - 1) * 1e5f,
+      _ => Float.NaN,
+      i => if (i % 2 == 0) Float.NaN else 42.0f)
+    patterns.foreach { f =>
+      val vs = Array.tabulate(180)(f)
+      val ts = Array.tabulate(180)(i => 100L + 60000000L * i)
+      val segments = Compressor.compressUnivariate(ts, vs, ErrorBound.Lossless)
+      val (gridTs, gridVs) = gridAll(segments)
+      assert(gridTs.toSeq == ts.toSeq)
+      gridVs.zip(vs).zipWithIndex.foreach { case ((d, o), i) =>
+        assert(d == o || (d.isNaN && o.isNaN), s"index $i: decoded $d != $o")
+      }
+    }
+  }
+
   test("random series round-trip under every bound") {
     val bounds = Seq(ErrorBound.Lossless, ErrorBound.absolute(0.5f), ErrorBound.relative(5.0f))
     checkAll(iterations = 150) { rng =>
