@@ -286,6 +286,12 @@ private[graft] object TableManifest {
       version: Long): Option[Set[String]] =
     readRaw(fs, tableDir, version).flatMap(_.rewrites).map(_.toSet)
 
+  /** Drop this process's cached snapshots (test/probe hook: measuring a
+    * cold head resolution from disk requires the cache out of the way).
+    */
+  private[graft] def dropCachedSnapshots(): Unit =
+    snapshotCache.synchronized(snapshotCache.clear())
+
   private def read(fs: FileSystem, tableDir: String, v: Long): Option[Snapshot] = {
     val key = (tableDir, v)
     val cached = snapshotCache.synchronized(Option(snapshotCache.get(key)))
@@ -318,15 +324,51 @@ private[graft] object TableManifest {
     }
       .orElse(raw.checkpoint.flatMap(readCheckpoint(fs, tableDir, _)).map {
         case (fl, sidecarStats) =>
-          val live = fl.toSet
-          (fl, (sidecarStats ++ raw.stats).filter { case (k, _) => live(k) })
+          // Sidecar stats are written from the committed snapshot's stats,
+          // which are ⊆ live by the commit invariant — no million-entry
+          // filter pass; stray foreign keys are never consulted (lookups
+          // are by live file name).
+          (fl, sidecarStats ++ raw.stats)
       })
       .orElse(raw.deltaBase.filter(_ < raw.version).flatMap { base =>
         read(fs, tableDir, base).map { parent =>
-          val files = ((parent.files.toSet -- raw.remove) ++ raw.add).toSeq.sorted
-          val live = files.toSet
-          val stats = ((parent.fileStats -- raw.remove) ++ raw.stats)
-            .filter { case (k, _) => live(k) }
+          // O(live + changes) delta application preserving the sorted
+          // invariant every writer maintains — a deep delta chain over 10^6
+          // files must not rebuild a set and re-sort the full list per
+          // level. A (foreign) unsorted parent is detected during the merge
+          // and falls back to the set-semantics rebuild.
+          val removeSet = raw.remove.toSet
+          val adds = raw.add.distinct.filterNot(removeSet).sorted
+          val pf = parent.files.toIndexedSeq
+          val out = new scala.collection.mutable.ArrayBuffer[String](
+            pf.length + adds.length)
+          var sortedOk = true
+          var prev: String = null
+          def push(s: String): Unit = {
+            if (prev != null && prev.compareTo(s) > 0) sortedOk = false
+            prev = s
+            out += s
+          }
+          var i = 0
+          var j = 0
+          while (i < pf.length && j < adds.length) {
+            val c = pf(i).compareTo(adds(j))
+            if (c < 0) { val f = pf(i); i += 1; if (!removeSet(f)) push(f) }
+            else if (c > 0) { push(adds(j)); j += 1 }
+            else { val f = pf(i); i += 1; j += 1; push(f) } // add already live
+          }
+          while (i < pf.length) {
+            val f = pf(i); i += 1; if (!removeSet(f)) push(f)
+          }
+          while (j < adds.length) { push(adds(j)); j += 1 }
+          val files: Seq[String] =
+            if (sortedOk) out.toIndexedSeq
+            else ((pf.toSet -- raw.remove) ++ raw.add).toSeq.sorted
+          // Stats keys are ⊆ live by the commit invariant (delta stats ⊆
+          // add, parent stats ⊆ parent files), so dropping removed keys
+          // suffices; a foreign manifest's stray key is never consulted —
+          // all lookups are by live file name.
+          val stats = (parent.fileStats -- raw.remove) ++ raw.stats
           (files, stats)
         }
       })
@@ -449,20 +491,71 @@ private[graft] object TableManifest {
       val nextStreams = streamVersion.fold(carriedStreams) { case (ns, v) =>
         carriedStreams.updated(ns, math.max(v, carriedStreams.getOrElse(ns, v)))
       }
-      val nextFiles =
-        update(current.map(_.files).getOrElse(Seq.empty)).distinct.sorted
-      val nextLive = nextFiles.toSet
+      val baseFiles = current.map(_.files.toIndexedSeq).getOrElse(IndexedSeq.empty)
+      val updated = update(baseFiles)
+      // Append-only fast path — the streaming-ingest shape, and the one
+      // that runs millions of times over a table's life. The base list is
+      // already sorted and distinct, so the new names (usually a handful)
+      // merge in O(live + adds) with NO full re-sort, no full set builds,
+      // and no million-entry stats-map rebuild. The prefix check costs one
+      // reference-fast pass; any non-append update (compaction, truncate,
+      // vacuum rewrite) falls back to the general path below.
+      def baseContains(f: String): Boolean = {
+        var lo = 0
+        var hi = baseFiles.length - 1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          val c = baseFiles(mid).compareTo(f)
+          if (c == 0) return true
+          if (c < 0) lo = mid + 1 else hi = mid - 1
+        }
+        false
+      }
+      val appendAdds: Option[Seq[String]] =
+        if (updated.length >= baseFiles.length && updated.startsWith(baseFiles))
+          Some(updated.drop(baseFiles.length).distinct
+            .filterNot(baseContains).sorted)
+        else scala.None
+      val nextFiles: Seq[String] = appendAdds match {
+        case Some(adds) if adds.isEmpty => baseFiles
+        case Some(adds) =>
+          val out = new Array[String](baseFiles.length + adds.length)
+          var i = 0; var j = 0; var k = 0
+          while (i < baseFiles.length && j < adds.length) {
+            if (baseFiles(i).compareTo(adds(j)) <= 0) {
+              out(k) = baseFiles(i); i += 1
+            } else { out(k) = adds(j); j += 1 }
+            k += 1
+          }
+          while (i < baseFiles.length) { out(k) = baseFiles(i); i += 1; k += 1 }
+          while (j < adds.length) { out(k) = adds(j); j += 1; k += 1 }
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+        case scala.None => updated.distinct.sorted
+      }
       // Stats may only accompany files this commit adds (see Scaladoc):
       // anything else would persist on some representations (inline,
       // checkpoint) but not on deltas — fail fast instead of diverging.
-      val carried = current.map(_.files.toSet).getOrElse(Set.empty)
-      val strayStats = stats.keySet.filter(f => !nextLive(f) || carried(f))
+      val strayStats = appendAdds match {
+        case Some(adds) =>
+          val addSet = adds.toSet
+          stats.keySet.filterNot(addSet)
+        case scala.None =>
+          val nextLive = nextFiles.toSet
+          val carried = current.map(_.files.toSet).getOrElse(Set.empty)
+          stats.keySet.filter(f => !nextLive(f) || carried(f))
+      }
       require(strayStats.isEmpty,
         s"Stats attached to files not added by this commit: " +
           s"${strayStats.take(3).mkString(", ")}")
-      val nextStats =
-        (current.map(_.fileStats).getOrElse(Map.empty[String, FileStats]) ++
-          stats).filter { case (k, _) => nextLive(k) }
+      val baseStats =
+        current.map(_.fileStats).getOrElse(Map.empty[String, FileStats])
+      val nextStats = appendAdds match {
+        case Some(_) => // nothing removed: carried stats all stay live
+          if (stats.isEmpty) baseStats else baseStats ++ stats
+        case scala.None =>
+          val nextLive = nextFiles.toSet
+          (baseStats ++ stats).filter { case (k, _) => nextLive(k) }
+      }
       val next = Snapshot(
         maxClaimed + 1L,
         System.currentTimeMillis(),
@@ -486,11 +579,16 @@ private[graft] object TableManifest {
           checkpointJson(next, name, rewrites)
         } else {
           val base = current.get
-          val baseSet = base.files.toSet
-          val nextSet = next.files.toSet
-          deltaJson(next, base.version,
-            next.files.filterNot(baseSet), base.files.filterNot(nextSet),
-            rewrites)
+          appendAdds match {
+            case Some(adds) =>
+              deltaJson(next, base.version, adds, Seq.empty, rewrites)
+            case scala.None =>
+              val baseSet = base.files.toSet
+              val nextSet = next.files.toSet
+              deltaJson(next, base.version,
+                next.files.filterNot(baseSet), base.files.filterNot(nextSet),
+                rewrites)
+          }
         }
 
       val path = versionPath(fs, tableDir, next)

@@ -412,6 +412,42 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(spoof.collect().map(_.getLong(1)).sum == 800L)
   }
 
+  test("tag names colliding with rewrite internals decline to gridding") {
+    // A tag literally named 'bucket' (or shadowing a produced
+    // '<kind>_<field>' name) must not abort inside the rewritten plan's
+    // engine reader — the rewrite declines and the query grids correctly.
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE col1(ts TIMESTAMP, v FIELD, " +
+      "bucket TAG, sum_v TAG)")
+    import spark.implicits._
+    val df = (0 until 400).map { i =>
+      (1706745600000000L + i * 60000000L, i.toFloat % 13,
+        s"b${i % 2}", s"s${i % 3}")
+    }.toDF("ts", "v", "bucket", "sum_v")
+    engine.write("col1", df)
+
+    val byBucketTag = engine.sql(
+      "SELECT bucket, date_trunc('HOUR', ts) AS h, SUM(v) AS s FROM col1 " +
+        "GROUP BY bucket, h ORDER BY bucket, h")
+    val got = byBucketTag.collect()
+    val want = engine.readTable("col1")
+      .groupBy(col("bucket"), date_trunc("HOUR", col("ts")).as("h"))
+      .agg(sum(col("v").cast("double")).as("s"))
+      .orderBy("bucket", "h").collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0) && g.getTimestamp(1) == w.getTimestamp(1))
+      assert(math.abs(g.getDouble(2) - w.getDouble(2)) <= 1e-6)
+    }
+
+    val bySumTag = engine.sql(
+      "SELECT sum_v, SUM(v) AS s FROM col1 GROUP BY sum_v ORDER BY sum_v")
+    val got2 = bySumTag.collect()
+    assert(got2.map(_.getString(0)).toSeq == Seq("s0", "s1", "s2"))
+    assert(math.abs(got2.map(_.getDouble(1)).sum -
+      df.agg(sum(col("v").cast("double"))).collect().head.getDouble(0)) <= 1e-6)
+  }
+
   test("min/max(ts) and count(ts/tag) answer from segment metadata") {
     val engine = newEngine()
     engine.sql(
