@@ -2,7 +2,8 @@ package graft.tsdb
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
 
 import graft.core.{Models, TimestampCodec}
@@ -10,11 +11,14 @@ import graft.core.{Models, TimestampCodec}
 /** Number of data points a segment represents, decoded from the timestamp
   * metadata alone — the kernel behind segment-native COUNT/AVG
   * (/root/reference/crates/modelardb_compression/src/models/mod.rs:98-124).
-  * Native expression form: no ScalaUDF converter pass per segment row.
+  * Native expression with codegen: the surrounding Project/HashAggregate
+  * stays in one whole-stage span, no interpreted-expression call boundary.
+  * Children come from the non-null segment schema, hence no null branches
+  * (matching the interpreted eval, which would throw on null anyway).
   */
 case class SegmentLen(
     startTime: Expression, endTime: Expression, timestamps: Expression)
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override def children: Seq[Expression] = Seq(startTime, endTime, timestamps)
   override def dataType: DataType = LongType
@@ -27,6 +31,17 @@ case class SegmentLen(
       timestamps.eval(input).asInstanceOf[Array[Byte]]).toLong
   }
 
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |long ${ev.value} = (long) graft.core.TimestampCodec.len(
+           |  ${evals(0).value}, ${evals(1).value}, ${evals(2).value});
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(newChildren(0), newChildren(1), newChildren(2))
@@ -36,12 +51,13 @@ case class SegmentLen(
   * Swing trapezoid, MacaqueV decode-sum, + residuals), f64-accumulated —
   * the kernel behind segment-native SUM/AVG
   * (/root/reference/crates/modelardb_compression/src/models/mod.rs:129-184).
+  * Codegen'd like [[SegmentLen]].
   */
 case class SegmentSum(
     modelTypeId: Expression, startTime: Expression, endTime: Expression,
     timestamps: Expression, minValue: Expression, maxValue: Expression,
     values: Expression, residuals: Expression)
-  extends Expression with CodegenFallback {
+  extends Expression {
 
   override def children: Seq[Expression] = Seq(
     modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
@@ -59,6 +75,17 @@ case class SegmentSum(
       maxValue.eval(input).asInstanceOf[Float],
       values.eval(input).asInstanceOf[Array[Byte]],
       residuals.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |double ${ev.value} = graft.core.Models.sumDouble(
+           |  ${evals.map(_.value).mkString(", ")});
+           """.stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(
