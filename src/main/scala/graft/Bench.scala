@@ -138,7 +138,6 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Let AQE re-plan (coalesce) the shuffles that feed cached frames:
       // iterative operators (dedup clustering) cache tiny per-round edge
       // sets, and without this flag every one of those rounds shuffles at

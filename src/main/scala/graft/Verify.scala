@@ -14,8 +14,6 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); read as Long nanoseconds.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE may re-plan shuffles feeding cached frames (see Bench).
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()

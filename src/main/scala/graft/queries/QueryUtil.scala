@@ -14,8 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object QueryUtil {
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  /** events.ts has shipped in two physical shapes across testdata
+    * generations: TIMESTAMP(NANOS) surfacing as Long nanoseconds, and
+    * timestamp[us] surfacing as TIMESTAMP_NTZ under Spark 4.1. Normalize
+    * both to a session-zone (UTC) TimestampType column at the read edge so
+    * every query sees one canonical shape; data is µs-exact either way.
+    */
+  private def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
 
   /** Exact decimal view of a 2-decimal double column. */
   def dec(c: Column): Column = c.cast("decimal(18,2)")
@@ -23,9 +39,7 @@ object QueryUtil {
   /** Decimal aggregate back to a comparable rounded double. */
   def money(c: Column): Column = round(c.cast("double"), 2)
 
-  /** events.ts is read as Long nanoseconds (TIMESTAMP(NANOS) parquet);
-    * normalize to a microsecond timestamp.
-    */
-  def eventsTsMicros: Column = expr("CAST(ts DIV 1000 AS LONG)")
-  def eventsTimestamp: Column = timestamp_micros(eventsTsMicros)
+  /** Canonical events.ts accessors over the normalized TimestampType shape. */
+  def eventsTsMicros: Column = unix_micros(col("ts"))
+  def eventsTimestamp: Column = col("ts")
 }

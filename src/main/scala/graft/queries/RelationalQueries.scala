@@ -372,15 +372,25 @@ object RelationalQueries {
     // exact cross-engine check. Sketch + exact together cost more than
     // the pure sketch — the pure-approx scale argument lives in the q11
     // comment above; this row verifies the estimates are sane.
+    // PLAN NOTE: the sketches and the exact counts run as SEPARATE
+    // aggregates over two scans, joined as 1-row broadcast frames. Packing
+    // 3 approx + 3 exact distincts into ONE Aggregate makes Spark plan an
+    // Expand x7 over lineitem (the largest table): 0.85 s -> 10.66 s at
+    // sf0.1, and row-multiplication that only worsens with scale. Two
+    // clean scans are strictly cheaper; the approx pass alone has no
+    // Expand at all (HLL is a plain aggregate).
     ("q11_distinct_counts_approx", (s: SparkSession, d: String) => {
-      table(s, d, "lineitem").agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-          approx_count_distinct(col("l_suppkey"), 0.02).as("asu"),
-          approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-          countDistinct(col("l_partkey")).as("ep"),
-          countDistinct(col("l_suppkey")).as("esu"),
-          countDistinct(col("l_orderkey")).as("eo"),
-          count(lit(1)).as("n_rows"))
+      val li = table(s, d, "lineitem")
+      val approx = li.agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("asu"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        count(lit(1)).as("n_rows"))
+      val exact = li.agg(
+        countDistinct(col("l_partkey")).as("ep"),
+        countDistinct(col("l_suppkey")).as("esu"),
+        countDistinct(col("l_orderkey")).as("eo"))
+      approx.crossJoin(exact)
         .select(
           (abs(col("ap").cast("double") / col("ep") - 1d) <= 0.04).as("parts_ok"),
           (abs(col("asu").cast("double") / col("esu") - 1d) <= 0.04).as("suppliers_ok"),
@@ -465,13 +475,14 @@ object RelationalQueries {
 
     ("q13_event_sessions", (s: SparkSession, d: String) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
       table(s, d, "events")
-        .select(col("user_id"), col("ts"), col("event_id"),
-          lag(col("ts"), 1).over(w).as("prev_ts"))
+        .select(col("user_id"), eventsTsMicros.as("ts_us"), col("event_id"))
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          lag(col("ts_us"), 1).over(w).as("prev_ts"))
         .withColumn("new_session",
           when(col("prev_ts").isNull ||
-            col("ts") - col("prev_ts") > 1800L * 1000000000L, 1L).otherwise(0L))
+            col("ts_us") - col("prev_ts") > 1800L * 1000000L, 1L).otherwise(0L))
         .groupBy("user_id")
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
         .orderBy("user_id")

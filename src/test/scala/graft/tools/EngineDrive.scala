@@ -21,7 +21,6 @@ object EngineDrive {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -35,9 +34,9 @@ object EngineDrive {
     println(s"tables: ${engine.tables()}")
     println(s"schema: ${engine.schema("events_ts").simpleString}")
 
-    // Ingest real events (ns -> us, value -> float, user_id -> tag).
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("CAST(ts DIV 1000 AS LONG) AS ts",
+    // Ingest real events (ts -> us long, value -> float, user_id -> tag).
+    val events = graft.queries.QueryUtil.table(spark, sfDir, "events")
+      .selectExpr("unix_micros(ts) AS ts",
         "CAST(value AS FLOAT) AS value", "CAST(user_id AS STRING) AS user")
     engine.write("events_ts", events)
     val rawCount = events.count()

@@ -17,14 +17,12 @@ object KernelDrive {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); Spark reads it as Long nanos.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .selectExpr("user_id", "CAST(ts DIV 1000 AS LONG) AS ts_us", "CAST(value AS FLOAT) AS v")
+    val events = graft.queries.QueryUtil.table(spark, sfDir, "events")
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "CAST(value AS FLOAT) AS v")
       .as[(Long, Long, Float)]
       .collect()
       .groupBy(_._1)

@@ -22,7 +22,6 @@ object StreamDrive {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -37,7 +36,7 @@ object StreamDrive {
 
     val streamed = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
-      .select(timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")).as("ts"),
+      .select(col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
 
     val agg = StreamingAnalytics.windowedStats(
@@ -51,7 +50,7 @@ object StreamDrive {
     val streamTotal = spark.sql(
       "SELECT SUM(n) AS n, COUNT(*) AS windows FROM stream_win").collect().head
     val batchWindows = batch
-      .select(timestamp_micros(expr("CAST(ts DIV 1000 AS LONG)")).as("ts"),
+      .select(col("ts").cast("timestamp").as("ts"),
         col("event_type"), col("value"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .count()
@@ -63,7 +62,7 @@ object StreamDrive {
     val sessionEvents = spark.readStream.schema(schema)
       .parquet(streamDir.toString)
       .select(col("event_type").as("key"),
-        expr("CAST(ts DIV 1000 AS LONG)").as("tsMicros"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"),
         col("value").as("value"))
       .as[StreamingAnalytics.SessionEvent]
     val sessions = StreamingAnalytics.sessionize(

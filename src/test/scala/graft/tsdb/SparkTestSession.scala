@@ -11,7 +11,6 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // AQE may re-plan shuffles feeding cached frames (matches Bench /
       // Verify): iterative operators cache tiny per-round frames that
       // otherwise shuffle at full width with near-empty tasks.
