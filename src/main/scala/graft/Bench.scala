@@ -38,11 +38,19 @@ object Bench {
   private val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
   private val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
+  /** Millisecond resolution keeps the full 72-query line under ~2 KB so a
+    * consumer that only retains a bounded stdout tail still captures (and
+    * can parse) the whole map — round 11's artifact lost its head to
+    * exactly that truncation.
+    */
+  private def fmt(v: Double): String =
+    if (v < 0) "-1.0" else f"$v%.3f"
+
   private def jsonLine(results: Seq[(String, Double)]): String = {
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 
   // ---------------------------------------------------------------- forked

@@ -377,23 +377,21 @@ object Dedup {
 
   // ------------------------------------------------- embedding near-dup LSH
 
-  /** Exact cosine similarity between two float-array columns (expression:
-    * single pass over attribute references, codegen-friendly).
+  /** Exact cosine similarity between two float-array columns.
+    *
+    * f64 products folded left in array order: a SQL engine replaying the
+    * same fold (list_reduce over cast-to-double elements) reproduces the
+    * result bit-for-bit, which keeps floor-scaled cosines oracle-checkable.
+    * Backed by the codegen'd single-pass CosineSimilarity expression —
+    * bit-identical to the higher-order
+    * `aggregate(zip_with(...))/sqrt(aggregate(transform(...)))`
+    * formulation (spec-pinned), minus its three intermediate arrays and
+    * CodegenFallback interpretation.
     */
   def cosine(a: Column, b: Column): Column = {
-    // f64 products folded left in array order: a SQL engine replaying the
-    // same fold (list_reduce over cast-to-double elements) reproduces the
-    // result bit-for-bit, which keeps floor-scaled cosines oracle-checkable.
-    val dot = aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
-    val na = sqrt(aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0d), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(
-      transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0d), (acc, x) => acc + x))
-    dot / (na * nb)
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Embedding near-duplicate pairs: candidates from shared hyperplane-LSH

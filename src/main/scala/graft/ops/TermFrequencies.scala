@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document term frequencies for a fixed bag of query terms, in ONE
+  * pass over the token array: `term_frequencies(tokens, terms)[i]` equals
+  * `size(filter(tokens, w -> w = terms(i)))` for every i, but
+  *
+  *  - the token array is scanned once for all terms (hash lookup per
+  *    token) instead of once per term, and no filtered copies are
+  *    allocated;
+  *  - it codegens (`doGenCode`), whereas Spark's higher-order `filter` is
+  *    `CodegenFallback` and ejects its whole Project from whole-stage
+  *    codegen.
+  *
+  * Used by the BM25 scorer (reference behavior: ModelarDB has no text
+  * surface; this backs the training-data pipeline's relevance ranking),
+  * where the per-term tf tower is the scan-side hot loop at corpus scale.
+  */
+case class TermFrequencies(child: Expression, terms: Seq[String])
+  extends UnaryExpression {
+
+  require(terms.nonEmpty, "term_frequencies needs at least one term")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "term_frequencies"
+
+  /** Term -> output slot. Rebuilt lazily on executors after serialization;
+    * duplicate terms keep the first slot (later duplicates count zero,
+    * matching distinct query-term semantics — callers dedupe anyway).
+    */
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](terms.length * 2)
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.putIfAbsent(UTF8String.fromString(t), Integer.valueOf(i))
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](terms.length)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val slot = lookup.get(arr.getUTF8String(i))
+        if (slot != null) counts(slot.intValue()) += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mapRef = ctx.addReferenceObj("termLookup", lookup,
+        classOf[java.util.HashMap[UTF8String, Integer]].getName)
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val slot = ctx.freshName("slot")
+      s"""
+         |int[] $counts = new int[${terms.length}];
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    Integer $slot = (Integer) $mapRef.get($arr.getUTF8String($i));
+         |    if ($slot != null) $counts[$slot.intValue()]++;
+         |  }
+         |}
+         |${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($counts);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): TermFrequencies =
+    copy(child = newChild)
+}
+
+/** Count of tokens that appear in a fixed vocabulary, in one hashed pass —
+  * equals `size(filter(tokens, w -> array_contains(vocab, w)))` but
+  * codegens and does O(1) membership tests instead of an interpreted
+  * linear `array_contains` scan per token. Backs the stopword-ratio and
+  * language-ID signals, which run this against 4 vocabularies per
+  * document on the corpus scan.
+  */
+case class VocabHitCount(child: Expression, vocab: Seq[String])
+  extends UnaryExpression {
+
+  require(vocab.nonEmpty, "vocab_hit_count needs a non-empty vocabulary")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "vocab_hit_count"
+
+  @transient private lazy val lookup: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](vocab.length * 2)
+    vocab.foreach(t => s.add(UTF8String.fromString(t)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && lookup.contains(arr.getUTF8String(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val setRef = ctx.addReferenceObj("vocabSet", lookup,
+        classOf[java.util.HashSet[UTF8String]].getName)
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val hits = ctx.freshName("hits")
+      s"""
+         |int $hits = 0;
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i) && $setRef.contains($arr.getUTF8String($i))) $hits++;
+         |}
+         |${ev.value} = $hits;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VocabHitCount =
+    copy(child = newChild)
+}

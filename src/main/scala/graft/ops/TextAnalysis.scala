@@ -33,10 +33,16 @@ object TextAnalysis {
 
   private def words(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Number of words of `text` that appear in `vocabulary`. */
+  /** Number of words of `text` that appear in `vocabulary`. One hashed
+    * codegen'd pass (VocabHitCount) — count-identical to
+    * `size(filter(words, w -> array_contains(vocab, w)))`, which would run
+    * interpreted (higher-order filter is CodegenFallback) and scan the
+    * vocabulary array per word.
+    */
   def vocabularyHits(text: Column, vocabulary: Seq[String]): Column = {
-    val vocab = array(vocabulary.map(lit): _*)
-    size(filter(words(text), w => array_contains(vocab, w)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      VocabHitCount(ColumnBridge.expression(words(text)), vocabulary))
   }
 
   /** Stopword-ratio language ID over the built-in lists; "und" (undetermined)
@@ -173,13 +179,25 @@ object TextAnalysis {
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       k: Int = 50): DataFrame = {
     require(terms.nonEmpty)
-    val toks = filter(
-      split(lower(trim(col(textCol))), "\\s+"), w => w =!= lit(""))
+    // Codegen-friendly tokenization: trim first, so split can only emit an
+    // empty token for the all-whitespace/empty document (guarded by the
+    // CASE) — equivalent to filter(split(...), w != "") without the
+    // higher-order filter, which is CodegenFallback and would eject this
+    // whole Project from whole-stage codegen.
+    val trimmed = lower(trim(col(textCol)))
+    val toks = when(length(trimmed) === 0, array().cast("array<string>"))
+      .otherwise(split(trimmed, "\\s+"))
     val base = df.select(col(idCol).as("doc_id"), toks.as("__ws"))
       .withColumn("dl", size(col("__ws")))
-    val withTf = terms.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
-      acc.withColumn(s"tf_$i", size(filter(col("__ws"), w => w === lit(t))))
-    }.drop("__ws")
+    // All term frequencies in one codegen'd pass over the token array
+    // (see TermFrequencies) instead of one interpreted filtered copy per
+    // term.
+    val tfArr = org.apache.spark.sql.graft.ColumnBridge.column(
+      TermFrequencies(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("__ws")), terms))
+    val withTf = terms.indices.foldLeft(base.withColumn("__tf", tfArr)) {
+      case (acc, i) => acc.withColumn(s"tf_$i", col("__tf").getItem(i))
+    }.drop("__ws", "__tf")
 
     val statAggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
       terms.indices.map(i => sum((col(s"tf_$i") > 0).cast("long")).as(s"df_$i"))

@@ -403,6 +403,107 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine expression is bit-identical to the higher-order fold") {
+    // The HOF formulation the expression replaced: f64 left fold in array
+    // order. Any FP reordering would shift floor-scaled oracle cosines.
+    def hofCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, x) => acc + x)
+      val na = sqrt(aggregate(
+        transform(a, x => x.cast("double") * x.cast("double")),
+        lit(0.0d), (acc, x) => acc + x))
+      val nb = sqrt(aggregate(
+        transform(b, x => x.cast("double") * x.cast("double")),
+        lit(0.0d), (acc, x) => acc + x))
+      dot / (na * nb)
+    }
+    val pairs = embeddings.limit(100).select($"vec_id", $"embedding")
+      .crossJoin(broadcast(embeddings.limit(7)
+        .select($"vec_id".as("qid"), $"embedding".as("qv"))))
+    val mismatches = pairs
+      .select(Dedup.cosine($"embedding", $"qv").as("fast"),
+        hofCosine($"embedding", $"qv").as("ref"))
+      .where(not($"fast" <=> $"ref"))
+      .count()
+    assert(mismatches == 0, "codegen cosine diverged from the HOF fold")
+    // Null semantics match zip_with padding: length mismatch / null -> null.
+    val edge = Seq(
+      (Seq(1f, 2f), Seq(1f, 2f, 3f)), // length mismatch
+      (Seq(1f, 0f), Seq(0f, 1f))      // orthogonal -> 0.0
+    ).toDF("a", "b")
+      .select(Dedup.cosine($"a", $"b").as("c")).collect()
+    assert(edge(0).isNullAt(0))
+    assert(edge(1).getDouble(0) == 0.0)
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    import org.apache.spark.sql.graft.ColumnBridge
+    assert(!CosineSimilarity(ColumnBridge.expression($"a"),
+      ColumnBridge.expression($"b")).isInstanceOf[CodegenFallback])
+  }
+
+  test("term_frequencies equals the higher-order filter formulation and codegens") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val terms = Seq("the", "data", "zz_absent", "the") // duplicate keeps slot 0
+    val toks = filter(split(lower(trim($"text")), "\\s+"), w => w =!= lit(""))
+    val tf = ColumnBridge.column(
+      TermFrequencies(ColumnBridge.expression($"__ws"), terms))
+    val rows = docs.limit(200)
+      .select($"doc_id", toks.as("__ws"))
+      .select(Seq($"doc_id", tf.as("tf")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter($"__ws", w => w === lit(t))).as(s"ref_$i")
+        }: _*)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val got = r.getSeq[Int](1)
+      assert(got(0) == r.getInt(2), s"tf(the) mismatch for doc ${r.getLong(0)}")
+      assert(got(1) == r.getInt(3))
+      assert(got(2) == 0 && got(2) == r.getInt(4))
+      // Duplicate query term: first slot takes all occurrences.
+      assert(got(3) == 0)
+    }
+    // Codegen path: the expression must not be CodegenFallback, and empty /
+    // null-element arrays must be safe in both eval modes.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+    val e = TermFrequencies(ColumnBridge.expression($"__ws"), terms)
+    assert(!e.isInstanceOf[CodegenFallback])
+    val edge = Seq((1L, Seq("the", "the")), (2L, Seq.empty[String]))
+      .toDF("id", "__ws")
+      .select(ColumnBridge.column(
+        TermFrequencies(ColumnBridge.expression($"__ws"), terms)).as("tf"))
+      .collect().map(_.getSeq[Int](0))
+    assert(edge(0) == Seq(2, 0, 0, 0) && edge(1) == Seq(0, 0, 0, 0))
+  }
+
+  test("vocab_hit_count equals the higher-order array_contains formulation") {
+    val vocab = TextAnalysis.stopwords("en")
+    val vocabArr = array(vocab.map(lit): _*)
+    val toks = split(lower(trim($"text")), "\\s+")
+    val edge = Seq((9000001L, ""), (9000002L, "   "), (9000003L, "the the a"))
+      .toDF("doc_id", "text")
+    val mism = docs.limit(300).select($"doc_id", $"text").union(edge)
+      .select(
+        TextAnalysis.vocabularyHits($"text", vocab).as("fast"),
+        size(filter(toks, w => array_contains(vocabArr, w))).as("ref"))
+      .where(not($"fast" <=> $"ref"))
+      .count()
+    assert(mism == 0, "vocab_hit_count diverged from the HOF formulation")
+  }
+
+  test("bm25 tokenization without the higher-order filter matches it") {
+    // The CASE WHEN tokenization in bm25TopK must agree with
+    // filter(split(...), != "") on every document, including edge shapes.
+    val edge = Seq((1L, ""), (2L, "   "), (3L, " a  b\tc "), (4L, "one"))
+      .toDF("doc_id", "text")
+    val corpus = docs.limit(200).select($"doc_id", $"text").union(edge)
+    val trimmed = lower(trim($"text"))
+    val fast = when(length(trimmed) === 0, array().cast("array<string>"))
+      .otherwise(split(trimmed, "\\s+"))
+    val slow = filter(split(trimmed, "\\s+"), w => w =!= lit(""))
+    assert(corpus.where(not(fast <=> slow)).count() == 0)
+  }
+
   test("multimodal stub pipeline preserves schema and determinism") {
     val assets = Multimodal.synthesizeAssets(docs, "doc_id", "text", "image")
     // Compare names/types; nullability differs by construction path.

@@ -25,6 +25,10 @@ object PlanAudit {
     names.foreach { name =>
       println(s"\n==================== $name ====================")
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // SPARK_GRAFT_PLAN_EXEC=1: execute first so AQE finalizes and the
+      // formatted plan carries [codegen id : n] annotations — an
+      // un-executed AdaptiveSparkPlan shows no codegen info at all.
+      if (sys.env.get("SPARK_GRAFT_PLAN_EXEC").contains("1")) df.collect()
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
