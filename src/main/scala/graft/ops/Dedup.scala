@@ -36,19 +36,20 @@ object Dedup {
 
   // ---------------------------------------------------------------- minhash
 
-  private def bandKeysUdf(numHashes: Int, bands: Int, shingleK: Int) =
-    udf { text: String =>
-      Signatures.minhashBandKeys(
-        Signatures.minhash(text, numHashes, shingleK), bands)
-    }
+  // Signature kernels as native codegen'd expressions (SignatureExpressions):
+  // same one-pass Signatures functions, minus the ScalaUDF row encoders and
+  // the whole-stage-codegen break a UDF forces on its Project.
+  import org.apache.spark.sql.graft.ColumnBridge.{column => kcol, expression => kexpr}
 
-  private val shinglesUdf =
-    udf { (text: String, k: Int) => Signatures.wordShingles(text, k) }
+  private def minhashBandKeysCol(text: Column, numHashes: Int, bands: Int,
+      shingleK: Int): Column =
+    kcol(MinhashBandKeysExpr(kexpr(text), numHashes, bands, shingleK))
 
-  private val jaccardUdf =
-    udf { (a: Seq[String], b: Seq[String]) =>
-      Signatures.jaccard(a.toArray, b.toArray)
-    }
+  private def shinglesCol(text: Column, k: Int): Column =
+    kcol(WordShinglesExpr(kexpr(text), k))
+
+  private def jaccardCol(a: Column, b: Column): Column =
+    kcol(JaccardExpr(kexpr(a), kexpr(b)))
 
   /** (id, band, band_hash) rows: one per LSH band per document. Two
     * documents sharing any (band, band_hash) are near-duplicate candidates.
@@ -58,7 +59,7 @@ object Dedup {
       numHashes: Int = 128, bands: Int = 16, shingleK: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     df.select(col(idCol),
-      posexplode(bandKeysUdf(numHashes, bands, shingleK)(col(textCol)))
+      posexplode(minhashBandKeysCol(col(textCol), numHashes, bands, shingleK))
         .as(Seq("band", "band_hash")))
   }
 
@@ -78,11 +79,11 @@ object Dedup {
       .select("id_a", "id_b").distinct()
 
     val content = df.select(col(idCol).as("id"),
-      shinglesUdf(col(textCol), lit(shingleK)).as("sh"))
+      shinglesCol(col(textCol), shingleK).as("sh"))
     candidates
       .join(content.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(content.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -110,7 +111,7 @@ object Dedup {
         "(at threshold 0 every pair qualifies and the result itself is " +
         "quadratic; use minhashDuplicatePairs for approximate recall).")
     val withShingles = df.select(col(idCol).as("id"),
-      shinglesUdf(col(textCol), lit(n)).as("sh"))
+      shinglesCol(col(textCol), n).as("sh"))
     val tokens = withShingles
       .select(col("id"), size(col("sh")).as("sz"), explode(col("sh")).as("shingle"))
     val freq = tokens.groupBy("shingle").agg(count(lit(1)).as("freq"))
@@ -126,7 +127,7 @@ object Dedup {
     candidates
       .join(withShingles.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(withShingles.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccardUdf(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -298,8 +299,8 @@ object Dedup {
 
   // ---------------------------------------------------------------- simhash
 
-  /** 62-bit SimHash of the text's word features (one-pass kernel). */
-  val simhash = udf { text: String => Signatures.simhash(text) }
+  /** 62-bit SimHash of the text's word features (one-pass codegen'd kernel). */
+  def simhash(text: Column): Column = kcol(SimhashExpr(kexpr(text)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -329,14 +330,12 @@ object Dedup {
       maxDistance: Int = 3): DataFrame = {
     val Salts = 8L
     val Blocks = 16L
-    val chunksUdf = udf { sig: Long =>
-      Array.tabulate(4)(c => (sig >>> (c * 16)) & 0xffffL)
-    }
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
 
     // Candidate signature pairs from salted chunk blocking over distinct sigs.
     val chunked = sigs.select("sig").distinct().select(col("sig"),
-      posexplode(chunksUdf(col("sig"))).as(Seq("chunk", "chunk_val")))
+      posexplode(kcol(SimhashChunksExpr(kexpr(col("sig")))))
+        .as(Seq("chunk", "chunk_val")))
     val aSide = chunked.toDF("sig_a", "chunk", "chunk_val")
       .withColumn("salt", pmod(xxhash64(col("sig_a")), lit(Salts)))
     val bSide = chunked.toDF("sig_b", "chunk", "chunk_val")
@@ -400,11 +399,9 @@ object Dedup {
   def embeddingDuplicatePairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, bits: Int = 16, bands: Int = 4): DataFrame = {
-    val bandsUdf = udf { vec: Seq[Float] =>
-      Signatures.hyperplaneBandKeys(vec.toArray, bits, bands)
-    }
     val banded = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      posexplode(bandsUdf(col(vecCol))).as(Seq("band", "band_key")))
+      posexplode(kcol(HyperplaneBandKeysExpr(kexpr(col(vecCol)), bits, bands)))
+        .as(Seq("band", "band_key")))
     val a = banded.toDF("id_a", "vec_a", "band", "band_key")
     val b = banded.toDF("id_b", "vec_b", "band", "band_key")
     a.join(b, Seq("band", "band_key"))

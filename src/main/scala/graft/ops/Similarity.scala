@@ -120,13 +120,14 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, queryIdCol: String,
       k: Int, bits: Int = 8, bands: Int = 16): DataFrame = {
-    val bandsUdf = udf { vec: Seq[Float] =>
-      Signatures.hyperplaneBandKeys(vec.toArray, bits, bands)
-    }
+    import org.apache.spark.sql.graft.ColumnBridge
+    def bandKeys(vec: Column): Column =
+      ColumnBridge.column(
+        HyperplaneBandKeysExpr(ColumnBridge.expression(vec), bits, bands))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      posexplode(bandsUdf(col(vecCol))).as(Seq("band", "band_key")))
+      posexplode(bandKeys(col(vecCol))).as(Seq("band", "band_key")))
     val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv"),
-      posexplode(bandsUdf(col(vecCol))).as(Seq("band", "band_key")))
+      posexplode(bandKeys(col(vecCol))).as(Seq("band", "band_key")))
     val candidates = c.join(q, Seq("band", "band_key"))
       .select("query_id", "__qv", "neighbor_id", "__cv")
       .distinct()

@@ -101,11 +101,10 @@ object TextAnalysis {
     * the equivalent higher-order-function expression is interpreted (no
     * codegen for lambdas) and quadratic in the line count.
     */
-  def duplicateLineCharFraction(text: Column): Column =
-    dupLineCharUdf(text)
-
-  private val dupLineCharUdf =
-    udf { text: String => Signatures.duplicateLineCharFraction(text) }
+  def duplicateLineCharFraction(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(DupLineCharFractionExpr(ColumnBridge.expression(text)))
+  }
 
   /** Fraction of word n-grams that are repeats of an earlier n-gram in the
     * same document (`1 - distinct/total`) — high values flag degenerate
@@ -115,12 +114,9 @@ object TextAnalysis {
     * interpreted gram array once per reference (no CSE inside lambdas).
     */
   def duplicateNgramFraction(text: Column, n: Int): Column = {
-    require(n >= 1, "n-gram size must be positive")
-    dupNgramUdf(text, lit(n))
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(DupNgramFractionExpr(ColumnBridge.expression(text), n))
   }
-
-  private val dupNgramUdf =
-    udf { (text: String, n: Int) => Signatures.duplicateNgramFraction(text, n) }
 
   /** Order-sensitive document fingerprint of whitespace-normalized,
     * lowercased text. MD5-based so any engine can reproduce it.
@@ -140,21 +136,18 @@ object TextAnalysis {
     * share hashes, so this backs containment/overlap detection. One-pass
     * kernel; the hash arithmetic is SQL-reproducible.
     */
-  def rollingFingerprint(text: Column, k: Int = 16, divisor: Long = 16L): Column =
-    rollingFingerprintUdf(text, lit(k), lit(divisor))
-
-  private val rollingFingerprintUdf = udf {
-    (text: String, k: Int, divisor: Long) =>
-      Signatures.rollingFingerprint(text, k, divisor)
+  def rollingFingerprint(text: Column, k: Int = 16, divisor: Long = 16L): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      RollingFingerprintExpr(ColumnBridge.expression(text), k, divisor))
   }
 
   /** Distinct word n-grams of a document (the shingle kernel shared with
     * the dedup operators), for corpus-level n-gram statistics.
     */
-  def wordNgrams(text: Column, n: Int): Column = wordNgramsUdf(text, lit(n))
-
-  private val wordNgramsUdf = udf { (text: String, n: Int) =>
-    Signatures.wordShingles(text, n)
+  def wordNgrams(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(WordShinglesExpr(ColumnBridge.expression(text), n))
   }
 
   /** Document frequency of every word n-gram in the corpus (each document
