@@ -33,8 +33,26 @@ object Signatures {
     acc
   }
 
+  /** Both seed-7 and seed-13 polynomial hashes in ONE pass over the UTF-8
+    * bytes (one getBytes allocation instead of two); packed (h7, h13<<31)
+    * low/high. Arithmetic identical to two poly31 calls.
+    */
+  private def poly31Pair(s: String): Long = {
+    var a = 7L
+    var b = 13L
+    val bytes = s.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i) & 0xffL
+      a = (a * 131L + c) % P31
+      b = (b * 131L + c) % P31
+      i += 1
+    }
+    a | (b << 31)
+  }
+
   /** 62-bit hash: two independent polynomial hashes packed side by side. */
-  def hash62(s: String): Long = poly31(s, 7L) | (poly31(s, 13L) << 31)
+  def hash62(s: String): Long = poly31Pair(s)
 
   /** Lowercased whitespace-separated words. */
   def words(text: String): Array[String] =
@@ -103,18 +121,31 @@ object Signatures {
     }
   }
 
-  /** Distinct word k-shingles joined with single spaces. */
+  /** Distinct word k-shingles joined with single spaces (first-occurrence
+    * order). One reused StringBuilder instead of a slice array + mkString
+    * per shingle — this is the inner loop of minhash/jaccard/ngram-stats
+    * over every document.
+    */
   def wordShingles(text: String, k: Int): Array[String] = {
     val ws = words(text)
     if (ws.length < k) Array.empty
     else {
-      val out = new scala.collection.mutable.LinkedHashSet[String]
+      val total = ws.length - k + 1
+      val out = new java.util.LinkedHashSet[String](total * 2)
+      val sb = new java.lang.StringBuilder
       var i = 0
-      while (i + k <= ws.length) {
-        out += ws.slice(i, i + k).mkString(" ")
+      while (i < total) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) {
+          if (j > 0) sb.append(' ')
+          sb.append(ws(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
         i += 1
       }
-      out.toArray
+      out.toArray(new Array[String](out.size))
     }
   }
 
@@ -127,8 +158,9 @@ object Signatures {
     val sh = wordShingles(text, shingleK)
     var s = 0
     while (s < sh.length) {
-      val h1 = poly31(sh(s), 7L)
-      val h2 = poly31(sh(s), 13L)
+      val packed = poly31Pair(sh(s)) // h1 | h2 << 31, one byte pass
+      val h1 = packed & 0x7fffffffL
+      val h2 = packed >>> 31
       var i = 0
       while (i < numHashes) {
         val h = (h1 + i * h2) % P31
