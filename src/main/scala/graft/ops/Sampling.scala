@@ -77,4 +77,82 @@ object Sampling {
       }
     df.where(splitBucket(col(keyCol), seed) < threshold)
   }
+
+  /** Keep the best-scoring rows until a global cost budget is exhausted —
+    * the "top documents until N tokens" selection every corpus pipeline
+    * runs before training. Rows are ranked by (`scoreCol` DESC, `idCol`
+    * ASC); a row is kept iff the summed cost of all rows ranked strictly
+    * before it is < `budget` (so the crossing row is included and the
+    * result is never empty while budget > 0). Exactly equivalent to
+    * `QUALIFY sum(cost) OVER (ORDER BY score DESC, id) - cost < budget`.
+    *
+    * Scale shape: the payload is NEVER sorted or shuffled. A narrow
+    * (score, cost, id) projection is range-partitioned on the rank order;
+    * per-partition cost totals (one row per partition) prefix-scan on the
+    * driver to locate the budget-crossing partition; only that single
+    * partition is scanned to find the cutoff row. The selection then
+    * collapses to a scan predicate on the original frame —
+    * `score > s* OR (score = s* AND id <= i*)` — which pushes down to the
+    * Parquet reader. Selecting from 100 TB costs one narrow-column
+    * shuffle plus one filtered scan.
+    *
+    * `scoreCol` must be numeric and non-null/non-NaN rows are ranked;
+    * null/NaN scores are never selected. `idCol` must be a unique integer
+    * key (the deterministic tiebreak); `costCol` non-negative.
+    */
+  def selectByBudget(df: DataFrame, scoreCol: String, costCol: String,
+      idCol: String, budget: Long): DataFrame = {
+    val score = col(scoreCol).cast("double")
+    val rankable = score.isNotNull && !isnan(score)
+    if (budget <= 0L) return df.where(lit(false))
+
+    val narrow = df.where(rankable).select(
+      score.as("__s"), coalesce(col(costCol).cast("long"), lit(0L)).as("__c"),
+      col(idCol).cast("long").as("__i"))
+    val p = math.max(1, narrow.sparkSession.sessionState.conf.numShufflePartitions)
+    val ranged = narrow
+      .repartitionByRange(p, col("__s").desc, col("__i").asc)
+      .sortWithinPartitions(col("__s").desc, col("__i").asc)
+    // RDD-level reuse: the second job over the same RDD skips the
+    // completed shuffle map stage, so the narrow frame is shuffled once.
+    val rdd = ranged.rdd
+
+    val totals = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var t = 0L
+        it.foreach(r => t += r.getLong(1))
+        Iterator.single((i, t))
+      }
+      .collect().sortBy(_._1).map(_._2) // bounded: one Long per partition
+    val grandTotal = totals.sum
+    if (grandTotal <= budget) return df.where(rankable)
+
+    // The budget crosses inside partition k (ranges are globally ordered).
+    var k = 0
+    var offset = 0L
+    while (offset + totals(k) < budget) { offset += totals(k); k += 1 }
+    val partOffset = offset
+    val crossing = k
+    val cutoff = rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        if (i != crossing) Iterator.empty
+        else {
+          var run = partOffset
+          var last: Option[(Double, Long)] = None
+          while (it.hasNext && run < budget) {
+            val r = it.next()
+            last = Some((r.getDouble(0), r.getLong(2)))
+            run += r.getLong(1)
+          }
+          last.iterator
+        }
+      }
+      .collect() // exactly one row: the last kept (score, id)
+    cutoff.headOption match {
+      case Some((s, i)) =>
+        df.where(rankable && (score > s ||
+          (score === s && col(idCol).cast("long") <= i)))
+      case None => df.where(lit(false)) // crossing partition empty: nothing fits
+    }
+  }
 }

@@ -159,6 +159,38 @@ object TextAnalysis {
     df.select(explode(wordNgrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
 
+  /** Per-document boilerplate annotation: the fraction of a document's
+    * distinct word n-grams that are corpus-wide COMMON (document frequency
+    * >= `minDf`) — high fractions flag template/boilerplate pages
+    * (navigation chrome, license headers) that repeat across many
+    * documents without being full-document duplicates, the C4-style
+    * span-level screen between exact dedup and near-dup.
+    *
+    * Scale shape: one hash-keyed count shuffle builds the common-gram set
+    * (bounded above by totalGrams / minDf — heavy hitters are few by
+    * definition), which broadcasts back onto the exploded grams, so the
+    * annotation join never shuffles the grams; the per-document tally is
+    * a grouped count keyed by id. Documents too short for any n-gram get
+    * fraction 0.
+    */
+  def boilerplateNgramFraction(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDf: Long): DataFrame = {
+    require(minDf >= 2, "minDf < 2 would mark every n-gram as boilerplate")
+    val base = df.select(col(idCol),
+      size(wordNgrams(col(textCol), n)).cast("long").as("n_grams"))
+    val grams = df.select(col(idCol),
+      explode(wordNgrams(col(textCol), n)).as("gram"))
+    val common = grams.groupBy("gram").agg(count(lit(1)).as("gram_df"))
+      .where(col("gram_df") >= minDf).select("gram")
+    val commonPerDoc = grams.join(broadcast(common), Seq("gram"))
+      .groupBy(idCol).agg(count(lit(1)).as("n_common"))
+    base.join(commonPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        trunc4(coalesce(col("n_common"), lit(0L)).cast("double") /
+          greatest(col("n_grams"), lit(1L))).as("boilerplate_frac"))
+  }
+
   /** Top-k documents by BM25 relevance for a bag of query terms
     * (Robertson/Sparck Jones k1-b parameterization). Built scan-only:
     * per-term term frequencies and document length are array expressions

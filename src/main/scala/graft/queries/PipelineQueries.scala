@@ -363,6 +363,23 @@ object PipelineQueries {
         count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM b GROUP BY 1 ORDER BY 1""")),
 
+    // Token-budget selection: keep the highest-quality documents until a
+    // global 15k-token budget is exhausted (ties broken by doc_id; the
+    // budget-crossing document is included). The payload is never
+    // shuffled — a narrow (score, cost, id) projection locates the exact
+    // cutoff row and the selection collapses to a pushed-down scan
+    // predicate. The oracle replays the rule as a QUALIFY running sum.
+    ("pipeline_token_budget", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("n_tokens",
+          TextAnalysis.tokenCount(col("text")).cast("long"))
+      graft.ops.Sampling
+        .selectByBudget(docs, "quality", "n_tokens", "doc_id", budget = 15000L)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+        .orderBy("doc_id")
+    }, Some(tokenBudgetOracle)),
+
     // Decontamination: per eval document (doc_id >= 450), the fraction of
     // its distinct bigrams found anywhere in the train partition — the
     // standard eval-leakage check, replayed exactly by the oracle.
@@ -470,6 +487,38 @@ object PipelineQueries {
       SELECT ngram, count(*) AS doc_freq
       FROM sh GROUP BY 1
       ORDER BY doc_freq DESC, ngram LIMIT 100""")),
+
+    // Boilerplate annotation: fraction of each document's distinct 3-grams
+    // with corpus-wide document frequency >= 3 — the C4-style span-level
+    // screen between exact dedup and near-dup. The common-gram set is
+    // bounded by totalGrams/minDf and broadcasts; grams never shuffle.
+    ("text_boilerplate", (s: SparkSession, d: String) => {
+      TextAnalysis.boilerplateNgramFraction(
+          table(s, d, "documents"), "doc_id", "text", n = 3, minDf = 3L)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), w -> w <> '') AS ws
+        FROM documents),
+      d AS (
+        SELECT doc_id, CASE WHEN len(ws) >= 3 THEN list_distinct(
+            list_transform(range(1, len(ws) - 1),
+              i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+          ELSE [] END AS grams
+        FROM t),
+      g AS (SELECT doc_id, unnest(grams) AS gram FROM d),
+      common AS (
+        SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 3),
+      hits AS (
+        SELECT g.doc_id, count(*) AS n_common
+        FROM g JOIN common c ON c.gram = g.gram GROUP BY 1)
+      SELECT d.doc_id, CAST(len(d.grams) AS BIGINT) AS n_grams,
+        CAST(coalesce(h.n_common, 0) AS BIGINT) AS n_common,
+        floor(CAST(coalesce(h.n_common, 0) AS DOUBLE) /
+          greatest(len(d.grams), 1) * 10000.0) / 10000.0 AS boilerplate_frac
+      FROM d LEFT JOIN hits h ON h.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
 
     ("text_tokens", (s: SparkSession, d: String) => {
       val docs = table(s, d, "documents")
@@ -771,6 +820,33 @@ object PipelineQueries {
                   ELSE 'test' END AS split,
         count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM b GROUP BY 1 ORDER BY 1"""
+  }
+
+  private def tokenBudgetOracle: String = {
+    val en = TextAnalysis.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""
+      WITH m AS (
+        SELECT doc_id,
+          len(list_filter(string_split_regex(trim(text), '\\s+'), w -> w <> ''))
+            AS n_tokens,
+          length(text) AS n_chars,
+          len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+            w -> list_contains([$en], w))) AS sw_hits,
+          length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+          floor(least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0) *
+            (0.5 + least((floor(CAST(sw_hits AS DOUBLE) / greatest(n_tokens, 1)
+                  * 10000.0) / 10000.0) * 5.0, 1.0) * 0.25 +
+              (floor(CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) * 10000.0)
+                / 10000.0) * 0.25) * 10000.0) / 10000.0
+            AS quality
+        FROM m)
+      SELECT doc_id, quality, n_tokens FROM q
+      QUALIFY sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens < 15000
+      ORDER BY doc_id"""
   }
 
   private def qualityOracle: String = {

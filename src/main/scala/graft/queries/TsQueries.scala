@@ -375,6 +375,56 @@ object TsQueries {
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       ORDER BY 1, 2""")),
 
+    // Resampling with LINEAR INTERPOLATION: empty 6h buckets get floating
+    // aggregates interpolated between the surrounding observed buckets,
+    // weighted by bucket distance; integral counts stay NULL (coalesced to
+    // 0 here — an empty bucket truly has zero points). The oracle replays
+    // the exact prev/next-observation windows and the interpolation
+    // arithmetic in DuckDB.
+    ("ts_resample_interp", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.readTimeSeriesTableResampled("events_lossless",
+          java.time.Duration.ofHours(6), Seq("value"),
+          Seq(engine.Aggregate.Count, engine.Aggregate.Avg, engine.Aggregate.Min),
+          groupByTags = Seq("user"), fill = engine.FillPolicy.Interp)
+        .select(col("user"), unix_micros(col("bucket")).as("bucket_us"),
+          coalesce(col("count_value"), lit(0L)).as("n"),
+          round(col("avg_value"), 4).as("avg_v"),
+          round(col("min_value").cast("double"), 4).as("min_v"))
+        .orderBy("user", "bucket_us")
+    }, Some("""
+      WITH agg AS (
+        SELECT CAST(user_id AS VARCHAR) AS u,
+          CAST(epoch_us(ts) - epoch_us(ts) % 21600000000 AS BIGINT) AS b,
+          count(*) AS n,
+          avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)) AS a,
+          CAST(min(CAST(value AS FLOAT4)) AS DOUBLE) AS mn
+        FROM events GROUP BY 1, 2),
+      spans AS (SELECT u, min(b) AS lo, max(b) AS hi FROM agg GROUP BY 1),
+      grid AS (
+        SELECT u, unnest(generate_series(lo, hi, 21600000000)) AS b
+        FROM spans),
+      f AS (
+        SELECT g.u, g.b, a.n, a.a, a.mn,
+          last_value(a.a IGNORE NULLS) OVER wp AS pa,
+          first_value(a.a IGNORE NULLS) OVER wn AS na,
+          last_value(a.mn IGNORE NULLS) OVER wp AS pm,
+          first_value(a.mn IGNORE NULLS) OVER wn AS nm,
+          last_value(CASE WHEN a.a IS NOT NULL THEN g.b END IGNORE NULLS)
+            OVER wp AS pb,
+          first_value(CASE WHEN a.a IS NOT NULL THEN g.b END IGNORE NULLS)
+            OVER wn AS nb
+        FROM grid g LEFT JOIN agg a ON a.u = g.u AND a.b = g.b
+        WINDOW wp AS (PARTITION BY g.u ORDER BY g.b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wn AS (PARTITION BY g.u ORDER BY g.b
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT u AS user, b AS bucket_us, CAST(coalesce(n, 0) AS BIGINT) AS n,
+        round(coalesce(a, pa + (na - pa) * (b - pb) / (nb - pb)), 4) AS avg_v,
+        round(CAST(CAST(coalesce(mn, pm + (nm - pm) * (b - pb) / (nb - pb))
+          AS FLOAT4) AS DOUBLE), 4) AS min_v
+      FROM f ORDER BY 1, 2""")),
+
     // The same ranged aggregate expressed as PLAIN SQL with literal
     // timestamp bounds: the Catalyst rewrite routes it through the hybrid
     // plan (interior segments from metadata, boundary segments gridded) —

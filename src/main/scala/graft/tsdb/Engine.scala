@@ -44,12 +44,16 @@ final class Engine(val spark: SparkSession, val root: String) {
   /** How [[readTimeSeriesTableResampled]] fills materialized empty
     * buckets: `Nulls` leaves every aggregate column NULL (counts 0 would
     * be a lie for min/max, so uniformity wins); `Locf` carries the last
-    * observed bucket's aggregate row forward within each tag group.
+    * observed bucket's aggregate row forward within each tag group;
+    * `Interp` linearly interpolates floating aggregate columns between the
+    * surrounding observed buckets (weighted by bucket distance) and leaves
+    * integral columns (counts) NULL — a fractional count would be a lie.
     */
   sealed trait FillPolicy
   object FillPolicy {
     case object Nulls extends FillPolicy
     case object Locf extends FillPolicy
+    case object Interp extends FillPolicy
   }
 
   // -------------------------------------------------------------------- DDL
@@ -496,6 +500,28 @@ final class Engine(val spark: SparkSession, val root: String) {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         aggColNames.foldLeft(dense)((df, c) =>
           df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+      case FillPolicy.Interp =>
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.types.{DoubleType, FloatType}
+        val wPrev = Window.partitionBy(keys: _*).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wNext = Window.partitionBy(keys: _*).orderBy(col("__b"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        aggColNames.foldLeft(dense) { (df, c) =>
+          df.schema(c).dataType match {
+            case FloatType | DoubleType =>
+              val obsB = when(col(c).isNotNull, col("__b"))
+              val pv = last(col(c).cast(DoubleType), ignoreNulls = true).over(wPrev)
+              val pb = last(obsB, ignoreNulls = true).over(wPrev)
+              val nv = first(col(c).cast(DoubleType), ignoreNulls = true).over(wNext)
+              val nb = first(obsB, ignoreNulls = true).over(wNext)
+              val interp = pv + (nv - pv) * (col("__b") - pb) / (nb - pb)
+              df.withColumn(c, coalesce(col(c), interp.cast(df.schema(c).dataType)))
+            // Integral aggregates (counts) have no meaningful fractional
+            // fill — gaps stay NULL, as under FillPolicy.Nulls.
+            case _ => df
+          }
+        }
     }
     filled.select((keys :+ timestamp_micros(col("__b")).as("bucket")) ++
       aggColNames.map(col): _*)

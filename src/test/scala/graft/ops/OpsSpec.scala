@@ -337,6 +337,65 @@ class OpsSpec extends AnyFunSuite {
     assert(strat.count() == docs.where(col("doc_id") % 2 === 0).count())
   }
 
+  test("token-budget selection matches the running-sum rule exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val scored = docs
+      .withColumn("quality", TextAnalysis.qualityScore($"text"))
+      .withColumn("cost", TextAnalysis.tokenCount($"text").cast("long"))
+    val w = Window.orderBy($"quality".desc, $"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def oracle(budget: Long): Set[Long] = scored
+      .withColumn("cum", sum($"cost").over(w) - $"cost")
+      .where($"cum" < budget).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    for (budget <- Seq(1L, 500L, 5000L, 20000L)) {
+      val got = Sampling.selectByBudget(scored, "quality", "cost", "doc_id", budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got == oracle(budget), s"budget $budget")
+    }
+    // Budget >= grand total keeps everything; 0 keeps nothing.
+    val total = scored.agg(sum($"cost")).head.getLong(0)
+    assert(Sampling.selectByBudget(scored, "quality", "cost", "doc_id", total)
+      .count() == docs.count())
+    assert(Sampling.selectByBudget(scored, "quality", "cost", "doc_id", 0L)
+      .count() == 0)
+    // Null and NaN scores are never selected, even with room in the budget.
+    val withBad = scored.unionByName(
+      Seq((900001L, java.lang.Double.valueOf(Double.NaN)),
+          (900002L, null.asInstanceOf[java.lang.Double]))
+        .toDF("doc_id", "q2")
+        .select($"doc_id", lit("x").as("text"), lit(null).cast("string").as("lang"),
+          lit(null).cast("string").as("source"), lit(1L).as("n_chars"),
+          $"q2".as("quality"), lit(1L).as("cost")))
+    val selected = Sampling
+      .selectByBudget(withBad, "quality", "cost", "doc_id", total + 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!selected.contains(900001L) && !selected.contains(900002L))
+    assert(selected.size == docs.count())
+  }
+
+  test("boilerplate fraction flags corpus-common ngrams per document") {
+    val tiny = Seq(
+      (1L, "nav bar home about us content one"),
+      (2L, "nav bar home about us content two"),
+      (3L, "nav bar home about us different words here"),
+      (4L, "completely unrelated text with no shared spans"),
+      (5L, "ab")  // too short for a 3-gram
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .boilerplateNgramFraction(tiny, "doc_id", "text", n = 3, minDf = 3L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // "nav bar home", "bar home about", "home about us" appear in docs
+    // 1,2,3 (df=3); "about us content" only in 1,2 (df=2 < 3).
+    assert(out(1L) == ((5L, 3L, 0.6)))
+    assert(out(2L) == ((5L, 3L, 0.6)))
+    assert(out(3L)._2 == 3L)
+    assert(out(4L) == ((5L, 0L, 0.0)))
+    assert(out(5L) == ((0L, 0L, 0.0)), "short docs keep fraction 0")
+    assert(out.size == 5, "every document is annotated")
+  }
+
   test("ngram doc frequencies count each document once per ngram") {
     val tiny = Seq(
       (1L, "a b a b"), // bigrams {a b, b a} — each counted once

@@ -625,6 +625,22 @@ class EngineSpec extends AnyFunSuite {
       "Locf must carry bucket 1's aggregates across the gap")
     assert(l(("a", 4000L)) == ((1L, 4.0)), "observed buckets keep their own values")
     assert(l(("b", 2000L)) == ((1L, 6.0)) && l(("b", 3000L)) == ((1L, 7.0)))
+
+    val interp = run(engine.FillPolicy.Interp)
+    assert(interp.length == 8)
+    val gapI = interp.filter(r => r.getString(0) == "a" &&
+      (r.getLong(1) == 2000L || r.getLong(1) == 3000L))
+    assert(gapI.forall(_.isNullAt(2)),
+      "Interp must leave integral counts NULL in gaps")
+    val i = interp.map(r => ((r.getString(0), r.getLong(1)),
+      if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    // prev observed (1000, avg 3.0), next observed (4000, avg 4.0):
+    // 2000 -> 3 + 1*(1/3), 3000 -> 3 + 1*(2/3), weighted by bucket distance.
+    assert(math.abs(i(("a", 2000L)) - (3.0 + 1.0 / 3)) < 1e-9)
+    assert(math.abs(i(("a", 3000L)) - (3.0 + 2.0 / 3)) < 1e-9)
+    assert(math.abs(i(("a", 1000L)) - 3.0) < 1e-9 &&
+      math.abs(i(("a", 4000L)) - 4.0) < 1e-9,
+      "observed buckets keep their exact values under Interp")
   }
 
   test("multi-aggregate read answers all kinds from one pass") {
