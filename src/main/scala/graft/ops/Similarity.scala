@@ -139,6 +139,78 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  // ------------------------------------------------ product quantization
+
+  /** Deterministic PQ codebook: the `nCodes` vectors whose
+    * Knuth-multiplicative-hashed id sorts first (same reproducible sample
+    * rule as [[sampleCentroids]]; bounded collect — index metadata, not
+    * data). Codeword `j`'s subspace `mm` is this vector's slice
+    * `[mm*sub, (mm+1)*sub)`.
+    */
+  def pqCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+      nCodes: Int = 256): Array[Array[Float]] =
+    corpus
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+      .orderBy(
+        pmod(col("cid").cast("long") * lit(2654435761L), lit(2147483648L)),
+        col("cid"))
+      .limit(nCodes)
+      .collect().map(_.getSeq[Float](1).toArray)
+
+  /** Encode the corpus into the PQ scoring index: `(id, code, norm)` —
+    * one packed long of per-subspace codeword indices plus the exact f64
+    * vector norm. 64-dim float vectors (256 B) become 16 B rows: the
+    * index for a corpus whose raw vectors span TBs fits executor memory,
+    * and scoring it never re-reads the vectors. A narrow codegen'd scan;
+    * no shuffle.
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebook: Array[Array[Float]], m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    corpus.select(col(idCol).as("id"),
+      ColumnBridge.column(
+        PqEncodeExpr(ColumnBridge.expression(col(vecCol)), codebook, m))
+        .as("code"),
+      ColumnBridge.column(VecNormExpr(ColumnBridge.expression(col(vecCol))))
+        .as("norm"))
+  }
+
+  /** Approximate top-k over the PQ index by asymmetric distance
+    * computation: each query precomputes one lookup table of
+    * subvector-to-codeword dot products (m * |codebook| doubles, built
+    * once per query and broadcast with it), so scoring a code is `m`
+    * array lookups — the scan does no vector arithmetic at all. Scores
+    * are approximate cosines: ADC dot / (query norm * exact stored
+    * corpus norm).
+    */
+  def pqTopK(encoded: DataFrame, codebook: Array[Array[Float]],
+      queries: DataFrame, queryIdCol: String, vecCol: String,
+      k: Int, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val q = queries.select(col(queryIdCol).as("query_id"),
+      ColumnBridge.column(
+        PqLutExpr(ColumnBridge.expression(col(vecCol)), codebook, m))
+        .as("__lut"),
+      ColumnBridge.column(VecNormExpr(ColumnBridge.expression(col(vecCol))))
+        .as("__qn"))
+    val denom = col("norm") * col("__qn")
+    val scored = encoded.crossJoin(broadcast(q))
+      .withColumn("score",
+        // A zero vector has no direction: score 0, and never a division
+        // (ANSI mode would throw where IEEE returns NaN).
+        when(denom =!= 0d,
+          ColumnBridge.column(PqAdcExpr(
+            ColumnBridge.expression(col("code")),
+            ColumnBridge.expression(col("__lut")), codebook.length)) / denom)
+          .otherwise(0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        col("score"), col("rank"))
+  }
+
   /** The nProbe centroid cells nearest each query: (query_id, __qv, cell). */
   private def probeCells(
       centroids: DataFrame, queries: DataFrame,

@@ -159,6 +159,32 @@ object TextAnalysis {
     df.select(explode(wordNgrams(col(textCol), n)).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("doc_freq"))
 
+  /** PII surface patterns, deliberately restricted to syntax valid in BOTH
+    * Java regex and RE2 (no lookaround, no backreferences), so detection
+    * and redaction replay identically in external engines — the same
+    * discipline that keeps the hash kernels oracle-checkable. Order
+    * matters for redaction: emails first, so an address with a numeric
+    * local part is one `<email>`, not an `<ipv4>` inside a mangled string.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ipv4" -> "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b")
+
+  /** Per-document PII match counts, one `n_<kind>` column per pattern.
+    * Expression-only — the screen runs at scan speed over any corpus.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, p) =>
+      s"n_$name" -> size(regexp_extract_all(text, lit(p), lit(0)))
+    }
+
+  /** Redact every PII match with its `<kind>` tag, in pattern order. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (name, p)) =>
+      regexp_replace(acc, p, s"<$name>")
+    }
+
   /** Per-document boilerplate annotation: the fraction of a document's
     * distinct word n-grams that are corpus-wide COMMON (document frequency
     * >= `minDf`) — high fractions flag template/boilerplate pages

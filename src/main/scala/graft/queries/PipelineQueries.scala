@@ -342,6 +342,77 @@ object PipelineQueries {
       FROM scored WHERE rank <= 5
       ORDER BY query_id, rank""")),
 
+    // Product-quantization ANN: vectors encode to ONE packed long of
+    // per-subspace codeword indices (+ exact norm) — a 16x-compressed
+    // scoring index — and queries score codes via an ADC lookup table
+    // (8 array lookups per candidate, no vector arithmetic on the scan).
+    // Codebook, encoding argmins, LUT dots, and the m-ordered ADC fold are
+    // all deterministic f64 arithmetic, so the oracle replays the entire
+    // index build and search bit-for-bit in DuckDB.
+    ("ann_pq_topk", (s: SparkSession, d: String) => {
+      val embeddings = table(s, d, "embeddings")
+      val codebook = Similarity.pqCodebook(embeddings, "vec_id", "embedding")
+      val encoded = Similarity.pqEncode(
+        embeddings, "vec_id", "embedding", codebook)
+      val queries = embeddings.where(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      Similarity.pqTopK(encoded, codebook, queries, "query_id", "embedding",
+          k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          (floor(col("score") * 10000) / 10000).as("approx_cos"))
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH cb AS (
+        SELECT row_number() OVER (
+            ORDER BY (vec_id * 2654435761) % 2147483648, vec_id) - 1 AS j,
+          embedding AS cvec
+        FROM embeddings
+        QUALIFY j < 256),
+      sp AS (SELECT unnest(range(8)) AS m),
+      enc0 AS (
+        SELECT e.vec_id, s.m, c.j,
+          list_reduce(list_transform(range(1, 9),
+            t -> (CAST(e.embedding[s.m * 8 + t] AS DOUBLE) -
+                  CAST(c.cvec[s.m * 8 + t] AS DOUBLE)) *
+                 (CAST(e.embedding[s.m * 8 + t] AS DOUBLE) -
+                  CAST(c.cvec[s.m * 8 + t] AS DOUBLE))),
+            (a, b) -> a + b) AS d2
+        FROM embeddings e, sp s, cb c),
+      enc AS (
+        SELECT vec_id, m, j AS code FROM enc0
+        QUALIFY row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) = 1),
+      nrm AS (
+        SELECT vec_id, sqrt(list_reduce(list_transform(range(1, 65),
+          t -> CAST(embedding[t] AS DOUBLE) * CAST(embedding[t] AS DOUBLE)),
+          (a, b) -> a + b)) AS nx
+        FROM embeddings),
+      lut AS (
+        SELECT q.vec_id AS query_id, s.m, c.j,
+          list_reduce(list_transform(range(1, 9),
+            t -> CAST(q.embedding[s.m * 8 + t] AS DOUBLE) *
+                 CAST(c.cvec[s.m * 8 + t] AS DOUBLE)),
+            (a, b) -> a + b) AS dp
+        FROM embeddings q, sp s, cb c
+        WHERE q.vec_id < 10),
+      num AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+          list_reduce(list(l.dp ORDER BY l.m), (a, b) -> a + b) AS adc
+        FROM enc e JOIN lut l ON l.m = e.m AND l.j = e.code
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT n.query_id, n.neighbor_id, n.adc / (nn.nx * nq.nx) AS score
+        FROM num n
+        JOIN nrm nn ON nn.vec_id = n.neighbor_id
+        JOIN nrm nq ON nq.vec_id = n.query_id),
+      rk AS (
+        SELECT query_id, neighbor_id, score,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, neighbor_id) AS rank
+        FROM sc)
+      SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank,
+        floor(score * 10000) / 10000 AS approx_cos
+      FROM rk WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // Deterministic train/val/test assignment: a pure function of doc_id
     // (multiplicative-hash bucket), so membership is stable across runs and
     // cluster sizes; the oracle replays the two-operator integer hash.
@@ -487,6 +558,34 @@ object PipelineQueries {
       SELECT ngram, count(*) AS doc_freq
       FROM sh GROUP BY 1
       ORDER BY doc_freq DESC, ngram LIMIT 100""")),
+
+    // PII screen: per-document match counts for each pattern plus the md5
+    // of the redacted text — the pre-release scrub every training corpus
+    // runs. The synthetic corpus is PII-free (all counts 0, redaction is
+    // the identity), so the non-trivial behavior is pinned by the
+    // OpsSpec redaction tests on constructed documents; the oracle still
+    // replays the identical RE2-safe regexes end-to-end in DuckDB.
+    ("text_pii", (s: SparkSession, d: String) => {
+      val base = table(s, d, "documents")
+      TextAnalysis.piiCounts(col("text"))
+        .foldLeft(base) { case (acc, (name, c)) => acc.withColumn(name, c) }
+        .withColumn("redacted_md5", md5(TextAnalysis.redactPii(col("text"))))
+        .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_ssn"),
+          col("redacted_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+        len(regexp_extract_all(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(text,
+          '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ipv4,
+        len(regexp_extract_all(text,
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS n_ssn,
+        md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+          '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<ipv4>', 'g'),
+          '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<ssn>', 'g')) AS redacted_md5
+      FROM documents ORDER BY doc_id""")),
 
     // Boilerplate annotation: fraction of each document's distinct 3-grams
     // with corpus-wide document frequency >= 3 — the C4-style span-level

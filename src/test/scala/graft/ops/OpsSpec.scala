@@ -337,6 +337,57 @@ class OpsSpec extends AnyFunSuite {
     assert(strat.count() == docs.where(col("doc_id") % 2 === 0).count())
   }
 
+  test("pq index compresses vectors to one long and keeps useful recall") {
+    val cb = Similarity.pqCodebook(embeddings, "vec_id", "embedding")
+    assert(cb.length == 256 && cb.head.length == 64)
+    val encoded = Similarity
+      .pqEncode(embeddings, "vec_id", "embedding", cb).cache()
+    assert(encoded.schema.fields.map(_.dataType.typeName).toSeq ==
+      Seq("long", "long", "double"),
+      "the scoring index must be (id, packed code, norm) — 24 bytes/row")
+
+    // Kernel pinning: expression outputs equal an independent reference
+    // computation (argmin L2 per subspace, ties to the smallest index;
+    // f64 index-order folds).
+    val raw = embeddings.select($"vec_id", $"embedding").limit(20)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val got = encoded.where($"id".isin(raw.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    raw.foreach { case (id, v) =>
+      var expect = 0L
+      for (mm <- 0 until 8) {
+        var best = 0; var bestD = Double.PositiveInfinity
+        for (j <- cb.indices) {
+          var d = 0.0
+          for (t <- 0 until 8) {
+            val diff = v(mm * 8 + t).toDouble - cb(j)(mm * 8 + t).toDouble
+            d += diff * diff
+          }
+          if (d < bestD) { bestD = d; best = j }
+        }
+        expect |= best.toLong << (mm * 8)
+      }
+      val refNorm = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      assert(got(id)._1 == expect, s"code of $id")
+      assert(got(id)._2 == refNorm, s"norm of $id")
+    }
+
+    // Recall@5 vs the exact brute-force baseline on real embeddings.
+    val queries = embeddings.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = topSets(Similarity.pqTopK(
+      encoded, cb, queries, "query_id", "embedding", k = 5))
+    val exact = topSets(Similarity.bruteForceTopK(
+      embeddings, queries, "vec_id", "embedding", "query_id", k = 5))
+    val recalls = exact.map { case (q, e) => (pq(q) & e).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, s"mean recall@5 $mean below floor (16x compression)")
+    encoded.unpersist()
+  }
+
   test("token-budget selection matches the running-sum rule exactly") {
     import org.apache.spark.sql.expressions.Window
     val scored = docs
@@ -372,6 +423,29 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!selected.contains(900001L) && !selected.contains(900002L))
     assert(selected.size == docs.count())
+  }
+
+  test("pii detection counts and redaction on planted identifiers") {
+    val rows = Seq(
+      (1L, "contact john.doe+spam@example.co.uk or admin@host.io today"),
+      (2L, "server at 10.0.255.3 and 192.168.1.1, ssn 123-45-6789"),
+      (3L, "numeric local part 1.2.3.4@mail.com stays one email"),
+      (4L, "clean text with no identifiers at all"),
+      (5L, "not an ip 1234.5.6.7890 but 11-22-3333 is not an ssn either")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiCounts($"text")
+      .foldLeft(rows) { case (acc, (name, c)) => acc.withColumn(name, c) }
+      .withColumn("redacted", TextAnalysis.redactPii($"text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5)))).toMap
+    assert(out(1L) == ((2, 0, 0, "contact <email> or <email> today")))
+    assert(out(2L) == ((0, 2, 1, "server at <ipv4> and <ipv4>, ssn <ssn>")))
+    // Counts are independent per pattern on the raw text (the ipv4-shaped
+    // local part IS counted), but redaction runs emails first, so it never
+    // surfaces as a separate <ipv4> in the redacted output.
+    assert(out(3L) == ((1, 1, 0, "numeric local part <email> stays one email")))
+    assert(out(4L)._4 == "clean text with no identifiers at all")
+    assert(out(5L)._1 == 0 && out(5L)._3 == 0)
   }
 
   test("boilerplate fraction flags corpus-common ngrams per document") {

@@ -31,7 +31,10 @@ class SignatureExpressionsSpec extends AnyFunSuite {
       HyperplaneBandKeysExpr(vec, 8, 4), RollingFingerprintExpr(t, 16, 16L),
       DupLineCharFractionExpr(t), DupNgramFractionExpr(t, 2),
       JaccardExpr(t, t), TermFrequencies(t, Seq("a")),
-      VocabHitCount(t, Seq("a")), CosineSimilarity(vec, vec))
+      VocabHitCount(t, Seq("a")), CosineSimilarity(vec, vec),
+      PqEncodeExpr(vec, Array(Array(1f, 2f)), 1),
+      PqLutExpr(vec, Array(Array(1f, 2f)), 1),
+      PqAdcExpr(sig, kexpr(lit(Array(0.5d))), 1), VecNormExpr(vec))
     all.foreach(e =>
       assert(!e.isInstanceOf[CodegenFallback], s"${e.prettyName} fell back"))
   }

