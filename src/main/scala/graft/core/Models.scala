@@ -180,6 +180,32 @@ object Models {
     sum
   }
 
+  /** Per-segment (Σv, Σv²), f64-accumulated in decode order over the same
+    * f32 values as [[grid]] — ONE decode pass answers both the sum and the
+    * squared-sum partials behind the VAR/STDDEV closed forms.
+    */
+  def sumStats(
+      modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],
+      minValue: Float, maxValue: Float, values: Array[Byte],
+      residuals: Array[Byte]): Array[Double] = {
+    val ts = new LongBuf(64)
+    val vs = new FloatBuf(64)
+    grid(modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+      values, residuals, ts, vs)
+    var sum = 0.0
+    var sumSq = 0.0
+    var i = 0
+    val n = vs.length
+    val arr = vs.backing
+    while (i < n) {
+      val v = arr(i)
+      sum += v
+      sumSq += v.toDouble * v.toDouble
+      i += 1
+    }
+    Array(sum, sumSq)
+  }
+
   /** Reconstruct all (timestamp, value) pairs of a segment into the buffers. */
   def grid(
       modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],

@@ -499,6 +499,19 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             Some(FieldAgg("sum", a.name, outName))
           case Average(a: AttributeReference, _) if meta.fieldColumns.contains(a.name) =>
             Some(FieldAgg("avg", a.name, outName))
+          // Variance family over a bare stored field (the analyzer wraps
+          // the float field in a cast to double). Linear expressions are
+          // deliberately DECLINED: var(a*f+b) = a^2*var(f) only in exact
+          // arithmetic — per-point float rounding of the expression breaks
+          // the equality, so those grid rather than silently drift.
+          case VarianceSamp(e1, _) =>
+            varianceField(meta, e1).map(FieldAgg("var_samp", _, outName))
+          case VariancePop(e1, _) =>
+            varianceField(meta, e1).map(FieldAgg("var_pop", _, outName))
+          case StddevSamp(e1, _) =>
+            varianceField(meta, e1).map(FieldAgg("stddev_samp", _, outName))
+          case StddevPop(e1, _) =>
+            varianceField(meta, e1).map(FieldAgg("stddev_pop", _, outName))
           // Linear expressions of one stored field — including generated
           // columns that are linear over a stored field — fold onto the
           // base field's closed forms. Bare stored-field cases matched
@@ -803,8 +816,26 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       case "max" => engine.Aggregate.Max
       case "sum" => engine.Aggregate.Sum
       case "avg" => engine.Aggregate.Avg
+      case "var_samp" => engine.Aggregate.VarSamp
+      case "var_pop" => engine.Aggregate.VarPop
+      case "stddev_samp" => engine.Aggregate.StdSamp
+      case "stddev_pop" => engine.Aggregate.StdPop
       case other => throw new IllegalArgumentException(s"Unknown aggregate $other.")
     }
+
+  /** The stored float field under a variance-family aggregate — bare or
+    * beneath the analyzer's widening cast to double.
+    */
+  private def varianceField(
+      meta: TableMetadata, e: Expression): Option[String] = e match {
+    case a: AttributeReference
+        if meta.fieldColumns.contains(a.name) && a.dataType == FloatType =>
+      Some(a.name)
+    case Cast(a: AttributeReference, DoubleType, _, _)
+        if meta.fieldColumns.contains(a.name) && a.dataType == FloatType =>
+      Some(a.name)
+    case _ => scala.None
+  }
 
   private def buildWholeTable(
       engine: Engine, meta: TableMetadata, groupTags: Seq[String],

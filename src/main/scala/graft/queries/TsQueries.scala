@@ -277,6 +277,48 @@ object TsQueries {
         min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Variance family from segment partials: the Catalyst rewrite routes
+    // var_samp/var_pop/stddev over a stored field through (count, Σv, Σv²)
+    // closed forms — interior segments compute BOTH sums in one decode
+    // pass (SegmentSumStats), no point stream. Beyond the reference, whose
+    // rewrite handles only COUNT/MIN/MAX/SUM/AVG. The oracle replays
+    // var_samp/var_pop over the raw micro data (lossless table: the
+    // reconstructed values are the ingested values).
+    ("ts_variance", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, var_samp(value) AS vs, stddev_samp(value) AS ss, " +
+          "var_pop(value) AS vp FROM events_lossless GROUP BY user")
+        .select(col("user"), round(col("vs"), 4).as("var_s"),
+          round(col("ss"), 4).as("std_s"), round(col("vp"), 4).as("var_p"))
+        .orderBy("user")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        round(var_samp(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS var_s,
+        round(stddev_samp(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS std_s,
+        round(var_pop(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS var_p
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // The same family under a literal time range: the hybrid plan — Σv²
+    // partials from interior closed forms plus boundary decode rows.
+    ("ts_variance_range", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val (lo, hi) = eventsWindow(s, d)
+      engine.sql(
+        s"SELECT var_samp(value) AS vs, stddev_pop(value) AS sp, " +
+          s"count(value) AS n FROM events_lossless " +
+          s"WHERE ts >= TIMESTAMP '${fmtTs(lo)}' AND ts <= TIMESTAMP '${fmtTs(hi)}'")
+        .select(round(col("vs"), 4).as("var_s"), round(col("sp"), 4).as("std_p"),
+          col("n"))
+    }, Some("""
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
+      r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo, lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b)
+      SELECT round(var_samp(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS var_s,
+        round(stddev_pop(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS std_p,
+        count(*) AS n
+      FROM events, r
+      WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
+
     // The same downsampling expressed as PLAIN SQL: the Catalyst rewrite
     // recognizes the UTC date_trunc grouping and routes it through the
     // bucketed hybrid plan.

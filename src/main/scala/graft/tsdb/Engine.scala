@@ -39,7 +39,24 @@ final class Engine(val spark: SparkSession, val root: String) {
     case object Max extends Aggregate
     case object Sum extends Aggregate
     case object Avg extends Aggregate
+    // Variance family, answered from (count, Σv, Σv²) partials: interior
+    // segments compute both sums in ONE decode pass (SegmentSumStats),
+    // boundary/bucket partials carry Σv² beside Σv — the same hybrid
+    // plans as SUM/AVG, one extra double per partial row. Sample (n-1)
+    // and population (n) divisors mirror SQL var_samp/var_pop.
+    case object VarSamp extends Aggregate
+    case object VarPop extends Aggregate
+    case object StdSamp extends Aggregate
+    case object StdPop extends Aggregate
   }
+
+  /** Do the requested kinds need Σv² partials? */
+  private def needsSumSq(aggregates: Seq[Aggregate]): Boolean =
+    aggregates.exists {
+      case Aggregate.VarSamp | Aggregate.VarPop |
+           Aggregate.StdSamp | Aggregate.StdPop => true
+      case _ => false
+    }
 
   /** How [[readTimeSeriesTableResampled]] fills materialized empty
     * buckets: `Nulls` leaves every aggregate column NULL (counts 0 would
@@ -427,23 +444,24 @@ final class Engine(val spark: SparkSession, val root: String) {
       inRange && bucketOf(col("start_time")) === bucketOf(col("end_time"))
 
     // Both sides emit raw partial rows in ONE shape — (tags...,
-    // field_column, __graft_bucket, cnt/sum/min/max/tmin/tmax) — merged by
+    // field_column, __graft_bucket, cnt/sum/sumsq/min/max/tmin/tmax) — merged
     // a single aggregation: contained segments contribute closed-form
     // per-segment expressions (no decode), straddlers per-bucket rows from
     // the decode generator. One shuffle on the output keys, no
     // union-of-aggregates combine layer.
     val keys = groupByTags.map(col)
+    val withSq = needsSumSq(aggregates)
     val interior = interiorPartials(segments.where(contained), keys,
-      Some(bucketOf(col("start_time"))))
+      Some(bucketOf(col("start_time"))), withSq)
     val boundary = GridView.bucketPartials(
       segments.where(!contained), meta, selected, bucketUs, startUs, endUs)
       .select(keys ++ Seq(
         col(SegmentSchema.FieldColumn), col("__graft_bucket"),
-        col("__bp_cnt"), col("__bp_sum"),
+        col("__bp_cnt"), col("__bp_sum"), col("__bp_sumsq"),
         col("__bp_min"), col("__bp_max"),
         col("__bp_tmin"), col("__bp_tmax")): _*)
 
-    val mergeAggs = partialMergeAggs(meta, selected, tsAggregates.nonEmpty)
+    val mergeAggs = partialMergeAggs(meta, selected, tsAggregates.nonEmpty, withSq)
     val combined = interior.unionByName(boundary)
       .groupBy((keys :+ col("__graft_bucket")): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
@@ -625,8 +643,9 @@ final class Engine(val spark: SparkSession, val root: String) {
     // segments emit closed-form partial rows, boundary segments exploded
     // per-point partials bucketed by the identical truncation expression.
     val keys = groupByTags.map(col)
+    val withSq = needsSumSq(aggregates)
     val interior = interiorPartials(segments.where(contained), keys,
-      Some(truncOf(col("start_time"))))
+      Some(truncOf(col("start_time"))), withSq)
     val boundary = GridView
       .explodedPoints(segments.where(!contained), meta, selected, startUs, endUs)
       .select(keys ++ Seq(
@@ -634,12 +653,14 @@ final class Engine(val spark: SparkSession, val root: String) {
         truncOf(col("__graft_ts")).as("__graft_bucket"),
         lit(1L).as("__bp_cnt"),
         col("__graft_value").cast(DoubleType).as("__bp_sum"),
+        (col("__graft_value").cast(DoubleType) *
+          col("__graft_value").cast(DoubleType)).as("__bp_sumsq"),
         col("__graft_value").as("__bp_min"),
         col("__graft_value").as("__bp_max"),
         col("__graft_ts").as("__bp_tmin"),
         col("__graft_ts").as("__bp_tmax")): _*)
 
-    val mergeAggs = partialMergeAggs(meta, selected, tsAggregates.nonEmpty)
+    val mergeAggs = partialMergeAggs(meta, selected, tsAggregates.nonEmpty, withSq)
     val combined = interior.unionByName(boundary)
       .groupBy((keys :+ col("__graft_bucket")): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
@@ -658,13 +679,28 @@ final class Engine(val spark: SparkSession, val root: String) {
     else col(SegmentSchema.FieldColumn)
       .isin(fields.map(f => meta.fieldIndex(f): Any): _*)
 
-  private def gridAggColumn(agg: Aggregate, f: String): Column = agg match {
-    case Aggregate.Count => count(col(f)).as(s"count_$f")
-    case Aggregate.Min => min(col(f)).as(s"min_$f")
-    case Aggregate.Max => max(col(f)).as(s"max_$f")
-    case Aggregate.Sum => sum(col(f)).as(s"sum_$f")
-    case Aggregate.Avg => avg(col(f)).as(s"avg_$f")
-    case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
+  private def gridAggColumn(agg: Aggregate, f: String): Column = {
+    // Variance over gridded points uses the same (count, Σv, Σv²) formula
+    // as the closed-form paths, so hybrid and gridded plans agree.
+    def cnt = count(col(f))
+    def s = sum(col(f).cast(DoubleType))
+    def ss = sum(col(f).cast(DoubleType) * col(f).cast(DoubleType))
+    agg match {
+      case Aggregate.Count => count(col(f)).as(s"count_$f")
+      case Aggregate.Min => min(col(f)).as(s"min_$f")
+      case Aggregate.Max => max(col(f)).as(s"max_$f")
+      case Aggregate.Sum => sum(col(f)).as(s"sum_$f")
+      case Aggregate.Avg => avg(col(f)).as(s"avg_$f")
+      case Aggregate.VarSamp => SegmentAggregates
+        .varianceFrom(cnt, s, ss, sample = true).as(s"var_samp_$f")
+      case Aggregate.VarPop => SegmentAggregates
+        .varianceFrom(cnt, s, ss, sample = false).as(s"var_pop_$f")
+      case Aggregate.StdSamp => sqrt(SegmentAggregates
+        .varianceFrom(cnt, s, ss, sample = true)).as(s"stddev_samp_$f")
+      case Aggregate.StdPop => sqrt(SegmentAggregates
+        .varianceFrom(cnt, s, ss, sample = false)).as(s"stddev_pop_$f")
+      case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
+    }
   }
 
   private def kindOf(aggregate: Aggregate): String = aggregate match {
@@ -673,6 +709,10 @@ final class Engine(val spark: SparkSession, val root: String) {
     case Aggregate.Max => "max"
     case Aggregate.Sum => "sum"
     case Aggregate.Avg => "avg"
+    case Aggregate.VarSamp => "var_samp"
+    case Aggregate.VarPop => "var_pop"
+    case Aggregate.StdSamp => "stddev_samp"
+    case Aggregate.StdPop => "stddev_pop"
     case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
   }
 
@@ -717,16 +757,29 @@ final class Engine(val spark: SparkSession, val root: String) {
     */
   private def interiorPartials(
       segments: DataFrame, keys: Seq[Column],
-      bucketCol: Option[Column] = scala.None): DataFrame = {
-    val base = segments.select(
+      bucketCol: Option[Column] = scala.None,
+      withSq: Boolean = false): DataFrame = {
+    // With Σv² requested, sum and sumsq extract from ONE SegmentSumStats
+    // struct — a single decode pass; the chained projection keeps
+    // CollapseProject from inlining (re-decoding) the kernel per field.
+    val sumCols =
+      if (withSq) Seq(SegmentAggregates.sumStatsCol.as("__bp_stats"))
+      else Seq(SegmentAggregates.sumCol.as("__bp_sum"),
+        lit(0d).as("__bp_sumsq"))
+    val base0 = segments.select(
       keys ++ Seq(col(SegmentSchema.FieldColumn)) ++
-        bucketCol.map(_.as("__graft_bucket")).toSeq ++ Seq(
-        SegmentAggregates.lenCol.as("__bp_cnt"),
-        SegmentAggregates.sumCol.as("__bp_sum"),
+        bucketCol.map(_.as("__graft_bucket")).toSeq ++
+        Seq(SegmentAggregates.lenCol.as("__bp_cnt")) ++ sumCols ++ Seq(
         col("min_value").as("__bp_min"),
         col("max_value").as("__bp_max0"),
         col("start_time").as("__bp_tmin"),
         col("end_time").as("__bp_tmax")): _*)
+    val base =
+      if (!withSq) base0
+      else base0
+        .withColumn("__bp_sum", col("__bp_stats").getField("sum"))
+        .withColumn("__bp_sumsq", col("__bp_stats").getField("sumsq"))
+        .drop("__bp_stats")
     val infMix = col("__bp_min") === lit(Float.NegativeInfinity) &&
       col("__bp_max0") === lit(Float.PositiveInfinity)
     base
@@ -749,14 +802,16 @@ final class Engine(val spark: SparkSession, val root: String) {
     */
   private def partialMergeAggs(
       meta: TableMetadata, fields: Seq[String],
-      withTs: Boolean = false): Seq[Column] =
+      withTs: Boolean = false, withSq: Boolean = false): Seq[Column] =
     fields.flatMap { f =>
       val isF = col(SegmentSchema.FieldColumn) === meta.fieldIndex(f)
       Seq(
         coalesce(sum(when(isF, col("__bp_cnt"))), lit(0L)).as(s"__cnt_$f"),
         sum(when(isF, col("__bp_sum"))).as(s"__sum_$f"),
         min(when(isF, col("__bp_min"))).as(s"__min_$f"),
-        max(when(isF, col("__bp_max"))).as(s"__max_$f"))
+        max(when(isF, col("__bp_max"))).as(s"__max_$f")) ++
+        (if (withSq) Seq(sum(when(isF, col("__bp_sumsq"))).as(s"__sumsq_$f"))
+        else Seq.empty)
     } ++ (if (withTs)
       Seq(min(col("__bp_tmin")).as("__tmin"), max(col("__bp_tmax")).as("__tmax"))
     else Seq.empty)
@@ -768,14 +823,24 @@ final class Engine(val spark: SparkSession, val root: String) {
       aggregates: Seq[Aggregate], fields: Seq[String],
       tsAggregates: Seq[Aggregate] = Seq.empty,
       tsName: String = "ts"): Seq[Column] =
-    (for (agg <- aggregates; f <- fields) yield agg match {
-      case Aggregate.Count => col(s"__cnt_$f").as(s"count_$f")
-      case Aggregate.Min => col(s"__min_$f").as(s"min_$f")
-      case Aggregate.Max => col(s"__max_$f").as(s"max_$f")
-      case Aggregate.Sum => col(s"__sum_$f").as(s"sum_$f")
-      case Aggregate.Avg =>
-        (col(s"__sum_$f") / col(s"__cnt_$f")).as(s"avg_$f")
-      case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
+    (for (agg <- aggregates; f <- fields) yield {
+      def varOf(sample: Boolean) = SegmentAggregates.varianceFrom(
+        col(s"__cnt_$f"), col(s"__sum_$f"), col(s"__sumsq_$f"), sample)
+      agg match {
+        case Aggregate.Count => col(s"__cnt_$f").as(s"count_$f")
+        case Aggregate.Min => col(s"__min_$f").as(s"min_$f")
+        case Aggregate.Max => col(s"__max_$f").as(s"max_$f")
+        case Aggregate.Sum => col(s"__sum_$f").as(s"sum_$f")
+        case Aggregate.Avg =>
+          (col(s"__sum_$f") / col(s"__cnt_$f")).as(s"avg_$f")
+        case Aggregate.VarSamp => varOf(sample = true).as(s"var_samp_$f")
+        case Aggregate.VarPop => varOf(sample = false).as(s"var_pop_$f")
+        case Aggregate.StdSamp =>
+          sqrt(varOf(sample = true)).as(s"stddev_samp_$f")
+        case Aggregate.StdPop =>
+          sqrt(varOf(sample = false)).as(s"stddev_pop_$f")
+        case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
+      }
     }) ++ tsAggregates.map {
       case Aggregate.Min => timestamp_micros(col("__tmin")).as(s"min_$tsName")
       case _ => timestamp_micros(col("__tmax")).as(s"max_$tsName")
@@ -847,18 +912,19 @@ final class Engine(val spark: SparkSession, val root: String) {
     // aggregation: interior segments as closed-form per-segment
     // expressions, boundary segments as one decode-generator partial each
     // (bucket width = MaxValue) — no point stream, no combine layer.
+    val withSq = needsSumSq(aggregates)
     val interior = interiorPartials(segments.where(contained),
-      groupByTags.map(col))
+      groupByTags.map(col), withSq = withSq)
     val boundary = GridView.bucketPartials(
       segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs)
       .select(groupByTags.map(col) ++ Seq(
         col(SegmentSchema.FieldColumn),
-        col("__bp_cnt"), col("__bp_sum"),
+        col("__bp_cnt"), col("__bp_sum"), col("__bp_sumsq"),
         col("__bp_min"), col("__bp_max"),
         col("__bp_tmin"), col("__bp_tmax")): _*)
 
     val partials = interior.unionByName(boundary)
-    val mergeAggs = partialMergeAggs(meta, fields, tsAggregates.nonEmpty)
+    val mergeAggs = partialMergeAggs(meta, fields, tsAggregates.nonEmpty, withSq)
     val combined =
       if (groupByTags.isEmpty) partials.agg(mergeAggs.head, mergeAggs.tail: _*)
       else partials.groupBy(groupByTags.map(col): _*)

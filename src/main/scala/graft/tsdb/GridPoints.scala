@@ -41,7 +41,7 @@ object DecodeKernels {
     new GenericArrayData(out)
   }
 
-  /** Per-bucket partial rows (bucket, cnt, sum, min, max, tmin, tmax) of
+  /** Per-bucket partial rows (bucket, cnt, sum, sumsq, min, max, tmin, tmax) of
     * one segment, range-clipped to [lo, hi]. Emission flushes on bucket
     * change, so correctness does NOT depend on decode order — out-of-order
     * timestamps only produce extra partial rows that the downstream merge
@@ -59,6 +59,7 @@ object DecodeKernels {
     var bucket = 0L
     var cnt = 0L
     var sum = 0.0
+    var sumSq = 0.0
     var mn = Float.PositiveInfinity // running extremes over non-NaN values
     var mx = Float.NegativeInfinity
     var nanSeen = false
@@ -66,17 +67,18 @@ object DecodeKernels {
     var tmn = Long.MaxValue
     var tmx = Long.MinValue
     def flush(): Unit = if (cnt > 0) {
-      val r = new GenericInternalRow(7)
+      val r = new GenericInternalRow(8)
       r.setLong(0, bucket)
       r.setLong(1, cnt)
       r.setDouble(2, sum)
+      r.setDouble(3, sumSq)
       // Spark's float ordering sorts NaN greatest: MIN ignores NaN unless
       // every value is NaN, MAX is NaN as soon as one value is. The ±Inf
       // init sentinels never escape — an all-NaN bucket is (NaN, NaN).
-      r.setFloat(3, if (nonNanSeen) mn else Float.NaN)
-      r.setFloat(4, if (nanSeen) Float.NaN else mx)
-      r.setLong(5, tmn)
-      r.setLong(6, tmx)
+      r.setFloat(4, if (nonNanSeen) mn else Float.NaN)
+      r.setFloat(5, if (nanSeen) Float.NaN else mx)
+      r.setLong(6, tmn)
+      r.setLong(7, tmx)
       out += r
     }
     var i = 0
@@ -85,7 +87,7 @@ object DecodeKernels {
       if (t >= lo && t <= hi) {
         val b = Math.floorDiv(t, bucketUs) * bucketUs
         if (cnt > 0 && b != bucket) {
-          flush(); cnt = 0; sum = 0.0
+          flush(); cnt = 0; sum = 0.0; sumSq = 0.0
           mn = Float.PositiveInfinity; mx = Float.NegativeInfinity
           nanSeen = false; nonNanSeen = false
           tmn = Long.MaxValue; tmx = Long.MinValue
@@ -94,6 +96,7 @@ object DecodeKernels {
         val v = vBuf(i)
         cnt += 1
         sum += v
+        sumSq += v.toDouble * v.toDouble
         if (java.lang.Float.isNaN(v)) nanSeen = true
         else {
           nonNanSeen = true
@@ -235,7 +238,7 @@ case class GridPoints(
   * `bucketUs = Long.MaxValue` degenerates to one partial per segment,
   * which is exactly what a range aggregate's boundary side needs.
   *
-  * Rows are (bucket, cnt, sum, min, max, tmin, tmax); see
+  * Rows are (bucket, cnt, sum, sumsq, min, max, tmin, tmax); see
   * [[DecodeKernels.bucketPartialsArray]] for the order-independence and
   * NaN semantics. The tmin/tmax columns are the bucket's first/last
   * in-range timestamps, letting `min/max(ts)` under a time range or
@@ -257,6 +260,7 @@ case class BucketPartials(
     StructField("__graft_bucket", LongType, nullable = false),
     StructField("__bp_cnt", LongType, nullable = false),
     StructField("__bp_sum", DoubleType, nullable = false),
+    StructField("__bp_sumsq", DoubleType, nullable = false),
     StructField("__bp_min", FloatType, nullable = false),
     StructField("__bp_max", FloatType, nullable = false),
     StructField("__bp_tmin", LongType, nullable = false),

@@ -34,6 +34,27 @@ object SegmentAggregates {
     attr("timestamps"), attr("min_value"), attr("max_value"),
     attr("values"), attr("residuals")))
 
+  /** (Σv, Σv²) struct of a segment's values in ONE decode pass — the
+    * shared partial behind the VAR/STDDEV closed forms.
+    */
+  def sumStatsCol: Column = ColumnBridge.column(SegmentSumStats(
+    attr("model_type_id"), attr("start_time"), attr("end_time"),
+    attr("timestamps"), attr("min_value"), attr("max_value"),
+    attr("values"), attr("residuals")))
+
+  /** Textbook variance from (count, Σv, Σv²) aggregate columns, clamped at
+    * zero (float cancellation can dip epsilon-negative) and NULL below the
+    * minimum count — mirroring SQL var_samp (n >= 2) / var_pop (n >= 1).
+    * All three inputs come from the same single-pass aggregation.
+    */
+  def varianceFrom(cnt: Column, s: Column, ss: Column, sample: Boolean): Column = {
+    val n = cnt.cast("double")
+    val divisor = if (sample) n - 1d else n
+    when(cnt > (if (sample) 1L else 0L),
+      greatest(lit(0d), (ss - s * s / n) / divisor))
+      .otherwise(lit(null).cast("double"))
+  }
+
   /** The aggregate column for one kind ("count" | "min" | "max" | "sum" |
     * "avg") over one field's segments within a mixed-field frame — the
     * single source of truth shared by the facade and the Catalyst rewrite.
@@ -41,12 +62,24 @@ object SegmentAggregates {
   def aggColumnFor(kind: String, fieldIndex: Int): Column = {
     val onField = (c: Column) =>
       when(col(SegmentSchema.FieldColumn) === fieldIndex, c)
+    // The var/stddev kinds share one SegmentSumStats decode: the sum and
+    // sumsq aggregates extract fields of the SAME struct subtree, which
+    // Spark's aggregate-level subexpression elimination evaluates once.
+    def cnt = sum(onField(lenCol))
+    def statsSum = sum(onField(sumStatsCol.getField("sum")))
+    def statsSq = sum(onField(sumStatsCol.getField("sumsq")))
     kind match {
       case "count" => coalesce(sum(onField(lenCol)), lit(0L))
       case "min" => org.apache.spark.sql.functions.min(onField(col("min_value")))
       case "max" => org.apache.spark.sql.functions.max(onField(col("max_value")))
       case "sum" => sum(onField(sumCol))
       case "avg" => sum(onField(sumCol)) / sum(onField(lenCol))
+      case "var_samp" => varianceFrom(cnt, statsSum, statsSq, sample = true)
+      case "var_pop" => varianceFrom(cnt, statsSum, statsSq, sample = false)
+      case "stddev_samp" =>
+        sqrt(varianceFrom(cnt, statsSum, statsSq, sample = true))
+      case "stddev_pop" =>
+        sqrt(varianceFrom(cnt, statsSum, statsSq, sample = false))
       case other => throw new IllegalArgumentException(s"Unknown aggregate $other.")
     }
   }

@@ -93,3 +93,69 @@ case class SegmentSum(
     copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3),
       newChildren(4), newChildren(5), newChildren(6), newChildren(7))
 }
+
+/** Static kernel wrapper producing the (sum, sumsq) struct row — callable
+  * from generated code, shared with interpreted eval.
+  */
+object SegmentKernels {
+  def sumStatsRow(modelTypeId: Byte, startTime: Long, endTime: Long,
+      timestamps: Array[Byte], minValue: Float, maxValue: Float,
+      values: Array[Byte], residuals: Array[Byte]): InternalRow = {
+    val a = Models.sumStats(modelTypeId, startTime, endTime, timestamps,
+      minValue, maxValue, values, residuals)
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    r.setDouble(0, a(0))
+    r.setDouble(1, a(1))
+    r
+  }
+}
+
+/** (Σv, Σv²) of a segment's values as one struct — a SINGLE decode pass
+  * answers both partials, so variance closed forms don't pay a second
+  * reconstruction next to [[SegmentSum]]. Codegen'd like [[SegmentLen]];
+  * consumers extract the fields in a CHAINED projection so CollapseProject
+  * never inlines (and re-decodes) the kernel per extracted field.
+  */
+case class SegmentSumStats(
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum", DoubleType, nullable = false),
+    StructField("sumsq", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    SegmentKernels.sumStatsRow(
+      modelTypeId.eval(input).asInstanceOf[Byte],
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      minValue.eval(input).asInstanceOf[Float],
+      maxValue.eval(input).asInstanceOf[Float],
+      values.eval(input).asInstanceOf[Array[Byte]],
+      residuals.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |$rowCls ${ev.value} = graft.tsdb.SegmentKernels.sumStatsRow(
+           |  ${evals.map(_.value).mkString(", ")});
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3),
+      newChildren(4), newChildren(5), newChildren(6), newChildren(7))
+}

@@ -79,9 +79,9 @@ class GridCodegenSpec extends AnyFunSuite {
         Long.MaxValue, s.modelTypeId, s.startTime, s.endTime, s.timestamps,
         s.minValue, s.maxValue, s.values, s.residuals)
       (0 until arr.numElements()).foreach { i =>
-        val r = arr.getStruct(i, 7)
+        val r = arr.getStruct(i, 8)
         val (b, cnt) = (r.getLong(0), r.getLong(1))
-        val (mn, mx) = (r.getFloat(3), r.getFloat(4))
+        val (mn, mx) = (r.getFloat(4), r.getFloat(5))
         assert(!mn.isInfinite && !mx.isInfinite,
           s"partial for bucket $b leaked an infinite sentinel: ($mn, $mx)")
         val acc = merged.getOrElseUpdate(b, Acc(0L, Float.NaN, Float.NaN))

@@ -129,6 +129,86 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(rows.length == 2)
   }
 
+  test("variance family answers from segment partials without gridding") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE vr(ts TIMESTAMP, v FIELD, tag TAG)")
+    val rng = new scala.util.Random(7)
+    import spark.implicits._
+    val df = (0 until 3000).map(i =>
+      (1700000000000000L + i * 1000000L, rng.nextFloat() * 100, s"t${i % 3}"))
+      .toDF("ts", "v", "tag")
+    engine.write("vr", df)
+
+    val sqlDf = engine.sql(
+      "SELECT var_samp(v) AS vs, var_pop(v) AS vp, " +
+        "stddev_samp(v) AS ss, stddev_pop(v) AS sp FROM vr")
+    val planText = sqlDf.queryExecution.executedPlan.toString
+    assert(!planText.contains("Generate"),
+      s"variance must stay segment-native (no point reconstruction):\n$planText")
+
+    // Control: Spark's own variance aggregates over the gridded points.
+    val control = engine.readTable("vr")
+      .agg(var_samp(col("v")), var_pop(col("v")),
+        stddev_samp(col("v")), stddev_pop(col("v")))
+      .collect().head
+    val got = sqlDf.collect().head
+    for (i <- 0 until 4) {
+      assert(math.abs(got.getDouble(i) - control.getDouble(i)) <=
+        math.abs(control.getDouble(i)) * 1e-9,
+        s"variance column $i: ${got.getDouble(i)} vs ${control.getDouble(i)}")
+    }
+
+    // Tag-grouped variant rewrites too and matches per group.
+    val grouped = engine.sql(
+      "SELECT tag, var_samp(v) AS vs FROM vr GROUP BY tag")
+    assert(!grouped.queryExecution.executedPlan.toString.contains("Generate"))
+    val gm = grouped.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val cm = engine.readTable("vr").groupBy("tag").agg(var_samp(col("v")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    gm.foreach { case (t, v) =>
+      assert(math.abs(v - cm(t)) <= math.abs(cm(t)) * 1e-9, s"group $t")
+    }
+
+    // Ranged variance takes the hybrid plan (interior closed forms +
+    // boundary decode) and still matches the gridded control.
+    val ranged = engine.sql(
+      "SELECT var_samp(v) AS vs FROM vr " +
+        "WHERE ts >= TIMESTAMP '2023-11-14 22:30:00' " +
+        "AND ts <= TIMESTAMP '2023-11-14 22:45:00'")
+    val rangedControl = engine.readTable("vr")
+      .where(col("ts") >= lit("2023-11-14 22:30:00").cast("timestamp") &&
+        col("ts") <= lit("2023-11-14 22:45:00").cast("timestamp"))
+      .agg(var_samp(col("v"))).collect().head.getDouble(0)
+    val rangedGot = ranged.collect().head.getDouble(0)
+    assert(math.abs(rangedGot - rangedControl) <=
+      math.abs(rangedControl) * 1e-9, s"$rangedGot vs $rangedControl")
+
+    // Bucketed variance (date_trunc grouping) rides the hybrid bucketed
+    // plan: Σv² partials per bucket, boundary segments decoded per point.
+    val bucketed = engine.sql(
+      "SELECT date_trunc('MINUTE', ts) AS m, var_samp(v) AS vs " +
+        "FROM vr GROUP BY date_trunc('MINUTE', ts)")
+    val bm = bucketed.collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getDouble(1)).toMap
+    val bc = engine.readTable("vr")
+      .groupBy(date_trunc("MINUTE", col("ts")).as("m"))
+      .agg(var_samp(col("v")))
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getDouble(1)).toMap
+    assert(bm.keySet == bc.keySet && bm.nonEmpty)
+    bm.foreach { case (k, v) =>
+      assert(math.abs(v - bc(k)) <= math.abs(bc(k)) * 1e-9, s"bucket $k")
+    }
+
+    // A single-point series: var_samp NULL (n-1 = 0), var_pop 0.
+    engine.sql("CREATE TIME SERIES TABLE vr1(ts TIMESTAMP, v FIELD, tag TAG)")
+    engine.write("vr1", Seq((1700000000000000L, 5.0f, "x"))
+      .toDF("ts", "v", "tag"))
+    val single = engine.sql(
+      "SELECT var_samp(v) AS vs, var_pop(v) AS vp FROM vr1").collect().head
+    assert(single.isNullAt(0), "var_samp of one point must be NULL")
+    assert(single.getDouble(1) == 0.0, "var_pop of one point must be 0")
+  }
+
   test("segment-aggregate rewrite answers simple SQL without gridding") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE sa(ts TIMESTAMP, v FIELD, tag TAG)")
