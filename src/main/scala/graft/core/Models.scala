@@ -206,6 +206,22 @@ object Models {
     Array(sum, sumSq)
   }
 
+  /** A segment's chronologically first and last values. The decode buffers
+    * are timestamp-aligned (model values, then trailing residuals), so the
+    * edges are the buffer edges; the first point IS start_time's value and
+    * the last IS end_time's.
+    */
+  def edgeValues(
+      modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],
+      minValue: Float, maxValue: Float, values: Array[Byte],
+      residuals: Array[Byte]): Array[Float] = {
+    val ts = new LongBuf(64)
+    val vs = new FloatBuf(64)
+    grid(modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+      values, residuals, ts, vs)
+    Array(vs.backing(0), vs.last)
+  }
+
   /** Reconstruct all (timestamp, value) pairs of a segment into the buffers. */
   def grid(
       modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],

@@ -211,6 +211,43 @@ object Similarity {
         col("score"), col("rank"))
   }
 
+  /** IVF+PQ: the at-scale composition — queries probe only the `nProbe`
+    * nearest centroid cells (reading a fraction of the corpus) and score
+    * the probed rows by ADC over the packed PQ codes (16x smaller rows,
+    * no vector arithmetic). `assignedCodes` is the corpus with `cell`
+    * (from [[assignCells]]) plus `code`/`norm` (from [[pqEncode]]) — at
+    * scale, written partitioned by cell so probes prune directories.
+    */
+  def ivfPqTopK(assignedCodes: DataFrame, centroids: DataFrame,
+      codebook: Array[Array[Float]], queries: DataFrame,
+      idCol: String, vecCol: String, queryIdCol: String,
+      k: Int, nProbe: Int, m: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val probes = probeCells(centroids, queries, vecCol, queryIdCol, nProbe)
+      .select(col("query_id"), col("cell"),
+        ColumnBridge.column(
+          PqLutExpr(ColumnBridge.expression(col("__qv")), codebook, m))
+          .as("__lut"),
+        ColumnBridge.column(VecNormExpr(ColumnBridge.expression(col("__qv"))))
+          .as("__qn"))
+    val denom = col("norm") * col("__qn")
+    val scored = assignedCodes
+      .select(col(idCol).as("neighbor_id"), col("cell"),
+        col("code"), col("norm"))
+      .join(broadcast(probes), Seq("cell"))
+      .withColumn("score",
+        when(denom =!= 0d,
+          ColumnBridge.column(PqAdcExpr(
+            ColumnBridge.expression(col("code")),
+            ColumnBridge.expression(col("__lut")), codebook.length)) / denom)
+          .otherwise(0d))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "score", "rank")
+  }
+
   /** The nProbe centroid cells nearest each query: (query_id, __qv, cell). */
   private def probeCells(
       centroids: DataFrame, queries: DataFrame,

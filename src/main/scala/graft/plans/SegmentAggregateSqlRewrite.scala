@@ -224,6 +224,12 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
               s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg])
           val hasTagDistinct = flat.exists(_.isInstanceOf[TagDistinctAgg])
+          // FIRST/LAST winners are whole-segment edges: under a range or
+          // bucket the winning segment's edge point may fall outside it.
+          val hasEdge = flat.exists {
+            case FieldAgg("first" | "last", _, _) => true
+            case _ => false
+          }
           // A tag column named like an internal output of the rewritten
           // plan ('bucket', or a produced '<kind>_<column>') would make
           // the engine's readers throw or the final select ambiguous —
@@ -238,6 +244,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             produced.contains(t) || t.startsWith("__"))
           if (collides) None
           else filterCond match {
+            case _ if hasEdge && bucket.nonEmpty => None // grid it
             case _ if (!hasAgg || hasTagDistinct) && bucket.nonEmpty =>
               // Distinct buckets (and DISTINCT-tag counts per bucket)
               // need point-level exactness: a segment overlapping a
@@ -254,7 +261,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                 // Tag-only predicates stay metadata-exact. (min/max(ts)
                 // under a time range or bucket answers from the
                 // __bp_tmin/__bp_tmax partials — no decline.)
-                if ((!hasAgg || hasTagDistinct) && (lo.nonEmpty || hi.nonEmpty))
+                if ((!hasAgg || hasTagDistinct || hasEdge) &&
+                    (lo.nonEmpty || hi.nonEmpty))
                   None
                 else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
                   tagIn, bucket))
@@ -512,6 +520,17 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             varianceField(meta, e1).map(FieldAgg("stddev_samp", _, outName))
           case StddevPop(e1, _) =>
             varianceField(meta, e1).map(FieldAgg("stddev_pop", _, outName))
+          // FIRST/LAST by time — min_by/max_by(field, ts). Whole-table and
+          // tag-grouped only: matchAggregate declines ranges and buckets
+          // (the winning segment's edge point may fall outside them).
+          case MinBy(v: AttributeReference, o: AttributeReference)
+              if meta.fieldColumns.contains(v.name) &&
+                o.name == meta.timestampColumn && o.dataType == TimestampType =>
+            Some(FieldAgg("first", v.name, outName))
+          case MaxBy(v: AttributeReference, o: AttributeReference)
+              if meta.fieldColumns.contains(v.name) &&
+                o.name == meta.timestampColumn && o.dataType == TimestampType =>
+            Some(FieldAgg("last", v.name, outName))
           // Linear expressions of one stored field — including generated
           // columns that are linear over a stored field — fold onto the
           // base field's closed forms. Bare stored-field cases matched

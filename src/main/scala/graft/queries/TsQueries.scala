@@ -299,6 +299,28 @@ object TsQueries {
         round(var_pop(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS var_p
       FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // FIRST/LAST value by time per series — min_by/max_by(value, ts)
+    // answered from segment metadata: the winner is the segment with the
+    // extreme time bound, and only edge values decode (a struct kernel,
+    // one pass). The reference has no first/last closed form at all.
+    ("ts_first_last", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, min_by(value, ts) AS first_v, max_by(value, ts) AS last_v, " +
+          "min(ts) AS first_ts, max(ts) AS last_ts " +
+          "FROM events_lossless GROUP BY user")
+        .select(col("user"), col("first_v"), col("last_v"),
+          unix_micros(col("first_ts")).as("first_us"),
+          unix_micros(col("last_ts")).as("last_us"))
+        .orderBy("user")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        arg_min(CAST(value AS FLOAT4), epoch_us(ts)) AS first_v,
+        arg_max(CAST(value AS FLOAT4), epoch_us(ts)) AS last_v,
+        CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+        CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
     // The same family under a literal time range: the hybrid plan — Σv²
     // partials from interior closed forms plus boundary decode rows.
     ("ts_variance_range", (s: SparkSession, d: String) => {

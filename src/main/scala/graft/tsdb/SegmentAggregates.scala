@@ -42,6 +42,14 @@ object SegmentAggregates {
     attr("timestamps"), attr("min_value"), attr("max_value"),
     attr("values"), attr("residuals")))
 
+  /** (first, last) values of a segment in ONE decode pass — the kernel
+    * behind segment-native FIRST/LAST by time (min_by/max_by on ts).
+    */
+  def edgeValuesCol: Column = ColumnBridge.column(SegmentEdgeValues(
+    attr("model_type_id"), attr("start_time"), attr("end_time"),
+    attr("timestamps"), attr("min_value"), attr("max_value"),
+    attr("values"), attr("residuals")))
+
   /** Textbook variance from (count, Σv, Σv²) aggregate columns, clamped at
     * zero (float cancellation can dip epsilon-negative) and NULL below the
     * minimum count — mirroring SQL var_samp (n >= 2) / var_pop (n >= 1).
@@ -80,6 +88,17 @@ object SegmentAggregates {
         sqrt(varianceFrom(cnt, statsSum, statsSq, sample = true))
       case "stddev_pop" =>
         sqrt(varianceFrom(cnt, statsSum, statsSq, sample = false))
+      // FIRST/LAST by time: the group winner is the segment with the
+      // extreme time bound; its edge value is that extreme's point
+      // (segments of one series never overlap, so the bound is unique
+      // per series; cross-series ties pick either value, matching
+      // Spark's own min_by/max_by tie semantics).
+      case "first" =>
+        min_by(onField(edgeValuesCol.getField("first")),
+          onField(col("start_time")))
+      case "last" =>
+        max_by(onField(edgeValuesCol.getField("last")),
+          onField(col("end_time")))
       case other => throw new IllegalArgumentException(s"Unknown aggregate $other.")
     }
   }

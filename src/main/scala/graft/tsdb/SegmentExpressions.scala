@@ -108,6 +108,17 @@ object SegmentKernels {
     r.setDouble(1, a(1))
     r
   }
+
+  def edgeValuesRow(modelTypeId: Byte, startTime: Long, endTime: Long,
+      timestamps: Array[Byte], minValue: Float, maxValue: Float,
+      values: Array[Byte], residuals: Array[Byte]): InternalRow = {
+    val a = Models.edgeValues(modelTypeId, startTime, endTime, timestamps,
+      minValue, maxValue, values, residuals)
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    r.setFloat(0, a(0))
+    r.setFloat(1, a(1))
+    r
+  }
 }
 
 /** (Σv, Σv²) of a segment's values as one struct — a SINGLE decode pass
@@ -149,6 +160,56 @@ case class SegmentSumStats(
       code = evals.map(_.code).reduce(_ + _) +
         code"""
            |$rowCls ${ev.value} = graft.tsdb.SegmentKernels.sumStatsRow(
+           |  ${evals.map(_.value).mkString(", ")});
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3),
+      newChildren(4), newChildren(5), newChildren(6), newChildren(7))
+}
+
+/** A segment's chronologically (first, last) values as one struct — the
+  * kernel behind segment-native `min_by(value, ts)` / `max_by(value, ts)`
+  * (FIRST/LAST by time): the group winner is the segment with the extreme
+  * time bound, and its edge value is that extreme's point. Codegen'd like
+  * [[SegmentSumStats]], extracted in chained projections.
+  */
+case class SegmentEdgeValues(
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = StructType(Seq(
+    StructField("first", FloatType, nullable = false),
+    StructField("last", FloatType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    SegmentKernels.edgeValuesRow(
+      modelTypeId.eval(input).asInstanceOf[Byte],
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      minValue.eval(input).asInstanceOf[Float],
+      maxValue.eval(input).asInstanceOf[Float],
+      values.eval(input).asInstanceOf[Array[Byte]],
+      residuals.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |$rowCls ${ev.value} = graft.tsdb.SegmentKernels.edgeValuesRow(
            |  ${evals.map(_.value).mkString(", ")});
            """.stripMargin,
       isNull = FalseLiteral)

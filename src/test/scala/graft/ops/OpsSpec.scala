@@ -388,6 +388,39 @@ class OpsSpec extends AnyFunSuite {
     encoded.unpersist()
   }
 
+  test("ivf+pq composition prunes cells and scores codes") {
+    val cb = Similarity.pqCodebook(embeddings, "vec_id", "embedding")
+    val centroids = Similarity.sampleCentroids(embeddings, "vec_id", "embedding", 16)
+    val cells = Similarity.assignCells(embeddings, centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("cell"))
+    val codes = Similarity.pqEncode(embeddings, "vec_id", "embedding", cb)
+    val assignedCodes = codes.join(cells, codes("id") === cells("vec_id"))
+      .select(col("id"), col("cell"), col("code"), col("norm"))
+    val queries = embeddings.where($"vec_id" < 10)
+      .select($"vec_id".as("query_id"), $"embedding")
+
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = df
+      .select("query_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // Probing EVERY cell must equal plain PQ over the full corpus — the
+    // composition changes what is read, never how it is scored.
+    val all = sets(Similarity.ivfPqTopK(assignedCodes, centroids, cb,
+      queries, "id", "embedding", "query_id", k = 5, nProbe = 16))
+    val pqOnly = sets(Similarity.pqTopK(codes, cb, queries,
+      "query_id", "embedding", k = 5))
+    assert(all == pqOnly, "nProbe=all must reduce to plain PQ")
+
+    // Pruned probing keeps useful recall against the exact baseline.
+    val pruned = sets(Similarity.ivfPqTopK(assignedCodes, centroids, cb,
+      queries, "id", "embedding", "query_id", k = 5, nProbe = 4))
+    val exact = sets(Similarity.bruteForceTopK(embeddings, queries,
+      "vec_id", "embedding", "query_id", k = 5))
+    val recalls = exact.map { case (q, e) => (pruned(q) & e).size.toDouble / e.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"ivf+pq mean recall@5 $mean below floor")
+  }
+
   test("token-budget selection matches the running-sum rule exactly") {
     import org.apache.spark.sql.expressions.Window
     val scored = docs

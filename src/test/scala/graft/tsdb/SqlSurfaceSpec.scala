@@ -209,6 +209,54 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(single.getDouble(1) == 0.0, "var_pop of one point must be 0")
   }
 
+  test("first/last by time answer from segment edges without gridding") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE fl(ts TIMESTAMP, v FIELD, tag TAG)")
+    val rng = new scala.util.Random(11)
+    import spark.implicits._
+    // Irregular spacing so segments land on uneven boundaries; per-tag
+    // series have distinct first/last points.
+    val df = (0 until 2500).map { i =>
+      (1700000000000000L + i * 997000L + (i % 13) * 1000L,
+        rng.nextFloat() * 100 - 50, s"t${i % 4}")
+    }.toDF("ts", "v", "tag")
+    engine.write("fl", df)
+
+    val grouped = engine.sql(
+      "SELECT tag, min_by(v, ts) AS first_v, max_by(v, ts) AS last_v " +
+        "FROM fl GROUP BY tag")
+    val planText = grouped.queryExecution.executedPlan.toString
+    assert(!planText.contains("Generate"),
+      s"first/last must stay segment-native:\n$planText")
+    val got = grouped.collect()
+      .map(r => r.getString(0) -> ((r.getFloat(1), r.getFloat(2)))).toMap
+    val control = engine.readTable("fl")
+      .groupBy("tag").agg(min_by(col("v"), col("ts")), max_by(col("v"), col("ts")))
+      .collect().map(r => r.getString(0) -> ((r.getFloat(1), r.getFloat(2)))).toMap
+    assert(got == control, s"$got vs $control")
+
+    // Whole-table variant (single winner across series).
+    val whole = engine.sql(
+      "SELECT min_by(v, ts) AS f, max_by(v, ts) AS l FROM fl")
+    assert(!whole.queryExecution.executedPlan.toString.contains("Generate"))
+    val w = whole.collect().head
+    val wc = engine.readTable("fl")
+      .agg(min_by(col("v"), col("ts")), max_by(col("v"), col("ts")))
+      .collect().head
+    assert(w.getFloat(0) == wc.getFloat(0) && w.getFloat(1) == wc.getFloat(1))
+
+    // A time range must DECLINE the closed form (the winning segment's
+    // edge may fall outside the range) and still answer correctly.
+    val ranged = engine.sql(
+      "SELECT min_by(v, ts) AS f FROM fl " +
+        "WHERE ts >= TIMESTAMP '2023-11-14 22:40:00'")
+    val rc = engine.readTable("fl")
+      .where(col("ts") >= lit("2023-11-14 22:40:00").cast("timestamp"))
+      .agg(min_by(col("v"), col("ts"))).collect().head.getFloat(0)
+    assert(ranged.collect().head.getFloat(0) == rc,
+      "ranged first must match the gridded answer")
+  }
+
   test("segment-aggregate rewrite answers simple SQL without gridding") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE sa(ts TIMESTAMP, v FIELD, tag TAG)")
