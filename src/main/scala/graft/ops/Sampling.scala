@@ -78,6 +78,37 @@ object Sampling {
     df.where(splitBucket(col(keyCol), seed) < threshold)
   }
 
+  /** Rebalance a corpus to target stratum proportions by DOWNSAMPLING
+    * only (never duplicating): the output size is the largest T where
+    * every stratum can still supply `target_s * T` rows
+    * (`T = min_s count_s / target_s`), each stratum keeps the
+    * deterministic hash fraction `target_s * T / count_s`, and strata
+    * absent from `targets` are dropped. The standard "data mixing" step
+    * that turns a crawl's accidental source distribution into the
+    * training mixture.
+    *
+    * Scale shape: one tiny per-stratum count aggregate (bounded by the
+    * number of strata) to compute fractions, then a shuffle-free hash
+    * filter on the scan — rebalancing 100 TB is two passes, one of them
+    * metadata-sized.
+    */
+  def rebalanceStrata(df: DataFrame, strataCol: String, keyCol: String,
+      targets: Map[String, Double], seed: Long = 0L): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0))
+    val counts = df.groupBy(strataCol).count().collect()
+      .flatMap(r => Option(r.get(0)).map(s => s.toString -> r.getLong(1)))
+      .toMap
+    val present = targets.filter { case (s, _) => counts.getOrElse(s, 0L) > 0L }
+    if (present.isEmpty) return df.where(lit(false))
+    val total = present.map { case (s, w) => counts(s).toDouble / w }.min
+    // The binding stratum's fraction is 1 up to an ulp of float noise;
+    // the clamp cannot change any bucket threshold (round() absorbs it).
+    val fractions = present.map { case (s, w) =>
+      s -> math.min(1.0, w * total / counts(s))
+    }
+    stratifiedSampleByKey(df, strataCol, keyCol, fractions, seed)
+  }
+
   /** Keep the best-scoring rows until a global cost budget is exhausted —
     * the "top documents until N tokens" selection every corpus pipeline
     * runs before training. Rows are ranked by (`scoreCol` DESC, `idCol`

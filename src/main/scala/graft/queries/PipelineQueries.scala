@@ -434,6 +434,41 @@ object PipelineQueries {
         count(*) AS n, min(doc_id) AS min_id, max(doc_id) AS max_id
       FROM b GROUP BY 1 ORDER BY 1""")),
 
+    // Mixture rebalancing: downsample each source to hit target mixture
+    // weights — the output is the largest corpus every source can still
+    // supply its share of (T = min count_s/target_s); sources outside the
+    // target map drop. Two passes: a strata-sized count aggregate, then a
+    // shuffle-free hash filter. The oracle replays the fraction
+    // arithmetic and the bucket thresholds exactly.
+    ("pipeline_mixture", (s: SparkSession, d: String) => {
+      val targets = Map("src0" -> 0.05, "src1" -> 0.1, "src2" -> 0.15,
+        "src3" -> 0.3, "src4" -> 0.4)
+      graft.ops.Sampling
+        .rebalanceStrata(table(s, d, "documents"), "source", "doc_id", targets)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy("source")
+    }, Some("""
+      WITH tw(source, w) AS (VALUES
+        ('src0', 0.05), ('src1', 0.1), ('src2', 0.15),
+        ('src3', 0.3), ('src4', 0.4)),
+      c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      t AS (SELECT min(c.n / tw.w) AS t FROM c JOIN tw USING (source)),
+      f AS (
+        SELECT c.source,
+          CAST(floor(tw.w * t.t / c.n * 1000000 + 0.5) AS BIGINT) AS thr
+        FROM c JOIN tw USING (source), t),
+      b AS (
+        SELECT doc_id, source,
+          ((doc_id % 2147483647) * 2654435761) % 1000000 AS bucket
+        FROM documents)
+      SELECT b.source, count(*) AS n,
+        min(doc_id) AS min_id, max(doc_id) AS max_id
+      FROM b JOIN f USING (source)
+      WHERE b.bucket < f.thr
+      GROUP BY 1 ORDER BY 1""")),
+
     // Token-budget selection: keep the highest-quality documents until a
     // global 15k-token budget is exhausted (ties broken by doc_id; the
     // budget-crossing document is included). The payload is never

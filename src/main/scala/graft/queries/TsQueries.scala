@@ -299,6 +299,34 @@ object TsQueries {
         round(var_pop(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS var_p
       FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Per-series deltas: value - lag(value) over the reconstructed view —
+    // the delegated-SQL window surface composing directly with the grid
+    // (PARTITION BY the series tag keeps the window shuffle keyed, never
+    // global). Delta arithmetic stays f32 like the stored values; the
+    // aggregates promote to f64.
+    ("ts_deltas", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, count(delta) AS n, " +
+          "round(avg(CAST(delta AS DOUBLE)), 4) AS avg_d, " +
+          "round(CAST(min(delta) AS DOUBLE), 4) AS min_d, " +
+          "round(CAST(max(delta) AS DOUBLE), 4) AS max_d " +
+          "FROM (SELECT user, value - lag(value) OVER " +
+          "(PARTITION BY user ORDER BY ts) AS delta FROM events_lossless) " +
+          "WHERE delta IS NOT NULL GROUP BY user")
+        .orderBy("user")
+    }, Some("""
+      WITH d AS (
+        SELECT CAST(user_id AS VARCHAR) AS user,
+          CAST(value AS FLOAT4) - lag(CAST(value AS FLOAT4)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts)) AS delta
+        FROM events)
+      SELECT user, count(delta) AS n,
+        round(avg(CAST(delta AS DOUBLE)), 4) AS avg_d,
+        round(CAST(min(delta) AS DOUBLE), 4) AS min_d,
+        round(CAST(max(delta) AS DOUBLE), 4) AS max_d
+      FROM d WHERE delta IS NOT NULL GROUP BY 1 ORDER BY 1""")),
+
     // FIRST/LAST value by time per series — min_by/max_by(value, ts)
     // answered from segment metadata: the winner is the segment with the
     // extreme time bound, and only edge values decode (a struct kernel,

@@ -503,6 +503,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 5, "every document is annotated")
   }
 
+  test("mixture rebalancing hits target proportions by downsampling only") {
+    val targets = Map("src0" -> 0.6, "src1" -> 0.2, "src2" -> 0.2)
+    val out = Sampling.rebalanceStrata(docs, "source", "doc_id", targets)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Only targeted sources survive.
+    assert(out.keySet.subsetOf(targets.keySet))
+    // Uniform input (25 docs/source at sf0.001): src0 binds at 25/0.6,
+    // so src0 keeps everything and the others downsample toward 1/3 of
+    // it. Hash sampling is approximate at n=25 — check proportions
+    // loosely and the binding stratum exactly.
+    assert(out("src0") == 25L, "the binding stratum keeps every row")
+    assert(out("src1") < 25L && out("src2") < 25L,
+      "non-binding strata must downsample")
+    // No row outside the targeted strata, and determinism across
+    // partitionings.
+    val again = Sampling
+      .rebalanceStrata(docs.repartition(7), "source", "doc_id", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val once = Sampling.rebalanceStrata(docs, "source", "doc_id", targets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(once == again, "membership must be partitioning-independent")
+    // Unknown-only targets select nothing instead of dividing by zero.
+    assert(Sampling.rebalanceStrata(docs, "source", "doc_id",
+      Map("nope" -> 1.0)).count() == 0)
+  }
+
   test("ngram doc frequencies count each document once per ngram") {
     val tiny = Seq(
       (1L, "a b a b"), // bigrams {a b, b a} — each counted once
