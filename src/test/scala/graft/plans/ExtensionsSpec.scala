@@ -80,6 +80,27 @@ class ExtensionsSpec extends AnyFunSuite {
       math.abs(g.getDouble(4)) * 1e-5)
   }
 
+  test("variance and first/last rewrite through the extensions splice") {
+    freshEngine()
+    val df = spark.sql(
+      "SELECT var_samp(v) AS vs, stddev_pop(v) AS sp, " +
+        "min_by(v, ts) AS fv, max_by(v, ts) AS lv FROM ext")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"variance/first/last must stay segment-native via spark.sql:\n$plan")
+    val control = spark.sql(
+      "SELECT var_samp(v), stddev_pop(v), min_by(v, ts), max_by(v, ts) " +
+        "FROM ext WHERE v <= CAST('Infinity' AS FLOAT)")
+    assert(control.queryExecution.executedPlan.toString.contains("Generate"))
+    val g = control.collect().head
+    val r = df.collect().head
+    assert(math.abs(r.getDouble(0) - g.getDouble(0)) <=
+      math.abs(g.getDouble(0)) * 1e-9)
+    assert(math.abs(r.getDouble(1) - g.getDouble(1)) <=
+      math.abs(g.getDouble(1)) * 1e-9)
+    assert(r.getFloat(2) == g.getFloat(2) && r.getFloat(3) == g.getFloat(3))
+  }
+
   test("tag-grouped aggregates rewrite and match the gridded group-by") {
     freshEngine()
     val df = spark.sql(

@@ -69,6 +69,24 @@ object ScaleDrive {
         .collect().head.getDouble(0)
     }
 
+    val varSamp = timed("segment-native VAR_SAMP") {
+      engine.readTimeSeriesTable("big", Seq("v"), engine.Aggregate.VarSamp)
+        .collect().head.getDouble(0)
+    }
+    timed("gridded var control") {
+      val ctrl = engine.readTable("big").agg(var_samp(col("v")))
+        .collect().head.getDouble(0)
+      assert(math.abs(varSamp - ctrl) <= math.abs(ctrl) * 1e-9,
+        s"var_samp $varSamp != gridded $ctrl")
+    }
+
+    timed("first/last via SQL rewrite") {
+      val r = engine.sql(
+        "SELECT min_by(v, ts) AS f, max_by(v, ts) AS l FROM big")
+        .collect().head
+      println(f"  first=${r.getFloat(0)}%.4f last=${r.getFloat(1)}%.4f")
+    }
+
     timed("tag-grouped COUNT (1000 groups)") {
       val rows = engine.readTimeSeriesTable("big", Seq("v"),
         engine.Aggregate.Count, groupByTags = Seq("tag")).collect()
