@@ -198,4 +198,39 @@ object TimestampCodec {
       buf.length
     }
   }
+
+  /** (max consecutive timestamp delta, count of deltas > thresholdUs) over
+    * one segment — the intra-segment half of gap detection. Values never
+    * decode, and REGULAR segments answer in O(1) from the stored length
+    * (every delta is the sampling interval); only irregular segments pay a
+    * timestamp-only decode. A single-point segment has no deltas: maxDelta
+    * is returned as -1 (the expression layer surfaces it as NULL).
+    */
+  def timeGapStats(startTime: Long, endTime: Long, timestamps: Array[Byte],
+      thresholdUs: Long): Array[Long] = {
+    if (timestamps.isEmpty && startTime == endTime) {
+      Array(-1L, 0L)
+    } else if (timestamps.isEmpty) {
+      val d = endTime - startTime
+      Array(d, if (d > thresholdUs) 1L else 0L)
+    } else if (areCompressedTimestampsRegular(timestamps)) {
+      val n = decodeRegularLength(timestamps)
+      val interval = (endTime - startTime) / (n - 1)
+      Array(interval, if (interval > thresholdUs) (n - 1).toLong else 0L)
+    } else {
+      val buf = new LongBuf(64)
+      decompressAllTimestamps(startTime, endTime, timestamps, buf)
+      val b = buf.backing
+      var mx = -1L
+      var over = 0L
+      var i = 1
+      while (i < buf.length) {
+        val d = b(i) - b(i - 1)
+        if (d > mx) mx = d
+        if (d > thresholdUs) over += 1
+        i += 1
+      }
+      Array(mx, over)
+    }
+  }
 }

@@ -419,4 +419,39 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Semantic dedup by clustering (SemDeDup, Abbas et al. 2023): embed →
+    * cluster → keep one exemplar per dense semantic neighborhood. Each row
+    * is assigned to its nearest centroid cell
+    * ([[Similarity.assignCells]]); within a cell, the lowest-id row is the
+    * REPRESENTATIVE, and every other row whose cosine to it exceeds
+    * `threshold` is flagged a semantic duplicate. The pairwise in-cluster
+    * comparison of the paper collapses to one cosine per row against the
+    * exemplar — O(n·nCells + n) instead of O(Σ cell²), with candidate
+    * vectors never shuffled against each other: the nCells representative
+    * vectors broadcast.
+    *
+    * Returns per-row decisions: (id, cell, rep_id, cos_rep, is_dup). At
+    * scale, `df.where(!is_dup)` is the cleaned corpus.
+    */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, threshold: Double = 0.9): DataFrame = {
+    val centroids = Similarity.sampleCentroids(df, idCol, vecCol, nCells)
+    val assigned = Similarity.assignCells(df, centroids, idCol, vecCol)
+      .select(col(idCol).as("id"), col(vecCol).as("__vec"), col("cell"))
+    // Representatives: min id per cell (a narrow (cell, id) aggregate),
+    // then their vectors fetched by a broadcast join — never a window
+    // over the full vector-carrying frame. Renamed projections keep the
+    // self-join lineage unambiguous.
+    val repIds = assigned.groupBy("cell").agg(min(col("id")).as("rep_id"))
+      .toDF("__rcell", "rep_id")
+    val reps = assigned.toDF("__rid", "__rep_vec", "__vcell")
+      .join(broadcast(repIds), col("__rid") === col("rep_id"))
+      .select(col("__rcell"), col("rep_id"), col("__rep_vec"))
+    assigned.join(broadcast(reps), col("cell") === col("__rcell"))
+      .withColumn("cos_rep", cosine(col("__vec"), col("__rep_vec")))
+      .select(col("id"), col("cell"), col("rep_id"), col("cos_rep"),
+        (col("id") =!= col("rep_id") && col("cos_rep") > threshold)
+          .as("is_dup"))
+  }
 }

@@ -131,6 +131,37 @@ object Sampling {
     * null/NaN scores are never selected. `idCol` must be a unique integer
     * key (the deterministic tiebreak); `costCol` non-negative.
     */
+  /** Concat-and-chunk sequence packing: within each stratum, documents in
+    * `orderCol` order are conceptually concatenated and chopped into
+    * fixed `budget`-token training chunks; each document is assigned to
+    * the chunk containing its FIRST token (`chunk = floor(prev_cumsum /
+    * budget)` — docs longer than a chunk span forward, the standard
+    * GPT-style packing-with-spillover). Deterministic and replayable with
+    * one window function in any SQL engine.
+    *
+    * Returns the narrow assignment frame (`strataCol`, `idCol`,
+    * `tokensCol`, `chunk`) — callers join back by id if the payload is
+    * needed. Scale shape: only the narrow (strata, order, tokens)
+    * projection goes through the single keyed window shuffle (one
+    * partition per stratum, never a global sort); the payload never
+    * moves.
+    */
+  def packChunks(df: DataFrame, strataCol: String, orderCol: String,
+      idCol: String, tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "chunk budget must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(strataCol), col(orderCol), col(idCol),
+        col(tokensCol).cast("long").as(tokensCol))
+      .withColumn("__cum", sum(col(tokensCol)).over(w))
+      // SQL `div`: exact BIGINT division (a float division would round
+      // past 2^53 — reachable token totals at corpus scale).
+      .withColumn("__prev", col("__cum") - col(tokensCol))
+      .select(col(strataCol), col(idCol), col(tokensCol),
+        expr(s"__prev div ${budget}L").as("chunk"))
+  }
+
   def selectByBudget(df: DataFrame, scoreCol: String, costCol: String,
       idCol: String, budget: Long): DataFrame = {
     val score = col(scoreCol).cast("double")

@@ -224,12 +224,6 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
               s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg])
           val hasTagDistinct = flat.exists(_.isInstanceOf[TagDistinctAgg])
-          // FIRST/LAST winners are whole-segment edges: under a range or
-          // bucket the winning segment's edge point may fall outside it.
-          val hasEdge = flat.exists {
-            case FieldAgg("first" | "last", _, _) => true
-            case _ => false
-          }
           // A tag column named like an internal output of the rewritten
           // plan ('bucket', or a produced '<kind>_<column>') would make
           // the engine's readers throw or the final select ambiguous —
@@ -244,7 +238,6 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             produced.contains(t) || t.startsWith("__"))
           if (collides) None
           else filterCond match {
-            case _ if hasEdge && bucket.nonEmpty => None // grid it
             case _ if (!hasAgg || hasTagDistinct) && bucket.nonEmpty =>
               // Distinct buckets (and DISTINCT-tag counts per bucket)
               // need point-level exactness: a segment overlapping a
@@ -259,10 +252,10 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                 // same reason, and so would COUNT(DISTINCT tag) — a
                 // segment overlapping the range may have no point inside.
                 // Tag-only predicates stay metadata-exact. (min/max(ts)
-                // under a time range or bucket answers from the
-                // __bp_tmin/__bp_tmax partials — no decline.)
-                if ((!hasAgg || hasTagDistinct || hasEdge) &&
-                    (lo.nonEmpty || hi.nonEmpty))
+                // AND min_by/max_by(field, ts) under a time range or
+                // bucket answer from the __bp_tmin/__bp_tmax and
+                // __bp_vfirst/__bp_vlast partials — no decline.)
+                if ((!hasAgg || hasTagDistinct) && (lo.nonEmpty || hi.nonEmpty))
                   None
                 else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
                   tagIn, bucket))
@@ -520,9 +513,13 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             varianceField(meta, e1).map(FieldAgg("stddev_samp", _, outName))
           case StddevPop(e1, _) =>
             varianceField(meta, e1).map(FieldAgg("stddev_pop", _, outName))
-          // FIRST/LAST by time — min_by/max_by(field, ts). Whole-table and
-          // tag-grouped only: matchAggregate declines ranges and buckets
-          // (the winning segment's edge point may fall outside them).
+          // FIRST/LAST by time — min_by/max_by(field, ts). Whole-table
+          // and tag-grouped queries answer from whole-segment edges;
+          // ranges and buckets route through the hybrid plans, whose
+          // range-clipped __bp_vfirst/__bp_vlast partials carry the
+          // IN-bucket edge (a winning segment's global edge point can
+          // fall outside the bucket, so whole-segment edges alone would
+          // be wrong there).
           case MinBy(v: AttributeReference, o: AttributeReference)
               if meta.fieldColumns.contains(v.name) &&
                 o.name == meta.timestampColumn && o.dataType == TimestampType =>
@@ -839,6 +836,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       case "var_pop" => engine.Aggregate.VarPop
       case "stddev_samp" => engine.Aggregate.StdSamp
       case "stddev_pop" => engine.Aggregate.StdPop
+      case "first" => engine.Aggregate.First
+      case "last" => engine.Aggregate.Last
       case other => throw new IllegalArgumentException(s"Unknown aggregate $other.")
     }
 

@@ -300,6 +300,62 @@ object PipelineQueries {
     // IVF-bucketed ANN: deterministic centroid sampling (multiplicative-hash
     // order) makes the whole pipeline — assignment, probing, in-cell top-k —
     // reproducible in SQL, so the approximate result itself is oracled.
+    // SemDeDup (Abbas et al. 2023): nearest-centroid clustering, then one
+    // exemplar (lowest id) per cell — every other row whose cosine to the
+    // exemplar clears the threshold is a semantic duplicate. The oracle
+    // replays the WHOLE pipeline (hash-sampled centroids, argmax cell
+    // assignment, exemplar choice, f64 cosine, threshold) in DuckDB, so
+    // per-row decisions are hash-checked end to end.
+    ("dedup_semantic", (s: SparkSession, d: String) => {
+      Dedup.semanticDedup(table(s, d, "embeddings"), "vec_id", "embedding",
+          nCells = 16, threshold = 0.2)
+        .select(col("id").as("vec_id"), col("cell"), col("rep_id"),
+          (floor(col("cos_rep") * 10000d) / 10000d).as("cos_rep"),
+          col("is_dup"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH cent AS (
+        SELECT row_number() OVER (ORDER BY cid) - 1 AS cell, cvec FROM (
+          SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+          ORDER BY (vec_id * 2654435761) % 2147483648, vec_id
+          LIMIT 16)),
+      assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+          SELECT e.vec_id, e.embedding, c.cell,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC,
+                c.cell) AS rr
+          FROM embeddings e, cent c)
+        WHERE rr = 1),
+      reps AS (SELECT cell, min(vec_id) AS rep_id FROM assigned GROUP BY 1),
+      repv AS (
+        SELECT r.cell, r.rep_id, a.embedding AS rep_vec
+        FROM reps r JOIN assigned a ON a.vec_id = r.rep_id),
+      -- The VALUE cosine replays the Spark kernel's exact f64 arithmetic
+      -- (sequential index-order folds, dot / (sqrt(na) * sqrt(nb)));
+      -- DuckDB's own list_cosine_similarity computes in f32 and drifts in
+      -- the low bits.
+      j AS (
+        SELECT a.vec_id, v.cell, v.rep_id,
+          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+            list_transform(range(1, len(a.embedding) + 1),
+              t -> CAST(a.embedding[t] AS DOUBLE)
+                * CAST(v.rep_vec[t] AS DOUBLE))), (acc, x) -> acc + x)
+          / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(a.embedding) + 1),
+                t -> CAST(a.embedding[t] AS DOUBLE)
+                  * CAST(a.embedding[t] AS DOUBLE))), (acc, x) -> acc + x))
+            * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(range(1, len(v.rep_vec) + 1),
+                t -> CAST(v.rep_vec[t] AS DOUBLE)
+                  * CAST(v.rep_vec[t] AS DOUBLE))), (acc, x) -> acc + x)))
+            AS c
+        FROM assigned a JOIN repv v ON a.cell = v.cell)
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell, rep_id,
+        floor(c * 10000) / 10000 AS cos_rep,
+        (vec_id <> rep_id AND c > 0.2) AS is_dup
+      FROM j ORDER BY vec_id""")),
+
     ("ann_ivf_topk", (s: SparkSession, d: String) => {
       val embeddings = table(s, d, "embeddings")
       val centroids = Similarity.sampleCentroids(embeddings, "vec_id", "embedding", 16)
@@ -485,6 +541,35 @@ object PipelineQueries {
         .select(col("doc_id"), col("quality"), col("n_tokens"))
         .orderBy("doc_id")
     }, Some(tokenBudgetOracle)),
+
+    // Sequence packing (concat-and-chunk): per source, documents in
+    // doc_id order are concatenated and chopped into 2048-token training
+    // chunks; a doc belongs to the chunk holding its first token (long
+    // docs span forward). Output: per-chunk doc/token counts — the shape
+    // a trainer's data loader consumes. The oracle replays the window
+    // cumsum and integer division exactly.
+    ("pipeline_pack", (s: SparkSession, d: String) => {
+      val docs = table(s, d, "documents")
+        .withColumn("n_tokens", TextAnalysis.regexTokenCount(col("text")))
+      graft.ops.Sampling
+        .packChunks(docs, "source", "doc_id", "doc_id", "n_tokens", 2048L)
+        .groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source", "chunk")
+    }, Some("""
+      WITH t AS (
+        SELECT source, doc_id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS toks
+        FROM documents),
+      c AS (
+        SELECT source, doc_id, toks,
+          sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT source, CAST((cum - toks) // 2048 AS BIGINT) AS chunk,
+        count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM c GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Decontamination: per eval document (doc_id >= 450), the fraction of
     // its distinct bigrams found anywhere in the train partition — the

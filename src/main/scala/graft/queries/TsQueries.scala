@@ -327,6 +327,29 @@ object TsQueries {
         round(CAST(max(delta) AS DOUBLE), 4) AS max_d
       FROM d WHERE delta IS NOT NULL GROUP BY 1 ORDER BY 1""")),
 
+    // Sampling-gap detection per series, answered WITHOUT decoding values:
+    // intra-segment gaps come from the timestamp codec (O(1) for regular
+    // segments), inter-segment gaps from a keyed window over segment
+    // bounds. The oracle replays max/count-over-threshold of the raw
+    // lag() deltas — so the segment-native decomposition (intra + boundary)
+    // is hash-checked against the flat point-stream definition.
+    ("ts_gaps", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.timeGapStats("events_lossless", java.time.Duration.ofDays(1),
+          groupByTags = Seq("user"))
+        .select(col("user"), col("max_gap_us"), col("n_gaps_over"))
+        .orderBy("user")
+    }, Some("""
+      WITH d AS (
+        SELECT CAST(user_id AS VARCHAR) AS user,
+          epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts)) AS delta
+        FROM events)
+      SELECT user, CAST(max(delta) AS BIGINT) AS max_gap_us,
+        CAST(coalesce(sum(CASE WHEN delta > 86400000000 THEN 1 END), 0)
+          AS BIGINT) AS n_gaps_over
+      FROM d GROUP BY 1 ORDER BY 1""")),
+
     // FIRST/LAST value by time per series — min_by/max_by(value, ts)
     // answered from segment metadata: the winner is the segment with the
     // extreme time bound, and only edge values decode (a struct kernel,
@@ -348,6 +371,33 @@ object TsQueries {
         CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
         CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
       FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // M4 visualization downsample (Jugel et al., VLDB 2014): per series
+    // and pixel bucket, the (min, max, first, last) tuple that renders a
+    // line chart without error. First/Last ride the new edge partials —
+    // bucket-contained segments decode only their two edge points
+    // (SegmentEdgeValues), straddlers carry in-bucket edges beside the
+    // other partials; min_by/max_by on (tmin, tmax) merges. The oracle
+    // replays arg_min/arg_max(value, ts) per bucket over the raw events.
+    ("ts_m4", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.readTimeSeriesTableBucketed("events_lossless",
+          java.time.Duration.ofDays(1), Seq("value"),
+          Seq(engine.Aggregate.Min, engine.Aggregate.Max,
+            engine.Aggregate.First, engine.Aggregate.Last),
+          groupByTags = Seq("user"))
+        .select(col("user"), unix_micros(col("bucket")).as("bucket_us"),
+          col("min_value").as("mn"), col("max_value").as("mx"),
+          col("first_value").as("first_v"), col("last_value").as("last_v"))
+        .orderBy("user", "bucket_us")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(epoch_us(ts) AS BIGINT)
+          - CAST(epoch_us(ts) AS BIGINT) % 86400000000 AS bucket_us,
+        min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx,
+        arg_min(CAST(value AS FLOAT4), epoch_us(ts)) AS first_v,
+        arg_max(CAST(value AS FLOAT4), epoch_us(ts)) AS last_v
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // The same family under a literal time range: the hybrid plan — Σv²
     // partials from interior closed forms plus boundary decode rows.

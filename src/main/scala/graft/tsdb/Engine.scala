@@ -48,6 +48,14 @@ final class Engine(val spark: SparkSession, val root: String) {
     case object VarPop extends Aggregate
     case object StdSamp extends Aggregate
     case object StdPop extends Aggregate
+    // Chronological FIRST/LAST value (min_by/max_by(value, ts)): answered
+    // from segment edge values — interior segments decode only their two
+    // edge points (SegmentEdgeValues, one pass), bucket/range-straddling
+    // segments carry the in-bucket edge beside the other partials. The M4
+    // visualization downsample (Jugel et al., VLDB 2014: min/max/first/
+    // last per pixel bucket) is First+Last+Min+Max in one bucketed read.
+    case object First extends Aggregate
+    case object Last extends Aggregate
   }
 
   /** Do the requested kinds need Σv² partials? */
@@ -55,6 +63,13 @@ final class Engine(val spark: SparkSession, val root: String) {
     aggregates.exists {
       case Aggregate.VarSamp | Aggregate.VarPop |
            Aggregate.StdSamp | Aggregate.StdPop => true
+      case _ => false
+    }
+
+  /** Do the requested kinds need chronological edge-value partials? */
+  private def needsEdges(aggregates: Seq[Aggregate]): Boolean =
+    aggregates.exists {
+      case Aggregate.First | Aggregate.Last => true
       case _ => false
     }
 
@@ -362,7 +377,8 @@ final class Engine(val spark: SparkSession, val root: String) {
       else {
         val tsName = meta.timestampColumn
         val aggs =
-          (for (agg <- aggregates; f <- selected) yield gridAggColumn(agg, f)) ++
+          (for (agg <- aggregates; f <- selected)
+            yield gridAggColumn(agg, f, tsName)) ++
             tsAggregates.map {
               case Aggregate.Min => min(col(tsName)).as(s"min_$tsName")
               case _ => max(col(tsName)).as(s"max_$tsName")
@@ -451,17 +467,21 @@ final class Engine(val spark: SparkSession, val root: String) {
     // union-of-aggregates combine layer.
     val keys = groupByTags.map(col)
     val withSq = needsSumSq(aggregates)
+    val withEdges = needsEdges(aggregates)
     val interior = interiorPartials(segments.where(contained), keys,
-      Some(bucketOf(col("start_time"))), withSq)
+      Some(bucketOf(col("start_time"))), withSq, withEdges)
     val boundary = GridView.bucketPartials(
       segments.where(!contained), meta, selected, bucketUs, startUs, endUs)
       .select(keys ++ Seq(
         col(SegmentSchema.FieldColumn), col("__graft_bucket"),
         col("__bp_cnt"), col("__bp_sum"), col("__bp_sumsq"),
         col("__bp_min"), col("__bp_max"),
-        col("__bp_tmin"), col("__bp_tmax")): _*)
+        col("__bp_tmin"), col("__bp_tmax")) ++
+        (if (withEdges) Seq(col("__bp_vfirst"), col("__bp_vlast"))
+        else Seq.empty): _*)
 
-    val mergeAggs = partialMergeAggs(meta, selected, tsAggregates.nonEmpty, withSq)
+    val mergeAggs = partialMergeAggs(meta, selected, tsAggregates.nonEmpty,
+      withSq, withEdges)
     val combined = interior.unionByName(boundary)
       .groupBy((keys :+ col("__graft_bucket")): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
@@ -543,6 +563,73 @@ final class Engine(val spark: SparkSession, val root: String) {
     }
     filled.select((keys :+ timestamp_micros(col("__b")).as("bucket")) ++
       aggColNames.map(col): _*)
+  }
+
+  /** Sampling-gap analytics straight from the segment relation — values
+    * NEVER decode: intra-segment gaps come from the timestamp codec
+    * ([[SegmentTimeGaps]]; O(1) for regular segments, timestamp-only
+    * decode for irregular ones), inter-segment gaps from a per-series
+    * window over segment bounds (the gap between one segment's last point
+    * and the next one's first point is `next.start_time - end_time` —
+    * segments of a series never overlap). One segment scan, one keyed
+    * window shuffle, one aggregation; at a 100 TB retention window this
+    * touches the segment relation where a lag() over points would shuffle
+    * every reconstructed row.
+    *
+    * Returns per `groupByTags` group (or one global row):
+    * `max_gap_us` (NULL when the group has < 2 points) and `n_gaps_over`
+    * (number of consecutive-point deltas > `threshold`). The window is
+    * always keyed by the FULL tag set — gaps are per series — so grouping
+    * by a tag subset aggregates per-series gaps, never cross-series ones.
+    */
+  def timeGapStats(table: String, threshold: java.time.Duration,
+      groupByTags: Seq[String] = Seq.empty,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(groupByTags.forall(meta.tagColumns.contains),
+      s"Group-by columns must be tags of $table.")
+    val thresholdUs = Math.addExact(
+      Math.multiplyExact(threshold.getSeconds, 1000000L),
+      threshold.getNano / 1000L)
+
+    // Timestamps are write-aligned across fields: one field partition
+    // carries the full time axis of every series.
+    val segments0 = dataFolder
+      .segmentsPruned(table, scala.None, scala.None, tagFilters, tagInFilters)
+      .where(fieldColumnPredicate(meta, Seq(meta.fieldColumns.head)))
+    val segments = tagPredicate(tagFilters, tagInFilters)
+      .map(segments0.where).getOrElse(segments0)
+
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.ColumnBridge
+    val gaps = ColumnBridge.column(SegmentTimeGaps(thresholdUs,
+      ColumnBridge.expression(col("start_time")),
+      ColumnBridge.expression(col("end_time")),
+      ColumnBridge.expression(col("timestamps"))))
+    val w = Window.partitionBy(meta.tagColumns.map(col): _*)
+      .orderBy(col("start_time"))
+    // Chained select: CollapseProject must not inline (re-decode) the
+    // struct kernel once per extracted field.
+    val perSegment = segments
+      .select((meta.tagColumns.map(col) :+ col("start_time") :+
+        col("end_time") :+ gaps.as("__g")): _*)
+      .select((meta.tagColumns.map(col) :+ col("start_time") :+
+        col("end_time") :+ col("__g").getField("max_delta").as("__intra_max") :+
+        col("__g").getField("n_over").as("__intra_over")): _*)
+      .withColumn("__boundary_gap",
+        col("start_time") - lag(col("end_time"), 1).over(w))
+
+    val keys = groupByTags.map(col)
+    val aggs = Seq(
+      max(greatest(col("__intra_max"), col("__boundary_gap")))
+        .as("max_gap_us"),
+      (coalesce(sum(col("__intra_over")), lit(0L)) +
+        coalesce(sum(when(col("__boundary_gap") > thresholdUs, 1L)), lit(0L)))
+        .as("n_gaps_over"))
+    if (keys.isEmpty) perSegment.agg(aggs.head, aggs.tail: _*)
+    else perSegment.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Calendar-truncation downsampling: [[readTimeSeriesTableBucketed]]
@@ -644,8 +731,9 @@ final class Engine(val spark: SparkSession, val root: String) {
     // per-point partials bucketed by the identical truncation expression.
     val keys = groupByTags.map(col)
     val withSq = needsSumSq(aggregates)
+    val withEdges = needsEdges(aggregates)
     val interior = interiorPartials(segments.where(contained), keys,
-      Some(truncOf(col("start_time"))), withSq)
+      Some(truncOf(col("start_time"))), withSq, withEdges)
     val boundary = GridView
       .explodedPoints(segments.where(!contained), meta, selected, startUs, endUs)
       .select(keys ++ Seq(
@@ -658,9 +746,14 @@ final class Engine(val spark: SparkSession, val root: String) {
         col("__graft_value").as("__bp_min"),
         col("__graft_value").as("__bp_max"),
         col("__graft_ts").as("__bp_tmin"),
-        col("__graft_ts").as("__bp_tmax")): _*)
+        col("__graft_ts").as("__bp_tmax")) ++
+        (if (withEdges) Seq(
+          col("__graft_value").as("__bp_vfirst"),
+          col("__graft_value").as("__bp_vlast"))
+        else Seq.empty): _*)
 
-    val mergeAggs = partialMergeAggs(meta, selected, tsAggregates.nonEmpty, withSq)
+    val mergeAggs = partialMergeAggs(meta, selected, tsAggregates.nonEmpty,
+      withSq, withEdges)
     val combined = interior.unionByName(boundary)
       .groupBy((keys :+ col("__graft_bucket")): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
@@ -679,7 +772,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     else col(SegmentSchema.FieldColumn)
       .isin(fields.map(f => meta.fieldIndex(f): Any): _*)
 
-  private def gridAggColumn(agg: Aggregate, f: String): Column = {
+  private def gridAggColumn(agg: Aggregate, f: String,
+      tsName: String = "ts"): Column = {
     // Variance over gridded points uses the same (count, Σv, Σv²) formula
     // as the closed-form paths, so hybrid and gridded plans agree.
     def cnt = count(col(f))
@@ -699,6 +793,8 @@ final class Engine(val spark: SparkSession, val root: String) {
         .varianceFrom(cnt, s, ss, sample = true)).as(s"stddev_samp_$f")
       case Aggregate.StdPop => sqrt(SegmentAggregates
         .varianceFrom(cnt, s, ss, sample = false)).as(s"stddev_pop_$f")
+      case Aggregate.First => min_by(col(f), col(tsName)).as(s"first_$f")
+      case Aggregate.Last => max_by(col(f), col(tsName)).as(s"last_$f")
       case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
     }
   }
@@ -713,6 +809,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     case Aggregate.VarPop => "var_pop"
     case Aggregate.StdSamp => "stddev_samp"
     case Aggregate.StdPop => "stddev_pop"
+    case Aggregate.First => "first"
+    case Aggregate.Last => "last"
     case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
   }
 
@@ -758,28 +856,41 @@ final class Engine(val spark: SparkSession, val root: String) {
   private def interiorPartials(
       segments: DataFrame, keys: Seq[Column],
       bucketCol: Option[Column] = scala.None,
-      withSq: Boolean = false): DataFrame = {
+      withSq: Boolean = false,
+      withEdges: Boolean = false): DataFrame = {
     // With Σv² requested, sum and sumsq extract from ONE SegmentSumStats
     // struct — a single decode pass; the chained projection keeps
     // CollapseProject from inlining (re-decoding) the kernel per field.
+    // Edge values (FIRST/LAST) likewise: one SegmentEdgeValues struct,
+    // extracted in the same chained projection — an interior segment's
+    // chronological edges ARE its first/last points.
     val sumCols =
       if (withSq) Seq(SegmentAggregates.sumStatsCol.as("__bp_stats"))
       else Seq(SegmentAggregates.sumCol.as("__bp_sum"),
         lit(0d).as("__bp_sumsq"))
+    val edgeCols =
+      if (withEdges) Seq(SegmentAggregates.edgeValuesCol.as("__bp_edges"))
+      else Seq.empty
     val base0 = segments.select(
       keys ++ Seq(col(SegmentSchema.FieldColumn)) ++
         bucketCol.map(_.as("__graft_bucket")).toSeq ++
-        Seq(SegmentAggregates.lenCol.as("__bp_cnt")) ++ sumCols ++ Seq(
+        Seq(SegmentAggregates.lenCol.as("__bp_cnt")) ++ sumCols ++ edgeCols ++ Seq(
         col("min_value").as("__bp_min"),
         col("max_value").as("__bp_max0"),
         col("start_time").as("__bp_tmin"),
         col("end_time").as("__bp_tmax")): _*)
-    val base =
+    val base1 =
       if (!withSq) base0
       else base0
         .withColumn("__bp_sum", col("__bp_stats").getField("sum"))
         .withColumn("__bp_sumsq", col("__bp_stats").getField("sumsq"))
         .drop("__bp_stats")
+    val base =
+      if (!withEdges) base1
+      else base1
+        .withColumn("__bp_vfirst", col("__bp_edges").getField("first"))
+        .withColumn("__bp_vlast", col("__bp_edges").getField("last"))
+        .drop("__bp_edges")
     val infMix = col("__bp_min") === lit(Float.NegativeInfinity) &&
       col("__bp_max0") === lit(Float.PositiveInfinity)
     base
@@ -802,7 +913,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     */
   private def partialMergeAggs(
       meta: TableMetadata, fields: Seq[String],
-      withTs: Boolean = false, withSq: Boolean = false): Seq[Column] =
+      withTs: Boolean = false, withSq: Boolean = false,
+      withEdges: Boolean = false): Seq[Column] =
     fields.flatMap { f =>
       val isF = col(SegmentSchema.FieldColumn) === meta.fieldIndex(f)
       Seq(
@@ -811,6 +923,17 @@ final class Engine(val spark: SparkSession, val root: String) {
         min(when(isF, col("__bp_min"))).as(s"__min_$f"),
         max(when(isF, col("__bp_max"))).as(s"__max_$f")) ++
         (if (withSq) Seq(sum(when(isF, col("__bp_sumsq"))).as(s"__sumsq_$f"))
+        else Seq.empty) ++
+        // The merged FIRST is the edge of the partial with the smallest
+        // tmin (min_by skips rows whose ordering is NULL — i.e. other
+        // fields' rows); LAST mirrors on tmax. Within a group's field the
+        // (tmin, tmax) come from non-overlapping segment slices, so the
+        // winner is unique.
+        (if (withEdges) Seq(
+          min_by(when(isF, col("__bp_vfirst")), when(isF, col("__bp_tmin")))
+            .as(s"__first_$f"),
+          max_by(when(isF, col("__bp_vlast")), when(isF, col("__bp_tmax")))
+            .as(s"__last_$f"))
         else Seq.empty)
     } ++ (if (withTs)
       Seq(min(col("__bp_tmin")).as("__tmin"), max(col("__bp_tmax")).as("__tmax"))
@@ -839,6 +962,8 @@ final class Engine(val spark: SparkSession, val root: String) {
           sqrt(varOf(sample = true)).as(s"stddev_samp_$f")
         case Aggregate.StdPop =>
           sqrt(varOf(sample = false)).as(s"stddev_pop_$f")
+        case Aggregate.First => col(s"__first_$f").as(s"first_$f")
+        case Aggregate.Last => col(s"__last_$f").as(s"last_$f")
         case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
       }
     }) ++ tsAggregates.map {
@@ -913,18 +1038,22 @@ final class Engine(val spark: SparkSession, val root: String) {
     // expressions, boundary segments as one decode-generator partial each
     // (bucket width = MaxValue) — no point stream, no combine layer.
     val withSq = needsSumSq(aggregates)
+    val withEdges = needsEdges(aggregates)
     val interior = interiorPartials(segments.where(contained),
-      groupByTags.map(col), withSq = withSq)
+      groupByTags.map(col), withSq = withSq, withEdges = withEdges)
     val boundary = GridView.bucketPartials(
       segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs)
       .select(groupByTags.map(col) ++ Seq(
         col(SegmentSchema.FieldColumn),
         col("__bp_cnt"), col("__bp_sum"), col("__bp_sumsq"),
         col("__bp_min"), col("__bp_max"),
-        col("__bp_tmin"), col("__bp_tmax")): _*)
+        col("__bp_tmin"), col("__bp_tmax")) ++
+        (if (withEdges) Seq(col("__bp_vfirst"), col("__bp_vlast"))
+        else Seq.empty): _*)
 
     val partials = interior.unionByName(boundary)
-    val mergeAggs = partialMergeAggs(meta, fields, tsAggregates.nonEmpty, withSq)
+    val mergeAggs = partialMergeAggs(meta, fields, tsAggregates.nonEmpty,
+      withSq, withEdges)
     val combined =
       if (groupByTags.isEmpty) partials.agg(mergeAggs.head, mergeAggs.tail: _*)
       else partials.groupBy(groupByTags.map(col): _*)

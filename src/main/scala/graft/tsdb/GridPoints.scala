@@ -41,11 +41,14 @@ object DecodeKernels {
     new GenericArrayData(out)
   }
 
-  /** Per-bucket partial rows (bucket, cnt, sum, sumsq, min, max, tmin, tmax) of
-    * one segment, range-clipped to [lo, hi]. Emission flushes on bucket
-    * change, so correctness does NOT depend on decode order — out-of-order
+  /** Per-bucket partial rows (bucket, cnt, sum, sumsq, min, max, tmin,
+    * tmax, vfirst, vlast) of one segment, range-clipped to [lo, hi] —
+    * vfirst/vlast are the values at tmin/tmax, the in-bucket chronological
+    * edges behind FIRST/LAST. Emission flushes on bucket change, so
+    * correctness does NOT depend on decode order — out-of-order
     * timestamps only produce extra partial rows that the downstream merge
-    * combines to the same totals.
+    * combines to the same totals (the edge merge is min_by/max_by on
+    * tmin/tmax, equally order-free).
     */
   def bucketPartialsArray(bucketUs: Long, lo: Long, hi: Long,
       mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
@@ -66,8 +69,10 @@ object DecodeKernels {
     var nonNanSeen = false
     var tmn = Long.MaxValue
     var tmx = Long.MinValue
+    var vFirst = 0.0f
+    var vLast = 0.0f
     def flush(): Unit = if (cnt > 0) {
-      val r = new GenericInternalRow(8)
+      val r = new GenericInternalRow(10)
       r.setLong(0, bucket)
       r.setLong(1, cnt)
       r.setDouble(2, sum)
@@ -79,6 +84,8 @@ object DecodeKernels {
       r.setFloat(5, if (nanSeen) Float.NaN else mx)
       r.setLong(6, tmn)
       r.setLong(7, tmx)
+      r.setFloat(8, vFirst)
+      r.setFloat(9, vLast)
       out += r
     }
     var i = 0
@@ -103,8 +110,8 @@ object DecodeKernels {
           if (v < mn) mn = v
           if (v > mx) mx = v
         }
-        if (t < tmn) tmn = t
-        if (t > tmx) tmx = t
+        if (t < tmn) { tmn = t; vFirst = v }
+        if (t > tmx) { tmx = t; vLast = v }
       }
       i += 1
     }
@@ -238,11 +245,13 @@ case class GridPoints(
   * `bucketUs = Long.MaxValue` degenerates to one partial per segment,
   * which is exactly what a range aggregate's boundary side needs.
   *
-  * Rows are (bucket, cnt, sum, sumsq, min, max, tmin, tmax); see
-  * [[DecodeKernels.bucketPartialsArray]] for the order-independence and
-  * NaN semantics. The tmin/tmax columns are the bucket's first/last
-  * in-range timestamps, letting `min/max(ts)` under a time range or
-  * bucket grouping answer without ever materializing points.
+  * Rows are (bucket, cnt, sum, sumsq, min, max, tmin, tmax, vfirst,
+  * vlast); see [[DecodeKernels.bucketPartialsArray]] for the
+  * order-independence and NaN semantics. The tmin/tmax columns are the
+  * bucket's first/last in-range timestamps (letting `min/max(ts)` under a
+  * time range or bucket grouping answer without ever materializing
+  * points); vfirst/vlast are the values AT those timestamps, the partials
+  * behind chronological FIRST/LAST and the M4 downsample.
   */
 case class BucketPartials(
     bucketUs: Long, rangeStartUs: Option[Long], rangeEndUs: Option[Long],
@@ -264,7 +273,9 @@ case class BucketPartials(
     StructField("__bp_min", FloatType, nullable = false),
     StructField("__bp_max", FloatType, nullable = false),
     StructField("__bp_tmin", LongType, nullable = false),
-    StructField("__bp_tmax", LongType, nullable = false)))
+    StructField("__bp_tmax", LongType, nullable = false),
+    StructField("__bp_vfirst", FloatType, nullable = false),
+    StructField("__bp_vlast", FloatType, nullable = false)))
 
   override protected def evalKernel(mt: Byte, st: Long, et: Long,
       ts: Array[Byte], mn: Float, mx: Float, values: Array[Byte],

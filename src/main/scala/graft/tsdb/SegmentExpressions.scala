@@ -119,6 +119,16 @@ object SegmentKernels {
     r.setFloat(1, a(1))
     r
   }
+
+  def timeGapRow(startTime: Long, endTime: Long, timestamps: Array[Byte],
+      thresholdUs: Long): InternalRow = {
+    val a = TimestampCodec.timeGapStats(startTime, endTime, timestamps,
+      thresholdUs)
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    if (a(0) < 0L) r.update(0, null) else r.setLong(0, a(0))
+    r.setLong(1, a(1))
+    r
+  }
 }
 
 /** (Σv, Σv²) of a segment's values as one struct — a SINGLE decode pass
@@ -219,4 +229,47 @@ case class SegmentEdgeValues(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(newChildren(0), newChildren(1), newChildren(2), newChildren(3),
       newChildren(4), newChildren(5), newChildren(6), newChildren(7))
+}
+
+/** (max consecutive timestamp delta, count of deltas > threshold) of one
+  * segment as a struct — the intra-segment half of gap detection
+  * ([[graft.core.TimestampCodec.timeGapStats]]): values never decode, and
+  * regular segments answer in O(1) from the stored length. `max_delta` is
+  * NULL for single-point segments (no deltas). Codegen'd like
+  * [[SegmentLen]].
+  */
+case class SegmentTimeGaps(
+    thresholdUs: Long,
+    startTime: Expression, endTime: Expression, timestamps: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(startTime, endTime, timestamps)
+  override def dataType: DataType = StructType(Seq(
+    StructField("max_delta", LongType, nullable = true),
+    StructField("n_over", LongType, nullable = false)))
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    SegmentKernels.timeGapRow(
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      thresholdUs)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |$rowCls ${ev.value} = graft.tsdb.SegmentKernels.timeGapRow(
+           |  ${evals.map(_.value).mkString(", ")}, ${thresholdUs}L);
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(thresholdUs, newChildren(0), newChildren(1), newChildren(2))
 }

@@ -697,6 +697,56 @@ class OpsSpec extends AnyFunSuite {
     assert(corpus.where(not(fast <=> slow)).count() == 0)
   }
 
+  test("semanticDedup keeps one exemplar per dense neighborhood") {
+    // Three exact copies of one direction, one near-copy, and two
+    // orthogonal singletons. The copies/near-copy collapse to the
+    // lowest-id exemplar; orthogonal rows are never flagged.
+    val v1 = Array(1f, 0f, 0f, 0f)
+    val near = Array(0.99f, 0.14f, 0f, 0f)
+    val v2 = Array(0f, 1f, 0f, 0f)
+    val v3 = Array(0f, 0f, 1f, 0f)
+    val in = Seq(
+      (1L, v1), (2L, v1), (3L, v1), (4L, near), (10L, v2), (20L, v3)
+    ).toDF("id", "vec")
+    val out = Dedup.semanticDedup(in, "id", "vec", nCells = 3, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    // Exemplars are never dups.
+    out.foreach { case (id, (rep, dup)) => if (id == rep) assert(!dup) }
+    // Copies and the near-copy share a cell with id 1 (identical cosine to
+    // every centroid => same assignment) and are flagged against it.
+    assert(out(2) == (1L, true) && out(3) == (1L, true))
+    assert(out(4)._2, "near-copy above threshold must be flagged")
+    // Orthogonal singletons: never flagged against a rep they don't match.
+    Seq(10L, 20L).foreach { id =>
+      val (rep, dup) = out(id)
+      if (rep != id) assert(!dup, s"orthogonal row $id flagged against $rep")
+    }
+  }
+
+  test("packChunks: concat-and-chunk assignment, spillover, determinism") {
+    // Stratum s: tokens 1000,1000,100,2000,48,5000 with budget 2048.
+    // prev-cumsums 0,1000,2000,2100,4100,4148 → chunks 0,0,0,1,2,2.
+    val in = Seq(
+      ("s", 1L, 1000L), ("s", 2L, 1000L), ("s", 3L, 100L),
+      ("s", 4L, 2000L), ("s", 5L, 48L), ("s", 6L, 5000L),
+      ("t", 10L, 3000L) // longer than a chunk: alone in chunk 0
+    ).toDF("src", "id", "toks")
+    val got = Sampling.packChunks(in, "src", "id", "id", "toks", 2048L)
+      .orderBy("src", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("s", 1L, 0L), ("s", 2L, 0L), ("s", 3L, 0L),
+      ("s", 4L, 1L), ("s", 5L, 2L), ("s", 6L, 2L),
+      ("t", 10L, 0L)))
+    // Partitioning-independent: a different physical layout assigns
+    // identically (the window is keyed on the stratum, never on layout).
+    val re = Sampling.packChunks(in.repartition(7), "src", "id", "id",
+        "toks", 2048L)
+      .orderBy("src", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(re.toSeq == got.toSeq)
+  }
+
   test("multimodal stub pipeline preserves schema and determinism") {
     val assets = Multimodal.synthesizeAssets(docs, "doc_id", "text", "image")
     // Compare names/types; nullability differs by construction path.

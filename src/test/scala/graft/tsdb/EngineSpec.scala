@@ -309,6 +309,76 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed and ranged FIRST/LAST match gridded min_by/max_by") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE m4(ts_us TIMESTAMP, field_1 FIELD, " +
+      "field_2 FIELD, tag TAG)")
+    // Same mixed fixture shape as the bucketed spec: field_1 compresses to
+    // short PMC runs (interior AND straddling segments), field_2 is one
+    // long incompressible segment per tag (always boundary).
+    val rows = Seq("a", "b").flatMap { tag =>
+      (1 to 2000).map { i =>
+        (i * 100L, (i / 37).toFloat,
+          ((i * 2654435761L) % 1000L).toFloat / 10f, tag)
+      }
+    }
+    import spark.implicits._
+    engine.write("m4", rows.toDF("ts_us", "field_1", "field_2", "tag"))
+
+    val bucketUs = 10000L
+    def floorB(c: org.apache.spark.sql.Column) = c - pmod(c, lit(bucketUs))
+    val points = engine.readTable("m4")
+      .select(col("tag"), unix_micros(col("ts_us")).as("us"),
+        col("field_1"), col("field_2"))
+
+    // Both plans must be exercised (interior closed-form edges AND
+    // boundary decode-generator edges).
+    val segs = engine.dataFolder.segments("m4")
+      .where(col(SegmentSchema.FieldColumn) === 0)
+    val sameB = floorB(col("start_time")) === floorB(col("end_time"))
+    assert(segs.where(sameB).count() > 0 && segs.where(!sameB).count() > 0)
+
+    val got = engine.readTimeSeriesTableBucketed("m4",
+        java.time.Duration.ofMillis(10), Seq("field_1", "field_2"),
+        Seq(engine.Aggregate.First, engine.Aggregate.Last),
+        groupByTags = Seq("tag"))
+      .select(col("tag"), unix_micros(col("bucket")).as("b"),
+        col("first_field_1"), col("last_field_1"),
+        col("first_field_2"), col("last_field_2"))
+      .orderBy("tag", "b").collect()
+    val want = points.groupBy(col("tag"), floorB(col("us")).as("b"))
+      .agg(min_by(col("field_1"), col("us")), max_by(col("field_1"), col("us")),
+        min_by(col("field_2"), col("us")), max_by(col("field_2"), col("us")))
+      .orderBy("tag", "b").collect()
+    assert(got.nonEmpty && got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      (2 to 5).foreach(i =>
+        assert(g.getFloat(i) == w.getFloat(i),
+          s"edge $i at ${g.get(0)}/${g.get(1)}"))
+    }
+
+    // Ranged (unbucketed) FIRST/LAST through the hybrid plan: the range
+    // edge cuts segments mid-way, so the group's first in-range point is
+    // NOT any segment's global edge — exactly the case the SQL rewrite
+    // declines and the range-clipped edge partials answer.
+    val (lo, hi) = (55550L, 151230L)
+    def inst(us: Long) = java.time.Instant.ofEpochSecond(0L, us * 1000L)
+    val gotR = engine.readTimeSeriesTableMulti("m4", Seq("field_1"),
+        Seq(engine.Aggregate.First, engine.Aggregate.Last),
+        groupByTags = Seq("tag"),
+        startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+      .select(col("tag"), col("first_field_1"), col("last_field_1"))
+      .orderBy("tag").collect()
+    val wantR = points.where(col("us") >= lo && col("us") <= hi)
+      .groupBy("tag")
+      .agg(min_by(col("field_1"), col("us")), max_by(col("field_1"), col("us")))
+      .orderBy("tag").collect()
+    assert(gotR.length == wantR.length && gotR.nonEmpty)
+    gotR.zip(wantR).foreach { case (g, w) =>
+      assert(g.getFloat(1) == w.getFloat(1) && g.getFloat(2) == w.getFloat(2))
+    }
+  }
+
   test("NaN values keep Spark min/max semantics on closed-form paths") {
     val engine = newEngine()
     engine.sql(
@@ -865,6 +935,48 @@ class EngineSpec extends AnyFunSuite {
     engineA.copy("SELECT tag, COUNT(*) AS n FROM xf GROUP BY tag", "xstats",
       target = engineB)
     assert(engineB.readTable("xstats").count() == 1)
+  }
+
+  test("timeGapStats matches a lag() over reconstructed points") {
+    val engine = newEngine()
+    engine.sql(
+      "CREATE TIME SERIES TABLE gaps(ts_us TIMESTAMP, field_1 FIELD, tag TAG)")
+    // Series a: regular spacing with one large hole (forces a segment
+    // break or an irregular codec — either way the gap must surface).
+    // Series b: a single point — no deltas, max_gap_us must be NULL.
+    import spark.implicits._
+    val a = (0 until 300).map(i => (i * 1000L, i.toFloat, "a")) ++
+      (0 until 300).map(i => (10_000_000L + i * 1000L, i.toFloat, "a"))
+    val b = Seq((42L, 1.0f, "b"))
+    engine.write("gaps", (a ++ b).toDF("ts_us", "field_1", "tag"))
+
+    val got = engine.timeGapStats("gaps", java.time.Duration.ofMillis(5),
+        groupByTags = Seq("tag"))
+      .orderBy("tag").collect()
+
+    // Oracle: lag() over the gridded view.
+    val oracle = engine.readTable("gaps")
+      .select(col("tag"), unix_micros(col("ts_us")).as("us"))
+      .withColumn("delta", col("us") - lag(col("us"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("tag").orderBy("us")))
+      .groupBy("tag")
+      .agg(max("delta").as("max_gap_us"),
+        coalesce(sum(when(col("delta") > 5000L, 1L)), lit(0L)).as("n_over"))
+      .orderBy("tag").collect()
+
+    assert(got.length == 2 && oracle.length == 2)
+    assert(got(0).getLong(1) == oracle(0).getLong(1))
+    assert(got(0).getLong(2) == oracle(0).getLong(2))
+    assert(got(0).getLong(1) == 10_000_000L - 299_000L)
+    assert(got(1).isNullAt(1) && oracle(1).isNullAt(1))
+    assert(got(1).getLong(2) == 0L)
+
+    // Global (ungrouped) row: the window stays per-series, so series b's
+    // lone point contributes no cross-series gap.
+    val global = engine.timeGapStats("gaps", java.time.Duration.ofMillis(5))
+      .collect().head
+    assert(global.getLong(0) == 10_000_000L - 299_000L)
+    assert(global.getLong(1) == oracle(0).getLong(2))
   }
 
   test("readTableChanges attributes appended points to their commits") {

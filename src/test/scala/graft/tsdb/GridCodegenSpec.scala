@@ -79,7 +79,7 @@ class GridCodegenSpec extends AnyFunSuite {
         Long.MaxValue, s.modelTypeId, s.startTime, s.endTime, s.timestamps,
         s.minValue, s.maxValue, s.values, s.residuals)
       (0 until arr.numElements()).foreach { i =>
-        val r = arr.getStruct(i, 8)
+        val r = arr.getStruct(i, 10)
         val (b, cnt) = (r.getLong(0), r.getLong(1))
         val (mn, mx) = (r.getFloat(4), r.getFloat(5))
         assert(!mn.isInfinite && !mx.isInfinite,

@@ -245,8 +245,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().head
     assert(w.getFloat(0) == wc.getFloat(0) && w.getFloat(1) == wc.getFloat(1))
 
-    // A time range must DECLINE the closed form (the winning segment's
-    // edge may fall outside the range) and still answer correctly.
+    // A time range routes through the hybrid plan: the range-clipped
+    // __bp_vfirst partial carries the first IN-RANGE point, NOT the
+    // winning segment's global edge (which falls outside the range when
+    // the range edge cuts the segment) — exact vs the gridded control.
     val ranged = engine.sql(
       "SELECT min_by(v, ts) AS f FROM fl " +
         "WHERE ts >= TIMESTAMP '2023-11-14 22:40:00'")
@@ -255,6 +257,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .agg(min_by(col("v"), col("ts"))).collect().head.getFloat(0)
     assert(ranged.collect().head.getFloat(0) == rc,
       "ranged first must match the gridded answer")
+
+    // M4 in plain SQL: per-tag-per-hour (min, max, first, last) rides the
+    // bucketed hybrid plan's value and edge partials — exact vs the
+    // gridded control on every bucket, and the point stream never
+    // materializes (hour buckets are epoch-aligned → fixed-width plan,
+    // boundary segments emit BucketPartials rows, not GridPoints).
+    val m4df = engine.sql(
+      "SELECT tag, date_trunc('HOUR', ts) AS h, min(v) AS mn, max(v) AS mx, " +
+        "min_by(v, ts) AS fv, max_by(v, ts) AS lv " +
+        "FROM fl GROUP BY tag, date_trunc('HOUR', ts)")
+    assert(!m4df.queryExecution.executedPlan.toString.contains("gridpoints"),
+      "bucketed M4 must not materialize points")
+    val m4 = m4df.orderBy("tag", "h").collect()
+    val m4c = engine.readTable("fl")
+      .groupBy(col("tag"), date_trunc("HOUR", col("ts")).as("h"))
+      .agg(min("v"), max("v"), min_by(col("v"), col("ts")),
+        max_by(col("v"), col("ts")))
+      .orderBy("tag", "h").collect()
+    assert(m4.length == m4c.length && m4.nonEmpty)
+    m4.zip(m4c).foreach { case (g, c) =>
+      (2 to 5).foreach(i => assert(g.getFloat(i) == c.getFloat(i),
+        s"M4 field $i at ${g.get(0)}/${g.get(1)}"))
+    }
   }
 
   test("segment-aggregate rewrite answers simple SQL without gridding") {
