@@ -131,6 +131,30 @@ object Sampling {
     * null/NaN scores are never selected. `idCol` must be a unique integer
     * key (the deterministic tiebreak); `costCol` non-negative.
     */
+  /** Exactly `k` deterministic rows per stratum — the "fixed eval set per
+    * language/source" selection. Rows are ranked inside each stratum by
+    * (hash(key), key) and the first `k` kept, so membership is a pure
+    * function of the key: stable across runs, partitionings, and corpus
+    * GROWTH — a row already selected stays selected unless a new row
+    * hashes ahead of it, matching reservoir-sampling semantics without
+    * any state. Strata with fewer than `k` rows keep everything.
+    *
+    * Scale shape: one keyed window whose rank predicate Spark executes as
+    * WindowGroupLimit — a per-partition top-k that never materializes a
+    * stratum's full sort, then one shuffle of the survivors (≤ k per
+    * stratum) for the final rank.
+    */
+  def sampleKPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(splitBucket(col(keyCol), seed), col(keyCol))
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** Concat-and-chunk sequence packing: within each stratum, documents in
     * `orderCol` order are conceptually concatenated and chopped into
     * fixed `budget`-token training chunks; each document is assigned to

@@ -542,6 +542,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }, Some(tokenBudgetOracle)),
 
+    // Exact-k per-stratum sampling: a fixed 10-doc eval set per source,
+    // membership a pure function of doc_id (stable under reruns and
+    // corpus growth). The oracle replays the hash ranking verbatim.
+    ("pipeline_sample_k", (s: SparkSession, d: String) => {
+      graft.ops.Sampling.sampleKPerStratum(
+          table(s, d, "documents"), "source", "doc_id", k = 10)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "doc_id")
+    }, Some("""
+      SELECT source, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY (doc_id % 2147483647) * 2654435761 % 1000000, doc_id)
+            AS rk
+        FROM documents)
+      WHERE rk <= 10 ORDER BY source, doc_id""")),
+
     // Sequence packing (concat-and-chunk): per source, documents in
     // doc_id order are concatenated and chopped into 2048-token training
     // chunks; a doc belongs to the chunk holding its first token (long

@@ -471,7 +471,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     val interior = interiorPartials(segments.where(contained), keys,
       Some(bucketOf(col("start_time"))), withSq, withEdges)
     val boundary = GridView.bucketPartials(
-      segments.where(!contained), meta, selected, bucketUs, startUs, endUs)
+      segments.where(!contained), meta, selected, bucketUs, startUs, endUs,
+      withEdges)
       .select(keys ++ Seq(
         col(SegmentSchema.FieldColumn), col("__graft_bucket"),
         col("__bp_cnt"), col("__bp_sum"), col("__bp_sumsq"),
@@ -1042,7 +1043,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     val interior = interiorPartials(segments.where(contained),
       groupByTags.map(col), withSq = withSq, withEdges = withEdges)
     val boundary = GridView.bucketPartials(
-      segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs)
+      segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs,
+      withEdges)
       .select(groupByTags.map(col) ++ Seq(
         col(SegmentSchema.FieldColumn),
         col("__bp_cnt"), col("__bp_sum"), col("__bp_sumsq"),

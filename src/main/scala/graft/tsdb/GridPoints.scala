@@ -42,15 +42,17 @@ object DecodeKernels {
   }
 
   /** Per-bucket partial rows (bucket, cnt, sum, sumsq, min, max, tmin,
-    * tmax, vfirst, vlast) of one segment, range-clipped to [lo, hi] —
-    * vfirst/vlast are the values at tmin/tmax, the in-bucket chronological
-    * edges behind FIRST/LAST. Emission flushes on bucket change, so
-    * correctness does NOT depend on decode order — out-of-order
-    * timestamps only produce extra partial rows that the downstream merge
-    * combines to the same totals (the edge merge is min_by/max_by on
-    * tmin/tmax, equally order-free).
+    * tmax[, vfirst, vlast]) of one segment, range-clipped to [lo, hi] —
+    * with `withEdges`, vfirst/vlast are the values at tmin/tmax, the
+    * in-bucket chronological edges behind FIRST/LAST (plans not asking
+    * for edges keep the 8-field row and pay nothing). Emission flushes on
+    * bucket change, so correctness does NOT depend on decode order —
+    * out-of-order timestamps only produce extra partial rows that the
+    * downstream merge combines to the same totals (the edge merge is
+    * min_by/max_by on tmin/tmax, equally order-free).
     */
   def bucketPartialsArray(bucketUs: Long, lo: Long, hi: Long,
+      withEdges: Boolean,
       mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
       mn0: Float, mx0: Float, values: Array[Byte],
       residuals: Array[Byte]): ArrayData = {
@@ -72,7 +74,7 @@ object DecodeKernels {
     var vFirst = 0.0f
     var vLast = 0.0f
     def flush(): Unit = if (cnt > 0) {
-      val r = new GenericInternalRow(10)
+      val r = new GenericInternalRow(if (withEdges) 10 else 8)
       r.setLong(0, bucket)
       r.setLong(1, cnt)
       r.setDouble(2, sum)
@@ -84,8 +86,10 @@ object DecodeKernels {
       r.setFloat(5, if (nanSeen) Float.NaN else mx)
       r.setLong(6, tmn)
       r.setLong(7, tmx)
-      r.setFloat(8, vFirst)
-      r.setFloat(9, vLast)
+      if (withEdges) {
+        r.setFloat(8, vFirst)
+        r.setFloat(9, vLast)
+      }
       out += r
     }
     var i = 0
@@ -255,6 +259,7 @@ case class GridPoints(
   */
 case class BucketPartials(
     bucketUs: Long, rangeStartUs: Option[Long], rangeEndUs: Option[Long],
+    withEdges: Boolean,
     modelTypeId: Expression, startTime: Expression, endTime: Expression,
     timestamps: Expression, minValue: Expression, maxValue: Expression,
     values: Expression, residuals: Expression)
@@ -273,23 +278,25 @@ case class BucketPartials(
     StructField("__bp_min", FloatType, nullable = false),
     StructField("__bp_max", FloatType, nullable = false),
     StructField("__bp_tmin", LongType, nullable = false),
-    StructField("__bp_tmax", LongType, nullable = false),
-    StructField("__bp_vfirst", FloatType, nullable = false),
-    StructField("__bp_vlast", FloatType, nullable = false)))
+    StructField("__bp_tmax", LongType, nullable = false)) ++
+    (if (withEdges) Seq(
+      StructField("__bp_vfirst", FloatType, nullable = false),
+      StructField("__bp_vlast", FloatType, nullable = false))
+    else Seq.empty))
 
   override protected def evalKernel(mt: Byte, st: Long, et: Long,
       ts: Array[Byte], mn: Float, mx: Float, values: Array[Byte],
       residuals: Array[Byte]): ArrayData =
-    DecodeKernels.bucketPartialsArray(bucketUs, lo, hi, mt, st, et, ts,
-      mn, mx, values, residuals)
+    DecodeKernels.bucketPartialsArray(bucketUs, lo, hi, withEdges, mt, st,
+      et, ts, mn, mx, values, residuals)
 
   override protected def kernelCall(args: Seq[String]): String =
     s"graft.tsdb.DecodeKernels.bucketPartialsArray(" +
-      s"${bucketUs}L, ${lo}L, ${hi}L, ${args.mkString(", ")})"
+      s"${bucketUs}L, ${lo}L, ${hi}L, $withEdges, ${args.mkString(", ")})"
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
-    copy(bucketUs, rangeStartUs, rangeEndUs, newChildren(0), newChildren(1),
-      newChildren(2), newChildren(3), newChildren(4), newChildren(5),
-      newChildren(6), newChildren(7))
+    copy(bucketUs, rangeStartUs, rangeEndUs, withEdges, newChildren(0),
+      newChildren(1), newChildren(2), newChildren(3), newChildren(4),
+      newChildren(5), newChildren(6), newChildren(7))
 }

@@ -120,7 +120,7 @@ object GridView {
   private[graft] def bucketPartials(
       segments: DataFrame, meta: TableMetadata, fields: Seq[String],
       bucketUs: Long, startMicros: Option[Long] = None,
-      endMicros: Option[Long] = None): DataFrame = {
+      endMicros: Option[Long] = None, withEdges: Boolean = false): DataFrame = {
     val fieldIdx = fields.map(meta.fieldIndex)
     val pruned = segments
       .where(col(SegmentSchema.FieldColumn).isin(fieldIdx.map(i => i: Any): _*))
@@ -130,6 +130,7 @@ object GridView {
     def attr(name: String) = ColumnBridge.expression(col(name))
     pruned.select(
       (ColumnBridge.column(BucketPartials(bucketUs, startMicros, endMicros,
+          withEdges,
           attr("model_type_id"), attr("start_time"), attr("end_time"),
           attr("timestamps"), attr("min_value"), attr("max_value"),
           attr("values"), attr("residuals"))) +:

@@ -697,6 +697,30 @@ class OpsSpec extends AnyFunSuite {
     assert(corpus.where(not(fast <=> slow)).count() == 0)
   }
 
+  test("sampleKPerStratum: exact k, key-determined, stable under growth") {
+    val in = (1L to 100L).map(i => (s"s${i % 3}", i)).toDF("src", "id")
+    val got = Sampling.sampleKPerStratum(in, "src", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got.groupBy(_._1).forall(_._2.size == 5))
+    // Partitioning-independent.
+    val re = Sampling.sampleKPerStratum(in.repartition(13), "src", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(re == got)
+    // Reservoir semantics under growth: with new rows added, a previously
+    // selected row leaves ONLY if a new row hashes ahead of it — the
+    // surviving intersection is exactly the old selection minus those
+    // displaced (never a reshuffle of the old order).
+    val grown = in.union(Seq(("s0", 101L), ("s1", 102L)).toDF("src", "id"))
+    val g2 = Sampling.sampleKPerStratum(grown, "src", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(g2.groupBy(_._1).forall(_._2.size == 5))
+    assert((g2 -- got).forall(t => t._2 > 100L),
+      "only newly added rows may enter the selection")
+    // Small strata keep everything.
+    val tiny = Seq(("t", 1L), ("t", 2L)).toDF("src", "id")
+    assert(Sampling.sampleKPerStratum(tiny, "src", "id", k = 5).count() == 2)
+  }
+
   test("semanticDedup keeps one exemplar per dense neighborhood") {
     // Three exact copies of one direction, one near-copy, and two
     // orthogonal singletons. The copies/near-copy collapse to the

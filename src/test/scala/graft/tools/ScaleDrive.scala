@@ -93,6 +93,34 @@ object ScaleDrive {
       assert(rows.length == nSeries)
     }
 
+    // M4 downsample (min/max/first/last per day per tag) over the edge
+    // partials vs the gridded min_by/max_by control.
+    val m4 = timed("M4 bucketed downsample (1d/tag)") {
+      engine.readTimeSeriesTableBucketed("big", java.time.Duration.ofDays(1),
+          Seq("v"), Seq(engine.Aggregate.Min, engine.Aggregate.Max,
+            engine.Aggregate.First, engine.Aggregate.Last),
+          groupByTags = Seq("tag")).collect()
+        .map(r => ((r.getString(0), r.getTimestamp(1)),
+          (r.getFloat(2), r.getFloat(3), r.getFloat(4), r.getFloat(5)))).toMap
+    }
+    timed("gridded M4 control (1d)") {
+      val ctrl = engine.readTable("big")
+        .groupBy(col("tag"), date_trunc("DAY", col("ts")).as("b"))
+        .agg(min("v"), max("v"), min_by(col("v"), col("ts")),
+          max_by(col("v"), col("ts")))
+        .collect()
+        .map(r => ((r.getString(0), r.getTimestamp(1)),
+          (r.getFloat(2), r.getFloat(3), r.getFloat(4), r.getFloat(5)))).toMap
+      assert(m4 == ctrl, "M4 partials diverge from gridded control")
+    }
+
+    // Gap detection: values never decode; regular segments answer O(1).
+    timed("timeGapStats (per-tag, threshold 2s)") {
+      val rows = engine.timeGapStats("big", java.time.Duration.ofSeconds(2),
+        groupByTags = Seq("tag")).collect()
+      assert(rows.length == nSeries)
+    }
+
     val loUs = 1700000000000000L + (nPoints / nSeries / 3) * 1000000L
     val hiUs = 1700000000000000L + (2 * nPoints / nSeries / 3) * 1000000L
     def inst(us: Long) =

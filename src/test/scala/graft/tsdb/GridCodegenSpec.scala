@@ -25,8 +25,8 @@ class GridCodegenSpec extends AnyFunSuite {
     val lit = Literal(1)
     val gp = GridPoints(lit, lit, lit, lit, lit, lit, lit, lit)
     assert(gp.supportCodegen, "GridPoints must not be CodegenFallback")
-    val bp = BucketPartials(1000L, None, None, lit, lit, lit, lit, lit, lit,
-      lit, lit)
+    val bp = BucketPartials(1000L, None, None, true, lit, lit, lit, lit,
+      lit, lit, lit, lit)
     assert(bp.supportCodegen, "BucketPartials must not be CodegenFallback")
   }
 
@@ -76,10 +76,10 @@ class GridCodegenSpec extends AnyFunSuite {
     val merged = scala.collection.mutable.LongMap.empty[Acc]
     segments.foreach { s =>
       val arr = DecodeKernels.bucketPartialsArray(hourUs, Long.MinValue,
-        Long.MaxValue, s.modelTypeId, s.startTime, s.endTime, s.timestamps,
-        s.minValue, s.maxValue, s.values, s.residuals)
+        Long.MaxValue, false, s.modelTypeId, s.startTime, s.endTime,
+        s.timestamps, s.minValue, s.maxValue, s.values, s.residuals)
       (0 until arr.numElements()).foreach { i =>
-        val r = arr.getStruct(i, 10)
+        val r = arr.getStruct(i, 8)
         val (b, cnt) = (r.getLong(0), r.getLong(1))
         val (mn, mx) = (r.getFloat(4), r.getFloat(5))
         assert(!mn.isInfinite && !mx.isInfinite,
