@@ -206,20 +206,78 @@ object Models {
     Array(sum, sumSq)
   }
 
-  /** A segment's chronologically first and last values. The decode buffers
-    * are timestamp-aligned (model values, then trailing residuals), so the
-    * edges are the buffer edges; the first point IS start_time's value and
-    * the last IS end_time's.
+  /** A segment's chronologically first and last values, WITHOUT
+    * materializing the point stream: PMC answers from its stored constant
+    * in O(1); Swing replays the grid's exact slope·t+intercept double
+    * arithmetic at just the two endpoint timestamps (bit-identical to the
+    * gridded endpoints, O(1) for regular segments); MacaqueV walks only
+    * its value bit-stream (timestamps never decode beyond the O(1)
+    * length); residual tails (≤255 values) decode their short stream.
+    * Uncommon shapes (model-less segments) fall back to the full grid.
     */
   def edgeValues(
       modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],
       minValue: Float, maxValue: Float, values: Array[Byte],
       residuals: Array[Byte]): Array[Float] = {
-    val ts = new LongBuf(64)
-    val vs = new FloatBuf(64)
-    grid(modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
-      values, residuals, ts, vs)
-    Array(vs.backing(0), vs.last)
+    def gridFallback(): Array[Float] = {
+      val ts = new LongBuf(64)
+      val vs = new FloatBuf(64)
+      grid(modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+        values, residuals, ts, vs)
+      Array(vs.backing(0), vs.last)
+    }
+    val resLen = residualsLength(residuals)
+    val totalLen = TimestampCodec.len(startTime, endTime, timestamps)
+    val modelLen = totalLen - resLen
+    if (modelLen <= 0) return gridFallback()
+
+    var first = 0.0f
+    var modelLast = 0.0f
+    (modelTypeId: Int) match {
+      case 0 =>
+        val v = decodeValuesForPmcMean(minValue, maxValue, values)
+        first = v
+        modelLast = v
+      case 1 =>
+        // The model's last point is end_time when there are no residuals,
+        // else the (modelLen-1)th timestamp — O(1) for regular spacing,
+        // a timestamp-only decode for irregular.
+        val modelEndTime =
+          if (resLen == 0) endTime
+          else if (timestamps.isEmpty) (if (modelLen == 1) startTime else endTime)
+          else if (TimestampCodec.areCompressedTimestampsRegular(timestamps)) {
+            val interval = (endTime - startTime) / (totalLen - 1)
+            startTime + (modelLen - 1).toLong * interval
+          } else {
+            val ts = new LongBuf(64)
+            TimestampCodec.decompressAllTimestamps(startTime, endTime,
+              timestamps, ts)
+            ts.backing(modelLen - 1)
+          }
+        val (fv, lv) = decodeValuesForSwing(minValue, maxValue, values)
+        val (slope, intercept) = Swing.computeSlopeAndIntercept(
+          startTime, fv.toDouble, modelEndTime, lv.toDouble)
+        first = (slope * startTime + intercept).toFloat
+        modelLast = (slope * modelEndTime + intercept).toFloat
+      case 2 =>
+        // Values-only walk — the timestamp stream never materializes.
+        val vs = new FloatBuf(math.max(modelLen, 16))
+        MacaqueV.grid(values, modelLen, vs,
+          hasModelLastValue = false, 0.0f)
+        first = vs.backing(0)
+        modelLast = vs.last
+      case other =>
+        throw new IllegalArgumentException(s"Unknown model type $other.")
+    }
+
+    if (resLen == 0) Array(first, modelLast)
+    else {
+      val rs = new FloatBuf(resLen + 1)
+      MacaqueV.grid(
+        java.util.Arrays.copyOfRange(residuals, 0, residuals.length - 1),
+        resLen, rs, hasModelLastValue = true, modelLast)
+      Array(first, rs.last)
+    }
   }
 
   /** Reconstruct all (timestamp, value) pairs of a segment into the buffers. */

@@ -302,15 +302,26 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * that removes a compaction input aborts the commit (the data the
     * rewrite copied no longer represents the table).
     *
+    * With `clusterByTags` (SQL `OPTIMIZE t ZORDER`), EVERY live file of
+    * each partition is instead re-clustered through one range shuffle on
+    * (tags…, start_time) and each output gets per-file footer stats — so
+    * file tag bounds become narrow and disjoint, and tag-equality
+    * manifest skipping opens O(files holding the series) even after
+    * appends interleaved every series into every file. Same atomic swap,
+    * same time-travel and streaming-suppression semantics.
+    *
     * Returns (filesCompacted, filesCreated).
     */
   def compact(table: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterByTags: Boolean = false): (Int, Int) = {
     require(tableExists(table), s"Table $table does not exist.")
     val dir = tableDir(table)
+    val meta = metadata(table)
+    require(!clusterByTags || (meta.isTimeSeries && meta.tagColumns.nonEmpty),
+      s"ZORDER clustering requires a time series table with tag columns.")
     val snapOpt = TableManifest.latest(fs, dir)
     if (snapOpt.isEmpty) return (0, 0) // pre-manifest: adopted on next write
-    val meta = metadata(table)
     val byPartition = snapOpt.get.files.groupBy { rel =>
       rel.lastIndexOf('/') match {
         case -1 => ""
@@ -333,43 +344,56 @@ final class DataFolder(val spark: SparkSession, val root: String) {
               else s"$part/${st.getPath.getName}"
             rel -> st.getLen
         }.toMap
-      val small = rels.filter(r => sizes.get(r).exists(_ < targetBytes)).sorted
-      if (small.size >= 2) {
-        val totalBytes = small.map(sizes).sum
+      // Plain OPTIMIZE coalesces only small files; ZORDER re-clusters
+      // EVERY live file of the partition (appends interleave series, so
+      // even full-size files span the whole tag range until re-sorted).
+      val candidates =
+        if (clusterByTags) rels.filter(sizes.contains).sorted
+        else rels.filter(r => sizes.get(r).exists(_ < targetBytes)).sorted
+      if (candidates.size >= 2) {
+        val totalBytes = candidates.map(sizes).sum
         val nOut = math.max(1L,
           (totalBytes + targetBytes - 1) / targetBytes).toInt
-        if (nOut < small.size) {
+        if (clusterByTags || nOut < candidates.size) {
           val stagedPart =
             if (part.isEmpty) staging else new Path(staging, part)
           val input = spark.read
-            .parquet(small.map(r => new Path(dir, r).toString): _*)
-            .coalesce(nOut)
-          // Re-sorting segments inside each output file (local sort, no
-          // shuffle) keeps Parquet row-group min/max stats tight, so the
-          // pushed start/end_time and tag filters prune as well after the
-          // rewrite as the sorted original writes did.
+            .parquet(candidates.map(r => new Path(dir, r).toString): _*)
+          val sortCols = (meta.tagColumns :+ "start_time").map(col)
+          // Plain compaction: coalesce (no shuffle — bytes move, values
+          // don't) with a local re-sort keeping row-group stats tight.
+          // ZORDER: ONE range shuffle on (tags, start_time) so each
+          // output covers a narrow, disjoint tag range — per-file tag
+          // bounds then prune `WHERE tag = v` scans to O(files holding
+          // the series) instead of O(table), the Delta OPTIMIZE ZORDER
+          // role (lexicographic on the dominant filter columns).
           val arranged =
-            if (meta.isTimeSeries)
-              input.sortWithinPartitions(
-                (meta.tagColumns :+ "start_time").map(col): _*)
-            else input
+            if (clusterByTags)
+              input.repartitionByRange(math.max(nOut, 1), sortCols: _*)
+                .sortWithinPartitions(sortCols: _*)
+            else if (meta.isTimeSeries)
+              input.coalesce(nOut).sortWithinPartitions(sortCols: _*)
+            else input.coalesce(nOut)
           val writer = arranged.write.mode("overwrite")
           (if (meta.isTimeSeries) writer.option("compression", "zstd")
            else writer).parquet(stagedPart.toString)
-          // Outputs inherit the union of their inputs' time and tag bounds
-          // (every input point lands in some output of this partition) —
-          // correct, conservative, and free. Any stats-less input poisons
-          // the time bound to the cover-everything sentinel (and drops tag
-          // bounds), so skipping stays safe.
-          val haveAll = small.forall(snapStats.contains)
+          // Plain compaction outputs inherit the union of their inputs'
+          // time and tag bounds (every input point lands in some output
+          // of this partition) — correct, conservative, and free. Any
+          // stats-less input poisons the time bound to the
+          // cover-everything sentinel (and drops tag bounds), so skipping
+          // stays safe. ZORDER outputs instead get PER-FILE bounds from
+          // their own footers — the union would erase exactly the
+          // disjointness the shuffle just built.
+          val haveAll = candidates.forall(snapStats.contains)
           val inBounds =
             if (haveAll)
-              (small.map(snapStats(_).minStartUs).min,
-                small.map(snapStats(_).maxEndUs).max)
+              (candidates.map(snapStats(_).minStartUs).min,
+                candidates.map(snapStats(_).maxEndUs).max)
             else (Long.MinValue, Long.MaxValue)
           val inTagBounds: Map[String, (String, String)] =
             if (haveAll) {
-              val all = small.map(snapStats)
+              val all = candidates.map(snapStats)
               meta.tagColumns.flatMap { t =>
                 val bs = all.map(_.tagBounds.get(t))
                 if (bs.forall(_.isDefined))
@@ -378,6 +402,11 @@ final class DataFolder(val spark: SparkSession, val root: String) {
               }.toMap
             } else Map.empty
           val staged = listDataFilesWithSize(stagedPart.toString)
+          val perFile: Map[String, StagedMeta] =
+            if (clusterByTags)
+              stagedFileMeta(stagedPart.toString, staged.map(_._1),
+                meta.tagColumns)
+            else Map.empty
           staged.foreach { case (stagedRel, stagedSize) =>
             // The `opt-` name prefix marks provenance: this file re-packs
             // already-committed points. Streaming readers (manifest-diff
@@ -392,10 +421,17 @@ final class DataFolder(val spark: SparkSession, val root: String) {
               throw new java.io.IOException(
                 s"Could not move compacted file $rel into $dir.")
             created += rel
-            createdStats += rel -> TableManifest.FileStats(
-              stagedSize, inBounds._1, inBounds._2, inTagBounds)
+            val stats = perFile.get(stagedRel) match {
+              case Some(m) =>
+                val (mn, mx) = m.timeBounds.getOrElse(
+                  (Long.MinValue, Long.MaxValue))
+                TableManifest.FileStats(stagedSize, mn, mx, m.tagBounds)
+              case scala.None => TableManifest.FileStats(
+                stagedSize, inBounds._1, inBounds._2, inTagBounds)
+            }
+            createdStats += rel -> stats
           }
-          removed ++= small
+          removed ++= candidates
         }
       }
     }

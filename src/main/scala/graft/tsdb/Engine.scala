@@ -66,6 +66,17 @@ final class Engine(val spark: SparkSession, val root: String) {
       case _ => false
     }
 
+  /** Do the requested kinds need Σv partials? (COUNT/MIN/MAX/FIRST/LAST
+    * don't — their interior side must stay DECODE-FREE: the sum closed
+    * form is the one per-segment kernel that walks the value stream.)
+    */
+  private def needsSum(aggregates: Seq[Aggregate]): Boolean =
+    aggregates.exists {
+      case Aggregate.Sum | Aggregate.Avg | Aggregate.VarSamp |
+           Aggregate.VarPop | Aggregate.StdSamp | Aggregate.StdPop => true
+      case _ => false
+    }
+
   /** Do the requested kinds need chronological edge-value partials? */
   private def needsEdges(aggregates: Seq[Aggregate]): Boolean =
     aggregates.exists {
@@ -119,8 +130,9 @@ final class Engine(val spark: SparkSession, val root: String) {
     * (filesCompacted, filesCreated).
     */
   def compact(table: String,
-      targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
-    val r = dataFolder.compact(table, targetBytes)
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterByTags: Boolean = false): (Int, Int) = {
+    val r = dataFolder.compact(table, targetBytes, clusterByTags)
     invalidateViews()
     r
   }
@@ -469,7 +481,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     val withSq = needsSumSq(aggregates)
     val withEdges = needsEdges(aggregates)
     val interior = interiorPartials(segments.where(contained), keys,
-      Some(bucketOf(col("start_time"))), withSq, withEdges)
+      Some(bucketOf(col("start_time"))), withSq, withEdges,
+      withSum = needsSum(aggregates))
     val boundary = GridView.bucketPartials(
       segments.where(!contained), meta, selected, bucketUs, startUs, endUs,
       withEdges)
@@ -734,7 +747,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     val withSq = needsSumSq(aggregates)
     val withEdges = needsEdges(aggregates)
     val interior = interiorPartials(segments.where(contained), keys,
-      Some(truncOf(col("start_time"))), withSq, withEdges)
+      Some(truncOf(col("start_time"))), withSq, withEdges,
+      withSum = needsSum(aggregates))
     val boundary = GridView
       .explodedPoints(segments.where(!contained), meta, selected, startUs, endUs)
       .select(keys ++ Seq(
@@ -858,24 +872,42 @@ final class Engine(val spark: SparkSession, val root: String) {
       segments: DataFrame, keys: Seq[Column],
       bucketCol: Option[Column] = scala.None,
       withSq: Boolean = false,
-      withEdges: Boolean = false): DataFrame = {
+      withEdges: Boolean = false,
+      withSum: Boolean = true): DataFrame = {
     // With Σv² requested, sum and sumsq extract from ONE SegmentSumStats
     // struct — a single decode pass; the chained projection keeps
     // CollapseProject from inlining (re-decoding) the kernel per field.
     // Edge values (FIRST/LAST) likewise: one SegmentEdgeValues struct,
     // extracted in the same chained projection — an interior segment's
-    // chronological edges ARE its first/last points.
+    // chronological edges ARE its first/last points. With NO sum-family
+    // kind requested the Σv partial is a dead zero — COUNT/MIN/MAX/
+    // FIRST/LAST interiors never decode the value stream, EXCEPT the
+    // NaN-capable minority (see __bp_nan below).
     val sumCols =
       if (withSq) Seq(SegmentAggregates.sumStatsCol.as("__bp_stats"))
-      else Seq(SegmentAggregates.sumCol.as("__bp_sum"),
+      else if (withSum) Seq(SegmentAggregates.sumCol.as("__bp_sum"),
         lit(0d).as("__bp_sumsq"))
+      else Seq(lit(0d).as("__bp_sum"), lit(0d).as("__bp_sumsq"))
+    // MAX must surface a hidden NaN (Spark float ordering), and segment
+    // bounds are written NaN-ignoring. But NaN can only HIDE in a
+    // MacaqueV value stream or a residual tail — a fitted PMC/Swing model
+    // is within-bound of NaN only when its own values are NaN, which the
+    // stored bounds already show. Without a sum partial (the usual
+    // detector), only that NaN-capable minority pays a detection decode.
+    val nanCols =
+      if (withSq || withSum) Seq.empty
+      else Seq(when(
+        col("model_type_id") === lit(graft.core.Models.MacaqueVId.toInt) ||
+          length(col("residuals")) > 0,
+        isnan(SegmentAggregates.sumCol)).otherwise(lit(false)).as("__bp_nan"))
     val edgeCols =
       if (withEdges) Seq(SegmentAggregates.edgeValuesCol.as("__bp_edges"))
       else Seq.empty
     val base0 = segments.select(
       keys ++ Seq(col(SegmentSchema.FieldColumn)) ++
         bucketCol.map(_.as("__graft_bucket")).toSeq ++
-        Seq(SegmentAggregates.lenCol.as("__bp_cnt")) ++ sumCols ++ edgeCols ++ Seq(
+        Seq(SegmentAggregates.lenCol.as("__bp_cnt")) ++ sumCols ++ nanCols ++
+        edgeCols ++ Seq(
         col("min_value").as("__bp_min"),
         col("max_value").as("__bp_max0"),
         col("start_time").as("__bp_tmin"),
@@ -894,11 +926,13 @@ final class Engine(val spark: SparkSession, val root: String) {
         .drop("__bp_edges")
     val infMix = col("__bp_min") === lit(Float.NegativeInfinity) &&
       col("__bp_max0") === lit(Float.PositiveInfinity)
+    val nanDetect =
+      if (withSq || withSum) isnan(col("__bp_sum")) else col("__bp_nan")
     base
       .withColumn("__bp_max",
-        when(isnan(col("__bp_sum")) && !infMix, lit(Float.NaN))
+        when(nanDetect && !infMix, lit(Float.NaN))
           .otherwise(col("__bp_max0")))
-      .drop("__bp_max0")
+      .drop("__bp_max0", "__bp_nan")
   }
 
   /** Merge raw partial rows — closed-form per-segment (interior) and
@@ -1041,7 +1075,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     val withSq = needsSumSq(aggregates)
     val withEdges = needsEdges(aggregates)
     val interior = interiorPartials(segments.where(contained),
-      groupByTags.map(col), withSq = withSq, withEdges = withEdges)
+      groupByTags.map(col), withSq = withSq, withEdges = withEdges,
+      withSum = needsSum(aggregates))
     val boundary = GridView.bucketPartials(
       segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs,
       withEdges)
@@ -1203,6 +1238,17 @@ final class Engine(val spark: SparkSession, val root: String) {
         val schema = StructType.fromDDL(normalized)
         create(TableMetadata(name, "normal", Seq.empty, schema.json))
         emptyOk()
+      case SqlExtensions.CreateTableAsSelect(name, select) =>
+        // CTAS materializes into a NORMAL table — same restriction as the
+        // reference's copy() (operations/mod.rs:88-92: never re-compress
+        // into a time series table, avoiding double lossy compression).
+        // The inner statement goes back through sql(), so time travel,
+        // INCLUDE, and the aggregate rewrite all compose.
+        val result = sql(select)
+        create(TableMetadata(name, "normal", Seq.empty, result.schema.json))
+        dataFolder.writeNormal(name, result)
+        invalidateViews()
+        emptyOk()
       case SqlExtensions.DropTables(names) =>
         names.foreach(drop); emptyOk()
       case SqlExtensions.TruncateTables(names) =>
@@ -1210,9 +1256,9 @@ final class Engine(val spark: SparkSession, val root: String) {
       case SqlExtensions.Vacuum(names, retention) =>
         val targets = if (names.isEmpty) tables() else names
         targets.foreach(t => vacuum(t, retention)); emptyOk()
-      case SqlExtensions.Optimize(names, targetBytes) =>
+      case SqlExtensions.Optimize(names, targetBytes, zorder) =>
         val targets = if (names.isEmpty) tables() else names
-        targets.foreach(t => compact(t, targetBytes)); emptyOk()
+        targets.foreach(t => compact(t, targetBytes, zorder)); emptyOk()
       case SqlExtensions.Include(addresses, select) =>
         // INCLUDE 'graft://host:port' federates to a live RemoteServer
         // (reference: INCLUDE over Flight, remote.rs:88-165); any other

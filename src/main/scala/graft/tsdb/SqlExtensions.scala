@@ -19,10 +19,12 @@ object SqlExtensions {
   sealed trait Statement
   final case class CreateTimeSeriesTable(meta: TableMetadata) extends Statement
   final case class CreateNormalTable(name: String, schemaDdl: String) extends Statement
+  final case class CreateTableAsSelect(name: String, select: String) extends Statement
   final case class DropTables(names: Seq[String]) extends Statement
   final case class TruncateTables(names: Seq[String]) extends Statement
   final case class Vacuum(names: Seq[String], retentionSeconds: Long) extends Statement
-  final case class Optimize(names: Seq[String], targetBytes: Long) extends Statement
+  final case class Optimize(names: Seq[String], targetBytes: Long,
+      zorder: Boolean) extends Statement
   final case class Include(folders: Seq[String], select: String) extends Statement
   final case class InsertInto(
       table: String, columns: Seq[String], sourceSql: String) extends Statement
@@ -32,17 +34,20 @@ object SqlExtensions {
     """(?is)^\s*CREATE\s+TIME\s+SERIES\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$""".r
   private val CreateNormal =
     """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*)\)\s*$""".r
+  private val CreateAsSelect =
+    """(?is)^\s*CREATE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(SELECT\b.*)$""".r
   private val DropRe =
     """(?is)^\s*DROP\s+TABLE\s+(.+?)\s*$""".r
   private val TruncateRe =
     """(?is)^\s*TRUNCATE\s+(?:CLUSTER\s+)?(?:TABLE\s+)?(.+?)\s*$""".r
   private val VacuumRe =
     """(?is)^\s*VACUUM(?:\s+CLUSTER)?(?:\s+(?!RETAIN\b)([A-Za-z_][A-Za-z0-9_,\s]*?))?(?:\s+RETAIN\s+(\d+))?\s*$""".r
-  // OPTIMIZE t [, t]* [TARGET bytes] — beyond the reference grammar:
-  // small-file compaction for the table layer (Spark SQL has no OPTIMIZE,
-  // so the pre-parser can claim the keyword safely).
+  // OPTIMIZE t [, t]* [ZORDER] [TARGET bytes] — beyond the reference
+  // grammar: small-file compaction for the table layer, and with ZORDER a
+  // tag-range re-clustering (Spark SQL has no OPTIMIZE, so the pre-parser
+  // can claim the keyword safely).
   private val OptimizeRe =
-    """(?is)^\s*OPTIMIZE(?:\s+(?!TARGET\b)([A-Za-z_][A-Za-z0-9_,\s]*?))?(?:\s+TARGET\s+(\d+))?\s*$""".r
+    """(?is)^\s*OPTIMIZE(?:\s+(?!TARGET\b|ZORDER\b)([A-Za-z_][A-Za-z0-9_,\s]*?))?(?:\s+(ZORDER)\b)?(?:\s+TARGET\s+(\d+))?\s*$""".r
   private val IncludeRe =
     """(?is)^\s*INCLUDE\s+((?:'[^']*'\s*,?\s*)+)(SELECT\b.*)$""".r
   private val InsertRe =
@@ -52,6 +57,7 @@ object SqlExtensions {
     case CreateTst(name, cols) =>
       CreateTimeSeriesTable(parseTimeSeriesColumns(name, cols))
     case CreateNormal(name, cols) => CreateNormalTable(name, cols)
+    case CreateAsSelect(name, select) => CreateTableAsSelect(name, select)
     case IncludeRe(folders, select) =>
       val paths = "'([^']*)'".r.findAllMatchIn(folders).map(_.group(1)).toSeq
       Include(paths, select)
@@ -64,10 +70,11 @@ object SqlExtensions {
       Vacuum(
         Option(names).map(splitNames).getOrElse(Seq.empty),
         Option(retain).map(_.toLong).getOrElse(604800L))
-    case OptimizeRe(names, target) =>
+    case OptimizeRe(names, zorder, target) =>
       Optimize(
         Option(names).map(splitNames).getOrElse(Seq.empty),
-        Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024))
+        Option(target).map(_.toLong).getOrElse(128L * 1024 * 1024),
+        zorder != null)
     case _ => Passthrough
   }
 

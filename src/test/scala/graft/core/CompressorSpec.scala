@@ -86,6 +86,31 @@ class CompressorSpec extends AnyFunSuite with SeededChecks {
     }
   }
 
+  test("fast edge values are bit-identical to gridded endpoints") {
+    // Every model type, both spacings, lossy and lossless (lossy mixes
+    // PMC/Swing with residual tails; lossless forces MacaqueV runs).
+    for {
+      irregular <- Seq(false, true)
+      bound <- Seq(ErrorBound.Lossless, ErrorBound.absolute(0.5f),
+        ErrorBound.relative(2.0f))
+    } {
+      val (ts, vs) = DataGeneration.generateMixedSeries(3000, irregular, Some(0.3f))
+      val segments = Compressor.compressUnivariate(ts, vs, bound)
+      assert(segments.nonEmpty)
+      segments.foreach { s =>
+        val (gTs, gVs) = s.gridded
+        val edges = Models.edgeValues(s.modelTypeId, s.startTime, s.endTime,
+          s.timestamps, s.minValue, s.maxValue, s.values, s.residuals)
+        def bits(f: Float) = java.lang.Float.floatToRawIntBits(f)
+        assert(bits(edges(0)) == bits(gVs.head) && bits(edges(1)) == bits(gVs.last),
+          s"edges (${edges(0)}, ${edges(1)}) != gridded endpoints " +
+            s"(${gVs.head}, ${gVs.last}) for model ${s.modelTypeId} " +
+            s"res=${Models.residualsLength(s.residuals)} irregular=$irregular")
+        assert(gTs.head == s.startTime && gTs.last == s.endTime)
+      }
+    }
+  }
+
   test("count/min/max from segment metadata match gridded values") {
     val (ts, vs) = DataGeneration.generateMixedSeries(3000, irregular = true, Some(0.3f))
     val segments = Compressor.compressUnivariate(ts, vs, ErrorBound.absolute(1.0f))

@@ -348,6 +348,59 @@ class ManifestSpec extends AnyFunSuite {
     assert(engine.readTable("ct").count() == before.size + 40L)
   }
 
+  test("OPTIMIZE ZORDER clusters files by tag and sharpens file skipping") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE zc(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    // Every append interleaves ALL tags, so every file spans the whole
+    // tag range and tag-equality skipping can prune nothing.
+    def interleaved(loUs: Long) = (0 until 400).map(i =>
+      (loUs + i * 1000L, i.toFloat, f"t${i % 8}%02d")).toDF("ts_us", "v", "tag")
+    (0 until 4).foreach(i => engine.write("zc", interleaved(i * 1_000_000L)))
+    val before = engine.readTable("zc").collect().map(_.toString).sorted.toSeq
+
+    val all = engine.dataFolder.segments("zc").inputFiles.length
+    val prunedBefore = engine.dataFolder
+      .segmentsPruned("zc", scala.None, scala.None, Map("tag" -> "t03"))
+      .inputFiles.length
+    assert(prunedBefore == all,
+      s"interleaved appends must defeat skipping ($prunedBefore of $all)")
+
+    // Cluster into several tag-disjoint files (tiny target forces a
+    // multi-file layout so disjointness is observable).
+    engine.sql("OPTIMIZE zc ZORDER TARGET 8192")
+    val fs = new org.apache.hadoop.fs.Path(engine.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = TableManifest.latest(fs, engine.dataFolder.tableDir("zc")).get
+    assert(head.files.size >= 2, "ZORDER should produce multiple files")
+    assert(head.files.forall(head.fileStats(_).tagBounds.contains("tag")),
+      "clustered outputs must carry per-file footer tag bounds")
+
+    // Values are untouched; the scan now opens a strict subset of files.
+    val after = engine.readTable("zc").collect().map(_.toString).sorted.toSeq
+    assert(after == before, "clustering must not change a single value")
+    val allAfter = engine.dataFolder.segments("zc").inputFiles.length
+    val prunedAfter = engine.dataFolder
+      .segmentsPruned("zc", scala.None, scala.None, Map("tag" -> "t03"))
+      .inputFiles.length
+    assert(prunedAfter < allAfter,
+      s"clustered layout must skip files ($prunedAfter of $allAfter)")
+    val cnt = engine.readTimeSeriesTable("zc", Seq("v"),
+      engine.Aggregate.Count, tagFilters = Map("tag" -> "t03"))
+      .collect().head.getLong(0)
+    assert(cnt == 200L, s"expected 200 t03 points, got $cnt")
+
+    // Time travel to the pre-cluster version still reads the originals.
+    assert(engine.readTableVersion("zc", head.version - 1)
+      .count() == before.size)
+
+    // ZORDER on a tag-less table is rejected.
+    engine.sql("CREATE TIME SERIES TABLE zn(ts_us TIMESTAMP, v FIELD)")
+    intercept[IllegalArgumentException] {
+      engine.compact("zn", clusterByTags = true)
+    }
+  }
+
   test("compaction aborts if its inputs vanish before the swap commits") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE cc(ts_us TIMESTAMP, v FIELD, tag TAG)")

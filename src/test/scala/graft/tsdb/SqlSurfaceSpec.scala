@@ -850,6 +850,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().head.getLong(0) == 1L)
   }
 
+  test("create table as select materializes a normal table") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE cta(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    engine.write("cta", (0 until 200)
+      .map(i => (i * 1000000L, i.toFloat, s"t${i % 2}"))
+      .toDF("ts", "v", "tag"))
+
+    // CTAS from an aggregate over the grid view; the inner SELECT goes
+    // through the engine, so the segment-native rewrite applies to it.
+    engine.sql("CREATE TABLE cta_summary AS " +
+      "SELECT tag, count(v) AS n, max(v) AS mx FROM cta GROUP BY tag")
+    assert(engine.tables().toSet == Set("cta", "cta_summary"))
+    val rows = engine.sql(
+      "SELECT tag, n, mx FROM cta_summary ORDER BY tag").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getFloat(2))).toSeq ==
+      Seq(("t0", 100L, 198f), ("t1", 100L, 199f)))
+
+    // The materialized table is a normal table: plain inserts work and
+    // re-creating under the same name is rejected.
+    engine.sql("INSERT INTO cta_summary SELECT 't9', CAST(0 AS BIGINT), " +
+      "CAST(0.0 AS FLOAT)")
+    assert(engine.sql("SELECT count(*) AS n FROM cta_summary")
+      .collect().head.getLong(0) == 3L)
+    intercept[Exception] {
+      engine.sql("CREATE TABLE cta_summary AS SELECT 1 AS one")
+    }
+  }
+
   test("catalog state is queryable through the metadata views") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE mv(ts TIMESTAMP, v FIELD(2.5%), " +
