@@ -1,0 +1,349 @@
+package graft.core
+
+/** Segment-native value-predicate counting and fixed-width value histograms:
+  * how many of a segment's reconstructed values fall in a value interval, or
+  * in each histogram bin — WITHOUT materializing the point stream. Beyond
+  * the reference, whose aggregate rewrite turns itself off as soon as any
+  * value predicate is present
+  * (/root/reference/crates/modelardb_storage/src/optimizer/model_simple_aggregates.rs:175-334).
+  *
+  * Per model type:
+  *  - PMC-Mean: every model value is the stored constant — O(1).
+  *  - Swing: the reconstructed values replay `(slope·t + intercept).toFloat`
+  *    at the grid timestamps, and both double arithmetic and the
+  *    double→float rounding are MONOTONE maps — so the value sequence is
+  *    monotone in time and any threshold count is an exact binary search
+  *    over the closed-form evaluation, O(log len) instead of O(len).
+  *  - MacaqueV (and residual tails): the value bit-stream is walked
+  *    directly; timestamps never decode.
+  * Timestamps are only touched for time-window clipping or irregular Swing
+  * segments, and regular segments clip in O(1) arithmetic.
+  *
+  * All evaluations are bit-identical with [[Models.grid]]'s reconstruction,
+  * so counts match a grid-then-filter plan exactly (spec-pinned).
+  */
+object ValueCounts {
+
+  /** Spark/DuckDB SQL float comparison semantics as a total order: NaN is
+    * GREATER than every value (so `v > 0` is true for NaN in both engines)
+    * and -0.0 equals 0.0. Bounds therefore use Double.NaN as the "no upper
+    * bound" sentinel — the order's maximum element — rather than +Inf,
+    * which `v <= +Inf` would exclude NaN from.
+    */
+  def sqlCompare(v: Double, x: Double): Int = {
+    val a = if (v == 0.0) 0.0 else v
+    val b = if (x == 0.0) 0.0 else x
+    java.lang.Double.compare(a, b)
+  }
+
+  /** Count of reconstructed values v with lower < v <= upper under
+    * [[sqlCompare]]'s total order, among points whose timestamp lies in
+    * [tsLo, tsHi]. Pass Long.MinValue/MaxValue for no clipping and
+    * Double.NaN as `upper` for "no upper bound" (includes NaN values,
+    * matching SQL `v > lower`).
+    */
+  def countInRange(lower: Double, upper: Double, tsLo: Long, tsHi: Long,
+      mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
+      mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): Long = {
+    if (sqlCompare(lower, upper) >= 0) return 0L
+    val acc = new CountAcc(lower, upper)
+    traverse(tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals, acc)
+    acc.count
+  }
+
+  /** Number of points whose timestamp lies in [tsLo, tsHi] — timestamps
+    * only, O(1) for regular segments.
+    */
+  def clippedLen(tsLo: Long, tsHi: Long, st: Long, et: Long,
+      tsBytes: Array[Byte]): Long = {
+    val totalLen = TimestampCodec.len(st, et, tsBytes)
+    val w = indexWindow(tsLo, tsHi, st, et, tsBytes, totalLen, () => {
+      val buf = new LongBuf(math.max(totalLen, 16))
+      TimestampCodec.decompressAllTimestamps(st, et, tsBytes, buf)
+      buf
+    })
+    val from = (w >>> 32).toInt
+    val until = (w & 0xffffffffL).toInt
+    math.max(0, until - from).toLong
+  }
+
+  /** Fixed-width histogram of the segment's FINITE reconstructed values at
+    * timestamps within [tsLo, tsHi]: bin = floor((v - origin) / width) in
+    * f64, identical to the SQL `floor((cast(v as double) - origin) / width)`
+    * both Spark and DuckDB compute. Returns interleaved (bin, count) pairs
+    * with bins ascending; NaN/±Inf values are skipped.
+    */
+  def histogram(origin: Double, width: Double, tsLo: Long, tsHi: Long,
+      mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
+      mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): Array[Long] = {
+    require(width > 0, "Histogram width must be positive.")
+    val acc = new HistAcc(origin, width)
+    traverse(tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals, acc)
+    acc.result()
+  }
+
+  private sealed trait Acc {
+    def addConstant(v: Float, n: Int): Unit
+    def addValue(v: Float): Unit
+
+    /** Values eval(from until until) are monotone (Swing closed form). */
+    def addMonotone(eval: Int => Float, from: Int, until: Int): Unit
+  }
+
+  private final class CountAcc(lower: Double, upper: Double) extends Acc {
+    var count = 0L
+
+    private def in(v: Float): Boolean = {
+      val d = v.toDouble
+      sqlCompare(d, lower) > 0 && sqlCompare(d, upper) <= 0
+    }
+
+    /** Count of i in [from, until) with eval(i) <= x under the SQL total
+      * order. The sequence is monotone in the Java float order and NaN can
+      * only appear as a whole-constant sequence (a NaN Swing line), so it
+      * is monotone in the total order too: the satisfying set is a prefix
+      * (non-decreasing) or a suffix (non-increasing).
+      */
+    private def countLE(x: Double, eval: Int => Float, from: Int,
+        until: Int): Int = {
+      val nonDecr = !(eval(from) > eval(until - 1))
+      if (nonDecr) {
+        var lo = from
+        var hi = until
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (sqlCompare(eval(m).toDouble, x) <= 0) lo = m + 1 else hi = m
+        }
+        lo - from
+      } else {
+        var lo = from
+        var hi = until
+        while (lo < hi) {
+          val m = (lo + hi) >>> 1
+          if (sqlCompare(eval(m).toDouble, x) <= 0) hi = m else lo = m + 1
+        }
+        until - lo
+      }
+    }
+
+    override def addConstant(v: Float, n: Int): Unit =
+      if (in(v)) count += n.toLong
+
+    override def addValue(v: Float): Unit = if (in(v)) count += 1L
+
+    override def addMonotone(eval: Int => Float, from: Int, until: Int): Unit =
+      if (until - from <= 8) {
+        var i = from
+        while (i < until) { addValue(eval(i)); i += 1 }
+      } else {
+        count += (countLE(upper, eval, from, until) -
+          countLE(lower, eval, from, until)).toLong
+      }
+  }
+
+  private final class HistAcc(origin: Double, width: Double) extends Acc {
+    private val bins = scala.collection.mutable.LongMap.empty[Long]
+
+    private def binOf(v: Float): Long =
+      math.floor((v.toDouble - origin) / width).toLong
+
+    override def addConstant(v: Float, n: Int): Unit =
+      if (java.lang.Float.isFinite(v)) {
+        val b = binOf(v)
+        bins(b) = bins.getOrElse(b, 0L) + n.toLong
+      }
+
+    override def addValue(v: Float): Unit =
+      if (java.lang.Float.isFinite(v)) {
+        val b = binOf(v)
+        bins(b) = bins.getOrElse(b, 0L) + 1L
+      }
+
+    override def addMonotone(eval: Int => Float, from: Int, until: Int): Unit = {
+      val vF = eval(from)
+      val vL = eval(until - 1)
+      if (java.lang.Float.isNaN(vF) && java.lang.Float.isNaN(vL)) return
+      val linear = !java.lang.Float.isFinite(vF) ||
+        !java.lang.Float.isFinite(vL) || {
+          // More bins touched than points — transition search cannot win.
+          val span = math.abs(binOf(vL) - binOf(vF)) + 1
+          span >= (until - from).toLong
+        }
+      if (linear) {
+        var i = from
+        while (i < until) { addValue(eval(i)); i += 1 }
+      } else {
+        // The bin index floor((v-o)/w) is a monotone map of a monotone
+        // sequence, so equal-bin indices are contiguous: walk the runs,
+        // finding each run's end by binary search — O(bins · log len).
+        var idx = from
+        while (idx < until) {
+          val b = binOf(eval(idx))
+          var lo = idx + 1
+          var hi = until
+          while (lo < hi) {
+            val m = (lo + hi) >>> 1
+            if (binOf(eval(m)) == b) lo = m + 1 else hi = m
+          }
+          bins(b) = bins.getOrElse(b, 0L) + (lo - idx).toLong
+          idx = lo
+        }
+      }
+    }
+
+    def result(): Array[Long] = {
+      val keys = bins.keys.toArray
+      java.util.Arrays.sort(keys)
+      val out = new Array[Long](keys.length * 2)
+      var i = 0
+      while (i < keys.length) {
+        out(2 * i) = keys(i)
+        out(2 * i + 1) = bins(keys(i))
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** Index window [from, until) (packed (from << 32) | until) of the
+    * segment's timestamps inside [tsLo, tsHi]. Regular segments answer in
+    * O(1) arithmetic; irregular ones binary-search the decoded timestamps
+    * supplied by `decoded` (invoked at most once).
+    */
+  private def indexWindow(tsLo: Long, tsHi: Long, st: Long, et: Long,
+      tsBytes: Array[Byte], totalLen: Int,
+      decoded: () => LongBuf): Long = {
+    def pack(from: Int, until: Int): Long =
+      (from.toLong << 32) | (until.toLong & 0xffffffffL)
+    if (tsLo == Long.MinValue && tsHi == Long.MaxValue)
+      return pack(0, totalLen)
+    if (tsLo > tsHi) return pack(0, 0)
+    if (totalLen <= 2 || tsBytes.isEmpty) {
+      // One or two points at st (and et): membership checked directly.
+      val first = st >= tsLo && st <= tsHi
+      val second = totalLen >= 2 && et >= tsLo && et <= tsHi
+      return (first, second) match {
+        case (true, true) => pack(0, totalLen)
+        case (true, false) => pack(0, 1)
+        case (false, true) => pack(totalLen - 1, totalLen)
+        case (false, false) => pack(0, 0)
+      }
+    }
+    if (TimestampCodec.areCompressedTimestampsRegular(tsBytes)) {
+      val interval = (et - st) / (totalLen - 1)
+      if (interval == 0L) {
+        // A run of identical timestamps: all in or all out.
+        return if (st >= tsLo && st <= tsHi) pack(0, totalLen) else pack(0, 0)
+      }
+      // First i with st + i*interval >= tsLo, first i with > tsHi.
+      val from =
+        if (tsLo == Long.MinValue) 0
+        else if (tsLo <= st) 0
+        else {
+          val d = tsLo - st
+          val q = d / interval
+          math.min(totalLen.toLong, if (q * interval >= d) q else q + 1).toInt
+        }
+      val until =
+        if (tsHi == Long.MaxValue) totalLen
+        else if (tsHi < st) 0
+        else math.min(totalLen.toLong, (tsHi - st) / interval + 1).toInt
+      pack(math.min(from, until), until)
+    } else {
+      val buf = decoded()
+      val b = buf.backing
+      val n = buf.length
+      // Timestamps are sorted non-decreasing.
+      var lo = 0
+      var hi = n
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (b(m) < tsLo) lo = m + 1 else hi = m
+      }
+      val from = lo
+      lo = from; hi = n
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (b(m) <= tsHi) lo = m + 1 else hi = m
+      }
+      pack(from, lo)
+    }
+  }
+
+  private def traverse(tsLo: Long, tsHi: Long, mt: Byte, st: Long, et: Long,
+      tsBytes: Array[Byte], mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte], acc: Acc): Unit = {
+    val resLen = Models.residualsLength(residuals)
+    val totalLen = TimestampCodec.len(st, et, tsBytes)
+    val modelLen = totalLen - resLen
+
+    var tsBuf: LongBuf = null
+    def decoded(): LongBuf = {
+      if (tsBuf == null) {
+        tsBuf = new LongBuf(math.max(totalLen, 16))
+        TimestampCodec.decompressAllTimestamps(st, et, tsBytes, tsBuf)
+      }
+      tsBuf
+    }
+    def tsAt(i: Int): Long =
+      if (tsBytes.isEmpty) { if (i == 0) st else et }
+      else if (TimestampCodec.areCompressedTimestampsRegular(tsBytes)) {
+        val interval = (et - st) / (totalLen - 1)
+        st + i.toLong * interval
+      } else decoded()(i)
+
+    val w = indexWindow(tsLo, tsHi, st, et, tsBytes, totalLen, () => decoded())
+    val wFrom = (w >>> 32).toInt
+    val wUntil = (w & 0xffffffffL).toInt
+    if (wUntil <= wFrom) return
+
+    val mFrom = math.min(wFrom, modelLen)
+    val mUntil = math.min(wUntil, modelLen)
+    var modelLast = 0.0f
+    val needModelLast = resLen > 0
+
+    (mt: Int) match {
+      case 0 =>
+        val c = Models.decodeValuesForPmcMean(mn, mx, values)
+        if (mUntil > mFrom) acc.addConstant(c, mUntil - mFrom)
+        modelLast = c
+      case 1 =>
+        // Exactly Models.grid's evaluation: slope/intercept from the model
+        // endpoints with the model's LAST timestamp (residuals excluded),
+        // each value double-evaluated then rounded to float.
+        val (fv, lv) = Models.decodeValuesForSwing(mn, mx, values)
+        val modelEndTime = if (modelLen <= 0) st else tsAt(modelLen - 1)
+        val si = Swing.computeSlopeAndIntercept(
+          st, fv.toDouble, modelEndTime, lv.toDouble)
+        val slope = si._1
+        val intercept = si._2
+        def evalAt(i: Int): Float = (slope * tsAt(i) + intercept).toFloat
+        if (mUntil > mFrom) acc.addMonotone(evalAt, mFrom, mUntil)
+        if (needModelLast && modelLen > 0) modelLast = evalAt(modelLen - 1)
+      case 2 =>
+        // Values-only walk; the window membership is an index check.
+        val vb = new FloatBuf(math.max(modelLen, 16))
+        MacaqueV.grid(values, modelLen, vb, hasModelLastValue = false, 0.0f)
+        var i = mFrom
+        while (i < mUntil) { acc.addValue(vb(i)); i += 1 }
+        if (needModelLast && modelLen > 0) modelLast = vb(modelLen - 1)
+      case other =>
+        throw new IllegalArgumentException(s"Unknown model type $other.")
+    }
+
+    if (resLen > 0) {
+      val rFrom = math.max(wFrom - modelLen, 0)
+      val rUntil = wUntil - modelLen
+      if (rUntil > rFrom) {
+        val rb = new FloatBuf(resLen + 1)
+        MacaqueV.grid(
+          java.util.Arrays.copyOfRange(residuals, 0, residuals.length - 1),
+          resLen, rb, hasModelLastValue = true, modelLast)
+        var j = rFrom
+        while (j < rUntil) { acc.addValue(rb(j)); j += 1 }
+      }
+    }
+  }
+}

@@ -350,6 +350,67 @@ object TsQueries {
           AS BIGINT) AS n_gaps_over
       FROM d GROUP BY 1 ORDER BY 1""")),
 
+    // Value-predicate COUNT per series — count(value > x) answered from
+    // segment metadata: stored bounds decide all-in (len, no decode) and
+    // all-out (0) outright; only bound-straddling segments run a kernel
+    // that is O(1) for PMC and an O(log len) monotone binary search for
+    // Swing. The reference's rewrite disables itself on ANY value
+    // predicate; this plan never materializes a point (no Generate).
+    ("ts_threshold_count", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.thresholdCount("events_lossless", "value", 100.0,
+          groupByTags = Seq("user"))
+        .select(col("user"), col("count_in_value").as("n_above"),
+          col("count_value").as("n_points"))
+        .orderBy("user")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(count(*) FILTER (WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE)
+          > 100.0) AS BIGINT) AS n_above,
+        CAST(count(*) AS BIGINT) AS n_points
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Value-predicate COUNT under a time range: interior segments keep the
+    // metadata fast paths, only the at-most-two boundary segments per
+    // series evaluate the index-clipped kernel (O(1) clip arithmetic for
+    // regular segments) — a banded `WHERE v BETWEEN AND ts BETWEEN` count
+    // with no reconstruction anywhere.
+    ("ts_threshold_range", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val (lo, hi) = eventsWindow(s, d)
+      def inst(us: Long) =
+        java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
+      engine.thresholdCount("events_lossless", "value", 50.0, 150.0,
+          startTime = Some(inst(lo)), endTime = Some(inst(hi)))
+        .select(col("count_in_value").as("n_in"),
+          col("count_value").as("n_points"))
+    }, Some("""
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),
+      r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo, lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b)
+      SELECT CAST(count(*) FILTER (
+          WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 50.0
+            AND CAST(CAST(value AS FLOAT4) AS DOUBLE) <= 150.0) AS BIGINT) AS n_in,
+        CAST(count(*) AS BIGINT) AS n_points
+      FROM events, r
+      WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi""")),
+
+    // Fixed-width value histogram from segments: bins are floor((v-o)/w)
+    // in f64 (identical arithmetic in Spark, the kernel, and DuckDB).
+    // Segments whose stored bounds land in one bin — at this width, the
+    // vast majority — contribute (bin, len) with zero decode; only
+    // bin-straddling segments run the generator, emitting one row per
+    // non-empty bin via the same monotone binary search.
+    ("ts_histogram", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.valueHistogram("events_lossless", "value", 0.0, 25.0)
+        .select(col("bin"), col("count_value").as("n"))
+        .orderBy("bin")
+    }, Some("""
+      SELECT CAST(floor((CAST(CAST(value AS FLOAT4) AS DOUBLE) - 0.0) / 25.0)
+          AS BIGINT) AS bin,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
     // FIRST/LAST value by time per series — min_by/max_by(value, ts)
     // answered from segment metadata: the winner is the segment with the
     // extreme time bound, and only edge values decode (a struct kernel,

@@ -646,6 +646,132 @@ final class Engine(val spark: SparkSession, val root: String) {
     else perSegment.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Segment-native value-predicate count: how many of a field's values lie
+    * in (lower, upper] (and how many points there are at all), optionally
+    * per tag group and time-ranged — `count(*) FILTER (WHERE v > x)`
+    * answered WITHOUT reconstructing the point stream. Comparisons use
+    * Spark/DuckDB SQL float semantics (NaN greater than everything, so the
+    * default upper bound — the Double.NaN sentinel for "unbounded" — makes
+    * this exactly `count(v > lower)`, NaN values included). The reference's
+    * aggregate rewrite turns itself off when any value predicate is present
+    * (optimizer/model_simple_aggregates.rs:175-334); here the segment
+    * bounds decide most segments outright (all-in → stored length,
+    * all-out → 0), and only bound-straddling segments evaluate a kernel
+    * that is O(1) for PMC, O(log len) for Swing (monotone closed form),
+    * and a values-only walk for MacaqueV. With a time range, interior
+    * segments keep the metadata fast paths and only the at-most-two
+    * boundary segments per series pay the (index-clipped) kernel.
+    */
+  def thresholdCount(table: String, field: String,
+      lower: Double, upper: Double = Double.NaN,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    require(groupByTags.forall(meta.tagColumns.contains),
+      s"Group-by columns must be tags of $table.")
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+
+    val segments0 = dataFolder
+      .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
+      .where(fieldColumnPredicate(meta, Seq(field)))
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPredicate(tagFilters, tagInFilters)
+      .map(segments0.where).getOrElse(segments0)
+
+    val keys = groupByTags.map(col)
+    val partials =
+      if (startUs.isEmpty && endUs.isEmpty)
+        segments.select(keys ++ Seq(
+          SegmentAggregates.countInRangeCol(lower, upper).as("__tc_in"),
+          SegmentAggregates.lenCol.as("__tc_n")): _*)
+      else {
+        val tsLo = startUs.getOrElse(Long.MinValue)
+        val tsHi = endUs.getOrElse(Long.MaxValue)
+        val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+          endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
+        val interior = segments.where(contained).select(keys ++ Seq(
+          SegmentAggregates.countInRangeCol(lower, upper).as("__tc_in"),
+          SegmentAggregates.lenCol.as("__tc_n")): _*)
+        val boundary = segments.where(!contained).select(keys ++ Seq(
+          SegmentAggregates.countInRangeClippedCol(lower, upper, tsLo, tsHi)
+            .as("__tc_in"),
+          SegmentAggregates.clippedLenCol(tsLo, tsHi).as("__tc_n")): _*)
+        interior.unionByName(boundary)
+      }
+    val aggs = Seq(
+      coalesce(sum(col("__tc_in")), lit(0L)).as(s"count_in_$field"),
+      coalesce(sum(col("__tc_n")), lit(0L)).as(s"count_$field"))
+    if (keys.isEmpty) partials.agg(aggs.head, aggs.tail: _*)
+    else partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Segment-native fixed-width value histogram of a stored field:
+    * `floor((v - origin) / width)` bin counts of the FINITE values
+    * (optionally per tag group and time-ranged), with the point stream
+    * never materialized. Segments whose stored bounds land in ONE bin —
+    * at any realistic bin width, almost all of them — contribute
+    * (bin, len) from metadata alone; only bin-straddling or NaN-capable
+    * segments run the [[HistogramBins]] generator, which emits one row per
+    * NON-EMPTY bin (closed-form for PMC, monotone binary-searched bin runs
+    * for Swing). Output: (tags…, bin, count), empty bins absent.
+    */
+  def valueHistogram(table: String, field: String,
+      origin: Double, width: Double,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    require(width > 0, "Histogram width must be positive.")
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    require(groupByTags.forall(meta.tagColumns.contains),
+      s"Group-by columns must be tags of $table.")
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+
+    val segments0 = dataFolder
+      .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
+      .where(fieldColumnPredicate(meta, Seq(field)))
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPredicate(tagFilters, tagInFilters)
+      .map(segments0.where).getOrElse(segments0)
+
+    val contained: Column =
+      if (startUs.isEmpty && endUs.isEmpty) lit(true)
+      else (startUs.map(lo => col("start_time") >= lo).toSeq ++
+        endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
+    val fastEligible = contained &&
+      SegmentAggregates.singleBinCol(origin, width)
+
+    val keys = groupByTags.map(col)
+    val fast = segments.where(fastEligible).select(keys ++ Seq(
+      SegmentAggregates.binCol(col("min_value"), origin, width)
+        .as("__vh_bin"),
+      SegmentAggregates.lenCol.as("__vh_cnt")): _*)
+    import org.apache.spark.sql.graft.ColumnBridge
+    def attr(name: String) = ColumnBridge.expression(col(name))
+    val slow = segments.where(!fastEligible).select(
+      (ColumnBridge.column(HistogramBins(origin, width, startUs, endUs,
+        attr("model_type_id"), attr("start_time"), attr("end_time"),
+        attr("timestamps"), attr("min_value"), attr("max_value"),
+        attr("values"), attr("residuals"))) +: keys): _*)
+
+    val merged = fast.unionByName(slow)
+    merged.groupBy(keys :+ col("__vh_bin"): _*)
+      .agg(sum(col("__vh_cnt")).as(s"count_$field"))
+      .withColumnRenamed("__vh_bin", "bin")
+  }
+
   /** Calendar-truncation downsampling: [[readTimeSeriesTableBucketed]]
     * generalized from fixed-width epoch-aligned buckets to
     * `date_trunc(unit, ts)` in an arbitrary time zone — WEEK (fixed width

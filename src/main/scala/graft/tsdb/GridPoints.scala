@@ -122,6 +122,27 @@ object DecodeKernels {
     flush()
     new GenericArrayData(out.toArray)
   }
+
+  /** Non-empty (bin, count) histogram rows of one segment's finite values
+    * at timestamps within [lo, hi] ([[graft.core.ValueCounts.histogram]]).
+    */
+  def histogramArray(origin: Double, width: Double, lo: Long, hi: Long,
+      mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
+      mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): ArrayData = {
+    val pairs = graft.core.ValueCounts.histogram(origin, width, lo, hi,
+      mt, st, et, tsBytes, mn, mx, values, residuals)
+    val out = new Array[Any](pairs.length / 2)
+    var i = 0
+    while (i < out.length) {
+      val r = new GenericInternalRow(2)
+      r.setLong(0, pairs(2 * i))
+      r.setLong(1, pairs(2 * i + 1))
+      out(i) = r
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** Shared shape of the decode generators: Inline-style collection
@@ -297,6 +318,55 @@ case class BucketPartials(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(bucketUs, rangeStartUs, rangeEndUs, withEdges, newChildren(0),
+      newChildren(1), newChildren(2), newChildren(3), newChildren(4),
+      newChildren(5), newChildren(6), newChildren(7))
+}
+
+/** Per-bin value-histogram rows computed inside the decode machinery: one
+  * (bin, cnt) output row per NON-EMPTY fixed-width value bin the segment's
+  * (range-clipped) finite values fall in — the generator behind
+  * segment-native value histograms. Only multi-bin (or NaN-capable)
+  * segments reach this generator; single-bin segments are answered from
+  * metadata alone by the caller. PMC segments emit one row in O(1); Swing
+  * segments emit their bin runs by exact monotone binary search without
+  * decoding; MacaqueV walks its value stream
+  * ([[graft.core.ValueCounts.histogram]]).
+  */
+case class HistogramBins(
+    binOrigin: Double, binWidth: Double,
+    rangeStartUs: Option[Long], rangeEndUs: Option[Long],
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression with DecodeGenerator {
+
+  require(binWidth > 0, "Histogram width must be positive.")
+
+  private def lo: Long = rangeStartUs.getOrElse(Long.MinValue)
+  private def hi: Long = rangeEndUs.getOrElse(Long.MaxValue)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("__vh_bin", LongType, nullable = false),
+    StructField("__vh_cnt", LongType, nullable = false)))
+
+  override protected def evalKernel(mt: Byte, st: Long, et: Long,
+      ts: Array[Byte], mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): ArrayData =
+    DecodeKernels.histogramArray(binOrigin, binWidth, lo, hi, mt, st, et,
+      ts, mn, mx, values, residuals)
+
+  override protected def kernelCall(args: Seq[String]): String = {
+    val originBits = java.lang.Double.doubleToRawLongBits(binOrigin)
+    val widthBits = java.lang.Double.doubleToRawLongBits(binWidth)
+    s"graft.tsdb.DecodeKernels.histogramArray(" +
+      s"java.lang.Double.longBitsToDouble(${originBits}L), " +
+      s"java.lang.Double.longBitsToDouble(${widthBits}L), " +
+      s"${lo}L, ${hi}L, ${args.mkString(", ")})"
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(binOrigin, binWidth, rangeStartUs, rangeEndUs, newChildren(0),
       newChildren(1), newChildren(2), newChildren(3), newChildren(4),
       newChildren(5), newChildren(6), newChildren(7))
 }

@@ -50,6 +50,90 @@ object SegmentAggregates {
     attr("timestamps"), attr("min_value"), attr("max_value"),
     attr("values"), attr("residuals")))
 
+  /** True when a segment can hide a NaN value behind non-NaN stored bounds
+    * (bounds are written NaN-ignoring): only MacaqueV value streams and
+    * residual tails can — a fitted PMC/Swing model's own NaN shows in its
+    * stored bounds.
+    */
+  private def nanCapable: Column =
+    col("model_type_id") === lit(graft.core.Models.MacaqueVId.toInt) ||
+      length(col("residuals")) > 0
+
+  /** True when the segment's stored bounds prove every value is outside
+    * (lower, upper]. Bound semantics are Spark's own comparison semantics
+    * (NaN greatest, -0 = 0 — matching [[graft.core.ValueCounts.sqlCompare]]):
+    * all-NaN fitted segments carry NaN bounds and compare accordingly. A
+    * HIDDEN NaN (NaN behind non-NaN bounds, MacaqueV/residual-tail only)
+    * is above any non-NaN `upper`, so `max <= lower` still proves 0 —
+    * EXCEPT when `upper` is the unbounded (NaN) sentinel, which includes
+    * NaN values.
+    */
+  private def allOutCol(lower: Double, upper: Double): Column =
+    if (upper.isNaN) col("max_value") <= lower && !nanCapable
+    else col("max_value") <= lower || col("min_value") > upper
+
+  /** Count of a segment's reconstructed values in (lower, upper] under SQL
+    * comparison semantics ([[graft.core.ValueCounts.countInRange]]; upper
+    * = Double.NaN means unbounded, including NaN values) — the partial
+    * behind segment-native value-predicate COUNT. Most segments never
+    * decode: the stored value bounds answer entirely-out (0) and, for
+    * segments that cannot hide NaN, entirely-in (len, timestamps-only)
+    * directly; only bound-straddling segments evaluate the kernel, which
+    * is itself closed-form for PMC and O(log len) for Swing.
+    */
+  def countInRangeCol(lower: Double, upper: Double): Column = {
+    val kernel = ColumnBridge.column(SegmentCountInRange(
+      lower, upper, Long.MinValue, Long.MaxValue,
+      attr("model_type_id"), attr("start_time"), attr("end_time"),
+      attr("timestamps"), attr("min_value"), attr("max_value"),
+      attr("values"), attr("residuals")))
+    when(allOutCol(lower, upper), lit(0L))
+      .when(!nanCapable && col("min_value") > lower &&
+        col("max_value") <= upper, lenCol)
+      .otherwise(kernel)
+  }
+
+  /** Range-clipped [[countInRangeCol]] for boundary segments: the kernel
+    * applies the timestamp window exactly (O(1) index arithmetic for
+    * regular segments), the bounds still short-circuit entirely-out
+    * segments to zero without touching timestamps.
+    */
+  def countInRangeClippedCol(lower: Double, upper: Double,
+      tsLo: Long, tsHi: Long): Column = {
+    val kernel = ColumnBridge.column(SegmentCountInRange(
+      lower, upper, tsLo, tsHi,
+      attr("model_type_id"), attr("start_time"), attr("end_time"),
+      attr("timestamps"), attr("min_value"), attr("max_value"),
+      attr("values"), attr("residuals")))
+    when(allOutCol(lower, upper), lit(0L)).otherwise(kernel)
+  }
+
+  /** Number of points with timestamp in [tsLo, tsHi] — values never decode. */
+  def clippedLenCol(tsLo: Long, tsHi: Long): Column = ColumnBridge.column(
+    SegmentClippedLen(tsLo, tsHi,
+      attr("start_time"), attr("end_time"), attr("timestamps")))
+
+  /** The f64 histogram bin floor((v - origin) / width) of a metadata value
+    * column — MUST stay arithmetically identical to
+    * [[graft.core.ValueCounts.histogram]]'s bin map (floor of a double
+    * subtract-divide) so the metadata fast path and the kernel agree.
+    */
+  def binCol(c: Column, origin: Double, width: Double): Column =
+    floor((c.cast("double") - lit(origin)) / lit(width))
+
+  /** True when ALL of a segment's values provably fall in one histogram
+    * bin, decided from metadata alone: finite non-NaN bounds in the same
+    * bin, and no possibility of a hidden NaN. Such segments contribute
+    * (bin, len) without decoding.
+    */
+  def singleBinCol(origin: Double, width: Double): Column =
+    !nanCapable &&
+      !isnan(col("min_value")) && !isnan(col("max_value")) &&
+      col("min_value") =!= lit(Float.NegativeInfinity) &&
+      col("max_value") =!= lit(Float.PositiveInfinity) &&
+      binCol(col("min_value"), origin, width) ===
+        binCol(col("max_value"), origin, width)
+
   /** Textbook variance from (count, Σv, Σv²) aggregate columns, clamped at
     * zero (float cancellation can dip epsilon-negative) and NULL below the
     * minimum count — mirroring SQL var_samp (n >= 2) / var_pop (n >= 1).

@@ -273,3 +273,94 @@ case class SegmentTimeGaps(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(thresholdUs, newChildren(0), newChildren(1), newChildren(2))
 }
+
+/** Count of a segment's reconstructed values in (lower, upper] at
+  * timestamps within [tsLo, tsHi] — the kernel behind segment-native
+  * value-predicate COUNT ([[graft.core.ValueCounts.countInRange]]): PMC
+  * closed form, Swing O(log len) monotone binary search, values-only walk
+  * for MacaqueV. Codegen'd like [[SegmentLen]]; the double bounds embed as
+  * raw bits so ±Infinity and exactness survive Java source text.
+  */
+case class SegmentCountInRange(
+    lower: Double, upper: Double, tsLo: Long, tsHi: Long,
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    graft.core.ValueCounts.countInRange(lower, upper, tsLo, tsHi,
+      modelTypeId.eval(input).asInstanceOf[Byte],
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      minValue.eval(input).asInstanceOf[Float],
+      maxValue.eval(input).asInstanceOf[Float],
+      values.eval(input).asInstanceOf[Array[Byte]],
+      residuals.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val lowerBits = java.lang.Double.doubleToRawLongBits(lower)
+    val upperBits = java.lang.Double.doubleToRawLongBits(upper)
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |long ${ev.value} = graft.core.ValueCounts.countInRange(
+           |  java.lang.Double.longBitsToDouble(${lowerBits}L),
+           |  java.lang.Double.longBitsToDouble(${upperBits}L),
+           |  ${tsLo}L, ${tsHi}L, ${evals.map(_.value).mkString(", ")});
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(lower, upper, tsLo, tsHi, newChildren(0), newChildren(1),
+      newChildren(2), newChildren(3), newChildren(4), newChildren(5),
+      newChildren(6), newChildren(7))
+}
+
+/** Number of a segment's points with timestamp in [tsLo, tsHi] — the
+  * range-clipped [[SegmentLen]] ([[graft.core.ValueCounts.clippedLen]]):
+  * values never decode, regular segments answer in O(1). The boundary-side
+  * total for ranged predicate counts.
+  */
+case class SegmentClippedLen(
+    tsLo: Long, tsHi: Long,
+    startTime: Expression, endTime: Expression, timestamps: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(startTime, endTime, timestamps)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    graft.core.ValueCounts.clippedLen(tsLo, tsHi,
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |long ${ev.value} = graft.core.ValueCounts.clippedLen(
+           |  ${tsLo}L, ${tsHi}L, ${evals.map(_.value).mkString(", ")});
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tsLo, tsHi, newChildren(0), newChildren(1), newChildren(2))
+}

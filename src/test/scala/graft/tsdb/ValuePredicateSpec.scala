@@ -1,0 +1,182 @@
+package graft.tsdb
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.DataGeneration
+
+/** Segment-native value-predicate counts and value histograms
+  * ([[Engine.thresholdCount]] / [[Engine.valueHistogram]]) must match
+  * grid-then-filter over the reconstructed points — on lossless AND lossy
+  * tables, with tag groups, time ranges, and NaN runs — while the
+  * threshold plan never materializes points (no Generate operator at all)
+  * and the histogram only generates for bin-straddling segments.
+  */
+class ValuePredicateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def newEngine(): Engine =
+    new Engine(spark, Files.createTempDirectory("graft_vp").toString)
+
+  /** Mixed series incl. a NaN run per tag, as a (ts_us, value, tag) frame. */
+  private def pointsDf(n: Int, tags: Seq[String], irregular: Boolean) = {
+    val rng = new scala.util.Random(1234L)
+    val rows = tags.flatMap { tag =>
+      val ts = DataGeneration.generateTimestamps(n, irregular, rng)
+      val vs = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val run = math.min(n - i, 40 + rng.nextInt(41))
+        val vals = (rng.nextInt(4): @unchecked) match {
+          case 0 => DataGeneration.generateValues(run, DataGeneration.Constant, None, rng)
+          case 1 => DataGeneration.generateValues(run, DataGeneration.Linear, Some(0.3f), rng)
+          case 2 => DataGeneration.generateValues(run,
+            DataGeneration.RandomValues(-80f, 80f), None, rng)
+          case 3 => Array.fill(run)(Float.NaN)
+        }
+        System.arraycopy(vals, 0, vs, i, run)
+        i += run
+      }
+      ts.indices.map(i => (ts(i), vs(i), tag))
+    }
+    import spark.implicits._
+    rows.toDF("ts", "value", "tag")
+  }
+
+  private def buildTable(engine: Engine, name: String, bound: String,
+      irregular: Boolean): Unit = {
+    engine.sql(s"CREATE TIME SERIES TABLE $name(" +
+      s"ts TIMESTAMP, value FIELD$bound, tag TAG)")
+    engine.write(name, pointsDf(700, Seq("a", "b", "c"), irregular))
+  }
+
+  private def inst(us: Long) =
+    java.time.Instant.ofEpochSecond(us / 1000000L, us % 1000000L * 1000L)
+
+  test("thresholdCount matches grid-then-filter on lossless and lossy tables") {
+    val engine = newEngine()
+    buildTable(engine, "tl", "", irregular = false)
+    buildTable(engine, "ty", "(2.0%)", irregular = true)
+    for (t <- Seq("tl", "ty")) {
+      val pts = engine.readTable(t).select(col("value"), col("tag")).cache()
+      // Double.NaN upper = the unbounded sentinel: SQL `v > lo`, NaN
+      // included — Spark's own comparison operators are the truth here,
+      // NaN-greatest semantics and all.
+      for ((lo, hi) <- Seq((0.0, Double.NaN),
+          (0.0, Double.PositiveInfinity),
+          (-30.0, 30.0), (Double.NegativeInfinity, -10.0))) {
+        val got = engine.thresholdCount(t, "value", lo, hi,
+          groupByTags = Seq("tag")).orderBy("tag").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        val pred =
+          if (hi.isNaN) col("value").cast("double") > lo
+          else col("value").cast("double") > lo &&
+            col("value").cast("double") <= hi
+        val want = pts
+          .groupBy("tag")
+          .agg(
+            coalesce(sum(when(pred, 1L)), lit(0L)).as("in"),
+            count(lit(1)).as("n"))
+          .orderBy("tag").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got == want, s"table=$t range=($lo,$hi]")
+      }
+      pts.unpersist()
+    }
+  }
+
+  test("thresholdCount under a time range clips boundary segments exactly") {
+    val engine = newEngine()
+    buildTable(engine, "tr", "", irregular = true)
+    val bounds = engine.readTable("tr")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (wLo, wHi) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val got = engine.thresholdCount("tr", "value", 0.0,
+        startTime = Some(inst(wLo)), endTime = Some(inst(wHi)))
+      .collect().head
+    val pts = engine.readTable("tr")
+      .where(unix_micros(col("ts")).between(wLo, wHi))
+    val want = pts.agg(
+      coalesce(sum(when(col("value") > 0.0f, 1L)), lit(0L)),
+      count(lit(1))).collect().head
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1))
+  }
+
+  test("valueHistogram matches grid-then-bin incl. tag groups and ranges") {
+    val engine = newEngine()
+    buildTable(engine, "th", "", irregular = false)
+    buildTable(engine, "thy", "(1.5%)", irregular = true)
+    for (t <- Seq("th", "thy")) {
+      val got = engine.valueHistogram(t, "value", origin = -5.0, width = 12.5,
+          groupByTags = Seq("tag"))
+        .orderBy("tag", "bin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      val want = engine.readTable(t)
+        .where(!isnan(col("value")) &&
+          abs(col("value")) =!= lit(Float.PositiveInfinity))
+        .groupBy(col("tag"),
+          floor((col("value").cast("double") - lit(-5.0)) / lit(12.5))
+            .as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("tag", "bin").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == want, s"table=$t")
+    }
+    // Ranged, global.
+    val bounds = engine.readTable("th")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (wLo, wHi) = (lo + (hi - lo) / 4, lo + 3 * (hi - lo) / 4)
+    val got = engine.valueHistogram("th", "value", 0.0, 25.0,
+        startTime = Some(inst(wLo)), endTime = Some(inst(wHi)))
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = engine.readTable("th")
+      .where(unix_micros(col("ts")).between(wLo, wHi) && !isnan(col("value")))
+      .groupBy(floor(col("value").cast("double") / lit(25.0)).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+  }
+
+  test("threshold plan is decode-free: no Generate, no point stream") {
+    val engine = newEngine()
+    buildTable(engine, "tp", "", irregular = false)
+    val plan = engine.thresholdCount("tp", "value", 0.0,
+      groupByTags = Seq("tag")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"threshold count must not grid points:\n$plan")
+    // Ranged variant unions interior fast paths with clipped kernels —
+    // still expression-only, still no Generate.
+    val ranged = engine.thresholdCount("tp", "value", 0.0,
+      startTime = Some(java.time.Instant.ofEpochMilli(0L)))
+      .queryExecution.executedPlan.toString
+    assert(!ranged.contains("Generate"))
+  }
+
+  test("histogram fast path: single-bin segments never reach the generator") {
+    val engine = newEngine()
+    // A linear ramp fits Swing losslessly (not NaN-capable), and stays
+    // inside one 1000-wide bin → metadata-only histogram.
+    val rng = new scala.util.Random(5L)
+    val ts = DataGeneration.generateTimestamps(400, irregular = false, rng)
+    import spark.implicits._
+    engine.sql("CREATE TIME SERIES TABLE hf(ts TIMESTAMP, value FIELD, tag TAG)")
+    engine.write("hf", ts.zipWithIndex.map { case (t, i) => (t, 42.0f + i, "x") }
+      .toSeq.toDF("ts", "value", "tag"))
+    val df = engine.valueHistogram("hf", "value", 0.0, 1000.0)
+    val rows = df.collect()
+    assert(rows.map(_.getLong(1)).sum == 400L)
+    assert(rows.length == 1 && rows.head.getLong(0) == 0L)
+    // The generator side still exists in the union plan, but its input is
+    // empty: every segment satisfies the metadata single-bin predicate.
+    val seg = engine.dataFolder.segments("hf")
+    val eligible = seg.where(SegmentAggregates.singleBinCol(0.0, 1000.0))
+    assert(eligible.count() == seg.count())
+  }
+}
