@@ -100,10 +100,22 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     * time-bucket grouping, simple aggregate specs, and the (possibly
     * empty) parsed filter.
     */
+  /** A conjunction of value comparisons on ONE stored field, canonicalized
+    * to the (lower, upper] interval [[graft.tsdb.Engine.thresholdCount]]
+    * counts: `v >= c` becomes `v > nextDown(c)` (exact for doubles),
+    * `v = c` becomes `(nextDown(c), c]`. An upper-only bound is counted by
+    * complement — `count(v <= u) = count(*) - count(v > u)` — which is
+    * exact under the SQL total order (every value, NaN included, falls on
+    * exactly one side).
+    */
+  private[plans] final case class ValueBound(
+    field: String, lower: Option[Double], upper: Option[Double])
+
   private[plans] final case class MatchResult(
     meta: TableMetadata, groupTags: Seq[String], specs: Seq[AggSpec],
     startUs: Option[Long], endUs: Option[Long], tagEq: Map[String, String],
-    tagIn: Map[String, Seq[String]], bucket: Option[BucketSpec] = scala.None)
+    tagIn: Map[String, Seq[String]], bucket: Option[BucketSpec] = scala.None,
+    valueBound: Option[ValueBound] = scala.None)
 
   /** Attempt the rewrite; None leaves the original DataFrame untouched.
     *
@@ -247,7 +259,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
               Some(MatchResult(meta, groupTags, flat, scala.None,
                 scala.None, Map.empty, Map.empty, bucket))
             case Some(cond) => parseFilter(meta, cond).flatMap {
-              case (lo, hi, tags, tagIn) =>
+              case (lo, hi, tags, tagIn, vb) =>
                 // No aggregates + a time range would need gridding for the
                 // same reason, and so would COUNT(DISTINCT tag) — a
                 // segment overlapping the range may have no point inside.
@@ -257,6 +269,27 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                 // __bp_vfirst/__bp_vlast partials — no decline.)
                 if ((!hasAgg || hasTagDistinct) && (lo.nonEmpty || hi.nonEmpty))
                   None
+                else if (vb.nonEmpty) {
+                  // A value predicate restricts WHICH points count — only
+                  // plain COUNTs (over any column: fields are aligned and
+                  // non-null, so they all count the predicate-passing
+                  // rows) answer from segments via thresholdCount.
+                  // MIN/SUM/… of a value-filtered set, DISTINCT shapes,
+                  // and time buckets have no closed form — grid those.
+                  val countsOnly = flat.forall {
+                    case TagRef(_) => true
+                    case FieldAgg("count", _, _) => true
+                    case _ => false
+                  }
+                  val produced = vb.map(b =>
+                    Set(s"count_in_${b.field}", s"count_${b.field}"))
+                    .getOrElse(Set.empty)
+                  if (!countsOnly || !hasAgg || bucket.nonEmpty ||
+                      groupTags.exists(produced.contains))
+                    None
+                  else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
+                    tagIn, bucket, vb))
+                }
                 else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
                   tagIn, bucket))
             }
@@ -354,7 +387,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     * a time range they ride the hybrid plan as an `isin` prune.
     */
   private def parseFilter(meta: TableMetadata, cond: Expression):
-      Option[(Option[Long], Option[Long], Map[String, String], Map[String, Seq[String]])] = {
+      Option[(Option[Long], Option[Long], Map[String, String],
+        Map[String, Seq[String]], Option[ValueBound])] = {
     def isTs(a: AttributeReference) =
       a.name == meta.timestampColumn && a.dataType == TimestampType
     def isTag(a: AttributeReference) =
@@ -364,6 +398,9 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     var hi: Option[Long] = scala.None
     var tags = Map.empty[String, String]
     var tagIn = Map.empty[String, Seq[String]]
+    var valueField: Option[String] = scala.None
+    var vLo: Option[Double] = scala.None
+    var vHi: Option[Double] = scala.None
     var ok = true
 
     def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
@@ -375,6 +412,47 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         case _ => tags += a.name -> s
       }
     }
+
+    // A stored float field, bare or under the analyzer's widening cast.
+    def fieldOf(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if meta.fieldColumns.contains(a.name) && a.dataType == FloatType =>
+        Some(a.name)
+      case Cast(a: AttributeReference, DoubleType, _, _)
+          if meta.fieldColumns.contains(a.name) && a.dataType == FloatType =>
+        Some(a.name)
+      case _ => scala.None
+    }
+    // A finite numeric constant as the exact double the engine compares
+    // against. Comparison coercion wraps the parsed literal (often a
+    // DECIMAL) in a cast to the comparison type, so fold one
+    // Cast-of-Literal level; float→double widening is exact and huge
+    // longs that double cannot hold exactly are declined.
+    def fin(e: Expression): Option[Double] = {
+      val folded: Option[Any] = e match {
+        case Literal(v, _) => Option(v)
+        case c @ Cast(_: Literal, _, _, _) => Option(c.eval(null))
+        case _ => scala.None
+      }
+      folded.flatMap {
+        case v: Double => Some(v)
+        case v: Float => Some(v.toDouble)
+        case v: Int => Some(v.toDouble)
+        case v: Short => Some(v.toDouble)
+        case v: Byte => Some(v.toDouble)
+        case v: Long if v.toDouble.toLong == v => Some(v.toDouble)
+        case _ => scala.None
+      }.filter(java.lang.Double.isFinite)
+    }
+    // Predicates on a SECOND field don't compose into one interval — bail.
+    def addValue(f: String, newLo: Option[Double],
+        newHi: Option[Double]): Unit =
+      if (valueField.exists(_ != f)) ok = false
+      else {
+        valueField = Some(f)
+        newLo.foreach(l => vLo = Some(vLo.fold(l)(math.max(_, l))))
+        newHi.foreach(h => vHi = Some(vHi.fold(h)(math.min(_, h))))
+      }
 
     splitConjunctivePredicates(cond).foreach {
       case GreaterThanOrEqual(a: AttributeReference, Literal(v: Long, TimestampType))
@@ -407,9 +485,36 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         // be an always-false filter — bail and let the grid return empty.
         val combined = tagIn.get(a.name).fold(vs)(_.intersect(vs))
         if (combined.isEmpty) ok = false else tagIn += a.name -> combined
+      // Value comparisons on one stored field, canonicalized to the
+      // (lower, upper] interval countInRange counts (SQL total order,
+      // `>= c` ⇔ `> nextDown(c)` exactly for doubles).
+      case GreaterThan(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+        addValue(fieldOf(l).get, Some(fin(r).get), scala.None)
+      case GreaterThanOrEqual(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+        addValue(fieldOf(l).get, Some(Math.nextDown(fin(r).get)), scala.None)
+      case LessThanOrEqual(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+        addValue(fieldOf(l).get, scala.None, Some(fin(r).get))
+      case LessThan(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+        addValue(fieldOf(l).get, scala.None, Some(Math.nextDown(fin(r).get)))
+      case EqualTo(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+        addValue(fieldOf(l).get, Some(Math.nextDown(fin(r).get)),
+          Some(fin(r).get))
+      case GreaterThan(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+        addValue(fieldOf(l).get, scala.None, Some(Math.nextDown(fin(r).get)))
+      case GreaterThanOrEqual(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+        addValue(fieldOf(l).get, scala.None, Some(fin(r).get))
+      case LessThanOrEqual(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+        addValue(fieldOf(l).get, Some(Math.nextDown(fin(r).get)), scala.None)
+      case LessThan(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+        addValue(fieldOf(l).get, Some(fin(r).get), scala.None)
+      case EqualTo(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+        addValue(fieldOf(l).get, Some(Math.nextDown(fin(r).get)),
+          Some(fin(r).get))
       case _ => ok = false
     }
-    if (ok) Some((lo, hi, tags, tagIn)) else None
+    if (ok) Some((lo, hi, tags, tagIn,
+      valueField.map(f => ValueBound(f, vLo, vHi))))
+    else None
   }
 
   /** The child must be exactly the registered logical view of a time series
@@ -699,7 +804,33 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   }
 
   private[plans] def build(engine: Engine, m: MatchResult): DataFrame = {
-    if (!m.specs.exists(s => s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
+    if (m.valueBound.nonEmpty) {
+      // Value-predicate COUNT: route through thresholdCount — stored
+      // bounds settle most segments without decode, and an upper-only
+      // bound counts by complement against the same pass's total.
+      val vb = m.valueBound.get
+      def inst(us: Long) = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      val (lower, upper, complement) = (vb.lower, vb.upper) match {
+        case (Some(l), Some(u)) => (l, u, false)
+        case (Some(l), scala.None) => (l, Double.NaN, false)
+        case (scala.None, Some(u)) => (u, Double.NaN, true)
+        case (scala.None, scala.None) =>
+          throw new IllegalStateException("value bound without bounds")
+      }
+      val tc = engine.thresholdCount(m.meta.name, vb.field, lower, upper,
+        m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq, m.tagIn)
+      val cnt =
+        if (complement) col(s"count_${vb.field}") - col(s"count_in_${vb.field}")
+        else col(s"count_in_${vb.field}")
+      val ordered = m.specs.map {
+        case TagRef(tag) => col(tag)
+        case FieldAgg("count", _, outName) => cnt.as(outName)
+        case other => throw new IllegalStateException(
+          s"non-count spec $other under a value predicate")
+      }
+      tc.select(ordered: _*)
+    } else if (!m.specs.exists(s => s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
         s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg])) {
       // Pure tag grouping (`SELECT DISTINCT tag`, `GROUP BY tag` with no
       // aggregates): every tag combination is denormalized into its

@@ -411,6 +411,21 @@ object TsQueries {
         CAST(count(*) AS BIGINT) AS n
       FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // The same value-predicate count through the SQL surface: the Catalyst
+    // rewrite recognizes `count(*) WHERE value > x` over the grid view and
+    // splices in the thresholdCount plan (canonicalizing >=, <, <=, =, and
+    // BETWEEN conjunctions into one (lower, upper] interval; upper-only
+    // bounds count by complement). The executed plan has no Generate.
+    ("ts_sql_threshold", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql("SELECT user, count(*) AS n_above FROM events_lossless " +
+        "WHERE value > 100.0 GROUP BY user ORDER BY user")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(count(*) AS BIGINT) AS n_above
+      FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0
+      GROUP BY 1 ORDER BY 1""")),
+
     // FIRST/LAST value by time per series — min_by/max_by(value, ts)
     // answered from segment metadata: the winner is the segment with the
     // extreme time bound, and only edge values decode (a struct kernel,

@@ -80,6 +80,31 @@ object ScaleDrive {
         s"var_samp $varSamp != gridded $ctrl")
     }
 
+    val thr = timed("segment-native threshold cnt") {
+      engine.thresholdCount("big", "v", 50.0).collect().head
+    }
+    println(f"  above 50: ${thr.getLong(0)}%,d of ${thr.getLong(1)}%,d")
+    timed("gridded threshold control") {
+      val ctrl = engine.readTable("big")
+        .agg(coalesce(sum(when(col("v") > 50.0, 1L)), lit(0L)),
+          count(lit(1))).collect().head
+      assert(thr.getLong(0) == ctrl.getLong(0), "threshold in mismatch")
+      assert(thr.getLong(1) == ctrl.getLong(1), "threshold n mismatch")
+    }
+
+    val hist = timed("segment-native histogram w=20") {
+      engine.valueHistogram("big", "v", 0.0, 20.0).orderBy("bin").collect()
+    }
+    println(f"  bins: ${hist.length}%,d")
+    timed("gridded histogram control") {
+      val ctrl = engine.readTable("big").where(!isnan(col("v")))
+        .groupBy(floor(col("v").cast("double") / lit(20.0)).as("bin"))
+        .agg(count(lit(1))).orderBy("bin").collect()
+      assert(hist.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+        ctrl.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+        "histogram mismatch vs gridded control")
+    }
+
     timed("first/last via SQL rewrite") {
       val r = engine.sql(
         "SELECT min_by(v, ts) AS f, max_by(v, ts) AS l FROM big")

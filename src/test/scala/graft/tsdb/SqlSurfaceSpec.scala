@@ -326,8 +326,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(filtered.collect().head.getLong(0) ==
       engine.readTable("sa").where(col("tag") === "t0").count())
     val fieldFiltered = engine.sql("SELECT COUNT(v) AS n FROM sa WHERE v >= 0")
-    assert(fieldFiltered.queryExecution.executedPlan.toString.contains("Generate"),
-      "field-value filters must still reconstruct")
+    assert(!fieldFiltered.queryExecution.executedPlan.toString.contains("Generate"),
+      "count under a value predicate is segment-native via thresholdCount")
+    assert(fieldFiltered.collect().head.getLong(0) ==
+      engine.readTable("sa").where(col("v") >= 0).count())
 
     // Timestamp ranges entering Engine.sql take the hybrid plan.
     val ranged = engine.sql(

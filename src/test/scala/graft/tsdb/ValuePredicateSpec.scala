@@ -159,6 +159,58 @@ class ValuePredicateSpec extends AnyFunSuite {
     assert(!ranged.contains("Generate"))
   }
 
+  test("SQL count(*) under value predicates rewrites to thresholdCount") {
+    val engine = newEngine()
+    buildTable(engine, "sq", "", irregular = false)
+    engine.readTable("sq").createOrReplaceTempView("sq_raw")
+    def fmt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, (us % 1000000L * 1000L).toInt, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val bounds = engine.readTable("sq")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val mid = fmt((bounds.getLong(0) + bounds.getLong(1)) / 2)
+
+    // Every comparison shape, both operand orders, NaN rows in the data.
+    val rewritten = Seq(
+      "SELECT count(*) AS n FROM sq WHERE value > 10.0",
+      "SELECT count(*) AS n FROM sq WHERE value >= 10.0",
+      "SELECT count(*) AS n FROM sq WHERE value < -5.0",
+      "SELECT count(*) AS n FROM sq WHERE value <= -5.0",
+      "SELECT count(*) AS n FROM sq WHERE 10.0 < value",
+      "SELECT count(*) AS n FROM sq WHERE value > -20.0 AND value <= 20.0",
+      "SELECT count(value) AS n FROM sq WHERE value = 0.0",
+      "SELECT count(*) AS n FROM sq WHERE value > 0.0 AND tag = 'b'",
+      s"SELECT count(*) AS n FROM sq WHERE ts >= TIMESTAMP '$mid' " +
+        "AND value > 0.0",
+      "SELECT tag, count(*) AS n FROM sq WHERE value > 0.0 " +
+        "GROUP BY tag ORDER BY tag")
+    for (q <- rewritten) {
+      val df = engine.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Generate"), s"should be segment-native: $q\n$plan")
+      val want = spark.sql(q.replace("FROM sq", "FROM sq_raw")).collect()
+        .map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq == want, q)
+    }
+
+    // Shapes with no closed form still answer correctly via the grid.
+    // (Row comparison via toString: Scala NaN != NaN, SQL NaN = NaN.)
+    val declined = Seq(
+      "SELECT sum(value) AS s FROM sq WHERE value > 0.0",
+      "SELECT min(value) AS m FROM sq WHERE value <= 0.0",
+      "SELECT count(DISTINCT tag) AS n FROM sq WHERE value > 0.0")
+    for (q <- declined) {
+      val df = engine.sql(q)
+      assert(df.queryExecution.executedPlan.toString.contains("Generate"),
+        s"should grid: $q")
+      val want = spark.sql(q.replace("FROM sq", "FROM sq_raw")).collect()
+        .map(_.toSeq.map(String.valueOf)).toSeq
+      assert(df.collect().map(_.toSeq.map(String.valueOf)).toSeq == want, q)
+    }
+  }
+
   test("histogram fast path: single-bin segments never reach the generator") {
     val engine = newEngine()
     // A linear ramp fits Swing losslessly (not NaN-capable), and stays
