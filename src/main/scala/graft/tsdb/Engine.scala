@@ -1198,21 +1198,39 @@ final class Engine(val spark: SparkSession, val root: String) {
     // aggregation: interior segments as closed-form per-segment
     // expressions, boundary segments as one decode-generator partial each
     // (bucket width = MaxValue) — no point stream, no combine layer.
+    // COUNT-only ranges go further: the boundary partial is just the
+    // range-clipped point count from the timestamp metadata
+    // (SegmentClippedLen, O(1) for regular segments), so a ranged
+    // `count(*)` decodes NOTHING anywhere — no values, no generator.
     val withSq = needsSumSq(aggregates)
     val withEdges = needsEdges(aggregates)
+    val countOnly = aggregates.forall(_ == Aggregate.Count) &&
+      tsAggregates.isEmpty
     val interior = interiorPartials(segments.where(contained),
       groupByTags.map(col), withSq = withSq, withEdges = withEdges,
       withSum = needsSum(aggregates))
-    val boundary = GridView.bucketPartials(
-      segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs,
-      withEdges)
-      .select(groupByTags.map(col) ++ Seq(
-        col(SegmentSchema.FieldColumn),
-        col("__bp_cnt"), col("__bp_sum"), col("__bp_sumsq"),
-        col("__bp_min"), col("__bp_max"),
-        col("__bp_tmin"), col("__bp_tmax")) ++
-        (if (withEdges) Seq(col("__bp_vfirst"), col("__bp_vlast"))
-        else Seq.empty): _*)
+    val boundary =
+      if (countOnly)
+        // Dead sum/min/max/tmin/tmax placeholders: the merge computes
+        // them but COUNT is the only final column that reads anything.
+        segments.where(!contained).select(groupByTags.map(col) ++ Seq(
+          col(SegmentSchema.FieldColumn),
+          SegmentAggregates.clippedLenCol(
+            startUs.getOrElse(Long.MinValue), endUs.getOrElse(Long.MaxValue))
+            .as("__bp_cnt"),
+          lit(0d).as("__bp_sum"), lit(0d).as("__bp_sumsq"),
+          lit(Float.NaN).as("__bp_min"), lit(Float.NaN).as("__bp_max"),
+          lit(0L).as("__bp_tmin"), lit(0L).as("__bp_tmax")): _*)
+      else GridView.bucketPartials(
+        segments.where(!contained), meta, fields, Long.MaxValue, startUs, endUs,
+        withEdges)
+        .select(groupByTags.map(col) ++ Seq(
+          col(SegmentSchema.FieldColumn),
+          col("__bp_cnt"), col("__bp_sum"), col("__bp_sumsq"),
+          col("__bp_min"), col("__bp_max"),
+          col("__bp_tmin"), col("__bp_tmax")) ++
+          (if (withEdges) Seq(col("__bp_vfirst"), col("__bp_vlast"))
+          else Seq.empty): _*)
 
     val partials = interior.unionByName(boundary)
     val mergeAggs = partialMergeAggs(meta, fields, tsAggregates.nonEmpty,

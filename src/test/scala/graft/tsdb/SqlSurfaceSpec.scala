@@ -331,11 +331,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(fieldFiltered.collect().head.getLong(0) ==
       engine.readTable("sa").where(col("v") >= 0).count())
 
-    // Timestamp ranges entering Engine.sql take the hybrid plan.
+    // Timestamp ranges entering Engine.sql take the hybrid plan — and a
+    // COUNT-only range decodes nothing at all: the boundary side is the
+    // clipped timestamp length, not the decode generator.
     val ranged = engine.sql(
       "SELECT COUNT(v) AS n FROM sa WHERE ts >= TIMESTAMP '2023-11-14 22:20:00'")
     assert(ranged.queryExecution.executedPlan.toString.contains("Union"),
       "ranged aggregate must take the hybrid interior/boundary plan")
+    assert(!ranged.queryExecution.executedPlan.toString.contains("Generate"),
+      "ranged COUNT must not decode values — clipped-length boundary")
     assert(ranged.collect().head.getLong(0) ==
       engine.readTable("sa")
         .where(col("ts") >= lit("2023-11-14 22:20:00").cast("timestamp"))
