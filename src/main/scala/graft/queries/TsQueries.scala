@@ -426,6 +426,50 @@ object TsQueries {
       FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0
       GROUP BY 1 ORDER BY 1""")),
 
+    // LTTB visualization downsample (parallel variant): one point per
+    // series per day, maximizing the triangle area against the neighbor
+    // buckets' bounding-box centers — the anchors come from the
+    // segment-native bucketed plan (no decode), points take one window
+    // shuffle, and endpoint buckets pin the series' first/last point.
+    // The oracle replays the whole selection (anchors, lag/lead, area
+    // arithmetic, rank tie-breaks) over the raw events.
+    ("ts_lttb", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.lttbDownsample("events_lossless", "value",
+          java.time.Duration.ofDays(1))
+        .select(col("user"), unix_micros(col("bucket")).as("bucket_us"),
+          unix_micros(col("ts")).as("sel_us"), col("value").as("sel_v"))
+        .orderBy("user", "bucket_us")
+    }, Some("""
+      WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user,
+          CAST(epoch_us(ts) AS BIGINT) AS t, CAST(value AS FLOAT4) AS v,
+          CAST(epoch_us(ts) - epoch_us(ts) % 86400000000 AS BIGINT) AS b
+        FROM events),
+      anch AS (
+        SELECT user, b,
+          (CAST(min(t) AS DOUBLE) + CAST(max(t) AS DOUBLE)) / 2 AS cx,
+          (CAST(min(v) AS DOUBLE) + CAST(max(v) AS DOUBLE)) / 2 AS cy
+        FROM pts GROUP BY 1, 2),
+      ctx AS (
+        SELECT user, b,
+          lag(cx) OVER w AS px, lag(cy) OVER w AS py,
+          lead(cx) OVER w AS nx, lead(cy) OVER w AS ny
+        FROM anch WINDOW w AS (PARTITION BY user ORDER BY b)),
+      scored AS (
+        SELECT p.user, p.b, p.t, p.v,
+          CASE WHEN c.px IS NULL THEN -CAST(p.t - p.b AS DOUBLE)
+               WHEN c.nx IS NULL THEN CAST(p.t - p.b AS DOUBLE)
+               ELSE abs((c.px - c.nx) * (CAST(p.v AS DOUBLE) - c.py) -
+                 (c.px - CAST(p.t AS DOUBLE)) * (c.ny - c.py)) END AS score
+        FROM pts p JOIN ctx c ON p.user = c.user AND p.b = c.b),
+      sel AS (
+        SELECT user, b, t, v, row_number() OVER
+          (PARTITION BY user, b ORDER BY score DESC, t ASC, v ASC) AS rn
+        FROM scored)
+      SELECT user, b AS bucket_us, t AS sel_us, v AS sel_v
+      FROM sel WHERE rn = 1 ORDER BY user, bucket_us""")),
+
     // FIRST/LAST value by time per series — min_by/max_by(value, ts)
     // answered from segment metadata: the winner is the segment with the
     // extreme time bound, and only edge values decode (a struct kernel,

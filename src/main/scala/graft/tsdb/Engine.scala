@@ -772,6 +772,87 @@ final class Engine(val spark: SparkSession, val root: String) {
       .withColumnRenamed("__vh_bin", "bin")
   }
 
+  /** LTTB-style visualization downsample (Steinarsson 2013): one
+    * representative point per series per fixed-width bucket, chosen to
+    * maximize the triangle area against the neighboring buckets. This is
+    * the PARALLEL variant: canonical LTTB anchors each triangle on the
+    * previously SELECTED point — an inherently sequential chain — so the
+    * left/right anchors here are the neighbor buckets' bounding-box
+    * centers ((tmin+tmax)/2, (min+max)/2) instead. Those centers are
+    * order-independent and metadata-exact, which buys two things at
+    * scale: the whole anchor frame comes from the segment-native bucketed
+    * plan (no decode, tiny, broadcast), and the result is deterministic
+    * under any partitioning. A series' first (last) bucket pins its
+    * chronologically first (last) point, like canonical LTTB's endpoint
+    * rule. Points are reconstructed once and take ONE window shuffle on
+    * (tags, bucket); the rank-1 filter executes as WindowGroupLimit, so
+    * partitions pre-prune to their top candidate before the shuffle.
+    *
+    * Output: (tags…, bucket TimestampType, <ts>, <field>) — one row per
+    * non-empty bucket.
+    */
+  def lttbDownsample(table: String, field: String,
+      bucket: java.time.Duration,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    val bucketUs = Math.addExact(
+      Math.multiplyExact(bucket.getSeconds, 1000000L), bucket.getNano / 1000L)
+    require(bucketUs > 0, "Bucket width must be at least one microsecond.")
+    val tags = meta.tagColumns
+    val tsName = meta.timestampColumn
+
+    // Segment-native anchors: per-bucket value bounds + timestamp extent.
+    val anchors = readTimeSeriesTableBucketed(table, bucket, Seq(field),
+      Seq(Aggregate.Min, Aggregate.Max), tags, startTime, endTime,
+      tagFilters, tagInFilters, tsAggregates = Seq(Aggregate.Min, Aggregate.Max))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(tags.map(col): _*).orderBy(col("__b"))
+    val ctx = anchors.select(tags.map(col) ++ Seq(
+        unix_micros(col("bucket")).as("__b"),
+        ((unix_micros(col(s"min_$tsName")).cast("double") +
+          unix_micros(col(s"max_$tsName")).cast("double")) / 2d).as("__cx"),
+        ((col(s"min_$field").cast("double") +
+          col(s"max_$field").cast("double")) / 2d).as("__cy")): _*)
+      .select(tags.map(col) ++ Seq(col("__b"),
+        lag(col("__cx"), 1).over(w).as("__px"),
+        lag(col("__cy"), 1).over(w).as("__py"),
+        lead(col("__cx"), 1).over(w).as("__nx"),
+        lead(col("__cy"), 1).over(w).as("__ny")): _*)
+
+    val pts = readTimeSeriesTable(table, Seq(field),
+        startTime = startTime, endTime = endTime, tagFilters = tagFilters,
+        tagInFilters = tagInFilters)
+      .withColumn("__t", unix_micros(col(tsName)))
+      .withColumn("__b", col("__t") - pmod(col("__t"), lit(bucketUs)))
+
+    val joined = pts.join(broadcast(ctx), tags :+ "__b")
+    val td = col("__t").cast("double")
+    val vd = col(field).cast("double")
+    // Interior buckets score by triangle area against the neighbor
+    // anchors; an endpoint bucket scores by time offset so the series'
+    // first/last point wins. The branches are exclusive per bucket, so
+    // mixing scales is fine.
+    val score =
+      when(col("__px").isNull, -(col("__t") - col("__b")).cast("double"))
+        .when(col("__nx").isNull, (col("__t") - col("__b")).cast("double"))
+        .otherwise(abs((col("__px") - col("__nx")) * (vd - col("__py")) -
+          (col("__px") - td) * (col("__ny") - col("__py"))))
+    val sel = Window.partitionBy((tags.map(col) :+ col("__b")): _*)
+      .orderBy(score.desc, col("__t").asc, col(field).asc)
+    joined
+      .withColumn("__rn", row_number().over(sel))
+      .where(col("__rn") === 1)
+      .select(tags.map(col) ++ Seq(
+        timestamp_micros(col("__b")).as("bucket"),
+        col(tsName), col(field)): _*)
+  }
+
   /** Calendar-truncation downsampling: [[readTimeSeriesTableBucketed]]
     * generalized from fixed-width epoch-aligned buckets to
     * `date_trunc(unit, ts)` in an arbitrary time zone — WEEK (fixed width

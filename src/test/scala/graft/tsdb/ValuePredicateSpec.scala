@@ -211,6 +211,56 @@ class ValuePredicateSpec extends AnyFunSuite {
     }
   }
 
+  test("lttbDownsample matches a full point-level replay incl. NaN runs") {
+    val engine = newEngine()
+    buildTable(engine, "lt", "", irregular = true)
+    val bucket = java.time.Duration.ofMillis(10) // 10000 us over ~100s span
+    val bucketUs = 10000L
+    val got = engine.lttbDownsample("lt", "value", bucket)
+      .select(col("tag"), unix_micros(col("bucket")).as("b"),
+        unix_micros(col("ts")).as("t"), col("value"))
+      .orderBy("tag", "b").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        String.valueOf(r.getFloat(3)))).toSeq
+
+    // Replay with plain Spark over the reconstructed points.
+    import org.apache.spark.sql.expressions.Window
+    val pts = engine.readTable("lt")
+      .select(col("tag"), unix_micros(col("ts")).as("t"), col("value"))
+      .withColumn("b", col("t") - pmod(col("t"), lit(bucketUs)))
+    val anch = pts.groupBy("tag", "b").agg(
+      ((min(col("t")).cast("double") + max(col("t")).cast("double")) / 2d)
+        .as("cx"),
+      ((min(col("value")).cast("double") +
+        max(col("value")).cast("double")) / 2d).as("cy"))
+    val w = Window.partitionBy("tag").orderBy("b")
+    val ctx = anch.select(col("tag"), col("b"),
+      lag(col("cx"), 1).over(w).as("px"), lag(col("cy"), 1).over(w).as("py"),
+      lead(col("cx"), 1).over(w).as("nx"), lead(col("cy"), 1).over(w).as("ny"))
+    val joined = pts.join(ctx, Seq("tag", "b"))
+    val score = when(col("px").isNull, -(col("t") - col("b")).cast("double"))
+      .when(col("nx").isNull, (col("t") - col("b")).cast("double"))
+      .otherwise(abs(
+        (col("px") - col("nx")) * (col("value").cast("double") - col("py")) -
+          (col("px") - col("t").cast("double")) * (col("ny") - col("py"))))
+    val sel = Window.partitionBy("tag", "b")
+      .orderBy(score.desc, col("t").asc, col("value").asc)
+    val want = joined.withColumn("rn", row_number().over(sel))
+      .where(col("rn") === 1)
+      .orderBy("tag", "b").collect()
+      .map(r => (r.getString(0), r.getLong(r.fieldIndex("b")),
+        r.getLong(r.fieldIndex("t")),
+        String.valueOf(r.getFloat(r.fieldIndex("value"))))).toSeq
+    assert(got == want)
+    // Endpoint rule: each series' first and last points are selected.
+    val firsts = pts.groupBy("tag").agg(min("t").as("t0"), max("t").as("t1"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for ((tag, t0, t1) <- firsts) {
+      val series = got.filter(_._1 == tag)
+      assert(series.head._3 == t0 && series.last._3 == t1, tag)
+    }
+  }
+
   test("histogram fast path: single-bin segments never reach the generator") {
     val engine = newEngine()
     // A linear ramp fits Swing losslessly (not NaN-capable), and stays
