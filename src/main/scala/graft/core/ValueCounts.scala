@@ -36,6 +36,28 @@ object ValueCounts {
     java.lang.Double.compare(a, b)
   }
 
+  /** Monotone integer key of a non-NaN float under [[sqlCompare]]'s order:
+    * k(a) < k(b) ⇔ a < b (with -0.0 normalized to +0.0 first, so the two
+    * zeros share a key). The keys are dense in [0, 2^32), which makes
+    * "the smallest float satisfying a monotone predicate" a plain binary
+    * search — the driver loop behind exact segment-native quantiles.
+    */
+  def totalOrderKey(f: Float): Long = {
+    val n = if (f == 0.0f) 0.0f else f
+    val bits = java.lang.Float.floatToIntBits(n)
+    if (bits >= 0) bits.toLong + 0x80000000L
+    else (~bits).toLong & 0xffffffffL
+  }
+
+  /** Inverse of [[totalOrderKey]] (up to the zero normalization). */
+  def floatFromKey(key: Long): Float = {
+    require(key >= 0L && key < 0x100000000L, s"key out of range: $key")
+    val bits =
+      if (key >= 0x80000000L) (key - 0x80000000L).toInt
+      else ~key.toInt
+    java.lang.Float.intBitsToFloat(bits)
+  }
+
   /** Count of reconstructed values v with lower < v <= upper under
     * [[sqlCompare]]'s total order, among points whose timestamp lies in
     * [tsLo, tsHi]. Pass Long.MinValue/MaxValue for no clipping and
@@ -92,6 +114,34 @@ object ValueCounts {
     def addMonotone(eval: Int => Float, from: Int, until: Int): Unit
   }
 
+  /** Count of i in [from, until) with eval(i) <= x under the SQL total
+    * order. The sequence is monotone in the Java float order and NaN can
+    * only appear as a whole-constant sequence (a NaN Swing line), so it
+    * is monotone in the total order too: the satisfying set is a prefix
+    * (non-decreasing) or a suffix (non-increasing).
+    */
+  private def monotoneCountLE(x: Double, eval: Int => Float, from: Int,
+      until: Int): Int = {
+    val nonDecr = !(eval(from) > eval(until - 1))
+    if (nonDecr) {
+      var lo = from
+      var hi = until
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (sqlCompare(eval(m).toDouble, x) <= 0) lo = m + 1 else hi = m
+      }
+      lo - from
+    } else {
+      var lo = from
+      var hi = until
+      while (lo < hi) {
+        val m = (lo + hi) >>> 1
+        if (sqlCompare(eval(m).toDouble, x) <= 0) hi = m else lo = m + 1
+      }
+      until - lo
+    }
+  }
+
   private final class CountAcc(lower: Double, upper: Double) extends Acc {
     var count = 0L
 
@@ -100,33 +150,8 @@ object ValueCounts {
       sqlCompare(d, lower) > 0 && sqlCompare(d, upper) <= 0
     }
 
-    /** Count of i in [from, until) with eval(i) <= x under the SQL total
-      * order. The sequence is monotone in the Java float order and NaN can
-      * only appear as a whole-constant sequence (a NaN Swing line), so it
-      * is monotone in the total order too: the satisfying set is a prefix
-      * (non-decreasing) or a suffix (non-increasing).
-      */
     private def countLE(x: Double, eval: Int => Float, from: Int,
-        until: Int): Int = {
-      val nonDecr = !(eval(from) > eval(until - 1))
-      if (nonDecr) {
-        var lo = from
-        var hi = until
-        while (lo < hi) {
-          val m = (lo + hi) >>> 1
-          if (sqlCompare(eval(m).toDouble, x) <= 0) lo = m + 1 else hi = m
-        }
-        lo - from
-      } else {
-        var lo = from
-        var hi = until
-        while (lo < hi) {
-          val m = (lo + hi) >>> 1
-          if (sqlCompare(eval(m).toDouble, x) <= 0) hi = m else lo = m + 1
-        }
-        until - lo
-      }
-    }
+        until: Int): Int = monotoneCountLE(x, eval, from, until)
 
     override def addConstant(v: Float, n: Int): Unit =
       if (in(v)) count += n.toLong
@@ -204,6 +229,80 @@ object ValueCounts {
         i += 1
       }
       out
+    }
+  }
+
+  /** Per-threshold counts of reconstructed values v with v > xs(i) under
+    * the SQL total order (NaN counts against every threshold), among
+    * points whose timestamp lies in [tsLo, tsHi] — MANY thresholds from
+    * ONE traversal: the quantile bisection's ladder probe. Thresholds
+    * whose answer the stored bounds settle (all points above / only a
+    * possible NaN above) are classified without decoding; a single shared
+    * traversal serves whatever remains — per-threshold O(log len) binary
+    * searches for Swing, one walk with a sorted-threshold rank per value
+    * for MacaqueV.
+    */
+  def countAboveMulti(xs: Array[Double], tsLo: Long, tsHi: Long,
+      mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
+      mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](xs.length)
+    if (xs.isEmpty) return out
+    val len = clippedLen(tsLo, tsHi, st, et, tsBytes)
+    if (len == 0L) return out
+    // Bound classification (Java float compares; stored bounds are
+    // NaN-ignoring, NaN bounds fail both tests and fall through):
+    //  - mn > x: every non-NaN value is above, NaN is above too → len.
+    //  - mx <= x: only a hidden NaN can be above → 0 when none possible.
+    val hideable = mt == Models.MacaqueVId || Models.residualsLength(residuals) > 0
+    var needTraverse = false
+    var i = 0
+    while (i < xs.length) {
+      val x = xs(i)
+      if (mn.toDouble > x && !mn.isNaN) out(i) = len
+      else if (mx.toDouble <= x && !mx.isNaN && !hideable) out(i) = 0L
+      else { out(i) = Long.MinValue; needTraverse = true }
+      i += 1
+    }
+    if (!needTraverse) return out
+    val acc = new MultiCountAcc(xs)
+    traverse(tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals, acc)
+    i = 0
+    while (i < xs.length) {
+      if (out(i) == Long.MinValue) out(i) = acc.counts(i)
+      i += 1
+    }
+    out
+  }
+
+  private final class MultiCountAcc(xs: Array[Double]) extends Acc {
+    val counts = new Array[Long](xs.length)
+
+    override def addConstant(v: Float, n: Int): Unit = {
+      val d = v.toDouble
+      var i = 0
+      while (i < xs.length) {
+        if (sqlCompare(d, xs(i)) > 0) counts(i) += n.toLong
+        i += 1
+      }
+    }
+
+    override def addValue(v: Float): Unit = {
+      val d = v.toDouble
+      var i = 0
+      while (i < xs.length) {
+        if (sqlCompare(d, xs(i)) > 0) counts(i) += 1L
+        i += 1
+      }
+    }
+
+    override def addMonotone(eval: Int => Float, from: Int, until: Int): Unit = {
+      var i = 0
+      while (i < xs.length) {
+        counts(i) += (until - from -
+          monotoneCountLE(xs(i), eval, from, until)).toLong
+        i += 1
+      }
     }
   }
 

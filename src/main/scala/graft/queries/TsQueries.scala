@@ -426,6 +426,28 @@ object TsQueries {
       FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0
       GROUP BY 1 ORDER BY 1""")),
 
+    // EXACT quantiles from compressed segments — no decode, no sort:
+    // result q over n values = the k-th smallest under the SQL total
+    // order (k = ceil(q·n)), located by a histogram bracket plus a
+    // shared float-key bisection whose probes are all metadata-answered
+    // threshold counts (~15 tiny jobs regardless of data volume, where
+    // SQL percentile() sorts the whole column). The oracle replays the
+    // k-th-smallest definition with row_number.
+    ("ts_quantile", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      import s.implicits._
+      engine.exactQuantiles("events_lossless", "value",
+          Seq(0.25, 0.5, 0.9, 0.99))
+        .toDF("q", "v").orderBy("q")
+    }, Some("""
+      WITH pts AS (SELECT CAST(value AS FLOAT4) AS v FROM events),
+      s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        count(*) OVER () AS n FROM pts)
+      SELECT CAST(t.q AS DOUBLE) AS q, s.v
+      FROM (VALUES (0.25), (0.5), (0.9), (0.99)) t(q)
+      JOIN s ON s.rn = CAST(ceil(t.q * s.n) AS BIGINT)
+      ORDER BY q""")),
+
     // LTTB visualization downsample (parallel variant): one point per
     // series per day, maximizing the triangle area against the neighbor
     // buckets' bounding-box centers — the anchors come from the

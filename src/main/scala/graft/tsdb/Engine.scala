@@ -772,6 +772,247 @@ final class Engine(val spark: SparkSession, val root: String) {
       .withColumnRenamed("__vh_bin", "bin")
   }
 
+  /** One segment scan answering `count(v > x)` for SEVERAL thresholds x at
+    * once (plus the total point count) — the shared probe behind the
+    * exact-quantile bisection: each refinement round costs one metadata
+    * job no matter how many quantiles are being located.
+    */
+  private def countAboveMulti(meta: TableMetadata, field: String,
+      lowers: Seq[Double], startUs: Option[Long], endUs: Option[Long],
+      tagEq: Map[String, String],
+      tagIn: Map[String, Seq[String]]): (Seq[Long], Long, Float, Float) = {
+    val segments0 = dataFolder
+      .segmentsPruned(meta.name, startUs, endUs, tagEq, tagIn)
+      .where(fieldColumnPredicate(meta, Seq(field)))
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPredicate(tagEq, tagIn)
+      .map(segments0.where).getOrElse(segments0)
+    // ONE array-valued kernel per segment answers every threshold from a
+    // shared traversal (bounds classify most without decode); the element
+    // extraction sits in a CHAINED projection so CollapseProject cannot
+    // inline (re-evaluate) the kernel per element.
+    import org.apache.spark.sql.graft.ColumnBridge
+    def attr(name: String) = ColumnBridge.expression(col(name))
+    def arrCol(tsLo: Long, tsHi: Long) = ColumnBridge.column(
+      SegmentCountAboveMulti(lowers, tsLo, tsHi,
+        attr("model_type_id"), attr("start_time"), attr("end_time"),
+        attr("timestamps"), attr("min_value"), attr("max_value"),
+        attr("values"), attr("residuals")))
+    val raw =
+      if (startUs.isEmpty && endUs.isEmpty)
+        segments.select(arrCol(Long.MinValue, Long.MaxValue).as("__arr"),
+          SegmentAggregates.lenCol.as("__n"),
+          col("min_value").as("__mn"), col("max_value").as("__mx"))
+      else {
+        val tsLo = startUs.getOrElse(Long.MinValue)
+        val tsHi = endUs.getOrElse(Long.MaxValue)
+        val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+          endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
+        val interior = segments.where(contained).select(
+          arrCol(Long.MinValue, Long.MaxValue).as("__arr"),
+          SegmentAggregates.lenCol.as("__n"),
+          col("min_value").as("__mn"), col("max_value").as("__mx"))
+        val boundary = segments.where(!contained).select(
+          arrCol(tsLo, tsHi).as("__arr"),
+          SegmentAggregates.clippedLenCol(tsLo, tsHi).as("__n"),
+          col("min_value").as("__mn"), col("max_value").as("__mx"))
+        interior.unionByName(boundary)
+      }
+    // The stored-bounds extent rides along free (used for quantile
+    // brackets; a NaN-poisoned max just degrades to the full-range
+    // bracket, never to a wrong answer — the verify pass guards).
+    val extracted = raw.select(lowers.indices.map(i =>
+      element_at(col("__arr"), i + 1).as(s"__in_$i")) ++ Seq(col("__n"),
+      col("__mn"), col("__mx")): _*)
+    val aggs = lowers.indices.map(i =>
+      coalesce(sum(col(s"__in_$i")), lit(0L)).as(s"__in_$i")) ++ Seq(
+      coalesce(sum(col("__n")), lit(0L)).as("__n"),
+      min(col("__mn")).as("__mn"), max(col("__mx")).as("__mx"))
+    val row = extracted.agg(aggs.head, aggs.tail: _*).collect().head
+    val k = lowers.size
+    (lowers.indices.map(row.getLong), row.getLong(k),
+      if (row.isNullAt(k + 1)) Float.NaN else row.getFloat(k + 1),
+      if (row.isNullAt(k + 2)) Float.NaN else row.getFloat(k + 2))
+  }
+
+  /** EXACT quantiles of a stored field from compressed segments — no
+    * decode, no sort, no shuffle of points, which no reference engine
+    * (and no Spark built-in) offers: `percentile` sorts the full column
+    * and `approx_percentile` is approximate. Result for quantile q over
+    * n values: the k-th smallest value under the SQL total order
+    * (k = ceil(q·n); -Inf smallest, NaN greatest, zeros equal), i.e. the
+    * smallest value v with `count(x <= v) >= k` — and `count(x <= v)` is
+    * exactly what [[thresholdCount]] answers from segment metadata.
+    *
+    * The driver runs a bounded refinement loop: one histogram pass
+    * brackets every quantile to a narrow value bin, then a binary search
+    * over the float total-order keys ([[graft.core.ValueCounts.totalOrderKey]])
+    * locates each k-th value exactly — all quantiles sharing ONE
+    * multi-threshold metadata job per round ([[countAboveMulti]]), and
+    * inside a narrow bracket virtually every segment is answered by its
+    * stored bounds alone. ~12-15 metadata-sized jobs total, independent
+    * of data volume; at 100 TB the alternative is sorting 100 TB.
+    */
+  def exactQuantiles(table: String, field: String, qs: Seq[Double],
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): Seq[(Double, Float)] = {
+    require(qs.nonEmpty, "At least one quantile is required.")
+    require(qs.forall(q => q > 0.0 && q <= 1.0),
+      "Quantiles must be in (0, 1].")
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    import graft.core.ValueCounts.{floatFromKey, totalOrderKey}
+
+    def probes(xs: Seq[Double]): Seq[Long] =
+      countAboveMulti(meta, field, xs, startUs, endUs, tagFilters,
+        tagInFilters)._1
+
+    // Tail census in one job: total n via the -Inf probe's companion
+    // count, NaN count (only NaN is > +Inf), and the -Inf count.
+    val (tails, n, mn, mx) = countAboveMulti(meta, field,
+      Seq(Double.NegativeInfinity, Double.PositiveInfinity),
+      startUs, endUs, tagFilters, tagInFilters)
+    if (n == 0L) return qs.map(q => (q, Float.NaN))
+    val negInfCount = n - tails.head
+    val nanCount = tails(1)
+
+    val ks = qs.map(q => math.max(1L, math.ceil(q * n).toLong).min(n))
+
+    // Bracket the finite region per quantile with one histogram pass when
+    // the metadata extent (collected by the census scan) is finite;
+    // degenerate extents skip straight to the full-key bisection.
+    val fullLo = totalOrderKey(Float.NegativeInfinity)
+    val fullHi = totalOrderKey(Float.PositiveInfinity)
+    val brackets: Map[Long, (Long, Long)] =
+      if (mn.isNaN || mx.isNaN || mn.isInfinite || mx.isInfinite || !(mx > mn))
+        ks.map(_ -> (fullLo, fullHi)).toMap
+      else {
+        val width = (mx.toDouble - mn.toDouble) / 65536.0
+        val hist = valueHistogram(table, field, mn.toDouble, width,
+            Seq.empty, startTime, endTime, tagFilters, tagInFilters)
+          .orderBy("bin").collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val cum = hist.scanLeft((Long.MinValue, negInfCount)) {
+          case ((_, acc), (bin, cnt)) => (bin, acc + cnt)
+        }.drop(1)
+        ks.map { k =>
+          // First bin whose cumulative count reaches k: the k-th value is
+          // inside it (or beyond the finite region → full tail bracket).
+          cum.find(_._2 >= k) match {
+            case Some((bin, _)) =>
+              val lo = mn.toDouble + bin * width
+              val hi = mn.toDouble + (bin + 1) * width
+              // One-key margin absorbs the double→float edge rounding.
+              val bLo = math.max(fullLo,
+                totalOrderKey(lo.toFloat) - 1L)
+              val bHi = math.min(fullHi,
+                totalOrderKey(hi.toFloat) + 1L)
+              k -> (bLo, bHi)
+            case scala.None => k -> (fullLo, fullHi)
+          }
+        }.toMap
+      }
+
+    // Shared bisection: one multi-threshold job per round narrows every
+    // still-active quantile. P(v) := count(x > v) <= n - k is monotone in
+    // v and first becomes true exactly at the k-th smallest value (see
+    // scaladoc). The standard lower-bound loop needs P(hi) confirmed;
+    // histogram brackets start unconfirmed and fall back to the full key
+    // range if their upper edge fails — and every resolved answer is
+    // verified (P(ans) ∧ ¬P(prev(ans))) in one final shared job, redoing
+    // any edge-rounding casualty over the full range.
+    val resolved = scala.collection.mutable.Map.empty[Long, Float]
+    // k -> (lo, hi, hiConfirmed)
+    val active = scala.collection.mutable.Map.empty[Long, (Long, Long, Boolean)]
+    ks.distinct.foreach { k =>
+      if (k > n - nanCount) resolved(k) = Float.NaN
+      else if (k <= negInfCount) resolved(k) = Float.NegativeInfinity
+      else {
+        val (bLo, bHi) = brackets(k)
+        // The full range's top (+Inf) satisfies P by the NaN pre-check.
+        active(k) = (bLo, bHi, bHi == fullHi)
+      }
+    }
+    def bisect(maxRounds: Int): Unit = {
+      var rounds = 0
+      while (active.nonEmpty && rounds < maxRounds) {
+        rounds += 1
+        // 16-way ladder per quantile per round: each probe element is a
+        // metadata-cheap threshold count, so widening the fan costs one
+        // expression, not one job — the interval shrinks ~8x per round.
+        val fan = 16L
+        val plan: Seq[(Long, Seq[Long])] = active.toSeq.sortBy(_._1).map {
+          case (k, (_, hi, false)) => (k, Seq(hi))
+          case (k, (lo, hi, true)) =>
+            val m = math.min(fan, hi - lo)
+            val pts = (1L to m).map(j => lo + (hi - lo) * j / (m + 1))
+              .distinct.filter(p => p >= lo && p < hi)
+            (k, if (pts.isEmpty) Seq(lo) else pts)
+        }
+        val flat = plan.flatMap { case (k, ps) => ps.map(p => (k, p)) }
+        val counts = probes(flat.map(p => floatFromKey(p._2).toDouble))
+        val pOf: Map[(Long, Long), Boolean] = flat.zip(counts).map {
+          case ((k, p), above) => (k, p) -> (above <= n - k)
+        }.toMap
+        plan.foreach { case (k, ps) =>
+          val (lo, hi, confirmed) = active(k)
+          if (!confirmed) {
+            if (pOf((k, ps.head))) active(k) = (lo, hi, true)
+            else active(k) = (hi + 1, fullHi, true)
+          } else {
+            // Monotone flags: a false prefix then a true suffix.
+            val flags = ps.map(p => pOf((k, p)))
+            val newHi = ps.zip(flags).find(_._2).map(_._1).getOrElse(hi)
+            val newLo = ps.zip(flags).takeWhile(!_._2).lastOption
+              .map(_._1 + 1).getOrElse(lo)
+            active(k) = (newLo, newHi, true)
+          }
+        }
+        active.toSeq.foreach { case (k, (lo, hi, confirmed)) =>
+          if (confirmed && lo >= hi) {
+            resolved(k) = floatFromKey(hi); active.remove(k)
+          }
+        }
+      }
+      require(active.isEmpty, "Quantile bisection failed to converge.")
+    }
+    bisect(64)
+
+    // Verification pass (one shared job): each answer must satisfy P and
+    // its predecessor key must not — otherwise a bracket edge lied; redo
+    // those over the full range.
+    val finiteKs = ks.distinct.filter(k =>
+      k <= n - nanCount && k > negInfCount)
+    if (finiteKs.nonEmpty) {
+      val checkXs = finiteKs.flatMap { k =>
+        val key = totalOrderKey(resolved(k))
+        Seq(floatFromKey(key).toDouble,
+          floatFromKey(math.max(fullLo, key - 1)).toDouble)
+      }
+      val checks = probes(checkXs)
+      val bad = finiteKs.zipWithIndex.filter { case (k, i) =>
+        val key = totalOrderKey(resolved(k))
+        val pAns = checks(2 * i) <= n - k
+        val pPrev = checks(2 * i + 1) <= n - k
+        !pAns || (key > fullLo && pPrev)
+      }.map(_._1)
+      if (bad.nonEmpty) {
+        bad.foreach { k => resolved.remove(k); active(k) = (fullLo, fullHi, true) }
+        bisect(64)
+      }
+    }
+    qs.zip(ks).map { case (q, k) =>
+      val v = resolved(k)
+      (q, if (v == 0.0f) 0.0f else v)
+    }
+  }
+
   /** LTTB-style visualization downsample (Steinarsson 2013): one
     * representative point per series per fixed-width bucket, chosen to
     * maximize the triangle area against the neighboring buckets. This is

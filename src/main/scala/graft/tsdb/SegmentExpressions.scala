@@ -364,3 +364,59 @@ case class SegmentClippedLen(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(tsLo, tsHi, newChildren(0), newChildren(1), newChildren(2))
 }
+
+/** Per-threshold `count(v > x)` array of one segment — MANY thresholds
+  * from ONE shared traversal ([[graft.core.ValueCounts.countAboveMulti]]),
+  * the probe behind the exact-quantile bisection ladder: consumers extract
+  * the elements in a CHAINED projection (like [[SegmentSumStats]]) so the
+  * kernel evaluates once per segment however many thresholds a round
+  * probes. The thresholds ride along as a codegen reference object.
+  */
+case class SegmentCountAboveMulti(
+    lowers: Seq[Double], tsLo: Long, tsHi: Long,
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  @transient private lazy val xs: Array[Double] = lowers.toArray
+
+  override def eval(input: InternalRow): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.ValueCounts.countAboveMulti(xs, tsLo, tsHi,
+        modelTypeId.eval(input).asInstanceOf[Byte],
+        startTime.eval(input).asInstanceOf[Long],
+        endTime.eval(input).asInstanceOf[Long],
+        timestamps.eval(input).asInstanceOf[Array[Byte]],
+        minValue.eval(input).asInstanceOf[Float],
+        maxValue.eval(input).asInstanceOf[Float],
+        values.eval(input).asInstanceOf[Array[Byte]],
+        residuals.eval(input).asInstanceOf[Array[Byte]]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val xsRef = ctx.addReferenceObj("lowers", xs, "double[]")
+    val arrCls = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+    val genCls = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |$arrCls ${ev.value} = new $genCls(
+           |  graft.core.ValueCounts.countAboveMulti($xsRef, ${tsLo}L,
+           |  ${tsHi}L, ${evals.map(_.value).mkString(", ")}));
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(lowers, tsLo, tsHi, newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3), newChildren(4), newChildren(5), newChildren(6),
+      newChildren(7))
+}

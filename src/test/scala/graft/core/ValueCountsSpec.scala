@@ -156,6 +156,30 @@ class ValueCountsSpec extends AnyFunSuite with SeededChecks {
     }
   }
 
+  test("totalOrderKey is a monotone bijection onto the SQL float order") {
+    checkAll(2000) { rng =>
+      val a = randomFloatAny(rng)
+      val b = randomFloatAny(rng)
+      if (!a.isNaN && !b.isNaN) {
+        val ka = ValueCounts.totalOrderKey(a)
+        val kb = ValueCounts.totalOrderKey(b)
+        assert(Integer.signum(java.lang.Long.compare(ka, kb)) ==
+          Integer.signum(ValueCounts.sqlCompare(a.toDouble, b.toDouble)),
+          s"$a vs $b")
+        // Round trip (zeros normalize to +0.0).
+        val back = ValueCounts.floatFromKey(ka)
+        assert(ValueCounts.sqlCompare(back.toDouble, a.toDouble) == 0)
+      }
+    }
+    assert(ValueCounts.floatFromKey(
+      ValueCounts.totalOrderKey(Float.NegativeInfinity)) ==
+      Float.NegativeInfinity)
+    assert(ValueCounts.floatFromKey(
+      ValueCounts.totalOrderKey(Float.PositiveInfinity)) ==
+      Float.PositiveInfinity)
+    assert(ValueCounts.totalOrderKey(-0.0f) == ValueCounts.totalOrderKey(0.0f))
+  }
+
   test("stored bounds contain every reconstructed value (fast-path soundness)") {
     // The metadata fast paths (all-in → len, single-bin → len) are sound
     // only if min_value <= v <= max_value for every reconstructed v of a

@@ -261,6 +261,43 @@ class ValuePredicateSpec extends AnyFunSuite {
     }
   }
 
+  test("exactQuantiles returns the k-th smallest value under the SQL order") {
+    val engine = newEngine()
+    buildTable(engine, "qt", "", irregular = false)
+    buildTable(engine, "qty", "(2.0%)", irregular = true)
+    val qs = Seq(0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
+    for (t <- Seq("qt", "qty")) {
+      val vals = engine.readTable(t).select(col("value")).collect()
+        .map(_.getFloat(0))
+      val sorted = vals.sortWith((a, b) =>
+        graft.core.ValueCounts.sqlCompare(a.toDouble, b.toDouble) < 0)
+      val got = engine.exactQuantiles(t, "value", qs)
+      for (((q, v), _) <- got.zipWithIndex) {
+        val k = math.max(1L, math.ceil(q * sorted.length).toLong).toInt
+        val want = sorted(k - 1)
+        assert(graft.core.ValueCounts.sqlCompare(v.toDouble,
+          want.toDouble) == 0 || (v.isNaN && want.isNaN),
+          s"table=$t q=$q got=$v want=$want")
+      }
+    }
+    // Time-ranged quantiles clip exactly.
+    val bounds = engine.readTable("qt")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (wLo, wHi) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val inWin = engine.readTable("qt")
+      .where(unix_micros(col("ts")).between(wLo, wHi))
+      .select(col("value")).collect().map(_.getFloat(0))
+      .sortWith((a, b) =>
+        graft.core.ValueCounts.sqlCompare(a.toDouble, b.toDouble) < 0)
+    val gotR = engine.exactQuantiles("qt", "value", Seq(0.5),
+      startTime = Some(inst(wLo)), endTime = Some(inst(wHi)))
+    val wantR = inWin((math.ceil(0.5 * inWin.length).toInt - 1).max(0))
+    assert(graft.core.ValueCounts.sqlCompare(gotR.head._2.toDouble,
+      wantR.toDouble) == 0 || (gotR.head._2.isNaN && wantR.isNaN))
+  }
+
   test("histogram fast path: single-bin segments never reach the generator") {
     val engine = newEngine()
     // A linear ramp fits Swing losslessly (not NaN-capable), and stays
