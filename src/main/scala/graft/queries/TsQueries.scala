@@ -426,6 +426,41 @@ object TsQueries {
       FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0
       GROUP BY 1 ORDER BY 1""")),
 
+    // Per-series least-squares trend + value↔time correlation from
+    // one-decode-pass segment partials (n, Σt', Σt'², Σv, Σv², Σv·t'
+    // with timestamps centered on the table's first point): the point
+    // stream never materializes, the aggregation merges six doubles per
+    // segment. The oracle replays the same centered sums and closed
+    // forms; outputs round to 4 decimals to absorb f64 summation-order
+    // drift between engines.
+    ("ts_trend", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.trendStats("events_lossless", "value", groupByTags = Seq("user"))
+        .select(col("user"), col("n_value").as("n"),
+          round(col("slope_per_day_value"), 4).as("slope_day"),
+          round(col("intercept_value"), 3).as("icept"),
+          round(col("corr_value"), 4).as("cor"))
+        .orderBy("user")
+    }, Some("""
+      WITH pts AS (
+        SELECT CAST(user_id AS VARCHAR) AS user,
+          CAST(epoch_us(ts) - (SELECT min(epoch_us(ts)) FROM events)
+            AS DOUBLE) AS tc,
+          CAST(CAST(value AS FLOAT4) AS DOUBLE) AS v
+        FROM events),
+      g AS (
+        SELECT user, count(*) AS n, sum(tc) AS s1, sum(tc * tc) AS s2,
+          sum(v) AS sv, sum(v * v) AS svv, sum(v * tc) AS svt
+        FROM pts GROUP BY 1)
+      SELECT user, CAST(n AS BIGINT) AS n,
+        round((n * svt - s1 * sv) / (n * s2 - s1 * s1)
+          * 86400000000.0, 4) AS slope_day,
+        round((sv - (n * svt - s1 * sv) / (n * s2 - s1 * s1) * s1) / n,
+          3) AS icept,
+        round((n * svt - s1 * sv) /
+          sqrt((n * s2 - s1 * s1) * (n * svv - sv * sv)), 4) AS cor
+      FROM g ORDER BY user""")),
+
     // EXACT quantiles from compressed segments — no decode, no sort:
     // result q over n values = the k-th smallest under the SQL total
     // order (k = ceil(q·n)), located by a histogram bracket plus a

@@ -1013,6 +1013,80 @@ final class Engine(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Per-series (or whole-table) least-squares trend of a field against
+    * time: returns n, the ordinary-least-squares slope in value-per-DAY
+    * (per-µs slopes are unreadably small), the intercept at `t0` (the
+    * range start, or the table's first timestamp), and the Pearson
+    * correlation of value vs time — all merged from one-decode-pass
+    * per-segment partials ([[SegmentRegressionSums]]): the point stream
+    * never materializes, the aggregation is over six doubles per segment.
+    * Timestamps center on t0 before squaring so Σt'² stays well inside
+    * f64 precision for realistic windows.
+    */
+  def trendStats(table: String, field: String,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    require(groupByTags.forall(meta.tagColumns.contains),
+      s"Group-by columns must be tags of $table.")
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+
+    val segments0 = dataFolder
+      .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
+      .where(fieldColumnPredicate(meta, Seq(field)))
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPredicate(tagFilters, tagInFilters)
+      .map(segments0.where).getOrElse(segments0)
+
+    // Centering epoch: the range start when given, else the first point's
+    // timestamp (min segment start_time — exact, metadata-only).
+    val t0 = startUs.getOrElse {
+      val r = segments.agg(min(col("start_time"))).collect().head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    import org.apache.spark.sql.graft.ColumnBridge
+    def attr(name: String) = ColumnBridge.expression(col(name))
+    val arr = ColumnBridge.column(SegmentRegressionSums(t0,
+      startUs.getOrElse(Long.MinValue), endUs.getOrElse(Long.MaxValue),
+      attr("model_type_id"), attr("start_time"), attr("end_time"),
+      attr("timestamps"), attr("min_value"), attr("max_value"),
+      attr("values"), attr("residuals")))
+
+    val keys = groupByTags.map(col)
+    val parts = segments.select(keys :+ arr.as("__rs"): _*)
+      .select(keys ++ Seq(
+        element_at(col("__rs"), 1).as("__n"),
+        element_at(col("__rs"), 2).as("__s1"),
+        element_at(col("__rs"), 3).as("__s2"),
+        element_at(col("__rs"), 4).as("__sv"),
+        element_at(col("__rs"), 5).as("__svv"),
+        element_at(col("__rs"), 6).as("__svt")): _*)
+    val sums = Seq(sum(col("__n")).as("__n"), sum(col("__s1")).as("__s1"),
+      sum(col("__s2")).as("__s2"), sum(col("__sv")).as("__sv"),
+      sum(col("__svv")).as("__svv"), sum(col("__svt")).as("__svt"))
+    val merged =
+      if (keys.isEmpty) parts.agg(sums.head, sums.tail: _*)
+      else parts.groupBy(keys: _*).agg(sums.head, sums.tail: _*)
+
+    val n = col("__n")
+    val num = n * col("__svt") - col("__s1") * col("__sv")
+    val denT = n * col("__s2") - col("__s1") * col("__s1")
+    val denV = n * col("__svv") - col("__sv") * col("__sv")
+    val slopeUs = num / denT
+    merged.select(keys ++ Seq(
+      n.cast("long").as(s"n_$field"),
+      (slopeUs * lit(86400000000.0)).as(s"slope_per_day_$field"),
+      ((col("__sv") - slopeUs * col("__s1")) / n).as(s"intercept_$field"),
+      (num / sqrt(denT * denV)).as(s"corr_$field")): _*)
+  }
+
   /** LTTB-style visualization downsample (Steinarsson 2013): one
     * representative point per series per fixed-width bucket, chosen to
     * maximize the triangle area against the neighboring buckets. This is

@@ -420,3 +420,55 @@ case class SegmentCountAboveMulti(
       newChildren(3), newChildren(4), newChildren(5), newChildren(6),
       newChildren(7))
 }
+
+/** One segment's regression partials (n, Σt', Σt'², Σv, Σv², Σv·t'),
+  * t' = t − t0, range-clipped ([[graft.core.Regression.sums]]) — the
+  * kernel behind per-series least-squares trend and value↔time
+  * correlation: one decode pass per segment, no point stream. Consumers
+  * extract elements in a CHAINED projection (like [[SegmentSumStats]]).
+  */
+case class SegmentRegressionSums(
+    t0: Long, tsLo: Long, tsHi: Long,
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.Regression.sums(t0, tsLo, tsHi,
+        modelTypeId.eval(input).asInstanceOf[Byte],
+        startTime.eval(input).asInstanceOf[Long],
+        endTime.eval(input).asInstanceOf[Long],
+        timestamps.eval(input).asInstanceOf[Array[Byte]],
+        minValue.eval(input).asInstanceOf[Float],
+        maxValue.eval(input).asInstanceOf[Float],
+        values.eval(input).asInstanceOf[Array[Byte]],
+        residuals.eval(input).asInstanceOf[Array[Byte]]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val arrCls = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+    val genCls = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |$arrCls ${ev.value} = new $genCls(
+           |  graft.core.Regression.sums(${t0}L, ${tsLo}L, ${tsHi}L,
+           |  ${evals.map(_.value).mkString(", ")}));
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(t0, tsLo, tsHi, newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3), newChildren(4), newChildren(5), newChildren(6),
+      newChildren(7))
+}

@@ -298,6 +298,47 @@ class ValuePredicateSpec extends AnyFunSuite {
       wantR.toDouble) == 0 || (gotR.head._2.isNaN && wantR.isNaN))
   }
 
+  test("trendStats matches a point-level least-squares replay") {
+    val engine = newEngine()
+    buildTable(engine, "tt", "", irregular = true)
+    val got = engine.trendStats("tt", "value", groupByTags = Seq("tag"))
+      .orderBy("tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    val t0 = engine.readTable("tt")
+      .agg(min(unix_micros(col("ts")))).collect().head.getLong(0)
+    val want = engine.readTable("tt")
+      .select(col("tag"),
+        (unix_micros(col("ts")) - t0).cast("double").as("tc"),
+        col("value").cast("double").as("v"))
+      .groupBy("tag")
+      .agg(count(lit(1)).cast("double").as("n"), sum("tc").as("s1"),
+        sum(col("tc") * col("tc")).as("s2"), sum("v").as("sv"),
+        sum(col("v") * col("v")).as("svv"),
+        sum(col("v") * col("tc")).as("svt"))
+      .orderBy("tag").collect().map { r =>
+        val Seq(n, s1, s2, sv, svv, svt) =
+          (1 to 6).map(r.getDouble).toSeq
+        val num = n * svt - s1 * sv
+        val denT = n * s2 - s1 * s1
+        (r.getString(0), n.toLong, num / denT * 86400000000.0,
+          (sv - num / denT * s1) / n,
+          num / math.sqrt(denT * (n * svv - sv * sv)))
+      }
+    def close(a: Double, b: Double) =
+      (a.isNaN && b.isNaN) || math.abs(a - b) <= math.abs(b) * 1e-6 + 1e-9
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2, s"${g._1}")
+      assert(close(g._3, w._3), s"slope ${g._1}: ${g._3} vs ${w._3}")
+      assert(close(g._4, w._4), s"icept ${g._1}: ${g._4} vs ${w._4}")
+      assert(close(g._5, w._5), s"corr ${g._1}: ${g._5} vs ${w._5}")
+    }
+    // No Generate: the regression runs on per-segment partials.
+    val plan = engine.trendStats("tt", "value", groupByTags = Seq("tag"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+  }
+
   test("histogram fast path: single-bin segments never reach the generator") {
     val engine = newEngine()
     // A linear ramp fits Swing losslessly (not NaN-capable), and stays
