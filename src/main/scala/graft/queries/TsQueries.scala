@@ -426,6 +426,42 @@ object TsQueries {
       FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0
       GROUP BY 1 ORDER BY 1""")),
 
+    // Per-series outlier screen: each user's values counted against that
+    // user's OWN μ ± 3σ band — the statistics come from the segment-native
+    // variance closed forms, the bounds broadcast-join back onto the
+    // segment relation (never collected to the driver), and the counts
+    // ride the dynamic-bounds kernel with the same metadata fast paths.
+    // Bounds round to 2 decimals so both engines compare against the
+    // bit-identical band despite f64 summation-order drift in μ/σ.
+    ("ts_outliers", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val stats = engine.readTimeSeriesTableMulti("events_lossless",
+        Seq("value"), Seq(engine.Aggregate.Avg, engine.Aggregate.StdPop),
+        Seq("user"))
+      val bounds = stats.select(col("user"),
+        round(col("avg_value") - lit(3.0) * col("stddev_pop_value"), 2)
+          .as("lower"),
+        round(col("avg_value") + lit(3.0) * col("stddev_pop_value"), 2)
+          .as("upper"))
+      engine.thresholdCountBy("events_lossless", "value", bounds)
+        .select(col("user"),
+          (col("count_value") - col("count_in_value")).as("n_out"),
+          col("count_value").as("n"))
+        .orderBy("user")
+    }, Some("""
+      WITH pts AS (SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(CAST(value AS FLOAT4) AS DOUBLE) AS v FROM events),
+      st AS (SELECT user,
+        round(avg(v) - 3.0 * stddev_pop(v), 2) AS lo,
+        round(avg(v) + 3.0 * stddev_pop(v), 2) AS hi
+        FROM pts GROUP BY 1)
+      SELECT p.user,
+        CAST(count(*) FILTER (WHERE NOT (p.v > st.lo AND p.v <= st.hi))
+          AS BIGINT) AS n_out,
+        CAST(count(*) AS BIGINT) AS n
+      FROM pts p JOIN st ON p.user = st.user
+      GROUP BY 1 ORDER BY 1""")),
+
     // Per-series least-squares trend + value↔time correlation from
     // one-decode-pass segment partials (n, Σt', Σt'², Σv, Σv², Σv·t'
     // with timestamps centered on the table's first point): the point

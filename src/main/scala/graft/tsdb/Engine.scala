@@ -1013,6 +1013,97 @@ final class Engine(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** [[thresholdCount]] with PER-GROUP bounds: `bounds` carries some of the
+    * table's tag columns plus `lower`/`upper` (doubles; NULL = unbounded,
+    * upper semantics as in [[thresholdCount]]), is broadcast-joined to the
+    * segment relation, and each group is counted against its own interval
+    * — the building block for outlier screens (beyond each series' own
+    * μ ± k·σ) with no driver-side collect of per-group statistics, so a
+    * million-series bounds frame flows Spark-to-Spark. Groups absent from
+    * `bounds` are absent from the result (inner join).
+    */
+  def thresholdCountBy(table: String, field: String, bounds: DataFrame,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    val joinTags = bounds.columns.filter(meta.tagColumns.contains).toSeq
+    require(joinTags.nonEmpty, "bounds must carry at least one tag column.")
+    require(bounds.columns.toSet == (joinTags ++ Seq("lower", "upper")).toSet,
+      "bounds columns must be (tags..., lower, upper).")
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+
+    val segments0 = dataFolder
+      .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
+      .where(fieldColumnPredicate(meta, Seq(field)))
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPredicate(tagFilters, tagInFilters)
+      .map(segments0.where).getOrElse(segments0)
+      .join(broadcast(bounds
+        .withColumn("lower", col("lower").cast("double"))
+        .withColumn("upper", col("upper").cast("double"))), joinTags)
+
+    val keys = joinTags.map(col)
+    val partials =
+      if (startUs.isEmpty && endUs.isEmpty)
+        segments.select(keys ++ Seq(
+          SegmentAggregates.countBetweenCol(col("lower"), col("upper"))
+            .as("__tc_in"),
+          SegmentAggregates.lenCol.as("__tc_n")): _*)
+      else {
+        val tsLo = startUs.getOrElse(Long.MinValue)
+        val tsHi = endUs.getOrElse(Long.MaxValue)
+        val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+          endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
+        val interior = segments.where(contained).select(keys ++ Seq(
+          SegmentAggregates.countBetweenCol(col("lower"), col("upper"))
+            .as("__tc_in"),
+          SegmentAggregates.lenCol.as("__tc_n")): _*)
+        val boundary = segments.where(!contained).select(keys ++ Seq(
+          SegmentAggregates.countBetweenCol(col("lower"), col("upper"),
+            tsLo, tsHi).as("__tc_in"),
+          SegmentAggregates.clippedLenCol(tsLo, tsHi).as("__tc_n")): _*)
+        interior.unionByName(boundary)
+      }
+    partials.groupBy(keys: _*).agg(
+      coalesce(sum(col("__tc_in")), lit(0L)).as(s"count_in_$field"),
+      coalesce(sum(col("__tc_n")), lit(0L)).as(s"count_$field"))
+  }
+
+  /** Per-series outlier counts: how many of each group's values fall
+    * OUTSIDE that group's own μ ± k·σ (population σ) — both the
+    * statistics and the counts segment-native, composed from
+    * [[readTimeSeriesTableMulti]] and [[thresholdCountBy]] with the
+    * bounds frame broadcast (never collected). NaN values count as
+    * outliers (they lie in no interval).
+    */
+  def outlierCounts(table: String, field: String, k: Double,
+      groupByTags: Seq[String],
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    require(groupByTags.nonEmpty, "Outlier groups need at least one tag.")
+    require(k > 0, "k must be positive.")
+    val stats = readTimeSeriesTableMulti(table, Seq(field),
+      Seq(Aggregate.Avg, Aggregate.StdPop), groupByTags, startTime, endTime,
+      tagFilters, tagInFilters)
+    val bounds = stats.select(groupByTags.map(col) ++ Seq(
+      (col(s"avg_$field") - lit(k) * col(s"stddev_pop_$field")).as("lower"),
+      (col(s"avg_$field") + lit(k) * col(s"stddev_pop_$field")).as("upper")): _*)
+    thresholdCountBy(table, field, bounds, startTime, endTime, tagFilters,
+      tagInFilters)
+      .select(groupByTags.map(col) ++ Seq(
+        (col(s"count_$field") - col(s"count_in_$field"))
+          .as(s"outliers_$field"),
+        col(s"count_$field")): _*)
+  }
+
   /** Per-series (or whole-table) least-squares trend of a field against
     * time: returns n, the ordinary-least-squares slope in value-per-DAY
     * (per-µs slopes are unreadably small), the intercept at `t0` (the

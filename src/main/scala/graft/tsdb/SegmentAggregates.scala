@@ -108,6 +108,32 @@ object SegmentAggregates {
     when(allOutCol(lower, upper), lit(0L)).otherwise(kernel)
   }
 
+  /** [[countInRangeCol]] with PER-ROW bounds (columns of a broadcast-joined
+    * statistics frame): same metadata fast paths, decided with columnar
+    * comparisons — the partial behind per-group dynamic thresholds. NULL
+    * bounds fall through to the kernel (unbounded).
+    */
+  def countBetweenCol(lowerCol: Column, upperCol: Column,
+      tsLo: Long = Long.MinValue, tsHi: Long = Long.MaxValue): Column = {
+    val kernel = ColumnBridge.column(SegmentCountBetween(
+      ColumnBridge.expression(lowerCol), ColumnBridge.expression(upperCol),
+      tsLo, tsHi,
+      attr("model_type_id"), attr("start_time"), attr("end_time"),
+      attr("timestamps"), attr("min_value"), attr("max_value"),
+      attr("values"), attr("residuals")))
+    val clipped = tsLo != Long.MinValue || tsHi != Long.MaxValue
+    val allOut =
+      when(isnan(upperCol), col("max_value") <= lowerCol && !nanCapable)
+        .otherwise(col("max_value") <= lowerCol || col("min_value") > upperCol)
+    val allIn =
+      if (clipped) lit(false) // a clipped all-in still needs the clipped len
+      else !nanCapable &&
+        col("min_value") > lowerCol && col("max_value") <= upperCol
+    when(coalesce(allOut, lit(false)), lit(0L))
+      .when(coalesce(allIn, lit(false)), lenCol)
+      .otherwise(kernel)
+  }
+
   /** Number of points with timestamp in [tsLo, tsHi] — values never decode. */
   def clippedLenCol(tsLo: Long, tsHi: Long): Column = ColumnBridge.column(
     SegmentClippedLen(tsLo, tsHi,

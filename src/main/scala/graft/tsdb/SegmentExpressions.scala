@@ -472,3 +472,67 @@ case class SegmentRegressionSums(
       newChildren(3), newChildren(4), newChildren(5), newChildren(6),
       newChildren(7))
 }
+
+/** [[SegmentCountInRange]] with the value bounds as EXPRESSIONS instead of
+  * literals — the kernel behind per-group dynamic thresholds (outlier
+  * screens counting beyond each series' own μ ± k·σ): bounds arrive as
+  * columns of a broadcast-joined statistics frame, so no driver-side
+  * collect of per-group bounds ever happens. NULL bounds mean unbounded
+  * below / above (above = the NaN sentinel, including NaN values).
+  */
+case class SegmentCountBetween(
+    lower: Expression, upper: Expression, tsLo: Long, tsHi: Long,
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(lower, upper,
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  private def boundOf(e: Expression, input: InternalRow, lo: Boolean): Double = {
+    val v = e.eval(input)
+    if (v == null) { if (lo) Double.NegativeInfinity else Double.NaN }
+    else v.asInstanceOf[Double]
+  }
+
+  override def eval(input: InternalRow): Any = {
+    graft.core.ValueCounts.countInRange(
+      boundOf(lower, input, lo = true), boundOf(upper, input, lo = false),
+      tsLo, tsHi,
+      modelTypeId.eval(input).asInstanceOf[Byte],
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      minValue.eval(input).asInstanceOf[Float],
+      maxValue.eval(input).asInstanceOf[Float],
+      values.eval(input).asInstanceOf[Array[Byte]],
+      residuals.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val loVal = ctx.freshName("lowerBound")
+    val hiVal = ctx.freshName("upperBound")
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |double $loVal = ${evals(0).isNull} ?
+           |  Double.NEGATIVE_INFINITY : ${evals(0).value};
+           |double $hiVal = ${evals(1).isNull} ? Double.NaN : ${evals(1).value};
+           |long ${ev.value} = graft.core.ValueCounts.countInRange(
+           |  $loVal, $hiVal, ${tsLo}L, ${tsHi}L,
+           |  ${evals.drop(2).map(_.value).mkString(", ")});
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), tsLo, tsHi, newChildren(2),
+      newChildren(3), newChildren(4), newChildren(5), newChildren(6),
+      newChildren(7), newChildren(8), newChildren(9))
+}

@@ -339,6 +339,39 @@ class ValuePredicateSpec extends AnyFunSuite {
     assert(!plan.contains("Generate"), plan)
   }
 
+  test("outlierCounts matches per-group band counting incl. ranges and NaN") {
+    val engine = newEngine()
+    buildTable(engine, "oc", "", irregular = true)
+    val got = engine.outlierCounts("oc", "value", 2.0, Seq("tag"))
+      .orderBy("tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // Replay: per-tag μ/σ_pop over non-NaN values via Spark, then band
+    // counts with Spark comparison semantics (NaN outside every band).
+    val pts = engine.readTable("oc").select(col("tag"),
+      col("value").cast("double").as("v"))
+    // NaN-poisoned groups: μ/σ go NaN, the band comparisons are false,
+    // every value counts as an outlier — engine and replay agree. The
+    // variance shape mirrors the engine's (ss - s*s/n)/n closed form.
+    val stats = pts.groupBy("tag").agg(
+      (sum("v") / count(lit(1))).as("mu"),
+      ((sum(col("v") * col("v")) -
+        sum("v") * sum("v") / count(lit(1))) / count(lit(1))).as("var0"),
+      count(lit(1)).as("n"))
+    val want = pts.join(stats, "tag")
+      .withColumn("lo", col("mu") - lit(2.0) * sqrt(greatest(lit(0d), col("var0"))))
+      .withColumn("hi", col("mu") + lit(2.0) * sqrt(greatest(lit(0d), col("var0"))))
+      .groupBy("tag").agg(
+        coalesce(sum(when(!(col("v") > col("lo") && col("v") <= col("hi")),
+          1L)), lit(0L)).as("n_out"),
+        count(lit(1)).as("n"))
+      .orderBy("tag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(g => (g._1, g._3)) == want.map(w => (w._1, w._3)))
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._2 == w._2, s"tag=${g._1}: outliers ${g._2} vs ${w._2}")
+    }
+  }
+
   test("histogram fast path: single-bin segments never reach the generator") {
     val engine = newEngine()
     // A linear ramp fits Swing losslessly (not NaN-capable), and stays
