@@ -497,6 +497,86 @@ object TsQueries {
           sqrt((n * s2 - s1 * s1) * (n * svv - sv * sv)), 4) AS cor
       FROM g ORDER BY user""")),
 
+    // Per-series EWMA smoothing at the BUCKET grain: daily means come
+    // from the segment-native bucketed plan (no point stream), the EWMA
+    // is a bounded 6-bucket truncated exponential kernel over the tiny
+    // mean frame — one window shuffle over series×buckets rows. α = 0.5
+    // makes every weight an exact binary fraction, so both engines
+    // evaluate the identical finite expression; round(4) absorbs the
+    // bucket means' f64 summation-order drift.
+    ("ts_ewma", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.ewmaSmooth("events_lossless", "value",
+          java.time.Duration.ofDays(1), alpha = 0.5, lookback = 6,
+          groupByTags = Seq("user"))
+        .select(col("user"), unix_micros(col("bucket")).as("bucket_us"),
+          round(col("ewma_value"), 4).as("ewma"))
+        .orderBy("user", "bucket_us")
+    }, Some("""
+      WITH m AS (
+        SELECT CAST(user_id AS VARCHAR) AS user,
+          CAST(epoch_us(ts) AS BIGINT)
+            - CAST(epoch_us(ts) AS BIGINT) % 86400000000 AS bucket_us,
+          sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)) / count(*) AS a
+        FROM events GROUP BY 1, 2),
+      l AS (
+        SELECT user, bucket_us, a,
+          lag(a, 1) OVER w AS a1, lag(a, 2) OVER w AS a2,
+          lag(a, 3) OVER w AS a3, lag(a, 4) OVER w AS a4,
+          lag(a, 5) OVER w AS a5
+        FROM m WINDOW w AS (PARTITION BY user ORDER BY bucket_us))
+      SELECT user, bucket_us, round(
+        (a * 0.5
+          + CASE WHEN a1 IS NOT NULL THEN a1 * 0.25 ELSE 0.0 END
+          + CASE WHEN a2 IS NOT NULL THEN a2 * 0.125 ELSE 0.0 END
+          + CASE WHEN a3 IS NOT NULL THEN a3 * 0.0625 ELSE 0.0 END
+          + CASE WHEN a4 IS NOT NULL THEN a4 * 0.03125 ELSE 0.0 END
+          + CASE WHEN a5 IS NOT NULL THEN a5 * 0.015625 ELSE 0.0 END)
+        / (0.5
+          + CASE WHEN a1 IS NOT NULL THEN 0.25 ELSE 0.0 END
+          + CASE WHEN a2 IS NOT NULL THEN 0.125 ELSE 0.0 END
+          + CASE WHEN a3 IS NOT NULL THEN 0.0625 ELSE 0.0 END
+          + CASE WHEN a4 IS NOT NULL THEN 0.03125 ELSE 0.0 END
+          + CASE WHEN a5 IS NOT NULL THEN 0.015625 ELSE 0.0 END), 4)
+        AS ewma
+      FROM l ORDER BY user, bucket_us""")),
+
+    // Cross-series correlation screen over a deterministic 10% panel
+    // (numeric user tag ≡ 0 mod 10): bucket means are segment-native and
+    // BROADCAST to pair against themselves — pairs are generated
+    // partition-locally and reduced by partial aggregation, the points
+    // never join. The dense matrix is O(S²) by definition; the panel is
+    // how any correlation screen bounds S. Explicit closed-form corr so
+    // DuckDB replays the identical arithmetic.
+    ("ts_corr_pairs", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val panel = engine.dataFolder.segments("events_lossless")
+        .select(col("user")).distinct().collect()
+        .map(_.getString(0)).filter(_.toLong % 10 == 0).toSeq.sorted
+      engine.correlationMatrix("events_lossless", "value",
+          java.time.Duration.ofDays(1), "user", minOverlap = 5,
+          tagInFilters = Map("user" -> panel))
+        .select(col("tag_1").as("u1"), col("tag_2").as("u2"),
+          col("n_buckets").as("n"), round(col("corr_value"), 4).as("cor"))
+        .orderBy("u1", "u2")
+    }, Some("""
+      WITH m AS (
+        SELECT CAST(user_id AS VARCHAR) AS u,
+          CAST(epoch_us(ts) AS BIGINT)
+            - CAST(epoch_us(ts) AS BIGINT) % 86400000000 AS b,
+          sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)) / count(*) AS a
+        FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+      p AS (
+        SELECT m1.u AS u1, m2.u AS u2, count(*) AS n,
+          sum(m1.a) AS sx, sum(m2.a) AS sy, sum(m1.a * m1.a) AS sxx,
+          sum(m2.a * m2.a) AS syy, sum(m1.a * m2.a) AS sxy
+        FROM m m1 JOIN m m2 ON m1.b = m2.b AND m1.u < m2.u
+        GROUP BY 1, 2 HAVING count(*) >= 5)
+      SELECT u1, u2, n,
+        round((n * sxy - sx * sy)
+          / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS cor
+      FROM p ORDER BY u1, u2""")),
+
     // EXACT quantiles from compressed segments — no decode, no sort:
     // result q over n values = the k-th smallest under the SQL total
     // order (k = ceil(q·n)), located by a histogram bracket plus a

@@ -579,6 +579,107 @@ final class Engine(val spark: SparkSession, val root: String) {
       aggColNames.map(col): _*)
   }
 
+  /** Per-series exponentially weighted moving average over bucketed means
+    * — the classic smoothing/short-horizon-forecast signal, computed at
+    * the BUCKET grain so the point stream never materializes: bucket
+    * means come from the segment-native bucketed plan (closed forms for
+    * interior segments, decode only at bucket boundaries), and the EWMA
+    * itself is a bounded-lookback window over the tiny (series × buckets)
+    * mean frame — ONE window shuffle whose input is ~10^4× smaller than
+    * the points at a 100 TB retention window.
+    *
+    * The weighting is the truncated exponential kernel: over the last
+    * `lookback` OBSERVED buckets (row-based — empty buckets don't stretch
+    * the window), `ewma_t = Σ_j w_j·x_{t-j} / Σ_j w_j` with
+    * `w_j = α(1−α)^j`, the partial sums running over the lags that exist.
+    * Truncation makes the result a finite, order-fixed arithmetic
+    * expression — exactly replayable by any SQL engine with lag() —
+    * where the infinite recursive EWMA is not expressible without
+    * recursion and accumulates unboundedly at 100 TB history depths.
+    *
+    * Output: (tags…, bucket TimestampType, ewma_<field> DOUBLE), one row
+    * per observed bucket.
+    */
+  def ewmaSmooth(table: String, field: String, bucket: java.time.Duration,
+      alpha: Double, lookback: Int,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1].")
+    require(lookback >= 1, "lookback must be at least one bucket.")
+    val means = readTimeSeriesTableBucketed(table, bucket, Seq(field),
+        Seq(Aggregate.Count, Aggregate.Sum), groupByTags, startTime, endTime,
+        tagFilters, tagInFilters)
+      .withColumn("__avg", col(s"sum_$field") / col(s"count_$field"))
+    import org.apache.spark.sql.expressions.Window
+    val keys = groupByTags.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col("bucket"))
+    val terms = (0 until lookback).map { j =>
+      val x = if (j == 0) col("__avg") else lag(col("__avg"), j).over(w)
+      val wj = alpha * math.pow(1.0 - alpha, j)
+      (when(x.isNotNull, x * lit(wj)).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(wj)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    means.select(keys ++ Seq(col("bucket"), (num / den).as(s"ewma_$field")): _*)
+  }
+
+  /** Cross-series Pearson correlation screen: every pair of series
+    * (distinct values of `seriesTag`), correlated on their time-aligned
+    * bucket means — the "which sensors move together" catalog query.
+    *
+    * Scale shape: the pairing input is the BUCKET-MEAN frame (series ×
+    * buckets — segment-native, ~10^4× smaller than the points), and it is
+    * broadcast to pair against itself, so candidate pairs are generated
+    * partition-locally and reduced by partial aggregation on
+    * (tag_1, tag_2) — the points are never joined and the means never
+    * shuffle before pairing. The output is inherently O(S²) in the series
+    * count: callers bound S with `tagInFilters` (a panel) the same way
+    * any dense correlation matrix is bounded; within the panel every
+    * bucket overlap contributes.
+    *
+    * Output: (tag_1, tag_2, n_buckets, corr_<field>) for pairs with at
+    * least `minOverlap` common buckets, tag_1 < tag_2. The correlation is
+    * the textbook (nΣxy − ΣxΣy) / √((nΣxx − Σx²)(nΣyy − Σy²)) over f64
+    * bucket means — an explicit closed form any SQL engine replays.
+    */
+  def correlationMatrix(table: String, field: String,
+      bucket: java.time.Duration, seriesTag: String, minOverlap: Int = 2,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    require(minOverlap >= 2, "A correlation needs at least two buckets.")
+    val means = readTimeSeriesTableBucketed(table, bucket, Seq(field),
+        Seq(Aggregate.Count, Aggregate.Sum), Seq(seriesTag), startTime,
+        endTime, tagFilters, tagInFilters)
+      .select(col(seriesTag).as("__t"), col("bucket").as("__b"),
+        (col(s"sum_$field") / col(s"count_$field")).as("__avg"))
+    // Fresh column names on each side: a self-join on the shared attribute
+    // would be ambiguous (both legs descend from the same plan).
+    val left = means.select(col("__t").as("tag_1"), col("__b").as("__b1"),
+      col("__avg").as("__x"))
+    val right = means.select(col("__t").as("tag_2"), col("__b").as("__b2"),
+      col("__avg").as("__y"))
+    val pairs = left.join(broadcast(right),
+      col("__b1") === col("__b2") && col("tag_1") < col("tag_2"))
+    val agg = pairs.groupBy(col("tag_1"), col("tag_2")).agg(
+      count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+      sum(col("__y")).as("__sy"), sum(col("__x") * col("__x")).as("__sxx"),
+      sum(col("__y") * col("__y")).as("__syy"),
+      sum(col("__x") * col("__y")).as("__sxy"))
+      .where(col("__n") >= minOverlap)
+    val n = col("__n").cast("double")
+    val num = n * col("__sxy") - col("__sx") * col("__sy")
+    val den = sqrt((n * col("__sxx") - col("__sx") * col("__sx")) *
+      (n * col("__syy") - col("__sy") * col("__sy")))
+    agg.select(col("tag_1"), col("tag_2"), col("__n").as("n_buckets"),
+      (num / den).as(s"corr_$field"))
+  }
+
   /** Sampling-gap analytics straight from the segment relation — values
     * NEVER decode: intra-segment gaps come from the timestamp codec
     * ([[SegmentTimeGaps]]; O(1) for regular segments, timestamp-only

@@ -653,6 +653,78 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("ewmaSmooth and correlationMatrix match windowed references") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE ew(ts_us TIMESTAMP, field_1 FIELD, " +
+      "tag TAG)")
+    // Per-tag phase-shifted waves + a pseudo-random component: pair
+    // correlations spread across (-1, 1) instead of collapsing to ±1.
+    val rows = Seq("a", "b", "c", "d").flatMap { tag =>
+      val salt = tag.hashCode % 7
+      (1 to 1200).map { i =>
+        (i * 100L, (math.sin(i * 0.01 + salt) * 50.0 +
+          ((i * 2654435761L + salt) % 97L).toDouble).toFloat, tag)
+      }
+    }
+    import spark.implicits._
+    engine.write("ew", rows.toDF("ts_us", "field_1", "tag"))
+    val bucketUs = 10000L
+    val bucket = java.time.Duration.ofMillis(10)
+    def floorB(c: org.apache.spark.sql.Column) = c - pmod(c, lit(bucketUs))
+
+    // Reference bucket means from the reconstructed point stream.
+    val means = engine.readTable("ew")
+      .select(col("tag"), floorB(unix_micros(col("ts_us"))).as("b"),
+        col("field_1").cast("double").as("v"))
+      .groupBy("tag", "b").agg((sum(col("v")) / count(lit(1))).as("a"))
+
+    // EWMA: replay the same truncated kernel over the reference means.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("tag").orderBy("b")
+    val terms = (0 until 4).map { j =>
+      val x = if (j == 0) col("a") else lag(col("a"), j).over(w)
+      val wj = 0.5 * math.pow(0.5, j)
+      (when(x.isNotNull, x * lit(wj)).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(wj)).otherwise(lit(0.0)))
+    }
+    val ref = means.select(col("tag"), col("b"),
+        (terms.map(_._1).reduce(_ + _) / terms.map(_._2).reduce(_ + _)).as("e"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val got = engine.ewmaSmooth("ew", "field_1", bucket, alpha = 0.5,
+        lookback = 4, groupByTags = Seq("tag"))
+      .select(col("tag"), unix_micros(col("bucket")).as("b"),
+        col("ewma_field_1"))
+      .collect()
+    assert(got.length == ref.size)
+    got.foreach { r =>
+      val e = ref((r.getString(0), r.getLong(1)))
+      assert(math.abs(r.getDouble(2) - e) <= 1e-9 * math.max(1.0, math.abs(e)),
+        s"ewma mismatch at ${r.getString(0)}/${r.getLong(1)}")
+    }
+
+    // correlationMatrix vs Spark's own corr over the reference means.
+    val m1 = means.select(col("tag").as("t1"), col("b").as("b1"),
+      col("a").as("x"))
+    val m2 = means.select(col("tag").as("t2"), col("b").as("b2"),
+      col("a").as("y"))
+    val refCorr = m1.join(m2, col("b1") === col("b2") && col("t1") < col("t2"))
+      .groupBy("t1", "t2")
+      .agg(corr(col("x"), col("y")).as("c"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getDouble(2), r.getLong(3)))
+      .toMap
+    val gotCorr = engine
+      .correlationMatrix("ew", "field_1", bucket, "tag").collect()
+    assert(gotCorr.length == refCorr.size && gotCorr.length == 6)
+    gotCorr.foreach { r =>
+      val (c, n) = refCorr((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == n)
+      assert(math.abs(r.getDouble(3) - c) <= 1e-6,
+        s"corr mismatch for ${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
   test("resampled reads densify gaps and fill per policy") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE rs(ts_us TIMESTAMP, f FIELD, tag TAG)")
