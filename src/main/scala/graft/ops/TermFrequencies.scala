@@ -148,3 +148,77 @@ case class VocabHitCount(child: Expression, vocab: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): VocabHitCount =
     copy(child = newChild)
 }
+
+/** Sum of per-token unigram log-probabilities over a broadcast vocabulary,
+  * in one hashed pass: `vocab_log_prob_sum(tokens)` equals
+  * `Σ_i (vocab.getOrElse(tokens(i), oovLogProb))` folded IN TOKEN ORDER
+  * (left to right), which makes the result a fixed arithmetic expression
+  * any engine can replay to within summation ulps. Backs the unigram
+  * language-model scoring signal (CCNet-style perplexity filtering),
+  * where the per-token lookup tower is the corpus scan's hot loop —
+  * codegen + O(1) membership beats an exploded join by never shuffling
+  * the token stream.
+  */
+case class VocabLogProbSum(child: Expression, terms: Seq[String],
+    logProbs: Seq[Double], oovLogProb: Double)
+  extends UnaryExpression {
+
+  require(terms.nonEmpty && terms.length == logProbs.length,
+    "vocab_log_prob_sum needs one log-probability per vocabulary term")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "vocab_log_prob_sum"
+
+  @transient private lazy val lookup: java.util.HashMap[UTF8String, java.lang.Double] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Double](terms.length * 2)
+    terms.indices.foreach { i =>
+      m.putIfAbsent(UTF8String.fromString(terms(i)),
+        java.lang.Double.valueOf(logProbs(i)))
+    }
+    m
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val p = lookup.get(arr.getUTF8String(i))
+        sum += (if (p == null) oovLogProb else p.doubleValue())
+      }
+      i += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val mapRef = ctx.addReferenceObj("logProbLookup", lookup,
+        classOf[java.util.HashMap[UTF8String, java.lang.Double]].getName)
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      val p = ctx.freshName("p")
+      s"""
+         |double $sum = 0.0;
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    Double $p = (Double) $mapRef.get($arr.getUTF8String($i));
+         |    $sum += ($p == null) ? ${oovLogProb}D : $p.doubleValue();
+         |  }
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): VocabLogProbSum =
+    copy(child = newChild)
+}

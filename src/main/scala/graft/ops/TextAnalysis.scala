@@ -302,6 +302,72 @@ object TextAnalysis {
           / col("n_grams") * 10000d) / 10000d).as("containment"))
   }
 
+  /** Top-k terms per group by document frequency (each document counts a
+    * term once) — the per-language/per-source vocabulary census every
+    * corpus audit starts from. Scale shape: distinct unigrams explode per
+    * document (the shingle kernel), one partial-aggregated count shuffle
+    * on (group, term), and the rank-k filter sits directly above its
+    * window so it executes as WindowGroupLimit — partitions pre-prune to
+    * k candidates per group before the final sort, no group-wide sort of
+    * the full term census. Ties break lexically.
+    */
+  def topTermsByDocFreq(df: DataFrame, groupCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1)
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        explode(wordNgrams(col(textCol), 1)).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("doc_freq"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("doc_freq").desc, col("term"))
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Unigram language-model scoring (the CCNet-style perplexity quality
+    * signal): fit an add-one-smoothed unigram model on the corpus itself
+    * — vocabulary = top `vocabSize` tokens by corpus frequency, ties
+    * lexical; p(t) = (c_t + 1) / (N + |V| + 1) in-vocabulary and
+    * 1 / (N + |V| + 1) out — then score each document with its per-token
+    * cross-entropy `xent = −Σ log p(token) / (n_tokens · ln 2)` (bits per
+    * token; low = the document looks like the corpus, high = outlier).
+    *
+    * Scale shape: the model fit is ONE partial-aggregated token-count
+    * shuffle + a top-V TakeOrdered; scoring broadcasts the (term,
+    * log-prob) table inside a single codegen'd expression
+    * ([[VocabLogProbSum]]) — the token stream is never exploded or
+    * shuffled at scoring time, the corpus pass runs at scan speed. The
+    * fold is in token order, so any engine replays the identical
+    * arithmetic. Documents with no tokens are omitted (no entropy to
+    * measure).
+    */
+  def unigramXent(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 1024): DataFrame = {
+    require(vocabSize >= 1)
+    val trimmed = lower(trim(col(textCol)))
+    val toks = when(length(trimmed) === 0, array().cast("array<string>"))
+      .otherwise(split(trimmed, "\\s+"))
+    val base = df.select(col(idCol).as("doc_id"), toks.as("__ws"))
+    val counts = base.select(explode(col("__ws")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    val nTokens = counts.agg(sum(col("c"))).collect().head.getLong(0)
+    val vocab = counts.orderBy(col("c").desc, col("t")).limit(vocabSize)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val logDenom = math.log(nTokens.toDouble + vocab.length + 1.0)
+    val logProbs = vocab.map { case (_, c) => math.log(c + 1.0) - logDenom }
+    import org.apache.spark.sql.graft.ColumnBridge
+    val lpSum = ColumnBridge.column(VocabLogProbSum(
+      ColumnBridge.expression(col("__ws")),
+      vocab.map(_._1).toSeq, logProbs.toSeq, -logDenom))
+    base.select(col("doc_id"), size(col("__ws")).as("n_tokens"),
+        lpSum.as("__lp"))
+      .where(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"),
+        (-col("__lp") / (col("n_tokens") * lit(math.log(2.0))))
+          .as("xent_bits"))
+  }
+
   /** Convenience: annotate a corpus DataFrame with the full signal set. */
   def annotate(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -696,6 +696,62 @@ object PipelineQueries {
       FROM sh GROUP BY 1
       ORDER BY doc_freq DESC, ngram LIMIT 100""")),
 
+    // Per-language top-10 terms by document frequency: the vocabulary
+    // census. One partial-aggregated (lang, term) count shuffle; the
+    // rank filter executes as WindowGroupLimit, never a group-wide sort
+    // of the full term census.
+    ("text_top_terms", (s: SparkSession, d: String) => {
+      TextAnalysis.topTermsByDocFreq(table(s, d, "documents"),
+          "lang", "text", 10)
+        .select(col("grp").as("lang"), col("term"), col("doc_freq"),
+          col("rank"))
+        .orderBy("lang", "rank")
+    }, Some("""
+      WITH docs AS (
+        SELECT lang, list_distinct(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS ws
+        FROM documents),
+      t AS (SELECT lang, unnest(ws) AS term FROM docs),
+      c AS (SELECT lang, term, count(*) AS doc_freq FROM t GROUP BY 1, 2),
+      r AS (SELECT lang, term, doc_freq, row_number()
+          OVER (PARTITION BY lang ORDER BY doc_freq DESC, term) AS rank
+        FROM c)
+      SELECT lang, term, doc_freq, CAST(rank AS INTEGER) AS rank
+      FROM r WHERE rank <= 10 ORDER BY lang, rank""")),
+
+    // Unigram LM cross-entropy scoring (the CCNet-style perplexity
+    // quality filter): add-one-smoothed top-1024 vocabulary fit on the
+    // corpus itself, documents scored in bits/token. The model fit is one
+    // token-count shuffle + top-V; scoring broadcasts the log-prob table
+    // inside ONE codegen'd expression (VocabLogProbSum) — the token
+    // stream never explodes at scoring time. The oracle refits and
+    // rescores the identical model in DuckDB (token-order fold ≡ join +
+    // sum within the 1e-4 rounding).
+    ("text_perplexity", (s: SparkSession, d: String) => {
+      TextAnalysis.unigramXent(table(s, d, "documents"),
+          "doc_id", "text", vocabSize = 1024)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("xent_bits"), 4).as("xent"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH docs AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        FROM documents),
+      tok AS (SELECT doc_id, unnest(ws) AS t FROM docs),
+      cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+      voc AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT 1024),
+      vs AS (SELECT (SELECT count(*) FROM voc) AS v,
+        (SELECT CAST(sum(c) AS DOUBLE) FROM cnt) AS n),
+      sc AS (
+        SELECT tok.doc_id, count(*) AS n_tokens,
+          sum(coalesce(ln(voc.c + 1.0), 0.0) - ln(vs.n + vs.v + 1.0)) AS lp
+        FROM tok LEFT JOIN voc ON tok.t = voc.t CROSS JOIN vs
+        GROUP BY 1)
+      SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        round(-lp / (n_tokens * ln(2.0)), 4) AS xent
+      FROM sc ORDER BY doc_id""")),
+
     // PII screen: per-document match counts for each pattern plus the md5
     // of the redacted text — the pre-release scrub every training corpus
     // runs. The synthetic corpus is PII-free (all counts 0, redaction is

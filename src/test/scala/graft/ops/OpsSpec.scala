@@ -541,6 +541,39 @@ class OpsSpec extends AnyFunSuite {
     assert(freqs == Map("a b" -> 2L, "b a" -> 1L, "b c" -> 1L, "x y" -> 1L))
   }
 
+  test("topTermsByDocFreq ranks by doc frequency with lexical ties") {
+    val tiny = Seq(
+      (1L, "en", "apple banana apple"),
+      (2L, "en", "apple cherry"),
+      (3L, "en", "banana cherry"),
+      (4L, "fr", "pomme banane")
+    ).toDF("doc_id", "lang", "text")
+    val top = TextAnalysis.topTermsByDocFreq(tiny, "lang", "text", 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    // en: apple/banana/cherry all df=2 — lexical tie-break keeps apple,
+    // banana; fr: both df=1, banane before pomme.
+    assert(top.toSet == Set(("en", "apple", 2L, 1), ("en", "banana", 2L, 2),
+      ("fr", "banane", 1L, 1), ("fr", "pomme", 1L, 2)))
+  }
+
+  test("unigramXent fits an add-one model and scores in token order") {
+    val tiny = Seq((1L, "a a b"), (2L, "a b c"), (3L, " "))
+      .toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1; N=6; vocabSize=2 → V={a,b}; denom = ln 9;
+    // lp(a) = ln4 − ln9, lp(b) = ln3 − ln9, oov = −ln9.
+    val got = TextAnalysis.unigramXent(tiny, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L), "the token-less document must be omitted")
+    val ln9 = math.log(9.0)
+    def xent(lps: Seq[Double]) = -lps.sum / (lps.length * math.log(2.0))
+    val e1 = xent(Seq(math.log(4.0) - ln9, math.log(4.0) - ln9,
+      math.log(3.0) - ln9))
+    val e2 = xent(Seq(math.log(4.0) - ln9, math.log(3.0) - ln9, -ln9))
+    assert(got(1L)._1 == 3 && math.abs(got(1L)._2 - e1) < 1e-12)
+    assert(got(2L)._1 == 3 && math.abs(got(2L)._2 - e2) < 1e-12)
+  }
+
   test("text analysis signals are sane on real documents") {
     val annotated = TextAnalysis.annotate(docs, "text").cache()
     val n = annotated.count()
