@@ -94,14 +94,19 @@ object ValueCounts {
     * timestamps within [tsLo, tsHi]: bin = floor((v - origin) / width) in
     * f64, identical to the SQL `floor((cast(v as double) - origin) / width)`
     * both Spark and DuckDB compute. Returns interleaved (bin, count) pairs
-    * with bins ascending; NaN/±Inf values are skipped.
+    * with bins ascending; NaN/±Inf values are skipped — unless `sparkBins`
+    * is set, which instead reproduces Spark's `FLOOR(double)->LONG`
+    * semantics on non-finite values exactly (the double arithmetic then
+    * `.toLong`): NaN lands in bin 0, +Inf in Long.MaxValue, -Inf in
+    * Long.MinValue. The SQL rewrite uses that mode so a spliced
+    * histogram is bit-identical to the Aggregate it replaces on ANY data.
     */
   def histogram(origin: Double, width: Double, tsLo: Long, tsHi: Long,
       mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
       mn: Float, mx: Float, values: Array[Byte],
-      residuals: Array[Byte]): Array[Long] = {
+      residuals: Array[Byte], sparkBins: Boolean = false): Array[Long] = {
     require(width > 0, "Histogram width must be positive.")
-    val acc = new HistAcc(origin, width)
+    val acc = new HistAcc(origin, width, sparkBins)
     traverse(tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals, acc)
     acc.result()
   }
@@ -168,20 +173,25 @@ object ValueCounts {
       }
   }
 
-  private final class HistAcc(origin: Double, width: Double) extends Acc {
+  private final class HistAcc(origin: Double, width: Double,
+      sparkBins: Boolean = false) extends Acc {
     private val bins = scala.collection.mutable.LongMap.empty[Long]
 
+    // Spark's FLOOR(double) evals math.floor then .toLong, so the same
+    // arithmetic extends to non-finite values: NaN -> 0, +Inf ->
+    // Long.MaxValue, -Inf -> Long.MinValue. Under sparkBins those counts
+    // are kept; the default mode skips non-finite values.
     private def binOf(v: Float): Long =
       math.floor((v.toDouble - origin) / width).toLong
 
     override def addConstant(v: Float, n: Int): Unit =
-      if (java.lang.Float.isFinite(v)) {
+      if (sparkBins || java.lang.Float.isFinite(v)) {
         val b = binOf(v)
         bins(b) = bins.getOrElse(b, 0L) + n.toLong
       }
 
     override def addValue(v: Float): Unit =
-      if (java.lang.Float.isFinite(v)) {
+      if (sparkBins || java.lang.Float.isFinite(v)) {
         val b = binOf(v)
         bins(b) = bins.getOrElse(b, 0L) + 1L
       }
@@ -189,7 +199,11 @@ object ValueCounts {
     override def addMonotone(eval: Int => Float, from: Int, until: Int): Unit = {
       val vF = eval(from)
       val vL = eval(until - 1)
-      if (java.lang.Float.isNaN(vF) && java.lang.Float.isNaN(vL)) return
+      if (java.lang.Float.isNaN(vF) && java.lang.Float.isNaN(vL)) {
+        // NaN only appears as a whole-constant run (a NaN Swing line).
+        if (sparkBins) addConstant(vF, until - from)
+        return
+      }
       val linear = !java.lang.Float.isFinite(vF) ||
         !java.lang.Float.isFinite(vL) || {
           // More bins touched than points — transition search cannot win.

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, CreateNamedStruct, Divide, EqualTo, ExprId, Expression, GetStructField, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Multiply, PredicateHelper, Remainder, Subtract, TruncTimestamp, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, CreateNamedStruct, Divide, EqualTo, ExprId, Expression, Floor, GetStructField, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Multiply, PredicateHelper, Remainder, Subtract, TruncTimestamp, UnaryMinus}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.functions._
@@ -86,6 +86,12 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     */
   private[plans] final case class WindowPart(part: String, outName: String)
     extends AggSpec
+  /** A reference to the value-bin grouping `floor((field - o) / w)` in
+    * the output — the SQL spelling of a fixed-width value histogram,
+    * answered by [[graft.tsdb.Engine.valueHistogram]] in Spark-floor
+    * semantics (non-finite values keep their FLOOR(double)->LONG bins).
+    */
+  private[plans] final case class ValueBinRef(outName: String) extends AggSpec
 
   /** How a `date_trunc` grouping buckets time: a fixed width in micros
     * (epoch-aligned, answered by the pmod plan) or a calendar truncation
@@ -111,11 +117,16 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   private[plans] final case class ValueBound(
     field: String, lower: Option[Double], upper: Option[Double])
 
+  /** A fixed-width value-bin grouping: (field, origin, width). */
+  private[plans] final case class ValueBin(
+    field: String, origin: Double, width: Double)
+
   private[plans] final case class MatchResult(
     meta: TableMetadata, groupTags: Seq[String], specs: Seq[AggSpec],
     startUs: Option[Long], endUs: Option[Long], tagEq: Map[String, String],
     tagIn: Map[String, Seq[String]], bucket: Option[BucketSpec] = scala.None,
-    valueBound: Option[ValueBound] = scala.None)
+    valueBound: Option[ValueBound] = scala.None,
+    valueBin: Option[ValueBin] = scala.None)
 
   /** Attempt the rewrite; None leaves the original DataFrame untouched.
     *
@@ -223,12 +234,18 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       val bucketSpecs = groupings.flatMap(bucketSpecOf(meta, _)) ++
         (if (windowGroups == 1) windowBucket.map(w => FixedUs(w._2)).toSeq
          else Seq.empty)
-      if (groupTags.size + bucketSpecs.size != groupings.size) None
+      val binSpecs = groupings.flatMap(valueBinOf(meta, _))
+      if (groupTags.size + bucketSpecs.size + binSpecs.size != groupings.size)
+        None
       else if (bucketSpecs.size > 1) None // two time groupings: grid it
+      else if (binSpecs.size > 1 ||
+          (binSpecs.nonEmpty && bucketSpecs.nonEmpty)) None
       else {
         val bucket = bucketSpecs.headOption
+        val bin = binSpecs.headOption
         val specs = results.map(
-          spec(engine, meta, groupTags.toSet, bucket, windowBucket.map(_._1), _))
+          spec(engine, meta, groupTags.toSet, bucket, windowBucket.map(_._1),
+            bin, _))
         if (specs.exists(_.isEmpty)) None
         else {
           val flat = specs.flatten
@@ -245,10 +262,19 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             case TsAgg(k, _) => Seq(s"${k}_${meta.timestampColumn}")
             case fe: FieldExprAgg => baseKinds(fe).map(k => s"${k}_${fe.field}")
             case _ => Seq.empty
-          }.toSet ++ (if (bucket.nonEmpty) Set("bucket") else Set.empty)
+          }.toSet ++ (if (bucket.nonEmpty) Set("bucket") else Set.empty) ++
+            bin.map(b => Set("bin", s"count_${b.field}")).getOrElse(Set.empty)
           val collides = groupTags.exists(t =>
             produced.contains(t) || t.startsWith("__"))
-          if (collides) None
+          // A value-bin grouping only has a closed form for row COUNTs
+          // (the histogram); any other aggregate of a bin-grouped set
+          // grids as before.
+          val binOk = bin.isEmpty || (hasAgg && flat.forall {
+            case TagRef(_) | ValueBinRef(_) => true
+            case FieldAgg("count", _, _) => true
+            case _ => false
+          })
+          if (collides || !binOk) None
           else filterCond match {
             case _ if (!hasAgg || hasTagDistinct) && bucket.nonEmpty =>
               // Distinct buckets (and DISTINCT-tag counts per bucket)
@@ -257,7 +283,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
               None
             case scala.None =>
               Some(MatchResult(meta, groupTags, flat, scala.None,
-                scala.None, Map.empty, Map.empty, bucket))
+                scala.None, Map.empty, Map.empty, bucket, valueBin = bin))
             case Some(cond) => parseFilter(meta, cond).flatMap {
               case (lo, hi, tags, tagIn, vb) =>
                 // No aggregates + a time range would need gridding for the
@@ -285,13 +311,13 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                     Set(s"count_in_${b.field}", s"count_${b.field}"))
                     .getOrElse(Set.empty)
                   if (!countsOnly || !hasAgg || bucket.nonEmpty ||
-                      groupTags.exists(produced.contains))
+                      bin.nonEmpty || groupTags.exists(produced.contains))
                     None
                   else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
                     tagIn, bucket, vb))
                 }
                 else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
-                  tagIn, bucket))
+                  tagIn, bucket, valueBin = bin))
             }
           }
         }
@@ -549,7 +575,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   private def spec(
       engine: Engine,
       meta: TableMetadata, groupTags: Set[String], bucket: Option[BucketSpec],
-      windowId: Option[ExprId],
+      windowId: Option[ExprId], bin: Option[ValueBin],
       expr: org.apache.spark.sql.catalyst.expressions.NamedExpression): Option[AggSpec] =
     expr match {
       case a: AttributeReference if windowId.contains(a.exprId) =>
@@ -564,6 +590,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         // The analyzer already guarantees a non-aggregate result expression
         // appears among the groupings, so this is THE bucket grouping.
         Some(BucketRef(outName))
+      case Alias(e, outName) if valueBinOf(meta, e).exists(bin.contains) =>
+        Some(ValueBinRef(outName))
       case Alias(AggregateExpression(Count(args), Complete, true, None, _), outName)
           if args.nonEmpty && args.forall {
             case a: AttributeReference => meta.tagColumns.contains(a.name)
@@ -740,6 +768,43 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   }
 
   /** A finite literal (possibly under foldable casts) as a Double. */
+  /** The (field, origin, width) of a value-bin grouping expression:
+    * `floor((field - origin) / width)` or `floor(field / width)` (origin
+    * 0; `v - 0.0 == v` for every float including -0.0 and NaN, so the two
+    * spellings bin identically) over ONE bare stored float field beneath
+    * the analyzer's widening cast. Origin/width must be finite literals,
+    * width positive. The engine's histogram kernel computes the identical
+    * f64 `floor((v - o) / w)` per point, so the splice is exact.
+    */
+  private def valueBinOf(
+      meta: TableMetadata, e: Expression): Option[ValueBin] = {
+    def fieldOf(x: Expression): Option[String] = x match {
+      case Cast(a: AttributeReference, DoubleType, _, _)
+          if meta.fieldColumns.contains(a.name) && a.dataType == FloatType =>
+        Some(a.name)
+      case a: AttributeReference
+          if meta.fieldColumns.contains(a.name) && a.dataType == FloatType =>
+        Some(a.name)
+      case _ => scala.None
+    }
+    e match {
+      // The kernel computes f64 arithmetic — a DECIMAL-typed divide
+      // (possible with decimal literals under some parse modes) must
+      // decline rather than silently differ.
+      case Floor(d @ Divide(Subtract(v, o, _), w, _))
+          if d.dataType == DoubleType =>
+        for {
+          f <- fieldOf(v)
+          ov <- constOf(o)
+          wv <- constOf(w) if wv > 0
+        } yield ValueBin(f, ov, wv)
+      case Floor(d @ Divide(v, w, _)) if d.dataType == DoubleType =>
+        for (f <- fieldOf(v); wv <- constOf(w) if wv > 0)
+          yield ValueBin(f, 0.0, wv)
+      case _ => scala.None
+    }
+  }
+
   private def constOf(e: Expression): Option[Double] =
     if (e.foldable && e.deterministic &&
         e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) {
@@ -830,6 +895,30 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           s"non-count spec $other under a value predicate")
       }
       tc.select(ordered: _*)
+    } else if (m.valueBin.nonEmpty) {
+      // Value-bin grouping: the SQL spelling of a fixed-width histogram —
+      // route through valueHistogram in Spark-floor semantics (non-finite
+      // values keep Spark's FLOOR(double)->LONG bins), so the splice is
+      // bit-identical to the gridded Aggregate on any data. Single-bin
+      // segments (decided from stored bounds) contribute (bin, len)
+      // metadata-only; stragglers run the monotone bin-run kernel.
+      val b = m.valueBin.get
+      def inst(us: Long) = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      val hist = engine.valueHistogram(m.meta.name, b.field, b.origin,
+        b.width, m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
+        m.tagEq, m.tagIn, sparkFloorBins = true)
+      val ordered = m.specs.map {
+        case TagRef(tag) => col(tag)
+        case ValueBinRef(outName) => col("bin").as(outName)
+        case FieldAgg("count", _, outName) =>
+          // Fields are timestamp-aligned and non-null, so every count
+          // over a bin-grouped set is the bin's row count.
+          col(s"count_${b.field}").as(outName)
+        case other => throw new IllegalStateException(
+          s"non-count spec $other under a value-bin grouping")
+      }
+      hist.select(ordered: _*)
     } else if (!m.specs.exists(s => s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
         s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg])) {
       // Pure tag grouping (`SELECT DISTINCT tag`, `GROUP BY tag` with no

@@ -426,6 +426,24 @@ object TsQueries {
       FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0
       GROUP BY 1 ORDER BY 1""")),
 
+    // The histogram through the SQL surface: the Catalyst rewrite
+    // recognizes `GROUP BY floor((value - o) / w)` + row counts and
+    // splices the segment-native histogram plan (single-bin segments
+    // decided from stored bounds contribute metadata-only; stragglers run
+    // the monotone bin-run kernel) in Spark-floor semantics, so the
+    // splice is bit-identical to the gridded Aggregate on any data.
+    ("ts_sql_histogram", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql("SELECT user, floor((value - 0.0) / 50.0) AS bin, " +
+        "count(*) AS n FROM events_lossless " +
+        "GROUP BY user, floor((value - 0.0) / 50.0) ORDER BY user, bin")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(floor((CAST(CAST(value AS FLOAT4) AS DOUBLE) - 0.0) / 50.0)
+          AS BIGINT) AS bin,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Per-series outlier screen: each user's values counted against that
     // user's OWN μ ± 3σ band — the statistics come from the segment-native
     // variance closed forms, the bounds broadcast-join back onto the

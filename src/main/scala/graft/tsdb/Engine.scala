@@ -829,7 +829,8 @@ final class Engine(val spark: SparkSession, val root: String) {
       startTime: Option[java.time.Instant] = scala.None,
       endTime: Option[java.time.Instant] = scala.None,
       tagFilters: Map[String, String] = Map.empty,
-      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+      tagInFilters: Map[String, Seq[String]] = Map.empty,
+      sparkFloorBins: Boolean = false): DataFrame = {
     require(width > 0, "Histogram width must be positive.")
     val meta = dataFolder.metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
@@ -865,7 +866,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       (ColumnBridge.column(HistogramBins(origin, width, startUs, endUs,
         attr("model_type_id"), attr("start_time"), attr("end_time"),
         attr("timestamps"), attr("min_value"), attr("max_value"),
-        attr("values"), attr("residuals"))) +: keys): _*)
+        attr("values"), attr("residuals"), sparkFloorBins)) +: keys): _*)
 
     val merged = fast.unionByName(slow)
     merged.groupBy(keys :+ col("__vh_bin"): _*)

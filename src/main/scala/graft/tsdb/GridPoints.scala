@@ -127,11 +127,12 @@ object DecodeKernels {
     * at timestamps within [lo, hi] ([[graft.core.ValueCounts.histogram]]).
     */
   def histogramArray(origin: Double, width: Double, lo: Long, hi: Long,
+      sparkBins: Boolean,
       mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
       mn: Float, mx: Float, values: Array[Byte],
       residuals: Array[Byte]): ArrayData = {
     val pairs = graft.core.ValueCounts.histogram(origin, width, lo, hi,
-      mt, st, et, tsBytes, mn, mx, values, residuals)
+      mt, st, et, tsBytes, mn, mx, values, residuals, sparkBins)
     val out = new Array[Any](pairs.length / 2)
     var i = 0
     while (i < out.length) {
@@ -337,7 +338,8 @@ case class HistogramBins(
     rangeStartUs: Option[Long], rangeEndUs: Option[Long],
     modelTypeId: Expression, startTime: Expression, endTime: Expression,
     timestamps: Expression, minValue: Expression, maxValue: Expression,
-    values: Expression, residuals: Expression)
+    values: Expression, residuals: Expression,
+    sparkBins: Boolean = false)
   extends Expression with DecodeGenerator {
 
   require(binWidth > 0, "Histogram width must be positive.")
@@ -352,8 +354,8 @@ case class HistogramBins(
   override protected def evalKernel(mt: Byte, st: Long, et: Long,
       ts: Array[Byte], mn: Float, mx: Float, values: Array[Byte],
       residuals: Array[Byte]): ArrayData =
-    DecodeKernels.histogramArray(binOrigin, binWidth, lo, hi, mt, st, et,
-      ts, mn, mx, values, residuals)
+    DecodeKernels.histogramArray(binOrigin, binWidth, lo, hi, sparkBins,
+      mt, st, et, ts, mn, mx, values, residuals)
 
   override protected def kernelCall(args: Seq[String]): String = {
     val originBits = java.lang.Double.doubleToRawLongBits(binOrigin)
@@ -361,12 +363,12 @@ case class HistogramBins(
     s"graft.tsdb.DecodeKernels.histogramArray(" +
       s"java.lang.Double.longBitsToDouble(${originBits}L), " +
       s"java.lang.Double.longBitsToDouble(${widthBits}L), " +
-      s"${lo}L, ${hi}L, ${args.mkString(", ")})"
+      s"${lo}L, ${hi}L, $sparkBins, ${args.mkString(", ")})"
   }
 
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(binOrigin, binWidth, rangeStartUs, rangeEndUs, newChildren(0),
       newChildren(1), newChildren(2), newChildren(3), newChildren(4),
-      newChildren(5), newChildren(6), newChildren(7))
+      newChildren(5), newChildren(6), newChildren(7), sparkBins)
 }

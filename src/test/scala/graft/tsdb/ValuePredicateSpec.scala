@@ -211,6 +211,58 @@ class ValuePredicateSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL floor-bin group-by rewrites to the value histogram") {
+    val engine = newEngine()
+    buildTable(engine, "hb", "", irregular = false)
+    engine.readTable("hb").createOrReplaceTempView("hb_raw")
+    def fmt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, (us % 1000000L * 1000L).toInt, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val bounds = engine.readTable("hb")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val mid = fmt((bounds.getLong(0) + bounds.getLong(1)) / 2)
+
+    // Both bin spellings, tag groups, tag filters, and a time range; the
+    // fixture has NaN rows, so this also pins Spark's FLOOR(NaN)->0 bin
+    // through the sparkFloorBins kernel mode.
+    val rewritten = Seq(
+      "SELECT floor((value - 0.0) / 25.0) AS bin, count(*) AS n FROM hb " +
+        "GROUP BY floor((value - 0.0) / 25.0) ORDER BY bin",
+      "SELECT tag, floor(value / 12.5) AS bin, count(value) AS n FROM hb " +
+        "GROUP BY tag, floor(value / 12.5) ORDER BY tag, bin",
+      "SELECT floor(value / 50.0) AS bin, count(*) AS n FROM hb " +
+        "WHERE tag = 'a' GROUP BY 1 ORDER BY 1",
+      s"SELECT floor(value / 50.0) AS bin, count(*) AS n FROM hb " +
+        s"WHERE ts >= TIMESTAMP '$mid' GROUP BY 1 ORDER BY 1")
+    for (q <- rewritten) {
+      val df = engine.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("__vh_bin"),
+        s"should splice the histogram plan: $q\n$plan")
+      val want = spark.sql(q.replace("FROM hb", "FROM hb_raw")).collect()
+        .map(_.toSeq).toSeq
+      assert(df.collect().map(_.toSeq).toSeq == want, q)
+    }
+
+    // No closed form: non-count aggregates of a bin-grouped set, and bin
+    // groupings under a value predicate — those grid, same answers.
+    val declined = Seq(
+      "SELECT floor(value / 25.0) AS bin, sum(value) AS s FROM hb " +
+        "GROUP BY 1 ORDER BY 1",
+      "SELECT floor(value / 25.0) AS bin, count(*) AS n FROM hb " +
+        "WHERE value > 0.0 GROUP BY 1 ORDER BY 1")
+    for (q <- declined) {
+      val df = engine.sql(q)
+      assert(!df.queryExecution.executedPlan.toString.contains("__vh_bin"),
+        s"should grid: $q")
+      val want = spark.sql(q.replace("FROM hb", "FROM hb_raw")).collect()
+        .map(_.toSeq.map(String.valueOf)).toSeq
+      assert(df.collect().map(_.toSeq.map(String.valueOf)).toSeq == want, q)
+    }
+  }
+
   test("lttbDownsample matches a full point-level replay incl. NaN runs") {
     val engine = newEngine()
     buildTable(engine, "lt", "", irregular = true)
