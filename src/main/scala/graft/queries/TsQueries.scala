@@ -559,6 +559,30 @@ object TsQueries {
         AS ewma
       FROM l ORDER BY user, bucket_us""")),
 
+    // Per-series hour-of-day seasonal profile: points bucket at the HOUR
+    // grain through the segment-native plan, then the tiny bucket frame
+    // regroups by (bucket/grain) mod 24 — counts/sums add exactly and
+    // min/max nest exactly, so the two-level result is identical to
+    // grouping raw points by hour-of-day while reading the segment
+    // relation for almost all data.
+    ("ts_seasonal", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.seasonalProfile("events_lossless", "value",
+          java.time.Duration.ofHours(1), 24, Seq("user"))
+        .select(col("user"), col("phase"), col("count_value").as("n"),
+          round(col("sum_value"), 2).as("sum_v"), col("min_value").as("mn"),
+          col("max_value").as("mx"), round(col("avg_value"), 4).as("avg_v"))
+        .orderBy("user", "phase")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        (CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS phase,
+        count(*) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
+        min(CAST(value AS FLOAT4)) AS mn, max(CAST(value AS FLOAT4)) AS mx,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)) / count(*), 4)
+          AS avg_v
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Cross-series correlation screen over a deterministic 10% panel
     // (numeric user tag ≡ 0 mod 10): bucket means are segment-native and
     // BROADCAST to pair against themselves — pairs are generated

@@ -627,6 +627,55 @@ final class Engine(val spark: SparkSession, val root: String) {
     means.select(keys ++ Seq(col("bucket"), (num / den).as(s"ewma_$field")): _*)
   }
 
+  /** Seasonal profile: count/sum/avg/min/max of a field per PHASE of a
+    * repeating period (hour-of-day, day-of-week, …) — the diurnal/weekly
+    * fingerprint of each series. Phases are not contiguous in time
+    * (every day's 15:00 hour folds together), so no single closed form
+    * covers them; instead the points are first bucketed at the phase
+    * GRAIN through the segment-native bucketed plan (interior segments
+    * answer from closed forms, only bucket-straddlers decode) and the
+    * tiny bucket frame is then re-grouped by
+    * `(bucket / grain) mod phases`: counts and sums add exactly, min/max
+    * nest exactly, and avg = Σsum/Σcount — so the two-level result is
+    * identical to grouping raw points by phase directly, while reading
+    * ~10^4× less at a 100 TB retention window.
+    *
+    * `grainUs` is the phase width (e.g. 1 h), `phases` the period length
+    * in grains (24 for hour-of-day over days, 7 with a 1-day grain for
+    * day-of-week). Phase 0 is the epoch-aligned grain (epoch µs 0 —
+    * a Thursday, for the 7-day case). Output: (tags…, phase,
+    * count_<f>, sum_<f>, avg_<f>, min_<f>, max_<f>).
+    */
+  def seasonalProfile(table: String, field: String,
+      grain: java.time.Duration, phases: Int,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    require(phases >= 1, "A seasonal profile needs at least one phase.")
+    val grainUs = Math.addExact(
+      Math.multiplyExact(grain.getSeconds, 1000000L), grain.getNano / 1000L)
+    val buckets = readTimeSeriesTableBucketed(table, grain, Seq(field),
+      Seq(Aggregate.Count, Aggregate.Sum, Aggregate.Min, Aggregate.Max),
+      groupByTags, startTime, endTime, tagFilters, tagInFilters)
+    // floorDiv semantics via pmod keep pre-epoch buckets in [0, phases).
+    // The quotient is exact: buckets are multiples of the grain, so the
+    // (double) division of two exact sub-2^53 values whose true ratio is
+    // an integer rounds to that integer; the cast back to LONG is lossless.
+    val periodUs = Math.multiplyExact(grainUs, phases.toLong)
+    val phase = (pmod(unix_micros(col("bucket")), lit(periodUs)) /
+      lit(grainUs)).cast("long")
+    val keys = groupByTags.map(col) :+ phase.as("phase")
+    buckets.groupBy(keys: _*).agg(
+        sum(col(s"count_$field")).as(s"count_$field"),
+        sum(col(s"sum_$field")).as(s"sum_$field"),
+        min(col(s"min_$field")).as(s"min_$field"),
+        max(col(s"max_$field")).as(s"max_$field"))
+      .withColumn(s"avg_$field",
+        col(s"sum_$field") / col(s"count_$field"))
+  }
+
   /** Cross-series Pearson correlation screen: every pair of series
     * (distinct values of `seriesTag`), correlated on their time-aligned
     * bucket means — the "which sensors move together" catalog query.

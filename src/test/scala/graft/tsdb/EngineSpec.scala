@@ -653,6 +653,38 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonalProfile equals a gridded phase group-by") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE sp(ts_us TIMESTAMP, field_1 FIELD, " +
+      "tag TAG)")
+    // Step values (PMC runs straddling grain edges) at a 100us cadence.
+    val rows = Seq("a", "b").flatMap { tag =>
+      (1 to 3000).map(i => (i * 100L, (i / 37).toFloat, tag))
+    }
+    import spark.implicits._
+    engine.write("sp", rows.toDF("ts_us", "field_1", "tag"))
+    val got = engine.seasonalProfile("sp", "field_1",
+        java.time.Duration.ofMillis(10), phases = 5, Seq("tag"))
+      .orderBy("tag", "phase").collect()
+    val want = engine.readTable("sp")
+      .groupBy(col("tag"),
+        pmod(floor(unix_micros(col("ts_us")) / lit(10000.0)).cast("long"),
+          lit(5L)).as("phase"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("field_1").cast("double")).as("s"),
+        min(col("field_1")).as("mn"), max(col("field_1")).as("mx"))
+      .orderBy("tag", "phase").collect()
+    assert(got.length == want.length && got.length == 10)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getString(0) == w.getString(0))
+      assert(g.getLong(1) == w.getLong(1))
+      assert(g.getLong(2) == w.getLong(2))
+      assert(math.abs(g.getDouble(3) - w.getDouble(3)) <=
+        1e-9 * math.max(1.0, math.abs(w.getDouble(3))))
+      assert(g.getFloat(4) == w.getFloat(4) && g.getFloat(5) == w.getFloat(5))
+    }
+  }
+
   test("ewmaSmooth and correlationMatrix match windowed references") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE ew(ts_us TIMESTAMP, field_1 FIELD, " +
