@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, CreateNamedStruct, Divide, EqualTo, ExprId, Expression, Floor, GetStructField, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Multiply, PredicateHelper, Remainder, Subtract, TruncTimestamp, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, CreateNamedStruct, DayOfWeek, Divide, EqualTo, ExprId, Expression, Floor, GetStructField, GreaterThan, GreaterThanOrEqual, Hour, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Minute, Multiply, PredicateHelper, Remainder, Second, Subtract, TruncTimestamp, UnaryMinus, WeekDay}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.functions._
@@ -92,6 +92,13 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     * semantics (non-finite values keep their FLOOR(double)->LONG bins).
     */
   private[plans] final case class ValueBinRef(outName: String) extends AggSpec
+  /** A reference to a time-phase grouping — `hour(ts)`, `minute(ts)`,
+    * `second(ts)`, `dayofweek(ts)`, `weekday(ts)` under a zero-offset
+    * session zone — answered by [[graft.tsdb.Engine.seasonalProfile]]
+    * (phase = epoch-grains mod period, exactly these extractions' floor
+    * arithmetic at offset zero).
+    */
+  private[plans] final case class PhaseRef(outName: String) extends AggSpec
 
   /** How a `date_trunc` grouping buckets time: a fixed width in micros
     * (epoch-aligned, answered by the pmod plan) or a calendar truncation
@@ -121,12 +128,21 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
   private[plans] final case class ValueBin(
     field: String, origin: Double, width: Double)
 
+  /** A time-phase grouping: phase = (epoch µs / grainUs) mod phases, plus
+    * the affine map from that phase index to the SQL function's output
+    * (identity for hour/minute/second; epoch day 0 is a Thursday, so
+    * dayofweek = (p+4) mod 7 + 1 and weekday = (p+3) mod 7).
+    */
+  private[plans] final case class TimePhase(
+    grainUs: Long, phases: Int, shift: Int, base: Int)
+
   private[plans] final case class MatchResult(
     meta: TableMetadata, groupTags: Seq[String], specs: Seq[AggSpec],
     startUs: Option[Long], endUs: Option[Long], tagEq: Map[String, String],
     tagIn: Map[String, Seq[String]], bucket: Option[BucketSpec] = scala.None,
     valueBound: Option[ValueBound] = scala.None,
-    valueBin: Option[ValueBin] = scala.None)
+    valueBin: Option[ValueBin] = scala.None,
+    timePhase: Option[TimePhase] = scala.None)
 
   /** Attempt the rewrite; None leaves the original DataFrame untouched.
     *
@@ -235,17 +251,20 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         (if (windowGroups == 1) windowBucket.map(w => FixedUs(w._2)).toSeq
          else Seq.empty)
       val binSpecs = groupings.flatMap(valueBinOf(meta, _))
-      if (groupTags.size + bucketSpecs.size + binSpecs.size != groupings.size)
+      val phaseSpecs = groupings.flatMap(timePhaseOf(meta, _))
+      if (groupTags.size + bucketSpecs.size + binSpecs.size +
+          phaseSpecs.size != groupings.size)
         None
       else if (bucketSpecs.size > 1) None // two time groupings: grid it
-      else if (binSpecs.size > 1 ||
-          (binSpecs.nonEmpty && bucketSpecs.nonEmpty)) None
+      else if (binSpecs.size > 1 || phaseSpecs.size > 1 ||
+          Seq(binSpecs, bucketSpecs, phaseSpecs).count(_.nonEmpty) > 1) None
       else {
         val bucket = bucketSpecs.headOption
         val bin = binSpecs.headOption
+        val phase = phaseSpecs.headOption
         val specs = results.map(
           spec(engine, meta, groupTags.toSet, bucket, windowBucket.map(_._1),
-            bin, _))
+            bin, phase, _))
         if (specs.exists(_.isEmpty)) None
         else {
           val flat = specs.flatten
@@ -263,7 +282,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             case fe: FieldExprAgg => baseKinds(fe).map(k => s"${k}_${fe.field}")
             case _ => Seq.empty
           }.toSet ++ (if (bucket.nonEmpty) Set("bucket") else Set.empty) ++
-            bin.map(b => Set("bin", s"count_${b.field}")).getOrElse(Set.empty)
+            bin.map(b => Set("bin", s"count_${b.field}")).getOrElse(Set.empty) ++
+            (if (phase.nonEmpty) Set("phase", "bucket") else Set.empty)
           val collides = groupTags.exists(t =>
             produced.contains(t) || t.startsWith("__"))
           // A value-bin grouping only has a closed form for row COUNTs
@@ -274,7 +294,22 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             case FieldAgg("count", _, _) => true
             case _ => false
           })
-          if (collides || !binOk) None
+          // A time-phase grouping composes from grain buckets only for
+          // the additive/nesting kinds, all over ONE stored field
+          // (count(*) is field-agnostic: fields are timestamp-aligned).
+          val phaseOk = phase.isEmpty || {
+            val kindsOk = hasAgg && flat.forall {
+              case TagRef(_) | PhaseRef(_) => true
+              case FieldAgg("count" | "sum" | "min" | "max" | "avg", _, _) =>
+                true
+              case _ => false
+            }
+            val fields = flat.collect {
+              case FieldAgg(k, f, _) if k != "count" => f
+            }.distinct
+            kindsOk && fields.size <= 1
+          }
+          if (collides || !binOk || !phaseOk) None
           else filterCond match {
             case _ if (!hasAgg || hasTagDistinct) && bucket.nonEmpty =>
               // Distinct buckets (and DISTINCT-tag counts per bucket)
@@ -283,7 +318,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
               None
             case scala.None =>
               Some(MatchResult(meta, groupTags, flat, scala.None,
-                scala.None, Map.empty, Map.empty, bucket, valueBin = bin))
+                scala.None, Map.empty, Map.empty, bucket, valueBin = bin,
+                timePhase = phase))
             case Some(cond) => parseFilter(meta, cond).flatMap {
               case (lo, hi, tags, tagIn, vb) =>
                 // No aggregates + a time range would need gridding for the
@@ -311,13 +347,14 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                     Set(s"count_in_${b.field}", s"count_${b.field}"))
                     .getOrElse(Set.empty)
                   if (!countsOnly || !hasAgg || bucket.nonEmpty ||
-                      bin.nonEmpty || groupTags.exists(produced.contains))
+                      bin.nonEmpty || phase.nonEmpty ||
+                      groupTags.exists(produced.contains))
                     None
                   else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
                     tagIn, bucket, vb))
                 }
                 else Some(MatchResult(meta, groupTags, flat, lo, hi, tags,
-                  tagIn, bucket, valueBin = bin))
+                  tagIn, bucket, valueBin = bin, timePhase = phase))
             }
           }
         }
@@ -576,6 +613,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       engine: Engine,
       meta: TableMetadata, groupTags: Set[String], bucket: Option[BucketSpec],
       windowId: Option[ExprId], bin: Option[ValueBin],
+      phase: Option[TimePhase],
       expr: org.apache.spark.sql.catalyst.expressions.NamedExpression): Option[AggSpec] =
     expr match {
       case a: AttributeReference if windowId.contains(a.exprId) =>
@@ -592,6 +630,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         Some(BucketRef(outName))
       case Alias(e, outName) if valueBinOf(meta, e).exists(bin.contains) =>
         Some(ValueBinRef(outName))
+      case Alias(e, outName) if timePhaseOf(meta, e).exists(phase.contains) =>
+        Some(PhaseRef(outName))
       case Alias(AggregateExpression(Count(args), Complete, true, None, _), outName)
           if args.nonEmpty && args.forall {
             case a: AttributeReference => meta.tagColumns.contains(a.name)
@@ -805,6 +845,42 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     }
   }
 
+  /** The TimePhase of a calendar-extraction grouping over the timestamp
+    * column, recognized only when every zone involved is a fixed ZERO
+    * offset — there hour/minute/second/day-of-week are pure epoch floor
+    * arithmetic ((µs / grain) mod period), exactly what
+    * [[graft.tsdb.Engine.seasonalProfile]] computes. DST zones shift the
+    * phase boundary twice a year and decline to the grid.
+    */
+  private def timePhaseOf(
+      meta: TableMetadata, e: Expression): Option[TimePhase] = {
+    def isTs(a: AttributeReference) =
+      a.name == meta.timestampColumn && a.dataType == TimestampType
+    def tsDate(x: Expression): Boolean = x match {
+      // dayofweek/weekday take a DATE: the analyzer casts ts with the
+      // session zone; only a zero offset keeps date = epoch-day floor.
+      case Cast(a: AttributeReference, org.apache.spark.sql.types.DateType,
+          zid, _) => isTs(a) && zid.forall(isUtcZone)
+      case _ => false
+    }
+    e match {
+      case Hour(a: AttributeReference, zid)
+          if isTs(a) && zid.forall(isUtcZone) =>
+        Some(TimePhase(3600000000L, 24, 0, 0))
+      case Minute(a: AttributeReference, zid)
+          if isTs(a) && zid.forall(isUtcZone) =>
+        Some(TimePhase(60000000L, 60, 0, 0))
+      case Second(a: AttributeReference, zid)
+          if isTs(a) && zid.forall(isUtcZone) =>
+        Some(TimePhase(1000000L, 60, 0, 0))
+      case DayOfWeek(d) if tsDate(d) => // 1 = Sunday; epoch day 0 = Thursday
+        Some(TimePhase(86400000000L, 7, 4, 1))
+      case WeekDay(d) if tsDate(d) => // 0 = Monday
+        Some(TimePhase(86400000000L, 7, 3, 0))
+      case _ => scala.None
+    }
+  }
+
   private def constOf(e: Expression): Option[Double] =
     if (e.foldable && e.deterministic &&
         e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]) {
@@ -919,6 +995,34 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           s"non-count spec $other under a value-bin grouping")
       }
       hist.select(ordered: _*)
+    } else if (m.timePhase.nonEmpty) {
+      // Calendar-phase grouping (hour/minute/second/day-of-week under a
+      // zero-offset zone): grain buckets come from the segment-native
+      // bucketed plan, the tiny bucket frame folds by phase —
+      // counts/sums add exactly, min/max nest exactly, avg = Σsum/Σcount.
+      val tp = m.timePhase.get
+      val field = m.specs.collect {
+        case FieldAgg(k, f, _) if k != "count" => f
+      }.distinct.headOption.getOrElse(m.meta.fieldColumns.head)
+      def inst(us: Long) = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      val prof = engine.seasonalProfile(m.meta.name, field,
+        java.time.Duration.of(tp.grainUs, java.time.temporal.ChronoUnit.MICROS),
+        tp.phases, m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
+        m.tagEq, m.tagIn)
+      val phaseOut =
+        if (tp.shift == 0 && tp.base == 0) col("phase")
+        else pmod(col("phase") + lit(tp.shift.toLong), lit(tp.phases.toLong)) +
+          lit(tp.base.toLong)
+      val ordered = m.specs.map {
+        case TagRef(tag) => col(tag)
+        case PhaseRef(outName) => phaseOut.as(outName)
+        case FieldAgg(kind, _, outName) =>
+          col(s"${kind}_$field").as(outName)
+        case other => throw new IllegalStateException(
+          s"unsupported spec $other under a time-phase grouping")
+      }
+      prof.select(ordered: _*)
     } else if (!m.specs.exists(s => s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
         s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg])) {
       // Pure tag grouping (`SELECT DISTINCT tag`, `GROUP BY tag` with no

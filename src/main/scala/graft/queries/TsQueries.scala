@@ -583,6 +583,29 @@ object TsQueries {
           AS avg_v
       FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // The seasonal profile through the SQL surface: the rewrite
+    // recognizes hour(ts) (and minute/second/dayofweek/weekday) under the
+    // UTC session as a phase grouping and splices the seasonalProfile
+    // plan — grain buckets from segment closed forms, phase fold over the
+    // tiny bucket frame. Rounding sits OUTSIDE the aggregate subquery so
+    // the inner Aggregate stays match-eligible.
+    ("ts_sql_seasonal", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, h, n, round(sum_v, 2) AS sum_v, " +
+          "round(avg_v, 4) AS avg_v FROM (" +
+          "SELECT user, hour(ts) AS h, count(*) AS n, sum(value) AS sum_v, " +
+          "avg(value) AS avg_v FROM events_lossless " +
+          "GROUP BY user, hour(ts)) ORDER BY user, h")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST((CAST(epoch_us(ts) AS BIGINT) // 3600000000) % 24 AS INTEGER)
+          AS h,
+        count(*) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS sum_v,
+        round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS avg_v
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Cross-series correlation screen over a deterministic 10% panel
     // (numeric user tag ≡ 0 mod 10): bucket means are segment-native and
     // BROADCAST to pair against themselves — pairs are generated

@@ -346,6 +346,58 @@ class SqlSurfaceSpec extends AnyFunSuite {
         .count())
   }
 
+  test("calendar-phase groupings rewrite to the seasonal profile") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE ph(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    // 37-point PMC steps at a 1-minute cadence across several days: runs
+    // land interior to hours or straddle them depending on phase.
+    val df = (0 until 6000).map { i =>
+      (1700000000000000L + i * 60000000L, (i / 37).toFloat, s"t${i % 2}")
+    }.toDF("ts", "v", "tag")
+    engine.write("ph", df)
+    engine.readTable("ph").createOrReplaceTempView("ph_raw")
+
+    def compare(got: org.apache.spark.sql.DataFrame,
+        want: org.apache.spark.sql.DataFrame): Unit = {
+      val g = got.collect()
+      val w = want.collect()
+      assert(g.length == w.length && g.nonEmpty)
+      g.zip(w).foreach { case (a, b) =>
+        a.toSeq.zip(b.toSeq).foreach {
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            assert(math.abs(x - y) <= 1e-9 * math.max(1.0, math.abs(y)))
+          case (x, y) => assert(x == y, s"$a vs $b")
+        }
+      }
+    }
+
+    val rewritten = Seq(
+      "SELECT hour(ts) AS h, COUNT(v) AS n, SUM(v) AS s, MIN(v) AS mn, " +
+        "MAX(v) AS mx, AVG(v) AS a FROM ph GROUP BY hour(ts) ORDER BY h",
+      "SELECT tag, dayofweek(ts) AS d, COUNT(*) AS n FROM ph " +
+        "GROUP BY tag, dayofweek(ts) ORDER BY tag, d",
+      "SELECT weekday(ts) AS d, MIN(v) AS mn FROM ph GROUP BY 1 ORDER BY 1",
+      "SELECT minute(ts) AS m, COUNT(*) AS n FROM ph WHERE tag = 't0' " +
+        "GROUP BY 1 ORDER BY 1")
+    for (q <- rewritten) {
+      val got = engine.sql(q)
+      val plan = got.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bucket"),
+        s"expected the bucketed grain plan: $q\n$plan")
+      compare(got, spark.sql(q.replace("FROM ph", "FROM ph_raw")))
+    }
+
+    // No closed form through phases: variance must grid, same answer.
+    val vq = "SELECT hour(ts) AS h, var_samp(v) AS vs FROM ph " +
+      "GROUP BY 1 ORDER BY 1"
+    val declined = engine.sql(vq)
+    assert(!declined.queryExecution.executedPlan.toString
+        .contains("__graft_bucket"),
+      "variance per phase has no closed form and must grid")
+    compare(declined, spark.sql(vq.replace("FROM ph", "FROM ph_raw")))
+  }
+
   test("date_trunc groupings rewrite to the bucketed hybrid plan") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE bk(ts TIMESTAMP, v FIELD, tag TAG)")
