@@ -105,6 +105,70 @@ object ScaleDrive {
         "histogram mismatch vs gridded control")
     }
 
+    val seasRows = timed("seasonal profile (24 phases)") {
+      engine.seasonalProfile("big", "v", java.time.Duration.ofHours(1), 24,
+        Seq("tag")).count()
+    }
+    println(f"  profile rows: $seasRows%,d")
+    timed("gridded seasonal control") {
+      val got = engine.seasonalProfile("big", "v",
+          java.time.Duration.ofHours(1), 24)
+        .orderBy("phase").collect()
+      val ctrl = engine.readTable("big")
+        .groupBy(pmod(floor(unix_micros(col("ts")) / lit(3600000000.0))
+          .cast("long"), lit(24L)).as("phase"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("double")).as("s"))
+        .orderBy("phase").collect()
+      assert(got.length == ctrl.length, "seasonal phase count mismatch")
+      got.zip(ctrl).foreach { case (g, c) =>
+        assert(g.getLong(0) == c.getLong(0) && g.getLong(1) == c.getLong(1),
+          "seasonal count mismatch")
+        assert(math.abs(g.getDouble(2) - c.getDouble(2)) <=
+          1e-9 * math.max(1.0, math.abs(c.getDouble(2))),
+          "seasonal sum mismatch")
+      }
+    }
+
+    timed("SQL hour(ts) phase splice") {
+      val df = engine.sql(
+        "SELECT hour(ts) AS h, count(*) AS n, avg(v) AS a FROM big " +
+          "GROUP BY hour(ts)")
+      assert(df.queryExecution.executedPlan.toString.contains("__graft_bucket"),
+        "hour(ts) must splice the bucketed grain plan")
+      df.collect()
+    }
+
+    val ewmaRows = timed("ewma smooth (10-min buckets)") {
+      engine.ewmaSmooth("big", "v", java.time.Duration.ofMinutes(10),
+        alpha = 0.5, lookback = 6, Seq("tag")).count()
+    }
+    println(f"  ewma rows: $ewmaRows%,d")
+
+    val panel = (0 until 100).map(i => s"s$i")
+    val nPairs = timed("correlation matrix (100-panel)") {
+      engine.correlationMatrix("big", "v", java.time.Duration.ofMinutes(1),
+        "tag", tagInFilters = Map("tag" -> panel)).count()
+    }
+    println(f"  pairs: $nPairs%,d")
+    timed("corr spot control (s0, s1)") {
+      val got = engine.correlationMatrix("big", "v",
+          java.time.Duration.ofMinutes(1), "tag",
+          tagInFilters = Map("tag" -> Seq("s0", "s1")))
+        .collect().head
+      val means = engine.readTimeSeriesTableBucketed("big",
+          java.time.Duration.ofMinutes(1), Seq("v"),
+          Seq(engine.Aggregate.Count, engine.Aggregate.Sum), Seq("tag"),
+          tagInFilters = Map("tag" -> Seq("s0", "s1")))
+        .select(col("tag"), col("bucket"),
+          (col("sum_v") / col("count_v")).as("a"))
+      val ctrl = means.where(col("tag") === "s0").select(col("bucket"), col("a").as("x"))
+        .join(means.where(col("tag") === "s1").select(col("bucket"), col("a").as("y")),
+          "bucket")
+        .agg(corr(col("x"), col("y"))).collect().head.getDouble(0)
+      assert(math.abs(got.getDouble(3) - ctrl) <= 1e-6,
+        s"corr ${got.getDouble(3)} != control $ctrl")
+    }
+
     timed("first/last via SQL rewrite") {
       val r = engine.sql(
         "SELECT min_by(v, ts) AS f, max_by(v, ts) AS l FROM big")
