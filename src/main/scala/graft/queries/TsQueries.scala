@@ -664,6 +664,32 @@ object TsQueries {
       JOIN s ON s.rn = CAST(ceil(t.q * s.n) AS BIGINT)
       ORDER BY q""")),
 
+    // PER-SERIES exact quantiles — every user's true median and p90 with
+    // no decode, no sort, no point shuffle (Spark's exact percentile
+    // sorts every group). The same census + bisection-ladder + verify
+    // refinement as ts_quantile, but every job answers ALL series at
+    // once: per-group probe arrays broadcast onto the segment relation
+    // and one dynamic multi-threshold kernel traversal per segment
+    // answers its group's probes. ~10 jobs total, independent of data
+    // volume AND group count.
+    ("ts_quantile_by", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.exactQuantilesBy("events_lossless", "value", Seq(0.5, 0.9),
+          Seq("user"))
+        .select(col("user"), col("q"), col("q_value").as("v"))
+        .orderBy("user", "q")
+    }, Some("""
+      WITH s AS (
+        SELECT CAST(user_id AS VARCHAR) AS user, CAST(value AS FLOAT4) AS v,
+          row_number() OVER (PARTITION BY user_id
+            ORDER BY CAST(value AS FLOAT4)) AS rn,
+          count(*) OVER (PARTITION BY user_id) AS n
+        FROM events)
+      SELECT s.user, CAST(t.q AS DOUBLE) AS q, s.v
+      FROM (VALUES (0.5), (0.9)) t(q)
+      JOIN s ON s.rn = CAST(ceil(t.q * s.n) AS BIGINT)
+      ORDER BY user, q""")),
+
     // LTTB visualization downsample (parallel variant): one point per
     // series per day, maximizing the triangle area against the neighbor
     // buckets' bounding-box centers — the anchors come from the

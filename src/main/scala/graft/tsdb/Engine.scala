@@ -1164,6 +1164,259 @@ final class Engine(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** PER-GROUP exact quantiles — each series' true k-th smallest value
+    * (k = ceil(q·n_group), SQL float total order) with no decode, no
+    * sort, no point shuffle, where Spark's exact percentile sorts every
+    * group's values. The same driver-side bounded refinement as
+    * [[exactQuantiles]], with every job answering ALL groups at once:
+    * a grouped census (one segment aggregation), then a bisection ladder
+    * where each group probes ITS OWN interval — the per-group probe
+    * arrays broadcast onto the segment relation and one array-valued
+    * kernel traversal per segment answers that segment's group
+    * ([[SegmentCountAboveMultiDyn]]) — and one shared verification job.
+    * Job count is O(log(key space) / log(fan)) ≈ 10, independent of both
+    * data volume and group count; driver state is O(groups × quantiles),
+    * the size of the ANSWER.
+    *
+    * Returns (tags…, q DOUBLE, value FLOAT): NaN for empty groups'
+    * quantiles beyond the non-NaN tail, -0.0 canonicalized to 0.0 as in
+    * [[exactQuantiles]].
+    */
+  def exactQuantilesBy(table: String, field: String, qs: Seq[Double],
+      groupByTags: Seq[String],
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    require(qs.nonEmpty, "At least one quantile is required.")
+    require(qs.forall(q => q > 0.0 && q <= 1.0), "Quantiles must be in (0, 1].")
+    require(groupByTags.nonEmpty,
+      "Use exactQuantiles for the ungrouped whole-table case.")
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    require(groupByTags.forall(meta.tagColumns.contains),
+      s"Group-by columns must be tags of $table.")
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    import graft.core.ValueCounts.{floatFromKey, totalOrderKey}
+    val fullLo = totalOrderKey(Float.NegativeInfinity)
+    val fullHi = totalOrderKey(Float.PositiveInfinity)
+
+    def prunedSegments() = {
+      val segments0 = dataFolder
+        .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
+        .where(fieldColumnPredicate(meta, Seq(field)))
+        .where(GridView.segmentTimePredicate(startUs, endUs))
+      tagPredicate(tagFilters, tagInFilters)
+        .map(segments0.where).getOrElse(segments0)
+    }
+    import org.apache.spark.sql.graft.ColumnBridge
+    def attr(name: String) = ColumnBridge.expression(col(name))
+    val keys = groupByTags.map(col)
+
+    // Grouped census: per group, n, count(> -Inf), count(> +Inf) — one
+    // static-threshold kernel job (the same probe array for every group).
+    val censusArr = (tsLo: Long, tsHi: Long) => ColumnBridge.column(
+      SegmentCountAboveMulti(
+        Seq(Double.NegativeInfinity, Double.PositiveInfinity), tsLo, tsHi,
+        attr("model_type_id"), attr("start_time"), attr("end_time"),
+        attr("timestamps"), attr("min_value"), attr("max_value"),
+        attr("values"), attr("residuals")))
+    def partialsOf(arrOf: (Long, Long) => Column,
+        extra: Seq[Column]): DataFrame = {
+      val segments = prunedSegments()
+      if (startUs.isEmpty && endUs.isEmpty)
+        segments.select(keys ++ Seq(
+          arrOf(Long.MinValue, Long.MaxValue).as("__arr"),
+          SegmentAggregates.lenCol.as("__n")) ++ extra: _*)
+      else {
+        val tsLo = startUs.getOrElse(Long.MinValue)
+        val tsHi = endUs.getOrElse(Long.MaxValue)
+        val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+          endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
+        segments.where(contained).select(keys ++ Seq(
+          arrOf(Long.MinValue, Long.MaxValue).as("__arr"),
+          SegmentAggregates.lenCol.as("__n")) ++ extra: _*)
+          .unionByName(segments.where(!contained).select(keys ++ Seq(
+            arrOf(tsLo, tsHi).as("__arr"),
+            SegmentAggregates.clippedLenCol(tsLo, tsHi).as("__n")) ++
+            extra: _*))
+      }
+    }
+    def reduceArr(parts: DataFrame,
+        width: Int): Seq[org.apache.spark.sql.Row] = {
+      val extracted = parts.select(keys ++ (0 until width).map(i =>
+        element_at(col("__arr"), i + 1).as(s"__in_$i")) :+ col("__n"): _*)
+      val aggs = (0 until width).map(i =>
+        coalesce(sum(col(s"__in_$i")), lit(0L)).as(s"__in_$i")) :+
+        coalesce(sum(col("__n")), lit(0L)).as("__n")
+      extracted.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*).collect()
+    }
+
+    val censusRows = reduceArr(partialsOf(censusArr, Seq.empty), 2)
+    val t = groupByTags.length
+    // group key -> (n, negInfCount, nanCount)
+    val stats: Map[Seq[String], (Long, Long, Long)] = censusRows.map { r =>
+      val g: Seq[String] = List.tabulate(t)(r.getString)
+      val n = r.getLong(t + 2)
+      (g, (n, n - r.getLong(t), r.getLong(t + 1)))
+    }.toMap
+
+    // Per (group, k): the bisection interval. The full range's top (+Inf)
+    // satisfies P for every surviving k (the NaN pre-check), so hi is
+    // always confirmed.
+    val resolved = scala.collection.mutable.Map.empty[(Seq[String], Long), Float]
+    val active = scala.collection.mutable.Map.empty[(Seq[String], Long), (Long, Long)]
+    val wanted: Seq[(Seq[String], Double, Long)] = stats.toSeq.flatMap {
+      case (g, (n, negInf, nan)) => qs.map { q =>
+        val k = math.max(1L, math.ceil(q * n).toLong).min(math.max(n, 1L))
+        (g, q, k)
+      }
+    }
+    wanted.map { case (g, _, k) => (g, k) }.distinct.foreach { case (g, k) =>
+      val (n, negInf, nan) = stats(g)
+      if (n == 0L || k > n - nan) resolved((g, k)) = Float.NaN
+      else if (k <= negInf) resolved((g, k)) = Float.NegativeInfinity
+      else active((g, k)) = (fullLo, fullHi)
+    }
+
+    // One dynamic-probe job per round: each group's probe array is the
+    // concatenation of its active quantiles' ladder points.
+    def probeRound(
+        probesByGroup: Map[Seq[String], Array[Double]])
+        : Map[Seq[String], Array[Long]] = {
+      val maxK = probesByGroup.values.map(_.length).max
+      val rows = probesByGroup.toSeq.map { case (g, xs) =>
+        org.apache.spark.sql.Row.fromSeq(g ++ Seq(xs.toSeq ++
+          Seq.fill(maxK - xs.length)(Double.PositiveInfinity)))
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        groupByTags.map(tc => org.apache.spark.sql.types.StructField(
+          tc, org.apache.spark.sql.types.StringType)) :+
+          org.apache.spark.sql.types.StructField("__xs",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.DoubleType, containsNull = false)))
+      val probesDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      val dynArr = (tsLo: Long, tsHi: Long) => ColumnBridge.column(
+        SegmentCountAboveMultiDyn(tsLo, tsHi, attr("__xs"),
+          attr("model_type_id"), attr("start_time"), attr("end_time"),
+          attr("timestamps"), attr("min_value"), attr("max_value"),
+          attr("values"), attr("residuals")))
+      // The probe join must precede the kernel projection: wrap
+      // partialsOf's segment source by joining inside. Rebuild here with
+      // the join applied first.
+      val segments = prunedSegments().join(broadcast(probesDf), groupByTags)
+      val parts =
+        if (startUs.isEmpty && endUs.isEmpty)
+          segments.select(keys :+
+            dynArr(Long.MinValue, Long.MaxValue).as("__arr") :+
+            SegmentAggregates.lenCol.as("__n"): _*)
+        else {
+          val tsLo = startUs.getOrElse(Long.MinValue)
+          val tsHi = endUs.getOrElse(Long.MaxValue)
+          val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+            endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
+          segments.where(contained).select(keys :+
+            dynArr(Long.MinValue, Long.MaxValue).as("__arr") :+
+            SegmentAggregates.lenCol.as("__n"): _*)
+            .unionByName(segments.where(!contained).select(keys :+
+              dynArr(tsLo, tsHi).as("__arr") :+
+              SegmentAggregates.clippedLenCol(tsLo, tsHi).as("__n"): _*))
+        }
+      reduceArr(parts, maxK).map { r =>
+        val g: Seq[String] = List.tabulate(t)(r.getString)
+        (g, (0 until maxK).map(i => r.getLong(t + i)).toArray)
+      }.toMap
+    }
+
+    def bisect(maxRounds: Int): Unit = {
+      var rounds = 0
+      while (active.nonEmpty && rounds < maxRounds) {
+        rounds += 1
+        val fan = 16L
+        // plan: group -> ordered (k, points) slices into its probe array.
+        val byGroup = active.toSeq.groupBy(_._1._1)
+        val plan: Map[Seq[String], Seq[(Long, Seq[Long])]] = byGroup.map {
+          case (g, entries) => g -> entries.sortBy(_._1._2).map {
+            case ((_, k), (lo, hi)) =>
+              val m = math.min(fan, hi - lo)
+              val pts = (1L to m).map(j => lo + (hi - lo) * j / (m + 1))
+                .distinct.filter(p => p >= lo && p < hi)
+              (k, if (pts.isEmpty) Seq(lo) else pts)
+          }
+        }
+        val counts = probeRound(plan.map { case (g, sl) =>
+          g -> sl.flatMap(_._2).map(p => floatFromKey(p).toDouble).toArray
+        })
+        plan.foreach { case (g, slices) =>
+          val (n, _, _) = stats(g)
+          var off = 0
+          slices.foreach { case (k, ps) =>
+            val flags = ps.indices.map(i => counts(g)(off + i) <= n - k)
+            off += ps.length
+            val (lo, hi) = active((g, k))
+            val newHi = ps.zip(flags).find(_._2).map(_._1).getOrElse(hi)
+            val newLo = ps.zip(flags).takeWhile(!_._2).lastOption
+              .map(_._1 + 1).getOrElse(lo)
+            active((g, k)) = (newLo, newHi)
+          }
+        }
+        active.toSeq.foreach { case (gk, (lo, hi)) =>
+          if (lo >= hi) { resolved(gk) = floatFromKey(hi); active.remove(gk) }
+        }
+      }
+      require(active.isEmpty, "Grouped quantile bisection failed to converge.")
+    }
+    bisect(64)
+
+    // Shared verification job: P(ans) ∧ ¬P(prev) per finite answer; any
+    // casualty redoes its full range (same guard as exactQuantiles).
+    val finite = resolved.toSeq.collect {
+      case (gk @ (g, k), v) if !v.isNaN && !v.isInfinite => (gk, v)
+    }
+    if (finite.nonEmpty) {
+      val byG = finite.groupBy(_._1._1)
+      val checks = probeRound(byG.map { case (g, entries) =>
+        g -> entries.sortBy(_._1._2).flatMap { case ((_, _), v) =>
+          val key = totalOrderKey(v)
+          Seq(floatFromKey(key).toDouble,
+            floatFromKey(math.max(fullLo, key - 1)).toDouble)
+        }.toArray
+      })
+      val bad = byG.toSeq.flatMap { case (g, entries) =>
+        val (n, _, _) = stats(g)
+        entries.sortBy(_._1._2).zipWithIndex.filter { case (((_, k), v), i) =>
+          val key = totalOrderKey(v)
+          val pAns = checks(g)(2 * i) <= n - k
+          val pPrev = checks(g)(2 * i + 1) <= n - k
+          !pAns || (key > fullLo && pPrev)
+        }.map(_._1._1)
+      }
+      if (bad.nonEmpty) {
+        bad.foreach { gk => resolved.remove(gk); active(gk) = (fullLo, fullHi) }
+        bisect(64)
+      }
+    }
+
+    val out = wanted.map { case (g, q, k) =>
+      val v = resolved((g, k))
+      org.apache.spark.sql.Row.fromSeq(
+        g ++ Seq(q, if (v == 0.0f) 0.0f else v))
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      groupByTags.map(tc => org.apache.spark.sql.types.StructField(
+        tc, org.apache.spark.sql.types.StringType)) ++ Seq(
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField(s"q_$field",
+          org.apache.spark.sql.types.FloatType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out.toSeq, 1), outSchema)
+  }
+
   /** [[thresholdCount]] with PER-GROUP bounds: `bounds` carries some of the
     * table's tag columns plus `lower`/`upper` (doubles; NULL = unbounded,
     * upper semantics as in [[thresholdCount]]), is broadcast-joined to the

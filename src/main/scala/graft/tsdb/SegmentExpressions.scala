@@ -536,3 +536,60 @@ case class SegmentCountBetween(
       newChildren(3), newChildren(4), newChildren(5), newChildren(6),
       newChildren(7), newChildren(8), newChildren(9))
 }
+
+/** [[SegmentCountAboveMulti]] with PER-ROW thresholds: the probe array is
+  * a child expression (array<double>, broadcast-joined onto the segment
+  * relation by tag group), so one job can answer DIFFERENT thresholds for
+  * different series — the probe behind the per-group exact-quantile
+  * ladder, where each group bisects its own interval.
+  */
+case class SegmentCountAboveMultiDyn(
+    tsLo: Long, tsHi: Long, lowers: Expression,
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(
+    lowers, modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.core.ValueCounts.countAboveMulti(
+        lowers.eval(input)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toDoubleArray(),
+        tsLo, tsHi,
+        modelTypeId.eval(input).asInstanceOf[Byte],
+        startTime.eval(input).asInstanceOf[Long],
+        endTime.eval(input).asInstanceOf[Long],
+        timestamps.eval(input).asInstanceOf[Array[Byte]],
+        minValue.eval(input).asInstanceOf[Float],
+        maxValue.eval(input).asInstanceOf[Float],
+        values.eval(input).asInstanceOf[Array[Byte]],
+        residuals.eval(input).asInstanceOf[Array[Byte]]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val arrCls = classOf[org.apache.spark.sql.catalyst.util.ArrayData].getName
+    val genCls = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |$arrCls ${ev.value} = new $genCls(
+           |  graft.core.ValueCounts.countAboveMulti(
+           |  ((${arrCls}) ${evals.head.value}).toDoubleArray(), ${tsLo}L,
+           |  ${tsHi}L, ${evals.tail.map(_.value).mkString(", ")}));
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(tsLo, tsHi, newChildren(0), newChildren(1), newChildren(2),
+      newChildren(3), newChildren(4), newChildren(5), newChildren(6),
+      newChildren(7), newChildren(8))
+}

@@ -169,6 +169,18 @@ object ScaleDrive {
         s"corr ${got.getDouble(3)} != control $ctrl")
     }
 
+    val medians = timed("exact median per series (1000)") {
+      engine.exactQuantilesBy("big", "v", Seq(0.5), Seq("tag"))
+        .collect().map(r => r.getString(0) -> r.getFloat(2)).toMap
+    }
+    println(f"  medians: ${medians.size}%,d series")
+    timed("median spot control (s0)") {
+      val vals = engine.readTable("big").where(col("tag") === "s0")
+        .select(col("v")).collect().map(_.getFloat(0)).sorted
+      val want = vals(math.ceil(0.5 * vals.length).toInt - 1)
+      assert(medians("s0") == want, s"median ${medians("s0")} != $want")
+    }
+
     timed("first/last via SQL rewrite") {
       val r = engine.sql(
         "SELECT min_by(v, ts) AS f, max_by(v, ts) AS l FROM big")

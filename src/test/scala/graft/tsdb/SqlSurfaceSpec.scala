@@ -379,7 +379,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "GROUP BY tag, dayofweek(ts) ORDER BY tag, d",
       "SELECT weekday(ts) AS d, MIN(v) AS mn FROM ph GROUP BY 1 ORDER BY 1",
       "SELECT minute(ts) AS m, COUNT(*) AS n FROM ph WHERE tag = 't0' " +
-        "GROUP BY 1 ORDER BY 1")
+        "GROUP BY 1 ORDER BY 1",
+      // Time ranges compose: the grain buckets clip, phases fold after.
+      // (Mid-fixture cut: the data spans 2023-11-14 .. 2023-11-19.)
+      "SELECT hour(ts) AS h, COUNT(*) AS n, SUM(v) AS s FROM ph " +
+        "WHERE ts >= TIMESTAMP '2023-11-16 22:13:20' GROUP BY 1 ORDER BY 1")
     for (q <- rewritten) {
       val got = engine.sql(q)
       val plan = got.queryExecution.executedPlan.toString

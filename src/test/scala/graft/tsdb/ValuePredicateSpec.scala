@@ -350,6 +350,59 @@ class ValuePredicateSpec extends AnyFunSuite {
       wantR.toDouble) == 0 || (gotR.head._2.isNaN && wantR.isNaN))
   }
 
+  test("exactQuantilesBy matches per-group point-level order statistics") {
+    val engine = newEngine()
+    buildTable(engine, "qg", "", irregular = false)
+    buildTable(engine, "qgy", "(2.0%)", irregular = true)
+    val qs = Seq(0.25, 0.5, 0.99, 1.0)
+    for (tbl <- Seq("qg", "qgy")) {
+      val byTag = engine.readTable(tbl)
+        .select(col("tag"), col("value")).collect()
+        .groupBy(_.getString(0))
+        .map { case (tag, rows) =>
+          tag -> rows.map(_.getFloat(1)).sortWith((a, b) =>
+            graft.core.ValueCounts.sqlCompare(a.toDouble, b.toDouble) < 0)
+        }
+      val got = engine.exactQuantilesBy(tbl, "value", qs, Seq("tag"))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getFloat(2))
+        .toMap
+      assert(got.size == byTag.size * qs.size)
+      byTag.foreach { case (tag, sorted) =>
+        qs.foreach { q =>
+          val k = math.max(1L, math.ceil(q * sorted.length).toLong).toInt
+          val want = sorted(k - 1)
+          val v = got((tag, q))
+          assert(graft.core.ValueCounts.sqlCompare(v.toDouble,
+            want.toDouble) == 0 || (v.isNaN && want.isNaN),
+            s"table=$tbl tag=$tag q=$q got=$v want=$want")
+        }
+      }
+    }
+    // Ranged: each group's window clips independently.
+    val bounds = engine.readTable("qg")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (wLo, wHi) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val inWin = engine.readTable("qg")
+      .where(unix_micros(col("ts")).between(wLo, wHi))
+      .select(col("tag"), col("value")).collect()
+      .groupBy(_.getString(0))
+      .map { case (tag, rows) =>
+        tag -> rows.map(_.getFloat(1)).sortWith((a, b) =>
+          graft.core.ValueCounts.sqlCompare(a.toDouble, b.toDouble) < 0)
+      }
+    val gotR = engine.exactQuantilesBy("qg", "value", Seq(0.5), Seq("tag"),
+        startTime = Some(inst(wLo)), endTime = Some(inst(wHi)))
+      .collect().map(r => r.getString(0) -> r.getFloat(2)).toMap
+    inWin.foreach { case (tag, sorted) =>
+      val want = sorted(math.max(1, math.ceil(0.5 * sorted.length).toInt) - 1)
+      assert(graft.core.ValueCounts.sqlCompare(gotR(tag).toDouble,
+        want.toDouble) == 0 || (gotR(tag).isNaN && want.isNaN),
+        s"ranged tag=$tag")
+    }
+  }
+
   test("trendStats matches a point-level least-squares replay") {
     val engine = newEngine()
     buildTable(engine, "tt", "", irregular = true)
