@@ -99,6 +99,13 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     * arithmetic at offset zero).
     */
   private[plans] final case class PhaseRef(outName: String) extends AggSpec
+  /** `percentile(field, q)` / `median(field)` — answered by the grouped
+    * exact-rank ladder ([[graft.tsdb.Engine.exactRanksBy]], no sort, no
+    * decode) with Spark's own interpolation arithmetic replayed on the
+    * two bracketing order statistics.
+    */
+  private[plans] final case class PercentileAgg(
+    field: String, q: Double, outName: String) extends AggSpec
 
   /** How a `date_trunc` grouping buckets time: a fixed width in micros
     * (epoch-aligned, answered by the pmod plan) or a calendar truncation
@@ -270,7 +277,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           val flat = specs.flatten
           val hasAgg = flat.exists(s =>
             s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
-              s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg])
+              s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg] ||
+              s.isInstanceOf[PercentileAgg])
           val hasTagDistinct = flat.exists(_.isInstanceOf[TagDistinctAgg])
           // A tag column named like an internal output of the rewritten
           // plan ('bucket', or a produced '<kind>_<column>') would make
@@ -309,7 +317,17 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             }.distinct
             kindsOk && fields.size <= 1
           }
-          if (collides || !binOk || !phaseOk) None
+          // Percentiles build a driver-refined answer frame: only plain
+          // tag groupings compose, and all percentiles must share one
+          // stored field (one ladder per build).
+          val pAggs = flat.collect { case p: PercentileAgg => p }
+          val percOk = pAggs.isEmpty || (flat.forall {
+            case TagRef(_) => true
+            case _: PercentileAgg => true
+            case _ => false
+          } && pAggs.map(_.field).distinct.size == 1 &&
+            bucket.isEmpty && bin.isEmpty && phase.isEmpty)
+          if (collides || !binOk || !phaseOk || !percOk) None
           else filterCond match {
             case _ if (!hasAgg || hasTagDistinct) && bucket.nonEmpty =>
               // Distinct buckets (and DISTINCT-tag counts per bucket)
@@ -705,6 +723,24 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           // columns that are linear over a stored field — fold onto the
           // base field's closed forms. Bare stored-field cases matched
           // above keep their plain FieldAgg plans.
+          // percentile(f, q) / median(f): the exact-rank ladder answers
+          // the two bracketing order statistics per group; Spark's own
+          // interpolation replays on them. Scalar literal percentages
+          // only (array percentages keep their list plan), frequency 1.
+          case p: Percentile
+              if p.dataType == DoubleType && !p.reverse &&
+                (p.frequencyExpression match {
+                  case Literal(1L, LongType) => true
+                  case _ => false
+                }) =>
+            for {
+              f <- varianceField(meta, p.child)
+              q <- constOf(p.percentageExpression)
+              if q >= 0.0 && q <= 1.0
+            } yield PercentileAgg(f, q, outName)
+          case md: Median =>
+            varianceField(meta, md.child).map(f =>
+              PercentileAgg(f, 0.5, outName))
           case Count(Seq(e1)) =>
             linearOf(engine, meta, e1).map(le =>
               FieldExprAgg("count", le.field, outName, le.scale, le.shift,
@@ -1023,6 +1059,63 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           s"unsupported spec $other under a time-phase grouping")
       }
       prof.select(ordered: _*)
+    } else if (m.specs.exists(_.isInstanceOf[PercentileAgg])) {
+      // percentile/median: resolve the two bracketing order statistics
+      // per group with the exact-rank ladder (no sort, no decode, ~10
+      // jobs regardless of group count), then replay Spark's OWN
+      // interpolation — (higher−pos)·vLo + (pos−lower)·vHi with the
+      // boxed-equality shortcut — so the splice reproduces Percentile's
+      // result exactly. The output is an answer-sized driver frame.
+      val pAggs = m.specs.collect { case p: PercentileAgg => p }
+      val field = pAggs.map(_.field).distinct.head
+      val qsP = pAggs.map(_.q).distinct
+      def inst(us: Long) = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      def ranksFor(n: Long): Seq[Long] =
+        if (n <= 0L) Seq.empty
+        else qsP.flatMap { q =>
+          val pos = (n - 1).toDouble * q
+          Seq(math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
+        }.distinct
+      val (stats, resolved) = engine.exactRanksBy(m.meta.name, field,
+        ranksFor, m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
+        m.tagEq, m.tagIn)
+      def valueAt(g: Seq[String], q: Double): Double = {
+        val n = stats(g)._1
+        val pos = (n - 1).toDouble * q
+        val lower = math.floor(pos).toLong
+        val higher = math.ceil(pos).toLong
+        val vLo = resolved((g, lower + 1L))
+        if (higher == lower) vLo.toDouble
+        else {
+          val vHi = resolved((g, higher + 1L))
+          // Boxed Float equality as Spark compares map keys: NaN equals
+          // NaN, -0.0 does not equal 0.0.
+          if (java.lang.Float.valueOf(vLo)
+              .equals(java.lang.Float.valueOf(vHi))) vLo.toDouble
+          else (higher.toDouble - pos) * vLo.toDouble +
+            (pos - lower.toDouble) * vHi.toDouble
+        }
+      }
+      val groups = stats.keys.toSeq.sortBy(_.mkString("\u0000"))
+      val rows = groups.map { g =>
+        org.apache.spark.sql.Row.fromSeq(m.specs.map {
+          case TagRef(tag) => g(m.groupTags.indexOf(tag))
+          case PercentileAgg(_, q, _) => valueAt(g, q)
+          case other => throw new IllegalStateException(
+            s"unsupported spec $other alongside percentiles")
+        })
+      }
+      val schema = org.apache.spark.sql.types.StructType(m.specs.map {
+        case TagRef(tag) =>
+          org.apache.spark.sql.types.StructField(tag, StringType)
+        case PercentileAgg(_, _, outName) =>
+          org.apache.spark.sql.types.StructField(outName, DoubleType)
+        case other => throw new IllegalStateException(
+          s"unsupported spec $other alongside percentiles")
+      })
+      engine.spark.createDataFrame(
+        engine.spark.sparkContext.parallelize(rows, 1), schema)
     } else if (!m.specs.exists(s => s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
         s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg])) {
       // Pure tag grouping (`SELECT DISTINCT tag`, `GROUP BY tag` with no

@@ -690,6 +690,26 @@ object TsQueries {
       JOIN s ON s.rn = CAST(ceil(t.q * s.n) AS BIGINT)
       ORDER BY user, q""")),
 
+    // Spark's own median()/percentile() through the SQL surface: the
+    // rewrite resolves the two bracketing order statistics per group
+    // with the exact-rank ladder (no sort, no decode) and replays
+    // Percentile's interpolation arithmetic bit-for-bit. The oracle is
+    // DuckDB's continuous quantile — the same q·(n−1) interpolation.
+    ("ts_sql_median", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, round(med, 4) AS med, round(p90, 4) AS p90 FROM (" +
+          "SELECT user, median(value) AS med, " +
+          "percentile(value, 0.9) AS p90 FROM events_lossless " +
+          "GROUP BY user) ORDER BY user")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.5), 4)
+          AS med,
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.9), 4)
+          AS p90
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
     // LTTB visualization downsample (parallel variant): one point per
     // series per day, maximizing the triangle area against the neighbor
     // buckets' bounding-box centers — the anchors come from the

@@ -1192,6 +1192,48 @@ final class Engine(val spark: SparkSession, val root: String) {
     require(qs.forall(q => q > 0.0 && q <= 1.0), "Quantiles must be in (0, 1].")
     require(groupByTags.nonEmpty,
       "Use exactQuantiles for the ungrouped whole-table case.")
+    val (stats, resolved) = exactRanksBy(table, field,
+      n => qs.map(q => math.max(1L, math.ceil(q * n).toLong)
+        .min(math.max(n, 1L))).distinct,
+      groupByTags, startTime, endTime, tagFilters, tagInFilters)
+    val out = stats.keys.toSeq.sortBy(_.mkString("\u0000")).flatMap { g =>
+      val n = stats(g)._1
+      qs.map { q =>
+        val k = math.max(1L, math.ceil(q * n).toLong).min(math.max(n, 1L))
+        val v = resolved((g, k))
+        org.apache.spark.sql.Row.fromSeq(
+          g ++ Seq(q, if (v == 0.0f) 0.0f else v))
+      }
+    }
+    val outSchema = org.apache.spark.sql.types.StructType(
+      groupByTags.map(tc => org.apache.spark.sql.types.StructField(
+        tc, org.apache.spark.sql.types.StringType)) ++ Seq(
+        org.apache.spark.sql.types.StructField("q",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField(s"q_$field",
+          org.apache.spark.sql.types.FloatType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(out, 1), outSchema)
+  }
+
+  /** The grouped exact-order-statistic core behind [[exactQuantilesBy]]
+    * and the percentile SQL splice: resolves, per tag group, the
+    * `ranksOf(n_group)` 1-based ranks of the field under the SQL float
+    * total order, returning the per-group census (n, count(-Inf),
+    * count(NaN)) and every resolved (group, rank) value. Ranks beyond
+    * the non-NaN tail resolve to NaN, ranks inside the -Inf head to
+    * -Inf; everything else bisects.
+    */
+  private[graft] def exactRanksBy(table: String, field: String,
+      ranksOf: Long => Seq[Long], groupByTags: Seq[String],
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty)
+      : (Map[Seq[String], (Long, Long, Long)],
+         Map[(Seq[String], Long), Float]) = {
+    // groupByTags may be EMPTY: the whole table is then one group with
+    // key Nil (used by the percentile SQL splice for global medians).
     val meta = dataFolder.metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
     require(meta.fieldColumns.contains(field),
@@ -1269,17 +1311,14 @@ final class Engine(val spark: SparkSession, val root: String) {
     // always confirmed.
     val resolved = scala.collection.mutable.Map.empty[(Seq[String], Long), Float]
     val active = scala.collection.mutable.Map.empty[(Seq[String], Long), (Long, Long)]
-    val wanted: Seq[(Seq[String], Double, Long)] = stats.toSeq.flatMap {
-      case (g, (n, negInf, nan)) => qs.map { q =>
-        val k = math.max(1L, math.ceil(q * n).toLong).min(math.max(n, 1L))
-        (g, q, k)
+    stats.foreach { case (g, (n, negInf, nan)) =>
+      ranksOf(n).distinct.foreach { k =>
+        require(k >= 1L && k <= math.max(n, 1L),
+          s"rank $k out of range for a group of $n")
+        if (n == 0L || k > n - nan) resolved((g, k)) = Float.NaN
+        else if (k <= negInf) resolved((g, k)) = Float.NegativeInfinity
+        else active((g, k)) = (fullLo, fullHi)
       }
-    }
-    wanted.map { case (g, _, k) => (g, k) }.distinct.foreach { case (g, k) =>
-      val (n, negInf, nan) = stats(g)
-      if (n == 0L || k > n - nan) resolved((g, k)) = Float.NaN
-      else if (k <= negInf) resolved((g, k)) = Float.NegativeInfinity
-      else active((g, k)) = (fullLo, fullHi)
     }
 
     // One dynamic-probe job per round: each group's probe array is the
@@ -1307,8 +1346,11 @@ final class Engine(val spark: SparkSession, val root: String) {
           attr("values"), attr("residuals")))
       // The probe join must precede the kernel projection: wrap
       // partialsOf's segment source by joining inside. Rebuild here with
-      // the join applied first.
-      val segments = prunedSegments().join(broadcast(probesDf), groupByTags)
+      // the join applied first. An empty tag set means ONE probe row for
+      // the whole table — a broadcast cross join.
+      val segments =
+        if (groupByTags.isEmpty) prunedSegments().crossJoin(broadcast(probesDf))
+        else prunedSegments().join(broadcast(probesDf), groupByTags)
       val parts =
         if (startUs.isEmpty && endUs.isEmpty)
           segments.select(keys :+
@@ -1400,21 +1442,7 @@ final class Engine(val spark: SparkSession, val root: String) {
         bisect(64)
       }
     }
-
-    val out = wanted.map { case (g, q, k) =>
-      val v = resolved((g, k))
-      org.apache.spark.sql.Row.fromSeq(
-        g ++ Seq(q, if (v == 0.0f) 0.0f else v))
-    }
-    val outSchema = org.apache.spark.sql.types.StructType(
-      groupByTags.map(tc => org.apache.spark.sql.types.StructField(
-        tc, org.apache.spark.sql.types.StringType)) ++ Seq(
-        org.apache.spark.sql.types.StructField("q",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField(s"q_$field",
-          org.apache.spark.sql.types.FloatType)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(out.toSeq, 1), outSchema)
+    (stats, resolved.toMap)
   }
 
   /** [[thresholdCount]] with PER-GROUP bounds: `bounds` carries some of the

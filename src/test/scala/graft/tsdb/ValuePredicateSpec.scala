@@ -263,6 +263,65 @@ class ValuePredicateSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL percentile/median rewrites to the exact-rank ladder") {
+    val engine = newEngine()
+    buildTable(engine, "pm", "", irregular = false)
+    engine.readTable("pm").createOrReplaceTempView("pm_raw")
+    def fmt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, (us % 1000000L * 1000L).toInt, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val bounds = engine.readTable("pm")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val mid = fmt((bounds.getLong(0) + bounds.getLong(1)) / 2)
+
+    // The fixture has NaN rows: Spark's Percentile sorts NaN greatest,
+    // which the total-order ladder reproduces; interpolation arithmetic
+    // must match bit-for-bit (exact == below, NaN-tolerant).
+    val rewritten = Seq(
+      "SELECT tag, median(value) AS med FROM pm GROUP BY tag ORDER BY tag",
+      "SELECT tag, percentile(value, 0.9) AS p90, " +
+        "percentile(value, 0.25) AS p25 FROM pm GROUP BY tag ORDER BY tag",
+      "SELECT median(value) AS med FROM pm",
+      "SELECT tag, median(value) AS med FROM pm WHERE tag = 'a' " +
+        "GROUP BY tag",
+      s"SELECT tag, median(value) AS med FROM pm " +
+        s"WHERE ts >= TIMESTAMP '$mid' GROUP BY tag ORDER BY tag")
+    for (q <- rewritten) {
+      val df = engine.sql(q)
+      assert(!df.queryExecution.executedPlan.toString.contains("Generate"),
+        s"percentile must not decode points: $q")
+      val got = df.collect()
+      val want = spark.sql(q.replace("FROM pm", "FROM pm_raw")).collect()
+      assert(got.length == want.length, q)
+      got.zip(want).foreach { case (a, b) =>
+        a.toSeq.zip(b.toSeq).foreach {
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            assert(java.lang.Double.compare(x, y) == 0, s"$q: $a vs $b")
+          case (x, y) => assert(x == y, s"$q: $a vs $b")
+        }
+      }
+    }
+
+    // No closed form: mixed with other aggregates, array percentages,
+    // value predicates — those grid, same answers.
+    val declined = Seq(
+      "SELECT tag, median(value) AS med, sum(value) AS s FROM pm " +
+        "GROUP BY tag ORDER BY tag",
+      "SELECT percentile(value, array(0.25, 0.75)) AS ps FROM pm",
+      "SELECT tag, median(value) AS med FROM pm WHERE value > 0.0 " +
+        "GROUP BY tag ORDER BY tag")
+    for (q <- declined) {
+      val df = engine.sql(q)
+      assert(df.queryExecution.executedPlan.toString.contains("Generate"),
+        s"should grid: $q")
+      val want = spark.sql(q.replace("FROM pm", "FROM pm_raw")).collect()
+        .map(_.toSeq.map(String.valueOf)).toSeq
+      assert(df.collect().map(_.toSeq.map(String.valueOf)).toSeq == want, q)
+    }
+  }
+
   test("lttbDownsample matches a full point-level replay incl. NaN runs") {
     val engine = newEngine()
     buildTable(engine, "lt", "", irregular = true)
