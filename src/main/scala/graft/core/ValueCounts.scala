@@ -246,6 +246,92 @@ object ValueCounts {
     }
   }
 
+  /** (count, Σv, min, max) of the reconstructed values inside the value
+    * interval — lower EXCLUSIVE (ignored when `hasLower` is false), upper
+    * INCLUSIVE with Double.NaN as the "unbounded" sentinel (the total
+    * order's maximum, so NaN values are included) — among points whose
+    * timestamp lies in [tsLo, tsHi]. Returned as
+    * `Array(count, sum, min, max)` with min/max meaningful only when
+    * count > 0 (an all-NaN in-range set carries NaN min/max — exactly the
+    * NaN-greatest order Spark's own MIN/MAX aggregates follow). The sum
+    * accumulates in f64 like [[Models.sumDouble]]; min/max/count are
+    * exact. Stored bounds short-circuit entirely-out segments without
+    * touching the binary columns, and a Swing segment's in-range run is
+    * located by binary search (values are monotone) so only that run is
+    * evaluated.
+    */
+  def statsInRange(lower: Double, hasLower: Boolean, upper: Double,
+      tsLo: Long, tsHi: Long, mt: Byte, st: Long, et: Long,
+      tsBytes: Array[Byte], mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): Array[Double] = {
+    val acc = new StatsAcc(lower, hasLower, upper)
+    if (hasLower && sqlCompare(lower, upper) >= 0) return acc.result()
+    // Metadata short-circuit, mirroring SegmentAggregates.allOutCol: the
+    // NaN-ignoring stored bounds cover every non-NaN value, and a HIDDEN
+    // NaN (MacaqueV / residual tails only) passes any lower bound but
+    // fails every finite upper — only the NaN sentinel keeps it in.
+    val hideable = mt == Models.MacaqueVId || Models.residualsLength(residuals) > 0
+    val upperUnbounded = java.lang.Double.isNaN(upper)
+    val outBelow = hasLower && sqlCompare(mx.toDouble, lower) <= 0 &&
+      !(upperUnbounded && hideable)
+    val outAbove = !upperUnbounded && sqlCompare(mn.toDouble, upper) > 0
+    if (outBelow || outAbove) return acc.result()
+    traverse(tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals, acc)
+    acc.result()
+  }
+
+  private final class StatsAcc(lower: Double, hasLower: Boolean,
+      upper: Double) extends Acc {
+    private var count = 0L
+    private var sum = 0.0
+    private var mnV = 0.0f
+    private var mxV = 0.0f
+
+    private def in(v: Float): Boolean = {
+      val d = v.toDouble
+      (!hasLower || sqlCompare(d, lower) > 0) && sqlCompare(d, upper) <= 0
+    }
+
+    private def note(v: Float, n: Long): Unit = {
+      if (count == 0L) { mnV = v; mxV = v }
+      else {
+        if (sqlCompare(v.toDouble, mnV.toDouble) < 0) mnV = v
+        if (sqlCompare(v.toDouble, mxV.toDouble) > 0) mxV = v
+      }
+      count += n
+      // n·v is exact in f64 for any float v and realistic n (24+31 < 53
+      // mantissa bits), so constant runs lose nothing to the fold.
+      sum += v.toDouble * n.toDouble
+    }
+
+    override def addConstant(v: Float, n: Int): Unit =
+      if (in(v)) note(v, n.toLong)
+
+    override def addValue(v: Float): Unit = if (in(v)) note(v, 1L)
+
+    override def addMonotone(eval: Int => Float, from: Int, until: Int): Unit =
+      if (until - from <= 8) {
+        var i = from
+        while (i < until) { addValue(eval(i)); i += 1 }
+      } else {
+        // The satisfying indices form one contiguous run (monotone values,
+        // monotone membership): locate it with the shared binary searches,
+        // then evaluate only the run.
+        val leU = monotoneCountLE(upper, eval, from, until)
+        val leL = if (hasLower) monotoneCountLE(lower, eval, from, until) else 0
+        val nonDecr = !(eval(from) > eval(until - 1))
+        val runFrom = if (nonDecr) from + leL else until - leU
+        val runUntil = if (nonDecr) from + leU else until - leL
+        var i = runFrom
+        while (i < runUntil) { note(eval(i), 1L); i += 1 }
+      }
+
+    def result(): Array[Double] = Array(
+      count.toDouble, sum,
+      if (count == 0L) Double.NaN else mnV.toDouble,
+      if (count == 0L) Double.NaN else mxV.toDouble)
+  }
+
   /** Per-threshold counts of reconstructed values v with v > xs(i) under
     * the SQL total order (NaN counts against every threshold), among
     * points whose timestamp lies in [tsLo, tsHi] — MANY thresholds from

@@ -350,21 +350,27 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                 if ((!hasAgg || hasTagDistinct) && (lo.nonEmpty || hi.nonEmpty))
                   None
                 else if (vb.nonEmpty) {
-                  // A value predicate restricts WHICH points count — only
-                  // plain COUNTs (over any column: fields are aligned and
+                  // A value predicate restricts WHICH points aggregate.
+                  // COUNTs (over any column: fields are aligned and
                   // non-null, so they all count the predicate-passing
-                  // rows) answer from segments via thresholdCount.
-                  // MIN/SUM/… of a value-filtered set, DISTINCT shapes,
-                  // and time buckets have no closed form — grid those.
-                  val countsOnly = flat.forall {
+                  // rows) answer via thresholdCount, and SUM/MIN/MAX/AVG
+                  // of the PREDICATE'S OWN field via thresholdStats — a
+                  // different field would need a joint decode of two
+                  // per-field segment streams. DISTINCT shapes and time
+                  // buckets have no closed form — grid those.
+                  val aggsOk = flat.forall {
                     case TagRef(_) => true
                     case FieldAgg("count", _, _) => true
+                    case FieldAgg("sum" | "min" | "max" | "avg", f, _) =>
+                      vb.exists(_.field == f)
                     case _ => false
                   }
                   val produced = vb.map(b =>
-                    Set(s"count_in_${b.field}", s"count_${b.field}"))
+                    Set(s"count_in_${b.field}", s"count_${b.field}",
+                      s"sum_in_${b.field}", s"min_in_${b.field}",
+                      s"max_in_${b.field}", s"avg_in_${b.field}"))
                     .getOrElse(Set.empty)
-                  if (!countsOnly || !hasAgg || bucket.nonEmpty ||
+                  if (!aggsOk || !hasAgg || bucket.nonEmpty ||
                       bin.nonEmpty || phase.nonEmpty ||
                       groupTags.exists(produced.contains))
                     None
@@ -982,31 +988,61 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
 
   private[plans] def build(engine: Engine, m: MatchResult): DataFrame = {
     if (m.valueBound.nonEmpty) {
-      // Value-predicate COUNT: route through thresholdCount — stored
-      // bounds settle most segments without decode, and an upper-only
-      // bound counts by complement against the same pass's total.
+      // Value-predicate aggregates. COUNT-only queries route through
+      // thresholdCount — stored bounds settle most segments without
+      // decode, and an upper-only bound counts by complement against the
+      // same pass's total. SUM/MIN/MAX/AVG route through thresholdStats
+      // (one kernel pass per straddling segment). Either way, tag groups
+      // where NOTHING qualifies are dropped — the gridded plan's Filter
+      // removes those rows before grouping, so the groups never exist.
       val vb = m.valueBound.get
       def inst(us: Long) = java.time.Instant.ofEpochSecond(
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
-      val (lower, upper, complement) = (vb.lower, vb.upper) match {
-        case (Some(l), Some(u)) => (l, u, false)
-        case (Some(l), scala.None) => (l, Double.NaN, false)
-        case (scala.None, Some(u)) => (u, Double.NaN, true)
-        case (scala.None, scala.None) =>
-          throw new IllegalStateException("value bound without bounds")
+      val countsOnly = m.specs.forall {
+        case TagRef(_) | FieldAgg("count", _, _) => true
+        case _ => false
       }
-      val tc = engine.thresholdCount(m.meta.name, vb.field, lower, upper,
-        m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq, m.tagIn)
-      val cnt =
-        if (complement) col(s"count_${vb.field}") - col(s"count_in_${vb.field}")
-        else col(s"count_in_${vb.field}")
-      val ordered = m.specs.map {
-        case TagRef(tag) => col(tag)
-        case FieldAgg("count", _, outName) => cnt.as(outName)
-        case other => throw new IllegalStateException(
-          s"non-count spec $other under a value predicate")
+      if (countsOnly) {
+        val (lower, upper, complement) = (vb.lower, vb.upper) match {
+          case (Some(l), Some(u)) => (l, u, false)
+          case (Some(l), scala.None) => (l, Double.NaN, false)
+          case (scala.None, Some(u)) => (u, Double.NaN, true)
+          case (scala.None, scala.None) =>
+            throw new IllegalStateException("value bound without bounds")
+        }
+        val tc = engine.thresholdCount(m.meta.name, vb.field, lower, upper,
+          m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq,
+          m.tagIn)
+        val cnt =
+          if (complement) col(s"count_${vb.field}") - col(s"count_in_${vb.field}")
+          else col(s"count_in_${vb.field}")
+        val nonEmpty = if (m.groupTags.nonEmpty) tc.where(cnt > 0L) else tc
+        val ordered = m.specs.map {
+          case TagRef(tag) => col(tag)
+          case FieldAgg("count", _, outName) => cnt.as(outName)
+          case other => throw new IllegalStateException(
+            s"non-count spec $other under a value predicate")
+        }
+        nonEmpty.select(ordered: _*)
+      } else {
+        val f = vb.field
+        val ts = engine.thresholdStats(m.meta.name, f, vb.lower, vb.upper,
+          m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq,
+          m.tagIn)
+        val nonEmpty =
+          if (m.groupTags.nonEmpty) ts.where(col(s"count_in_$f") > 0L)
+          else ts
+        val ordered = m.specs.map {
+          case TagRef(tag) => col(tag)
+          case FieldAgg("count", _, outName) =>
+            col(s"count_in_$f").as(outName)
+          case FieldAgg(kind @ ("sum" | "min" | "max" | "avg"), _, outName) =>
+            col(s"${kind}_in_$f").as(outName)
+          case other => throw new IllegalStateException(
+            s"unsupported spec $other under a value predicate")
+        }
+        nonEmpty.select(ordered: _*)
       }
-      tc.select(ordered: _*)
     } else if (m.valueBin.nonEmpty) {
       // Value-bin grouping: the SQL spelling of a fixed-width histogram —
       // route through valueHistogram in Spark-floor semantics (non-finite

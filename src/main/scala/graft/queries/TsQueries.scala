@@ -426,6 +426,31 @@ object TsQueries {
       FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0
       GROUP BY 1 ORDER BY 1""")),
 
+    // Value-FILTERED sum/min/max/avg through the SQL surface: the rewrite
+    // routes `sum(value) WHERE value > x` (and min/max/avg/count of the
+    // predicate's own field) through thresholdStats — stored bounds settle
+    // entirely-out segments from metadata, straddling segments run one
+    // kernel pass that binary-searches the monotone in-range run, and tag
+    // groups where nothing qualifies are dropped like the gridded plan's
+    // Filter would. No Generate in the executed plan.
+    ("ts_sql_filtered_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, n, round(s, 4) AS s, mn, mx, round(a, 4) AS a " +
+          "FROM (SELECT user, count(*) AS n, sum(value) AS s, " +
+          "min(value) AS mn, max(value) AS mx, avg(value) AS a " +
+          "FROM events_lossless WHERE value > 100.0 GROUP BY user) " +
+          "ORDER BY user")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(count(*) AS BIGINT) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS s,
+        min(CAST(value AS FLOAT4)) AS mn,
+        max(CAST(value AS FLOAT4)) AS mx,
+        round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS a
+      FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0
+      GROUP BY 1 ORDER BY 1""")),
+
     // The histogram through the SQL surface: the Catalyst rewrite
     // recognizes `GROUP BY floor((value - o) / w)` + row counts and
     // splices the segment-native histogram plan (single-bin segments

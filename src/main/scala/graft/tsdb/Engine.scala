@@ -862,6 +862,76 @@ final class Engine(val spark: SparkSession, val root: String) {
     else partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Segment-native value-FILTERED aggregates: count, sum, min, max, and
+    * avg of a field's values inside the value interval — `lower` EXCLUSIVE
+    * (None = unbounded below), `upper` INCLUSIVE (None = unbounded above,
+    * NaN values included) — optionally per tag group and time-ranged. The
+    * SQL `sum(v) FILTER (WHERE v > x)` family answered WITHOUT
+    * reconstructing the point stream: stored bounds settle entirely-out
+    * segments from metadata (the dominant case under selective
+    * predicates), and straddling segments run one kernel pass that
+    * binary-searches the monotone in-range run for Swing models. Output:
+    * (tags…, count_in_f, sum_in_f, min_in_f, max_in_f, avg_in_f) with the
+    * numeric aggregates NULL for groups where nothing qualifies —
+    * matching Spark's own empty-aggregate semantics.
+    */
+  def thresholdStats(table: String, field: String,
+      lower: Option[Double], upper: Option[Double] = scala.None,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    require(groupByTags.forall(meta.tagColumns.contains),
+      s"Group-by columns must be tags of $table.")
+    val up = upper.getOrElse(Double.NaN)
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+
+    val segments0 = dataFolder
+      .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
+      .where(fieldColumnPredicate(meta, Seq(field)))
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPredicate(tagFilters, tagInFilters)
+      .map(segments0.where).getOrElse(segments0)
+
+    val keys = groupByTags.map(col)
+    val partials =
+      if (startUs.isEmpty && endUs.isEmpty)
+        segments.select(keys :+
+          SegmentAggregates.statsInRangeCol(lower, up).as("__ts_st"): _*)
+      else {
+        val tsLo = startUs.getOrElse(Long.MinValue)
+        val tsHi = endUs.getOrElse(Long.MaxValue)
+        val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+          endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
+        val interior = segments.where(contained).select(keys :+
+          SegmentAggregates.statsInRangeCol(lower, up).as("__ts_st"): _*)
+        val boundary = segments.where(!contained).select(keys :+
+          SegmentAggregates.statsInRangeCol(lower, up, tsLo, tsHi)
+            .as("__ts_st"): _*)
+        interior.unionByName(boundary)
+      }
+    val st = col("__ts_st")
+    val aggs = Seq(
+      coalesce(sum(st.getField("cnt")), lit(0L)).as(s"count_in_$field"),
+      // Empty partials contribute NULL (skipped), so an all-empty group
+      // sums to NULL — SQL's empty-set SUM.
+      sum(when(st.getField("cnt") > 0L, st.getField("sum")))
+        .as(s"sum_in_$field"),
+      min(st.getField("mn")).as(s"min_in_$field"),
+      max(st.getField("mx")).as(s"max_in_$field"))
+    val grouped =
+      if (keys.isEmpty) partials.agg(aggs.head, aggs.tail: _*)
+      else partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    grouped.withColumn(s"avg_in_$field",
+      col(s"sum_in_$field") / col(s"count_in_$field").cast("double"))
+  }
+
   /** Segment-native fixed-width value histogram of a stored field:
     * `floor((v - origin) / width)` bin counts of the FINITE values
     * (optionally per tag group and time-ranged), with the point stream

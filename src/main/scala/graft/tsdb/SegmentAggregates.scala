@@ -134,6 +134,36 @@ object SegmentAggregates {
       .otherwise(kernel)
   }
 
+  /** (cnt, sum, mn, mx) struct of a segment's values inside the value
+    * interval ([[graft.core.ValueCounts.statsInRange]]) — the partial
+    * behind segment-native value-filtered SUM/MIN/MAX/AVG. The column
+    * branch answers entirely-out segments from stored bounds without
+    * touching the binary columns (the dominant case under selective
+    * predicates); the kernel itself binary-searches a Swing segment's
+    * in-range run and only evaluates that. `lower` None = no lower bound
+    * (everything from the order's bottom, -Inf included); `upper` NaN =
+    * unbounded above (NaN values included).
+    */
+  def statsInRangeCol(lower: Option[Double], upper: Double,
+      tsLo: Long = Long.MinValue, tsHi: Long = Long.MaxValue): Column = {
+    val kernel = ColumnBridge.column(SegmentStatsInRange(
+      lower.getOrElse(Double.NegativeInfinity), lower.nonEmpty, upper,
+      tsLo, tsHi,
+      attr("model_type_id"), attr("start_time"), attr("end_time"),
+      attr("timestamps"), attr("min_value"), attr("max_value"),
+      attr("values"), attr("residuals")))
+    val empty = struct(lit(0L).as("cnt"), lit(0.0).as("sum"),
+      lit(null).cast("float").as("mn"), lit(null).cast("float").as("mx"))
+    val outBelow = lower
+      .map(l =>
+        if (upper.isNaN) col("max_value") <= l && !nanCapable
+        else col("max_value") <= l)
+      .getOrElse(lit(false))
+    val outAbove =
+      if (upper.isNaN) lit(false) else col("min_value") > upper
+    when(outBelow || outAbove, empty).otherwise(kernel)
+  }
+
   /** Number of points with timestamp in [tsLo, tsHi] — values never decode. */
   def clippedLenCol(tsLo: Long, tsHi: Long): Column = ColumnBridge.column(
     SegmentClippedLen(tsLo, tsHi,

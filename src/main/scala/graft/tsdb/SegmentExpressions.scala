@@ -129,6 +129,23 @@ object SegmentKernels {
     r.setLong(1, a(1))
     r
   }
+
+  def statsInRangeRow(lower: Double, hasLower: Boolean, upper: Double,
+      tsLo: Long, tsHi: Long, modelTypeId: Byte, startTime: Long,
+      endTime: Long, timestamps: Array[Byte], minValue: Float,
+      maxValue: Float, values: Array[Byte],
+      residuals: Array[Byte]): InternalRow = {
+    val a = graft.core.ValueCounts.statsInRange(lower, hasLower, upper,
+      tsLo, tsHi, modelTypeId, startTime, endTime, timestamps, minValue,
+      maxValue, values, residuals)
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+    val cnt = a(0).toLong
+    r.setLong(0, cnt)
+    r.setDouble(1, a(1))
+    if (cnt == 0L) { r.update(2, null); r.update(3, null) }
+    else { r.setFloat(2, a(2).toFloat); r.setFloat(3, a(3).toFloat) }
+    r
+  }
 }
 
 /** (Σv, Σv²) of a segment's values as one struct — a SINGLE decode pass
@@ -324,6 +341,67 @@ case class SegmentCountInRange(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(lower, upper, tsLo, tsHi, newChildren(0), newChildren(1),
+      newChildren(2), newChildren(3), newChildren(4), newChildren(5),
+      newChildren(6), newChildren(7))
+}
+
+/** (count, Σv, min, max) of a segment's reconstructed values inside a
+  * value interval ([[graft.core.ValueCounts.statsInRange]]) — the kernel
+  * behind segment-native value-filtered SUM/MIN/MAX/AVG: lower exclusive
+  * (inactive when `hasLower` is false), upper inclusive with the NaN
+  * "unbounded" sentinel, timestamps clipped to [tsLo, tsHi]. min/max are
+  * NULL when no value qualifies. Codegen'd like [[SegmentSumStats]];
+  * consumers extract fields of the SAME struct subtree so aggregate-level
+  * subexpression elimination evaluates the kernel once per segment.
+  */
+case class SegmentStatsInRange(
+    lower: Double, hasLower: Boolean, upper: Double, tsLo: Long, tsHi: Long,
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cnt", LongType, nullable = false),
+    StructField("sum", DoubleType, nullable = false),
+    StructField("mn", FloatType, nullable = true),
+    StructField("mx", FloatType, nullable = true)))
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    SegmentKernels.statsInRangeRow(lower, hasLower, upper, tsLo, tsHi,
+      modelTypeId.eval(input).asInstanceOf[Byte],
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      minValue.eval(input).asInstanceOf[Float],
+      maxValue.eval(input).asInstanceOf[Float],
+      values.eval(input).asInstanceOf[Array[Byte]],
+      residuals.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val lowerBits = java.lang.Double.doubleToRawLongBits(lower)
+    val upperBits = java.lang.Double.doubleToRawLongBits(upper)
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |$rowCls ${ev.value} = graft.tsdb.SegmentKernels.statsInRangeRow(
+           |  java.lang.Double.longBitsToDouble(${lowerBits}L), $hasLower,
+           |  java.lang.Double.longBitsToDouble(${upperBits}L),
+           |  ${tsLo}L, ${tsHi}L, ${evals.map(_.value).mkString(", ")});
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(lower, hasLower, upper, tsLo, tsHi, newChildren(0), newChildren(1),
       newChildren(2), newChildren(3), newChildren(4), newChildren(5),
       newChildren(6), newChildren(7))
 }

@@ -196,10 +196,10 @@ class ValuePredicateSpec extends AnyFunSuite {
     }
 
     // Shapes with no closed form still answer correctly via the grid.
+    // (sum/min under the predicate's own field rewrite via thresholdStats
+    // now — covered by the value-filtered spec below.)
     // (Row comparison via toString: Scala NaN != NaN, SQL NaN = NaN.)
     val declined = Seq(
-      "SELECT sum(value) AS s FROM sq WHERE value > 0.0",
-      "SELECT min(value) AS m FROM sq WHERE value <= 0.0",
       "SELECT count(DISTINCT tag) AS n FROM sq WHERE value > 0.0")
     for (q <- declined) {
       val df = engine.sql(q)
@@ -317,6 +317,87 @@ class ValuePredicateSpec extends AnyFunSuite {
       assert(df.queryExecution.executedPlan.toString.contains("Generate"),
         s"should grid: $q")
       val want = spark.sql(q.replace("FROM pm", "FROM pm_raw")).collect()
+        .map(_.toSeq.map(String.valueOf)).toSeq
+      assert(df.collect().map(_.toSeq.map(String.valueOf)).toSeq == want, q)
+    }
+  }
+
+  test("SQL value-filtered sum/min/max/avg rewrite to thresholdStats") {
+    val engine = newEngine()
+    buildTable(engine, "fa", "", irregular = false)
+    engine.readTable("fa").createOrReplaceTempView("fa_raw")
+    def fmt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, (us % 1000000L * 1000L).toInt, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val bounds = engine.readTable("fa")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val mid = fmt((bounds.getLong(0) + bounds.getLong(1)) / 2)
+
+    // NaN rows pass `value > x` (NaN-greatest), poisoning sums and
+    // winning maxes — exactly like the gridded plan. Impossible
+    // predicates must ERASE groups (the filter runs before grouping),
+    // and the global aggregate keeps its one NULL/0 row.
+    val rewritten = Seq(
+      "SELECT tag, count(*) AS n, sum(value) AS s, min(value) AS mn, " +
+        "max(value) AS mx, avg(value) AS a FROM fa WHERE value > 0.5 " +
+        "GROUP BY tag ORDER BY tag",
+      "SELECT tag, sum(value) AS s, min(value) AS mn FROM fa " +
+        "WHERE value <= -10.0 GROUP BY tag ORDER BY tag",
+      "SELECT min(value) AS mn, max(value) AS mx, count(*) AS n FROM fa " +
+        "WHERE value >= -20.0 AND value < 35.5",
+      s"SELECT tag, sum(value) AS s, count(*) AS n FROM fa " +
+        s"WHERE value > 0.0 AND ts >= TIMESTAMP '$mid' " +
+        "GROUP BY tag ORDER BY tag",
+      "SELECT tag, max(value) AS mx FROM fa WHERE value > 1.0e30 " +
+        "GROUP BY tag ORDER BY tag",
+      "SELECT sum(value) AS s, count(*) AS n FROM fa WHERE value > 1.0e30",
+      "SELECT tag, count(*) AS n FROM fa WHERE value > 1.0e30 " +
+        "GROUP BY tag ORDER BY tag")
+    for (q <- rewritten) {
+      val df = engine.sql(q)
+      assert(!df.queryExecution.executedPlan.toString.contains("Generate"),
+        s"filtered aggregate must not decode points: $q")
+      val got = df.collect()
+      val want = spark.sql(q.replace("FROM fa", "FROM fa_raw")).collect()
+      assert(got.length == want.length, s"$q: ${got.length} vs ${want.length}")
+      got.zip(want).foreach { case (a, b) =>
+        a.toSeq.zip(b.toSeq).foreach {
+          case (null, null) =>
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            // Sums/avgs accumulate in different orders — tolerance; NaN
+            // must match NaN exactly.
+            assert((x.isNaN && y.isNaN) ||
+              math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y)),
+              s"$q: $a vs $b")
+          case (x: java.lang.Float, y: java.lang.Float) =>
+            assert(java.lang.Float.compare(x, y) == 0 ||
+              (x.floatValue == 0f && y.floatValue == 0f), s"$q: $a vs $b")
+          case (x, y) => assert(x == y, s"$q: $a vs $b")
+        }
+      }
+    }
+
+    // No closed form: aggregating a DIFFERENT field than the predicate's
+    // (joint decode), or a time-bucket grouping under the predicate —
+    // those grid, same answers.
+    engine.sql("CREATE TIME SERIES TABLE fa2(" +
+      "ts TIMESTAMP, a FIELD, b FIELD, tag TAG)")
+    engine.write("fa2", engine.readTable("fa")
+      .select(col("ts"), col("value").as("a"),
+        (col("value") * lit(2.0f)).as("b"), col("tag")))
+    engine.readTable("fa2").createOrReplaceTempView("fa2_raw")
+    val declined = Seq(
+      ("SELECT tag, sum(a) AS s FROM fa2 WHERE b > 0.0 " +
+        "GROUP BY tag ORDER BY tag", "fa2"),
+      ("SELECT date_trunc('DAY', ts) AS d, sum(value) AS s FROM fa " +
+        "WHERE value > 0.0 GROUP BY 1 ORDER BY 1", "fa"))
+    for ((q, t) <- declined) {
+      val df = engine.sql(q)
+      assert(df.queryExecution.executedPlan.toString.contains("Generate"),
+        s"should grid: $q")
+      val want = spark.sql(q.replace(s"FROM $t", s"FROM ${t}_raw")).collect()
         .map(_.toSeq.map(String.valueOf)).toSeq
       assert(df.collect().map(_.toSeq.map(String.valueOf)).toSeq == want, q)
     }
