@@ -112,8 +112,11 @@ object ValueCounts {
   }
 
   private sealed trait Acc {
-    def addConstant(v: Float, n: Int): Unit
-    def addValue(v: Float): Unit
+    /** A run of n equal values at point indices [at, at+n). */
+    def addConstant(v: Float, n: Int, at: Int): Unit
+
+    /** One value at point index `at`. */
+    def addValue(v: Float, at: Int): Unit
 
     /** Values eval(from until until) are monotone (Swing closed form). */
     def addMonotone(eval: Int => Float, from: Int, until: Int): Unit
@@ -158,15 +161,15 @@ object ValueCounts {
     private def countLE(x: Double, eval: Int => Float, from: Int,
         until: Int): Int = monotoneCountLE(x, eval, from, until)
 
-    override def addConstant(v: Float, n: Int): Unit =
+    override def addConstant(v: Float, n: Int, at: Int): Unit =
       if (in(v)) count += n.toLong
 
-    override def addValue(v: Float): Unit = if (in(v)) count += 1L
+    override def addValue(v: Float, at: Int): Unit = if (in(v)) count += 1L
 
     override def addMonotone(eval: Int => Float, from: Int, until: Int): Unit =
       if (until - from <= 8) {
         var i = from
-        while (i < until) { addValue(eval(i)); i += 1 }
+        while (i < until) { addValue(eval(i), i); i += 1 }
       } else {
         count += (countLE(upper, eval, from, until) -
           countLE(lower, eval, from, until)).toLong
@@ -184,13 +187,13 @@ object ValueCounts {
     private def binOf(v: Float): Long =
       math.floor((v.toDouble - origin) / width).toLong
 
-    override def addConstant(v: Float, n: Int): Unit =
+    override def addConstant(v: Float, n: Int, at: Int): Unit =
       if (sparkBins || java.lang.Float.isFinite(v)) {
         val b = binOf(v)
         bins(b) = bins.getOrElse(b, 0L) + n.toLong
       }
 
-    override def addValue(v: Float): Unit =
+    override def addValue(v: Float, at: Int): Unit =
       if (sparkBins || java.lang.Float.isFinite(v)) {
         val b = binOf(v)
         bins(b) = bins.getOrElse(b, 0L) + 1L
@@ -201,7 +204,7 @@ object ValueCounts {
       val vL = eval(until - 1)
       if (java.lang.Float.isNaN(vF) && java.lang.Float.isNaN(vL)) {
         // NaN only appears as a whole-constant run (a NaN Swing line).
-        if (sparkBins) addConstant(vF, until - from)
+        if (sparkBins) addConstant(vF, until - from, from)
         return
       }
       val linear = !java.lang.Float.isFinite(vF) ||
@@ -212,7 +215,7 @@ object ValueCounts {
         }
       if (linear) {
         var i = from
-        while (i < until) { addValue(eval(i)); i += 1 }
+        while (i < until) { addValue(eval(i), i); i += 1 }
       } else {
         // The bin index floor((v-o)/w) is a monotone map of a monotone
         // sequence, so equal-bin indices are contiguous: walk the runs,
@@ -246,19 +249,22 @@ object ValueCounts {
     }
   }
 
-  /** (count, Σv, min, max) of the reconstructed values inside the value
-    * interval — lower EXCLUSIVE (ignored when `hasLower` is false), upper
-    * INCLUSIVE with Double.NaN as the "unbounded" sentinel (the total
-    * order's maximum, so NaN values are included) — among points whose
-    * timestamp lies in [tsLo, tsHi]. Returned as
-    * `Array(count, sum, min, max)` with min/max meaningful only when
-    * count > 0 (an all-NaN in-range set carries NaN min/max — exactly the
-    * NaN-greatest order Spark's own MIN/MAX aggregates follow). The sum
-    * accumulates in f64 like [[Models.sumDouble]]; min/max/count are
-    * exact. Stored bounds short-circuit entirely-out segments without
-    * touching the binary columns, and a Swing segment's in-range run is
-    * located by binary search (values are monotone) so only that run is
-    * evaluated.
+  /** (count, Σv, min, max, tFirst, tLast) of the reconstructed values
+    * inside the value interval — lower EXCLUSIVE (ignored when `hasLower`
+    * is false), upper INCLUSIVE with Double.NaN as the "unbounded"
+    * sentinel (the total order's maximum, so NaN values are included) —
+    * among points whose timestamp lies in [tsLo, tsHi]. Returned as
+    * `Array(count, sum, min, max, tFirst, tLast)` with everything past
+    * `sum` meaningful only when count > 0 (an all-NaN in-range set
+    * carries NaN min/max — exactly the NaN-greatest order Spark's own
+    * MIN/MAX aggregates follow). tFirst/tLast are the µs timestamps of
+    * the earliest/latest qualifying point (µs < 2⁵³, exact in f64) — the
+    * per-segment partial behind `min(ts)/max(ts) WHERE v > x` and
+    * argmin/argmax. The sum accumulates in f64 like [[Models.sumDouble]];
+    * min/max/count/timestamps are exact. Stored bounds short-circuit
+    * entirely-out segments without touching the binary columns, and a
+    * Swing segment's in-range run is located by binary search (values are
+    * monotone) so only that run is evaluated.
     */
   def statsInRange(lower: Double, hasLower: Boolean, upper: Double,
       tsLo: Long, tsHi: Long, mt: Byte, st: Long, et: Long,
@@ -277,7 +283,31 @@ object ValueCounts {
     val outAbove = !upperUnbounded && sqlCompare(mn.toDouble, upper) > 0
     if (outBelow || outAbove) return acc.result()
     traverse(tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals, acc)
-    acc.result()
+    val r = acc.result()
+    if (r(0) > 0) {
+      r(4) = timestampAt(r(4).toInt, st, et, tsBytes).toDouble
+      r(5) = timestampAt(r(5).toInt, st, et, tsBytes).toDouble
+    }
+    r
+  }
+
+  /** Timestamp of the segment's i-th point (0-based): O(1) arithmetic for
+    * regular segments, a timestamp-stream decode for irregular ones —
+    * values never decode.
+    */
+  def timestampAt(i: Int, st: Long, et: Long, tsBytes: Array[Byte]): Long = {
+    val totalLen = TimestampCodec.len(st, et, tsBytes)
+    require(i >= 0 && i < totalLen, s"point index $i out of [0, $totalLen)")
+    if (totalLen == 1) st
+    else if (tsBytes.isEmpty) { if (i == 0) st else et }
+    else if (TimestampCodec.areCompressedTimestampsRegular(tsBytes)) {
+      val interval = (et - st) / (totalLen - 1)
+      st + i.toLong * interval
+    } else {
+      val buf = new LongBuf(math.max(totalLen, 16))
+      TimestampCodec.decompressAllTimestamps(st, et, tsBytes, buf)
+      buf(i)
+    }
   }
 
   private final class StatsAcc(lower: Double, hasLower: Boolean,
@@ -286,33 +316,40 @@ object ValueCounts {
     private var sum = 0.0
     private var mnV = 0.0f
     private var mxV = 0.0f
+    private var firstIdx = -1
+    private var lastIdx = -1
 
     private def in(v: Float): Boolean = {
       val d = v.toDouble
       (!hasLower || sqlCompare(d, lower) > 0) && sqlCompare(d, upper) <= 0
     }
 
-    private def note(v: Float, n: Long): Unit = {
-      if (count == 0L) { mnV = v; mxV = v }
+    // Accumulation proceeds in point-index (= time) order, so the first
+    // noted index is the in-range set's earliest point and the last noted
+    // its latest.
+    private def note(v: Float, n: Long, at: Int, to: Int): Unit = {
+      if (count == 0L) { mnV = v; mxV = v; firstIdx = at }
       else {
         if (sqlCompare(v.toDouble, mnV.toDouble) < 0) mnV = v
         if (sqlCompare(v.toDouble, mxV.toDouble) > 0) mxV = v
       }
+      lastIdx = to
       count += n
       // n·v is exact in f64 for any float v and realistic n (24+31 < 53
       // mantissa bits), so constant runs lose nothing to the fold.
       sum += v.toDouble * n.toDouble
     }
 
-    override def addConstant(v: Float, n: Int): Unit =
-      if (in(v)) note(v, n.toLong)
+    override def addConstant(v: Float, n: Int, at: Int): Unit =
+      if (in(v)) note(v, n.toLong, at, at + n - 1)
 
-    override def addValue(v: Float): Unit = if (in(v)) note(v, 1L)
+    override def addValue(v: Float, at: Int): Unit =
+      if (in(v)) note(v, 1L, at, at)
 
     override def addMonotone(eval: Int => Float, from: Int, until: Int): Unit =
       if (until - from <= 8) {
         var i = from
-        while (i < until) { addValue(eval(i)); i += 1 }
+        while (i < until) { addValue(eval(i), i); i += 1 }
       } else {
         // The satisfying indices form one contiguous run (monotone values,
         // monotone membership): locate it with the shared binary searches,
@@ -323,13 +360,14 @@ object ValueCounts {
         val runFrom = if (nonDecr) from + leL else until - leU
         val runUntil = if (nonDecr) from + leU else until - leL
         var i = runFrom
-        while (i < runUntil) { note(eval(i), 1L); i += 1 }
+        while (i < runUntil) { note(eval(i), 1L, i, i); i += 1 }
       }
 
     def result(): Array[Double] = Array(
       count.toDouble, sum,
       if (count == 0L) Double.NaN else mnV.toDouble,
-      if (count == 0L) Double.NaN else mxV.toDouble)
+      if (count == 0L) Double.NaN else mxV.toDouble,
+      firstIdx.toDouble, lastIdx.toDouble)
   }
 
   /** Per-threshold counts of reconstructed values v with v > xs(i) under
@@ -378,7 +416,7 @@ object ValueCounts {
   private final class MultiCountAcc(xs: Array[Double]) extends Acc {
     val counts = new Array[Long](xs.length)
 
-    override def addConstant(v: Float, n: Int): Unit = {
+    override def addConstant(v: Float, n: Int, at: Int): Unit = {
       val d = v.toDouble
       var i = 0
       while (i < xs.length) {
@@ -387,7 +425,7 @@ object ValueCounts {
       }
     }
 
-    override def addValue(v: Float): Unit = {
+    override def addValue(v: Float, at: Int): Unit = {
       val d = v.toDouble
       var i = 0
       while (i < xs.length) {
@@ -506,7 +544,7 @@ object ValueCounts {
     (mt: Int) match {
       case 0 =>
         val c = Models.decodeValuesForPmcMean(mn, mx, values)
-        if (mUntil > mFrom) acc.addConstant(c, mUntil - mFrom)
+        if (mUntil > mFrom) acc.addConstant(c, mUntil - mFrom, mFrom)
         modelLast = c
       case 1 =>
         // Exactly Models.grid's evaluation: slope/intercept from the model
@@ -526,7 +564,7 @@ object ValueCounts {
         val vb = new FloatBuf(math.max(modelLen, 16))
         MacaqueV.grid(values, modelLen, vb, hasModelLastValue = false, 0.0f)
         var i = mFrom
-        while (i < mUntil) { acc.addValue(vb(i)); i += 1 }
+        while (i < mUntil) { acc.addValue(vb(i), i); i += 1 }
         if (needModelLast && modelLen > 0) modelLast = vb(modelLen - 1)
       case other =>
         throw new IllegalArgumentException(s"Unknown model type $other.")
@@ -541,7 +579,7 @@ object ValueCounts {
           java.util.Arrays.copyOfRange(residuals, 0, residuals.length - 1),
           resLen, rb, hasModelLastValue = true, modelLast)
         var j = rFrom
-        while (j < rUntil) { acc.addValue(rb(j)); j += 1 }
+        while (j < rUntil) { acc.addValue(rb(j), modelLen + j); j += 1 }
       }
     }
   }

@@ -363,14 +363,24 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                     case FieldAgg("count", _, _) => true
                     case FieldAgg("sum" | "min" | "max" | "avg", f, _) =>
                       vb.exists(_.field == f)
+                    // min/max(ts) of the qualifying rows — "first/last
+                    // exceedance" — ride the same stats partials.
+                    case TsAgg(_, _) => true
+                    // Fixed-width date_trunc buckets compose (per-bucket
+                    // filtered stats); calendar truncations and window
+                    // structs don't — those grid below.
+                    case BucketRef(_) => bucket.exists(_.isInstanceOf[FixedUs])
                     case _ => false
                   }
+                  val bucketOk = bucket.forall(_.isInstanceOf[FixedUs])
                   val produced = vb.map(b =>
                     Set(s"count_in_${b.field}", s"count_${b.field}",
                       s"sum_in_${b.field}", s"min_in_${b.field}",
-                      s"max_in_${b.field}", s"avg_in_${b.field}"))
+                      s"max_in_${b.field}", s"avg_in_${b.field}",
+                      s"min_ts_in_${b.field}", s"max_ts_in_${b.field}") ++
+                      (if (bucket.nonEmpty) Set("bucket") else Set.empty))
                     .getOrElse(Set.empty)
-                  if (!aggsOk || !hasAgg || bucket.nonEmpty ||
+                  if (!aggsOk || !hasAgg || !bucketOk ||
                       bin.nonEmpty || phase.nonEmpty ||
                       groupTags.exists(produced.contains))
                     None
@@ -1002,7 +1012,37 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         case TagRef(_) | FieldAgg("count", _, _) => true
         case _ => false
       }
-      if (countsOnly) {
+      if (m.bucket.nonEmpty) {
+        // Per-bucket filtered stats: exceedances per day, first/last
+        // qualifying timestamp per bucket, and the rest of the family.
+        val w = m.bucket.get match {
+          case FixedUs(us) => us
+          case other => throw new IllegalStateException(
+            s"non-fixed bucket $other under a value predicate")
+        }
+        val f = vb.field
+        val bs = engine.thresholdStatsBucketed(m.meta.name, f,
+          java.time.Duration.of(w, java.time.temporal.ChronoUnit.MICROS),
+          vb.lower, vb.upper, m.groupTags, m.startUs.map(inst),
+          m.endUs.map(inst), m.tagEq, m.tagIn)
+        val nonEmpty = bs.where(col(s"count_in_$f") > 0L)
+        val ordered = m.specs.map {
+          case TagRef(tag) => col(tag)
+          case BucketRef(outName) => col("bucket").as(outName)
+          case FieldAgg("count", _, outName) =>
+            col(s"count_in_$f").as(outName)
+          case FieldAgg("avg", _, outName) =>
+            (col(s"sum_in_$f") / col(s"count_in_$f").cast("double"))
+              .as(outName)
+          case FieldAgg(kind @ ("sum" | "min" | "max"), _, outName) =>
+            col(s"${kind}_in_$f").as(outName)
+          case TsAgg(kind, outName) =>
+            col(s"${kind}_ts_in_$f").as(outName)
+          case other => throw new IllegalStateException(
+            s"unsupported spec $other under a bucketed value predicate")
+        }
+        nonEmpty.select(ordered: _*)
+      } else if (countsOnly) {
         val (lower, upper, complement) = (vb.lower, vb.upper) match {
           case (Some(l), Some(u)) => (l, u, false)
           case (Some(l), scala.None) => (l, Double.NaN, false)
@@ -1038,6 +1078,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             col(s"count_in_$f").as(outName)
           case FieldAgg(kind @ ("sum" | "min" | "max" | "avg"), _, outName) =>
             col(s"${kind}_in_$f").as(outName)
+          case TsAgg(kind, outName) =>
+            col(s"${kind}_ts_in_$f").as(outName)
           case other => throw new IllegalStateException(
             s"unsupported spec $other under a value predicate")
         }

@@ -451,6 +451,69 @@ object TsQueries {
       FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0
       GROUP BY 1 ORDER BY 1""")),
 
+    // First/last exceedance through the SQL surface: min/max(ts) of the
+    // rows passing a value predicate ride the same stats partials — each
+    // segment contributes the timestamps of its earliest/latest
+    // qualifying point (O(1) for regular segments once the in-range run
+    // is located), so "when did this series first/last exceed X" costs
+    // one metadata-dominated pass, no reconstruction.
+    ("ts_sql_exceedance", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, min(ts) AS t0, max(ts) AS t1, count(*) AS n " +
+          "FROM events_lossless WHERE value > 150.0 " +
+          "GROUP BY user ORDER BY user")
+        .select(col("user"), unix_micros(col("t0")).as("first_us"),
+          unix_micros(col("t1")).as("last_us"), col("n"))
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+        CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 150.0
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Exceedances per DAY through the SQL surface: date_trunc + value
+    // predicate splice into per-bucket filtered stats — bucket-contained
+    // segments contribute one unclipped partial, straddlers explode into
+    // their (usually 2) overlapped buckets with O(1) window clips, and
+    // days where nothing qualifies vanish exactly like the gridded
+    // plan's. The daily-SLA dashboard query at 100 TB: one shuffle of
+    // six-scalar partials on (day), no reconstruction.
+    ("ts_sql_exceedance_daily", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT date_trunc('DAY', ts) AS day, count(*) AS n, " +
+          "round(sum(value), 4) AS s FROM events_lossless " +
+          "WHERE value > 120.0 GROUP BY 1 ORDER BY 1")
+        .select(unix_micros(col("day")).as("day_us"), col("n"), col("s"))
+    }, Some("""
+      SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+        CAST(count(*) AS BIGINT) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS s
+      FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 120.0
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Per-series argmax: WHEN each series hit its maximum (earliest such
+    // timestamp — deterministic, unlike SQL max_by). Two segment-native
+    // passes: the extreme from stored min/max metadata, then the
+    // per-group target broadcast back onto the segment relation where
+    // only segments whose bounds can contain it run the equality kernel.
+    ("ts_argmax", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.argExtremum("events_lossless", "value", "max", Seq("user"))
+        .select(col("user"), col("max_value").as("vmax"),
+          unix_micros(col("max_ts_value")).as("ts_us"))
+        .orderBy("user")
+    }, Some("""
+      WITH m AS (SELECT user_id, max(CAST(value AS FLOAT4)) AS mx
+        FROM events GROUP BY 1)
+      SELECT CAST(e.user_id AS VARCHAR) AS user, min(m.mx) AS vmax,
+        CAST(min(epoch_us(e.ts)) AS BIGINT) AS ts_us
+      FROM events e JOIN m ON e.user_id = m.user_id
+        AND CAST(e.value AS FLOAT4) = m.mx
+      GROUP BY 1 ORDER BY 1""")),
+
     // The histogram through the SQL surface: the Catalyst rewrite
     // recognizes `GROUP BY floor((value - o) / w)` + row counts and
     // splices the segment-native histogram plan (single-bin segments

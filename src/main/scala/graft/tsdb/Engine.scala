@@ -916,6 +916,18 @@ final class Engine(val spark: SparkSession, val root: String) {
             .as("__ts_st"): _*)
         interior.unionByName(boundary)
       }
+    val grouped = aggregateStatsPartials(partials, keys, field)
+    grouped.withColumn(s"avg_in_$field",
+      col(s"sum_in_$field") / col(s"count_in_$field").cast("double"))
+  }
+
+  /** The shared reduction over `__ts_st` stats-struct partials: one
+    * partial-aggregated shuffle of six scalars per group, segments never
+    * leave their scan partition. Timestamp extremes surface as
+    * session-zone timestamps (µs-exact).
+    */
+  private def aggregateStatsPartials(partials: DataFrame,
+      keys: Seq[Column], field: String): DataFrame = {
     val st = col("__ts_st")
     val aggs = Seq(
       coalesce(sum(st.getField("cnt")), lit(0L)).as(s"count_in_$field"),
@@ -924,12 +936,185 @@ final class Engine(val spark: SparkSession, val root: String) {
       sum(when(st.getField("cnt") > 0L, st.getField("sum")))
         .as(s"sum_in_$field"),
       min(st.getField("mn")).as(s"min_in_$field"),
-      max(st.getField("mx")).as(s"max_in_$field"))
-    val grouped =
-      if (keys.isEmpty) partials.agg(aggs.head, aggs.tail: _*)
-      else partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-    grouped.withColumn(s"avg_in_$field",
-      col(s"sum_in_$field") / col(s"count_in_$field").cast("double"))
+      max(st.getField("mx")).as(s"max_in_$field"),
+      timestamp_micros(min(st.getField("tmin"))).as(s"min_ts_in_$field"),
+      timestamp_micros(max(st.getField("tmax"))).as(s"max_ts_in_$field"))
+    if (keys.isEmpty) partials.agg(aggs.head, aggs.tail: _*)
+    else partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[thresholdStats]] per TIME BUCKET: value-filtered count/sum/min/max
+    * and first/last qualifying timestamps per (tags…, epoch-floored
+    * bucket) — "exceedances per day" answered segment-natively. Segments
+    * contained in one bucket (the common case when buckets exceed the
+    * segment span) contribute ONE partial with no timestamp work;
+    * bucket-straddling segments explode into their overlapped buckets
+    * (`sequence`, rows proportional to overlap, usually 2) and clip each
+    * kernel to that bucket's window — O(1) index arithmetic for regular
+    * segments. One shuffle of six-scalar partials on (tags…, bucket);
+    * buckets where nothing qualifies carry count 0 (callers drop them for
+    * SQL semantics). Output: (tags…, bucket TIMESTAMP, count_in_f,
+    * sum_in_f, min_in_f, max_in_f, min_ts_in_f, max_ts_in_f).
+    */
+  def thresholdStatsBucketed(table: String, field: String,
+      bucket: java.time.Duration,
+      lower: Option[Double], upper: Option[Double] = scala.None,
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    require(groupByTags.forall(meta.tagColumns.contains),
+      s"Group-by columns must be tags of $table.")
+    require(!groupByTags.contains("bucket"),
+      "A group-by tag named 'bucket' would collide with the output column.")
+    val bucketUs = Math.addExact(
+      Math.multiplyExact(bucket.getSeconds, 1000000L), bucket.getNano / 1000L)
+    require(bucketUs > 0, "Bucket width must be at least one microsecond.")
+    val up = upper.getOrElse(Double.NaN)
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+
+    val segments0 = dataFolder
+      .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
+      .where(fieldColumnPredicate(meta, Seq(field)))
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPredicate(tagFilters, tagInFilters)
+      .map(segments0.where).getOrElse(segments0)
+
+    // Epoch-floor bucketing in exact BIGINT arithmetic (see
+    // readTimeSeriesTableBucketed).
+    def bucketOf(c: Column): Column = c - pmod(c, lit(bucketUs))
+    val inRange = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+      endUs.map(hi => col("end_time") <= hi).toSeq)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val contained =
+      inRange && bucketOf(col("start_time")) === bucketOf(col("end_time"))
+
+    val keys = groupByTags.map(col)
+    val interior = segments.where(contained).select(keys ++ Seq(
+      bucketOf(col("start_time")).as("__graft_bucket"),
+      SegmentAggregates.statsInRangeCol(lower, up).as("__ts_st")): _*)
+    // Straddlers: enumerate overlapped buckets clipped to the outer
+    // range, then clip each kernel to its bucket ∩ range window.
+    val clipLo = startUs
+      .map(l => greatest(col("start_time"), lit(l)))
+      .getOrElse(col("start_time"))
+    val clipHi = endUs
+      .map(h => least(col("end_time"), lit(h)))
+      .getOrElse(col("end_time"))
+    val straddling = segments.where(!contained)
+      .withColumn("__graft_bucket",
+        explode(sequence(bucketOf(clipLo), bucketOf(clipHi),
+          lit(bucketUs))))
+      .select(keys ++ Seq(
+        col("__graft_bucket"),
+        SegmentAggregates.statsInRangeDynCol(lower, up,
+          greatest(col("__graft_bucket"),
+            lit(startUs.getOrElse(Long.MinValue))),
+          least(col("__graft_bucket") + lit(bucketUs - 1L),
+            lit(endUs.getOrElse(Long.MaxValue)))).as("__ts_st")): _*)
+    aggregateStatsPartials(interior.unionByName(straddling),
+      keys :+ col("__graft_bucket"), field)
+      .withColumn("bucket", timestamp_micros(col("__graft_bucket")))
+      .drop("__graft_bucket")
+      .select((keys :+ col("bucket")) ++ Seq(
+        col(s"count_in_$field"), col(s"sum_in_$field"),
+        col(s"min_in_$field"), col(s"max_in_$field"),
+        col(s"min_ts_in_$field"), col(s"max_ts_in_$field")): _*)
+  }
+
+  /** [[thresholdStats]] with PER-GROUP bounds: `bounds` carries some of
+    * the table's tag columns plus `lower`/`upper` (doubles; NULL =
+    * unbounded, upper semantics as in [[thresholdStats]]), broadcast-joins
+    * onto the segment relation, and each group aggregates against its own
+    * interval. With `lowerInclusive`, `lower = upper = target` selects
+    * exactly the points EQUAL to the group's target (NaN targets
+    * included) — the argmin/argmax building block. Groups absent from
+    * `bounds` are absent from the result (inner join).
+    */
+  def thresholdStatsBy(table: String, field: String, bounds: DataFrame,
+      lowerInclusive: Boolean = false,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    val joinTags = bounds.columns.filter(meta.tagColumns.contains).toSeq
+    require(joinTags.nonEmpty, "bounds must carry at least one tag column.")
+    require(bounds.columns.toSet == (joinTags ++ Seq("lower", "upper")).toSet,
+      "bounds columns must be (tags..., lower, upper).")
+    val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
+
+    val segments0 = dataFolder
+      .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
+      .where(fieldColumnPredicate(meta, Seq(field)))
+      .where(GridView.segmentTimePredicate(startUs, endUs))
+    val segments = tagPredicate(tagFilters, tagInFilters)
+      .map(segments0.where).getOrElse(segments0)
+      .join(broadcast(bounds
+        .withColumn("lower", col("lower").cast("double"))
+        .withColumn("upper", col("upper").cast("double"))), joinTags)
+
+    val keys = joinTags.map(col)
+    val partials =
+      if (startUs.isEmpty && endUs.isEmpty)
+        segments.select(keys :+
+          SegmentAggregates.statsBetweenCol(lowerInclusive,
+            col("lower"), col("upper")).as("__ts_st"): _*)
+      else {
+        val tsLo = startUs.getOrElse(Long.MinValue)
+        val tsHi = endUs.getOrElse(Long.MaxValue)
+        val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
+          endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
+        val interior = segments.where(contained).select(keys :+
+          SegmentAggregates.statsBetweenCol(lowerInclusive,
+            col("lower"), col("upper")).as("__ts_st"): _*)
+        val boundary = segments.where(!contained).select(keys :+
+          SegmentAggregates.statsBetweenCol(lowerInclusive,
+            col("lower"), col("upper"), tsLo, tsHi).as("__ts_st"): _*)
+        interior.unionByName(boundary)
+      }
+    aggregateStatsPartials(partials, keys, field)
+  }
+
+  /** Per-group argmin/argmax: the timestamp at which each series attains
+    * its extreme value (ties resolve to the EARLIEST such timestamp —
+    * deterministic, unlike SQL max_by). Two segment-native passes, both
+    * distributed: the extreme itself from stored min/max metadata, then
+    * the per-group target broadcast back onto the segment relation where
+    * only segments whose bounds can contain the target run the kernel —
+    * the point stream never materializes and nothing collects to the
+    * driver. NaN extremes (all-NaN series) resolve like Spark sorts them:
+    * greatest, with the first NaN point's timestamp.
+    */
+  def argExtremum(table: String, field: String, kind: String,
+      groupByTags: Seq[String],
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
+    require(kind == "min" || kind == "max", s"kind must be min|max: $kind")
+    require(groupByTags.nonEmpty, "argExtremum needs at least one tag.")
+    val agg = if (kind == "max") Aggregate.Max else Aggregate.Min
+    val extremes = readTimeSeriesTableMulti(table, Seq(field), Seq(agg),
+      groupByTags, startTime, endTime, tagFilters, tagInFilters)
+    val target = col(s"${kind}_$field").cast("double")
+    val bounds = extremes.select(groupByTags.map(col) ++ Seq(
+      target.as("lower"), target.as("upper")): _*)
+    thresholdStatsBy(table, field, bounds, lowerInclusive = true,
+      startTime, endTime, tagFilters, tagInFilters)
+      .select(groupByTags.map(col) ++ Seq(
+        col(s"min_in_$field").as(s"${kind}_$field"),
+        col(s"min_ts_in_$field").as(s"${kind}_ts_$field")): _*)
   }
 
   /** Segment-native fixed-width value histogram of a stored field:

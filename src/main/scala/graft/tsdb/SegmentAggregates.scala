@@ -153,7 +153,8 @@ object SegmentAggregates {
       attr("timestamps"), attr("min_value"), attr("max_value"),
       attr("values"), attr("residuals")))
     val empty = struct(lit(0L).as("cnt"), lit(0.0).as("sum"),
-      lit(null).cast("float").as("mn"), lit(null).cast("float").as("mx"))
+      lit(null).cast("float").as("mn"), lit(null).cast("float").as("mx"),
+      lit(null).cast("long").as("tmin"), lit(null).cast("long").as("tmax"))
     val outBelow = lower
       .map(l =>
         if (upper.isNaN) col("max_value") <= l && !nanCapable
@@ -163,6 +164,51 @@ object SegmentAggregates {
       if (upper.isNaN) lit(false) else col("min_value") > upper
     when(outBelow || outAbove, empty).otherwise(kernel)
   }
+
+  /** [[statsInRangeCol]] with the TIMESTAMP window as COLUMNS — the
+    * per-(segment, bucket) partial behind bucketed value-filtered stats.
+    * The entirely-out short-circuit still comes from the stored value
+    * bounds alone (the window clip can only shrink the in-range set).
+    */
+  def statsInRangeDynCol(lower: Option[Double], upper: Double,
+      tsLoCol: Column, tsHiCol: Column): Column = {
+    val kernel = ColumnBridge.column(SegmentStatsInRangeDyn(
+      lower.getOrElse(Double.NegativeInfinity), lower.nonEmpty, upper,
+      ColumnBridge.expression(tsLoCol), ColumnBridge.expression(tsHiCol),
+      attr("model_type_id"), attr("start_time"), attr("end_time"),
+      attr("timestamps"), attr("min_value"), attr("max_value"),
+      attr("values"), attr("residuals")))
+    val empty = struct(lit(0L).as("cnt"), lit(0.0).as("sum"),
+      lit(null).cast("float").as("mn"), lit(null).cast("float").as("mx"),
+      lit(null).cast("long").as("tmin"), lit(null).cast("long").as("tmax"))
+    val outBelow = lower
+      .map(l =>
+        if (upper.isNaN) col("max_value") <= l && !nanCapable
+        else col("max_value") <= l)
+      .getOrElse(lit(false))
+    val outAbove =
+      if (upper.isNaN) lit(false) else col("min_value") > upper
+    when(outBelow || outAbove, empty).otherwise(kernel)
+  }
+
+  /** [[statsInRangeCol]] with PER-ROW bounds (columns of a
+    * broadcast-joined per-group frame) — the partial behind segment-native
+    * argmin/argmax and per-group filtered stats. NULL bounds mean
+    * unbounded; `lowerInclusive` makes `lower = upper = target` select
+    * exactly the points equal to `target` (NaN targets included). No
+    * column-level short-circuit here: the kernel itself classifies
+    * entirely-out segments from the scalar bounds before touching any
+    * binary column, so the branch would only duplicate that test.
+    */
+  def statsBetweenCol(lowerInclusive: Boolean, lowerCol: Column,
+      upperCol: Column, tsLo: Long = Long.MinValue,
+      tsHi: Long = Long.MaxValue): Column =
+    ColumnBridge.column(SegmentStatsBetween(
+      lowerInclusive, ColumnBridge.expression(lowerCol),
+      ColumnBridge.expression(upperCol), tsLo, tsHi,
+      attr("model_type_id"), attr("start_time"), attr("end_time"),
+      attr("timestamps"), attr("min_value"), attr("max_value"),
+      attr("values"), attr("residuals")))
 
   /** Number of points with timestamp in [tsLo, tsHi] — values never decode. */
   def clippedLenCol(tsLo: Long, tsHi: Long): Column = ColumnBridge.column(

@@ -130,6 +130,20 @@ object SegmentKernels {
     r
   }
 
+  /** Fold an optionally-INCLUSIVE lower bound into statsInRange's
+    * exclusive form: nextDown for finite bounds (exact — no double lies
+    * between), unbounded for -Inf, +Inf for NaN (only NaN sits above).
+    * Shared by [[SegmentStatsBetween]]'s interpreted and generated paths.
+    */
+  def effectiveLower(isNull: Boolean, lv: Double,
+      inclusive: Boolean): (Double, Boolean) = {
+    if (isNull) (0.0, false)
+    else if (!inclusive) (lv, true)
+    else if (java.lang.Double.isNaN(lv)) (Double.PositiveInfinity, true)
+    else if (lv == Double.NegativeInfinity) (0.0, false)
+    else (Math.nextDown(lv), true)
+  }
+
   def statsInRangeRow(lower: Double, hasLower: Boolean, upper: Double,
       tsLo: Long, tsHi: Long, modelTypeId: Byte, startTime: Long,
       endTime: Long, timestamps: Array[Byte], minValue: Float,
@@ -138,12 +152,16 @@ object SegmentKernels {
     val a = graft.core.ValueCounts.statsInRange(lower, hasLower, upper,
       tsLo, tsHi, modelTypeId, startTime, endTime, timestamps, minValue,
       maxValue, values, residuals)
-    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(4)
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(6)
     val cnt = a(0).toLong
     r.setLong(0, cnt)
     r.setDouble(1, a(1))
-    if (cnt == 0L) { r.update(2, null); r.update(3, null) }
-    else { r.setFloat(2, a(2).toFloat); r.setFloat(3, a(3).toFloat) }
+    if (cnt == 0L) {
+      r.update(2, null); r.update(3, null); r.update(4, null); r.update(5, null)
+    } else {
+      r.setFloat(2, a(2).toFloat); r.setFloat(3, a(3).toFloat)
+      r.setLong(4, a(4).toLong); r.setLong(5, a(5).toLong)
+    }
     r
   }
 }
@@ -368,7 +386,9 @@ case class SegmentStatsInRange(
     StructField("cnt", LongType, nullable = false),
     StructField("sum", DoubleType, nullable = false),
     StructField("mn", FloatType, nullable = true),
-    StructField("mx", FloatType, nullable = true)))
+    StructField("mx", FloatType, nullable = true),
+    StructField("tmin", LongType, nullable = true),
+    StructField("tmax", LongType, nullable = true)))
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any = {
@@ -404,6 +424,151 @@ case class SegmentStatsInRange(
     copy(lower, hasLower, upper, tsLo, tsHi, newChildren(0), newChildren(1),
       newChildren(2), newChildren(3), newChildren(4), newChildren(5),
       newChildren(6), newChildren(7))
+}
+
+/** [[SegmentStatsInRange]] with the TIMESTAMP window as EXPRESSIONS —
+  * the kernel behind per-bucket value-filtered stats: a bucket-straddling
+  * segment explodes into its overlapped buckets and each (segment,
+  * bucket) row evaluates this kernel against that bucket's window. The
+  * value bounds stay literals (one predicate per query); the window clip
+  * is O(1) index arithmetic for regular segments.
+  */
+case class SegmentStatsInRangeDyn(
+    lower: Double, hasLower: Boolean, upper: Double,
+    tsLo: Expression, tsHi: Expression,
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(tsLo, tsHi,
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cnt", LongType, nullable = false),
+    StructField("sum", DoubleType, nullable = false),
+    StructField("mn", FloatType, nullable = true),
+    StructField("mx", FloatType, nullable = true),
+    StructField("tmin", LongType, nullable = true),
+    StructField("tmax", LongType, nullable = true)))
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    SegmentKernels.statsInRangeRow(lower, hasLower, upper,
+      tsLo.eval(input).asInstanceOf[Long],
+      tsHi.eval(input).asInstanceOf[Long],
+      modelTypeId.eval(input).asInstanceOf[Byte],
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      minValue.eval(input).asInstanceOf[Float],
+      maxValue.eval(input).asInstanceOf[Float],
+      values.eval(input).asInstanceOf[Array[Byte]],
+      residuals.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val lowerBits = java.lang.Double.doubleToRawLongBits(lower)
+    val upperBits = java.lang.Double.doubleToRawLongBits(upper)
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |$rowCls ${ev.value} = graft.tsdb.SegmentKernels.statsInRangeRow(
+           |  java.lang.Double.longBitsToDouble(${lowerBits}L), $hasLower,
+           |  java.lang.Double.longBitsToDouble(${upperBits}L),
+           |  ${evals(0).value}, ${evals(1).value},
+           |  ${evals.drop(2).map(_.value).mkString(", ")});
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(lower, hasLower, upper, newChildren(0), newChildren(1),
+      newChildren(2), newChildren(3), newChildren(4), newChildren(5),
+      newChildren(6), newChildren(7), newChildren(8), newChildren(9))
+}
+
+/** [[SegmentStatsInRange]] with the value bounds as EXPRESSIONS (columns
+  * of a broadcast-joined per-group frame) — the kernel behind
+  * segment-native argmin/argmax (per-group target values) and per-group
+  * filtered stats. NULL lower = unbounded below, NULL upper = unbounded
+  * above (NaN sentinel, NaN values included). With `lowerInclusive` the
+  * lower bound itself qualifies: the kernel folds that into the exclusive
+  * form exactly — nextDown for finite bounds (no double lies between),
+  * "unbounded" for -Inf (nothing below it), +Inf for a NaN bound (only
+  * NaN sits above +Inf) — so `lower = upper = target, lowerInclusive`
+  * selects exactly the points equal to `target`, NaN targets included.
+  */
+case class SegmentStatsBetween(
+    lowerInclusive: Boolean, lower: Expression, upper: Expression,
+    tsLo: Long, tsHi: Long,
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(lower, upper,
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cnt", LongType, nullable = false),
+    StructField("sum", DoubleType, nullable = false),
+    StructField("mn", FloatType, nullable = true),
+    StructField("mx", FloatType, nullable = true),
+    StructField("tmin", LongType, nullable = true),
+    StructField("tmax", LongType, nullable = true)))
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val lv = lower.eval(input)
+    val (lo, hasLower) = SegmentKernels.effectiveLower(
+      lv == null, if (lv == null) 0.0 else lv.asInstanceOf[Double],
+      lowerInclusive)
+    val uv = upper.eval(input)
+    val hi = if (uv == null) Double.NaN else uv.asInstanceOf[Double]
+    SegmentKernels.statsInRangeRow(lo, hasLower, hi, tsLo, tsHi,
+      modelTypeId.eval(input).asInstanceOf[Byte],
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      minValue.eval(input).asInstanceOf[Float],
+      maxValue.eval(input).asInstanceOf[Float],
+      values.eval(input).asInstanceOf[Array[Byte]],
+      residuals.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val rowCls = classOf[InternalRow].getName
+    val loVal = ctx.freshName("loBound")
+    val hasLo = ctx.freshName("hasLower")
+    val hiVal = ctx.freshName("hiBound")
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |boolean $hasLo = !${evals(0).isNull};
+           |double $loVal = $hasLo ? ${evals(0).value} : 0.0;
+           |if ($hasLo && $lowerInclusive) {
+           |  if (Double.isNaN($loVal)) $loVal = Double.POSITIVE_INFINITY;
+           |  else if ($loVal == Double.NEGATIVE_INFINITY) $hasLo = false;
+           |  else $loVal = Math.nextDown($loVal);
+           |}
+           |double $hiVal = ${evals(1).isNull} ? Double.NaN : ${evals(1).value};
+           |$rowCls ${ev.value} = graft.tsdb.SegmentKernels.statsInRangeRow(
+           |  $loVal, $hasLo, $hiVal, ${tsLo}L, ${tsHi}L,
+           |  ${evals.drop(2).map(_.value).mkString(", ")});
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(lowerInclusive, newChildren(0), newChildren(1), tsLo, tsHi,
+      newChildren(2), newChildren(3), newChildren(4), newChildren(5),
+      newChildren(6), newChildren(7), newChildren(8), newChildren(9))
 }
 
 /** Number of a segment's points with timestamp in [tsLo, tsHi] — the

@@ -354,11 +354,36 @@ class ValuePredicateSpec extends AnyFunSuite {
         "GROUP BY tag ORDER BY tag",
       "SELECT sum(value) AS s, count(*) AS n FROM fa WHERE value > 1.0e30",
       "SELECT tag, count(*) AS n FROM fa WHERE value > 1.0e30 " +
-        "GROUP BY tag ORDER BY tag")
+        "GROUP BY tag ORDER BY tag",
+      // First/last exceedance: min/max(ts) of the qualifying rows.
+      "SELECT tag, min(ts) AS t0, max(ts) AS t1, count(*) AS n FROM fa " +
+        "WHERE value > 0.5 GROUP BY tag ORDER BY tag",
+      "SELECT min(ts) AS t0, max(ts) AS t1 FROM fa WHERE value <= -10.0",
+      s"SELECT tag, min(ts) AS t0 FROM fa WHERE value > 0.0 " +
+        s"AND ts >= TIMESTAMP '$mid' GROUP BY tag ORDER BY tag",
+      // Per-bucket filtered stats: exceedances per fixed date_trunc
+      // bucket, straddling segments clipped per bucket; empty buckets
+      // vanish like the gridded plan's.
+      "SELECT date_trunc('HOUR', ts) AS b, count(*) AS n, " +
+        "sum(value) AS s, min(ts) AS t0 FROM fa WHERE value > 0.5 " +
+        "GROUP BY 1 ORDER BY 1",
+      "SELECT tag, date_trunc('MINUTE', ts) AS b, count(*) AS n, " +
+        "max(value) AS mx FROM fa WHERE value <= -5.0 " +
+        "GROUP BY tag, 2 ORDER BY tag, b",
+      s"SELECT date_trunc('HOUR', ts) AS b, avg(value) AS a FROM fa " +
+        s"WHERE value > 0.0 AND ts >= TIMESTAMP '$mid' " +
+        "GROUP BY 1 ORDER BY 1")
     for (q <- rewritten) {
       val df = engine.sql(q)
-      assert(!df.queryExecution.executedPlan.toString.contains("Generate"),
+      val plan = df.queryExecution.executedPlan.toString
+      // The bucketed splice explodes straddling segments into their
+      // overlapped buckets (a Generate over SEGMENT rows, bounded by
+      // buckets); the point-decode generator must never appear.
+      assert(!plan.contains("gridpoints"),
         s"filtered aggregate must not decode points: $q")
+      if (!q.contains("date_trunc"))
+        assert(!plan.contains("Generate"),
+          s"unbucketed filtered aggregate needs no generator at all: $q")
       val got = df.collect()
       val want = spark.sql(q.replace("FROM fa", "FROM fa_raw")).collect()
       assert(got.length == want.length, s"$q: ${got.length} vs ${want.length}")
@@ -391,7 +416,9 @@ class ValuePredicateSpec extends AnyFunSuite {
     val declined = Seq(
       ("SELECT tag, sum(a) AS s FROM fa2 WHERE b > 0.0 " +
         "GROUP BY tag ORDER BY tag", "fa2"),
-      ("SELECT date_trunc('DAY', ts) AS d, sum(value) AS s FROM fa " +
+      // Calendar truncations (variable-width buckets) decline under a
+      // value predicate; only fixed-width epoch-floor units splice.
+      ("SELECT date_trunc('MONTH', ts) AS d, sum(value) AS s FROM fa " +
         "WHERE value > 0.0 GROUP BY 1 ORDER BY 1", "fa"))
     for ((q, t) <- declined) {
       val df = engine.sql(q)
@@ -401,6 +428,47 @@ class ValuePredicateSpec extends AnyFunSuite {
         .map(_.toSeq.map(String.valueOf)).toSeq
       assert(df.collect().map(_.toSeq.map(String.valueOf)).toSeq == want, q)
     }
+  }
+
+  test("argExtremum finds the earliest timestamp of each series' extreme") {
+    val engine = newEngine()
+    buildTable(engine, "am", "", irregular = true)
+    val pts = engine.readTable("am").cache()
+    val bounds = pts
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val (wLo, wHi) = (bounds.getLong(0) + (bounds.getLong(1) - bounds.getLong(0)) / 4,
+      bounds.getLong(0) + 3 * (bounds.getLong(1) - bounds.getLong(0)) / 4)
+    // The fixture's NaN runs make every tag's MAX a NaN (NaN-greatest),
+    // exercising the NaN-target path; MIN exercises the real-value path.
+    // Spark-side truth: NaN = NaN is TRUE in Spark SQL equality, so the
+    // join-back finds exactly the extreme's points.
+    for (kind <- Seq("max", "min");
+         range <- Seq(scala.None, Some((wLo, wHi)))) {
+      val (st, et) = range match {
+        case Some((a, b)) => (Some(inst(a)), Some(inst(b)))
+        case scala.None => (scala.None, scala.None)
+      }
+      val got = engine.argExtremum("am", "value", kind, Seq("tag"), st, et)
+        .orderBy("tag").collect()
+        .map(r => (r.getString(0), r.getFloat(1), r.getTimestamp(2))).toSeq
+      val window = range match {
+        case Some((a, b)) => pts.where(unix_micros(col("ts")).between(a, b))
+        case scala.None => pts
+      }
+      val ext = window.groupBy("tag").agg(
+        (if (kind == "max") max(col("value")) else min(col("value"))).as("m"))
+      val want = window.join(ext, "tag").where(col("value") === col("m"))
+        .groupBy("tag").agg(first(col("m")).as("m"), min(col("ts")).as("t"))
+        .orderBy("tag").collect()
+        .map(r => (r.getString(0), r.getFloat(1), r.getTimestamp(2))).toSeq
+      assert(got.length == want.length, s"$kind $range")
+      got.zip(want).foreach { case ((gt, gv, gts), (wt, wv, wts)) =>
+        assert(gt == wt && java.lang.Float.compare(gv, wv) == 0 &&
+          gts == wts, s"$kind $range: ($gt,$gv,$gts) vs ($wt,$wv,$wts)")
+      }
+    }
+    pts.unpersist()
   }
 
   test("lttbDownsample matches a full point-level replay incl. NaN runs") {
