@@ -314,6 +314,7 @@ object ValueCounts {
       upper: Double) extends Acc {
     private var count = 0L
     private var sum = 0.0
+    private var sumSq = 0.0
     private var mnV = 0.0f
     private var mxV = 0.0f
     private var firstIdx = -1
@@ -338,6 +339,7 @@ object ValueCounts {
       // n·v is exact in f64 for any float v and realistic n (24+31 < 53
       // mantissa bits), so constant runs lose nothing to the fold.
       sum += v.toDouble * n.toDouble
+      sumSq += v.toDouble * v.toDouble * n.toDouble
     }
 
     override def addConstant(v: Float, n: Int, at: Int): Unit =
@@ -367,7 +369,7 @@ object ValueCounts {
       count.toDouble, sum,
       if (count == 0L) Double.NaN else mnV.toDouble,
       if (count == 0L) Double.NaN else mxV.toDouble,
-      firstIdx.toDouble, lastIdx.toDouble)
+      firstIdx.toDouble, lastIdx.toDouble, sumSq)
   }
 
   /** Per-threshold counts of reconstructed values v with v > xs(i) under

@@ -106,6 +106,17 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     */
   private[plans] final case class PercentileAgg(
     field: String, q: Double, outName: String) extends AggSpec
+  /** An aggregate with a FILTER clause whose predicate is a value-bound
+    * conjunction on one stored field — `sum(v) FILTER (WHERE v > x)` —
+    * answered by [[graft.tsdb.Engine.thresholdStats]] (one pass per
+    * DISTINCT bound, joined back on the tag keys). `kind` is a
+    * thresholdStats output kind (count, sum, min, max, avg, the
+    * variance family) or ts_min/ts_max for min/max(ts). FILTER
+    * semantics keep every group — no empty-group drop here, unlike a
+    * WHERE.
+    */
+  private[plans] final case class FilteredAgg(
+    kind: String, bound: ValueBound, outName: String) extends AggSpec
 
   /** How a `date_trunc` grouping buckets time: a fixed width in micros
     * (epoch-aligned, answered by the pmod plan) or a calendar truncation
@@ -278,7 +289,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           val hasAgg = flat.exists(s =>
             s.isInstanceOf[FieldAgg] || s.isInstanceOf[TsAgg] ||
               s.isInstanceOf[TagDistinctAgg] || s.isInstanceOf[FieldExprAgg] ||
-              s.isInstanceOf[PercentileAgg])
+              s.isInstanceOf[PercentileAgg] || s.isInstanceOf[FilteredAgg])
           val hasTagDistinct = flat.exists(_.isInstanceOf[TagDistinctAgg])
           // A tag column named like an internal output of the rewritten
           // plan ('bucket', or a produced '<kind>_<column>') would make
@@ -327,7 +338,17 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             case _ => false
           } && pAggs.map(_.field).distinct.size == 1 &&
             bucket.isEmpty && bin.isEmpty && phase.isEmpty)
-          if (collides || !binOk || !phaseOk || !percOk) None
+          // FILTER-clause aggregates compose with plain tag groupings and
+          // the closed-form unfiltered kinds (joined frames); buckets,
+          // bins, phases, and DISTINCT shapes decline.
+          val filteredOk = !flat.exists(_.isInstanceOf[FilteredAgg]) ||
+            (flat.forall {
+              case TagRef(_) | FieldAgg(_, _, _) | TsAgg(_, _) |
+                  FilteredAgg(_, _, _) => true
+              case _: FieldExprAgg => true
+              case _ => false
+            } && bucket.isEmpty && bin.isEmpty && phase.isEmpty)
+          if (collides || !binOk || !phaseOk || !percOk || !filteredOk) None
           else filterCond match {
             case _ if (!hasAgg || hasTagDistinct) && bucket.nonEmpty =>
               // Distinct buckets (and DISTINCT-tag counts per bucket)
@@ -361,7 +382,9 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                   val aggsOk = flat.forall {
                     case TagRef(_) => true
                     case FieldAgg("count", _, _) => true
-                    case FieldAgg("sum" | "min" | "max" | "avg", f, _) =>
+                    case FieldAgg("sum" | "min" | "max" | "avg" |
+                        "var_samp" | "var_pop" | "stddev_samp" |
+                        "stddev_pop", f, _) =>
                       vb.exists(_.field == f)
                     // min/max(ts) of the qualifying rows — "first/last
                     // exceedance" — ride the same stats partials.
@@ -377,7 +400,10 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                     Set(s"count_in_${b.field}", s"count_${b.field}",
                       s"sum_in_${b.field}", s"min_in_${b.field}",
                       s"max_in_${b.field}", s"avg_in_${b.field}",
-                      s"min_ts_in_${b.field}", s"max_ts_in_${b.field}") ++
+                      s"min_ts_in_${b.field}", s"max_ts_in_${b.field}",
+                      s"var_samp_in_${b.field}", s"var_pop_in_${b.field}",
+                      s"stddev_samp_in_${b.field}",
+                      s"stddev_pop_in_${b.field}") ++
                       (if (bucket.nonEmpty) Set("bucket") else Set.empty))
                     .getOrElse(Set.empty)
                   if (!aggsOk || !hasAgg || !bucketOk ||
@@ -673,6 +699,50 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           } =>
         Some(TagDistinctAgg(
           args.collect { case a: AttributeReference => a.name }, outName))
+      // FILTER-clause aggregates: the filter must be a pure value-bound
+      // conjunction on ONE stored field (no ts/tag conjuncts — those
+      // would need per-aggregate hybrid plans), and the aggregated
+      // column must be the bound's own field (count: any column — all
+      // are non-null and row-aligned) or the timestamp.
+      case Alias(AggregateExpression(fn, Complete, false, Some(cond), _), outName) =>
+        parseFilter(meta, cond).collect {
+          case (scala.None, scala.None, tags, tagIn, Some(vb))
+              if tags.isEmpty && tagIn.isEmpty => vb
+        }.flatMap { vb =>
+          val kind = fn match {
+            case Count(Seq(Literal(_, _))) => Some("count")
+            case Count(Seq(a: AttributeReference))
+                if a.name == vb.field || a.name == meta.timestampColumn ||
+                  meta.tagColumns.contains(a.name) ||
+                  meta.fieldColumns.contains(a.name) => Some("count")
+            case Sum(a: AttributeReference, _) if a.name == vb.field =>
+              Some("sum")
+            case Average(a: AttributeReference, _) if a.name == vb.field =>
+              Some("avg")
+            case Min(a: AttributeReference)
+                if a.name == meta.timestampColumn &&
+                  a.dataType == TimestampType => Some("ts_min")
+            case Max(a: AttributeReference)
+                if a.name == meta.timestampColumn &&
+                  a.dataType == TimestampType => Some("ts_max")
+            case Min(a: AttributeReference) if a.name == vb.field => Some("min")
+            case Max(a: AttributeReference) if a.name == vb.field => Some("max")
+            case VarianceSamp(e1, _)
+                if varianceField(meta, e1).contains(vb.field) =>
+              Some("var_samp")
+            case VariancePop(e1, _)
+                if varianceField(meta, e1).contains(vb.field) =>
+              Some("var_pop")
+            case StddevSamp(e1, _)
+                if varianceField(meta, e1).contains(vb.field) =>
+              Some("stddev_samp")
+            case StddevPop(e1, _)
+                if varianceField(meta, e1).contains(vb.field) =>
+              Some("stddev_pop")
+            case _ => scala.None
+          }
+          kind.map(FilteredAgg(_, vb, outName))
+        }
       case Alias(AggregateExpression(fn, Complete, false, None, _), outName) =>
         fn match {
           case Count(Seq(a: AttributeReference))
@@ -1034,7 +1104,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           case FieldAgg("avg", _, outName) =>
             (col(s"sum_in_$f") / col(s"count_in_$f").cast("double"))
               .as(outName)
-          case FieldAgg(kind @ ("sum" | "min" | "max"), _, outName) =>
+          case FieldAgg(kind @ ("sum" | "min" | "max" | "var_samp" |
+              "var_pop" | "stddev_samp" | "stddev_pop"), _, outName) =>
             col(s"${kind}_in_$f").as(outName)
           case TsAgg(kind, outName) =>
             col(s"${kind}_ts_in_$f").as(outName)
@@ -1076,7 +1147,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           case TagRef(tag) => col(tag)
           case FieldAgg("count", _, outName) =>
             col(s"count_in_$f").as(outName)
-          case FieldAgg(kind @ ("sum" | "min" | "max" | "avg"), _, outName) =>
+          case FieldAgg(kind @ ("sum" | "min" | "max" | "avg" | "var_samp" |
+              "var_pop" | "stddev_samp" | "stddev_pop"), _, outName) =>
             col(s"${kind}_in_$f").as(outName)
           case TsAgg(kind, outName) =>
             col(s"${kind}_ts_in_$f").as(outName)
@@ -1137,6 +1209,64 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           s"unsupported spec $other under a time-phase grouping")
       }
       prof.select(ordered: _*)
+    } else if (m.specs.exists(_.isInstanceOf[FilteredAgg])) {
+      // FILTER-clause aggregates: one thresholdStats pass per DISTINCT
+      // bound, every group kept (FILTER keeps groups, unlike WHERE),
+      // joined with the unfiltered closed forms on the tag keys. Every
+      // joined frame is already aggregated — one row per group — so the
+      // joins are answer-sized; internal names are positional to survive
+      // duplicate SQL output names.
+      def inst(us: Long) = java.time.Instant.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      val bounds = m.specs.collect { case fa: FilteredAgg => fa.bound }.distinct
+      val idxOf = bounds.zipWithIndex.toMap
+      val boundFrames = bounds.zipWithIndex.map { case (b, i) =>
+        val f = b.field
+        engine.thresholdStats(m.meta.name, f, b.lower, b.upper,
+          m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq,
+          m.tagIn)
+          .select(m.groupTags.map(col) ++ Seq(
+            col(s"count_in_$f").as(s"__fb${i}_count"),
+            col(s"sum_in_$f").as(s"__fb${i}_sum"),
+            col(s"min_in_$f").as(s"__fb${i}_min"),
+            col(s"max_in_$f").as(s"__fb${i}_max"),
+            col(s"avg_in_$f").as(s"__fb${i}_avg"),
+            col(s"min_ts_in_$f").as(s"__fb${i}_ts_min"),
+            col(s"max_ts_in_$f").as(s"__fb${i}_ts_max"),
+            col(s"var_samp_in_$f").as(s"__fb${i}_var_samp"),
+            col(s"var_pop_in_$f").as(s"__fb${i}_var_pop"),
+            col(s"stddev_samp_in_$f").as(s"__fb${i}_stddev_samp"),
+            col(s"stddev_pop_in_$f").as(s"__fb${i}_stddev_pop")): _*)
+      }
+      val renamedPlain = m.specs.zipWithIndex.collect {
+        case (s, i) if !s.isInstanceOf[FilteredAgg] &&
+            !s.isInstanceOf[TagRef] => s match {
+          case FieldAgg(k, f2, _) => FieldAgg(k, f2, s"__pb$i")
+          case TsAgg(k, _) => TsAgg(k, s"__pb$i")
+          case fe: FieldExprAgg => fe.copy(outName = s"__pb$i")
+          case other => throw new IllegalStateException(
+            s"unsupported spec $other beside FILTER aggregates")
+        }
+      }
+      val plainOpt =
+        if (renamedPlain.nonEmpty)
+          Some(build(engine, m.copy(
+            specs = m.groupTags.map(TagRef(_)) ++ renamedPlain)))
+        else scala.None
+      val joined = (plainOpt.toSeq ++ boundFrames).reduce { (a, b) =>
+        if (m.groupTags.isEmpty) a.crossJoin(b) else a.join(b, m.groupTags)
+      }
+      val ordered = m.specs.zipWithIndex.map { case (s, i) => s match {
+        case TagRef(tag) => col(tag)
+        case FilteredAgg(kind, b, outName) =>
+          col(s"__fb${idxOf(b)}_$kind").as(outName)
+        case FieldAgg(_, _, outName) => col(s"__pb$i").as(outName)
+        case TsAgg(_, outName) => col(s"__pb$i").as(outName)
+        case fe: FieldExprAgg => col(s"__pb$i").as(fe.outName)
+        case other => throw new IllegalStateException(
+          s"unsupported spec $other beside FILTER aggregates")
+      }}
+      joined.select(ordered: _*)
     } else if (m.specs.exists(_.isInstanceOf[PercentileAgg])) {
       // percentile/median: resolve the two bracketing order statistics
       // per group with the exact-rank ladder (no sort, no decode, ~10

@@ -473,6 +473,30 @@ object TsQueries {
       FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 150.0
       GROUP BY 1 ORDER BY 1""")),
 
+    // FILTER-clause aggregates: conditional and unconditional aggregates
+    // in ONE query — `count(*) FILTER (WHERE v > x)` beside plain
+    // count/avg — splice as one thresholdStats pass per distinct bound
+    // joined with the unfiltered closed forms on the group keys. FILTER
+    // semantics keep every group (0-count rows included), unlike a WHERE.
+    ("ts_sql_filter_clause", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, count(*) AS n, " +
+          "count(*) FILTER (WHERE value > 100.0) AS n_hi, " +
+          "round(sum(value) FILTER (WHERE value <= 100.0), 4) AS s_lo, " +
+          "round(avg(value), 4) AS a " +
+          "FROM events_lossless GROUP BY user ORDER BY user")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (
+          WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0)
+          AS BIGINT) AS n_hi,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)) FILTER (
+          WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) <= 100.0), 4) AS s_lo,
+        round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS a
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
     // Exceedances per DAY through the SQL surface: date_trunc + value
     // predicate splice into per-bucket filtered stats — bucket-contained
     // segments contribute one unclipped partial, straddlers explode into

@@ -938,9 +938,27 @@ final class Engine(val spark: SparkSession, val root: String) {
       min(st.getField("mn")).as(s"min_in_$field"),
       max(st.getField("mx")).as(s"max_in_$field"),
       timestamp_micros(min(st.getField("tmin"))).as(s"min_ts_in_$field"),
-      timestamp_micros(max(st.getField("tmax"))).as(s"max_ts_in_$field"))
-    if (keys.isEmpty) partials.agg(aggs.head, aggs.tail: _*)
-    else partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      timestamp_micros(max(st.getField("tmax"))).as(s"max_ts_in_$field"),
+      sum(when(st.getField("cnt") > 0L, st.getField("sumsq")))
+        .as(s"__sumsq_in"))
+    val grouped =
+      if (keys.isEmpty) partials.agg(aggs.head, aggs.tail: _*)
+      else partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    // Variance family from the same (count, Σv, Σv²) scalars — SQL
+    // var_samp/var_pop NULL thresholds included.
+    val cnt = col(s"count_in_$field")
+    val s1 = col(s"sum_in_$field")
+    val s2 = col("__sumsq_in")
+    grouped
+      .withColumn(s"var_samp_in_$field",
+        SegmentAggregates.varianceFrom(cnt, s1, s2, sample = true))
+      .withColumn(s"var_pop_in_$field",
+        SegmentAggregates.varianceFrom(cnt, s1, s2, sample = false))
+      .withColumn(s"stddev_samp_in_$field",
+        sqrt(col(s"var_samp_in_$field")))
+      .withColumn(s"stddev_pop_in_$field",
+        sqrt(col(s"var_pop_in_$field")))
+      .drop("__sumsq_in")
   }
 
   /** [[thresholdStats]] per TIME BUCKET: value-filtered count/sum/min/max
@@ -1025,7 +1043,9 @@ final class Engine(val spark: SparkSession, val root: String) {
       .select((keys :+ col("bucket")) ++ Seq(
         col(s"count_in_$field"), col(s"sum_in_$field"),
         col(s"min_in_$field"), col(s"max_in_$field"),
-        col(s"min_ts_in_$field"), col(s"max_ts_in_$field")): _*)
+        col(s"min_ts_in_$field"), col(s"max_ts_in_$field"),
+        col(s"var_samp_in_$field"), col(s"var_pop_in_$field"),
+        col(s"stddev_samp_in_$field"), col(s"stddev_pop_in_$field")): _*)
   }
 
   /** [[thresholdStats]] with PER-GROUP bounds: `bounds` carries some of

@@ -154,7 +154,8 @@ object SegmentAggregates {
       attr("values"), attr("residuals")))
     val empty = struct(lit(0L).as("cnt"), lit(0.0).as("sum"),
       lit(null).cast("float").as("mn"), lit(null).cast("float").as("mx"),
-      lit(null).cast("long").as("tmin"), lit(null).cast("long").as("tmax"))
+      lit(null).cast("long").as("tmin"), lit(null).cast("long").as("tmax"),
+      lit(0.0).as("sumsq"))
     val outBelow = lower
       .map(l =>
         if (upper.isNaN) col("max_value") <= l && !nanCapable
@@ -180,7 +181,8 @@ object SegmentAggregates {
       attr("values"), attr("residuals")))
     val empty = struct(lit(0L).as("cnt"), lit(0.0).as("sum"),
       lit(null).cast("float").as("mn"), lit(null).cast("float").as("mx"),
-      lit(null).cast("long").as("tmin"), lit(null).cast("long").as("tmax"))
+      lit(null).cast("long").as("tmin"), lit(null).cast("long").as("tmax"),
+      lit(0.0).as("sumsq"))
     val outBelow = lower
       .map(l =>
         if (upper.isNaN) col("max_value") <= l && !nanCapable

@@ -152,7 +152,7 @@ object SegmentKernels {
     val a = graft.core.ValueCounts.statsInRange(lower, hasLower, upper,
       tsLo, tsHi, modelTypeId, startTime, endTime, timestamps, minValue,
       maxValue, values, residuals)
-    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(6)
+    val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
     val cnt = a(0).toLong
     r.setLong(0, cnt)
     r.setDouble(1, a(1))
@@ -162,6 +162,7 @@ object SegmentKernels {
       r.setFloat(2, a(2).toFloat); r.setFloat(3, a(3).toFloat)
       r.setLong(4, a(4).toLong); r.setLong(5, a(5).toLong)
     }
+    r.setDouble(6, a(6))
     r
   }
 }
@@ -388,7 +389,8 @@ case class SegmentStatsInRange(
     StructField("mn", FloatType, nullable = true),
     StructField("mx", FloatType, nullable = true),
     StructField("tmin", LongType, nullable = true),
-    StructField("tmax", LongType, nullable = true)))
+    StructField("tmax", LongType, nullable = true),
+    StructField("sumsq", DoubleType, nullable = false)))
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any = {
@@ -450,7 +452,8 @@ case class SegmentStatsInRangeDyn(
     StructField("mn", FloatType, nullable = true),
     StructField("mx", FloatType, nullable = true),
     StructField("tmin", LongType, nullable = true),
-    StructField("tmax", LongType, nullable = true)))
+    StructField("tmax", LongType, nullable = true),
+    StructField("sumsq", DoubleType, nullable = false)))
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any = {
@@ -519,7 +522,8 @@ case class SegmentStatsBetween(
     StructField("mn", FloatType, nullable = true),
     StructField("mx", FloatType, nullable = true),
     StructField("tmin", LongType, nullable = true),
-    StructField("tmax", LongType, nullable = true)))
+    StructField("tmax", LongType, nullable = true),
+    StructField("sumsq", DoubleType, nullable = false)))
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any = {

@@ -345,6 +345,13 @@ class ValuePredicateSpec extends AnyFunSuite {
         "GROUP BY tag ORDER BY tag",
       "SELECT tag, sum(value) AS s, min(value) AS mn FROM fa " +
         "WHERE value <= -10.0 GROUP BY tag ORDER BY tag",
+      // Variance family under the predicate — same Σv/Σv² partials; the
+      // NaN-passing predicate (unbounded above) poisons them to NaN
+      // exactly like Spark's own aggregate.
+      "SELECT tag, var_samp(value) AS vs, stddev_pop(value) AS sp, " +
+        "count(*) AS n FROM fa WHERE value <= -5.0 " +
+        "GROUP BY tag ORDER BY tag",
+      "SELECT var_pop(value) AS vp FROM fa WHERE value > 0.5",
       "SELECT min(value) AS mn, max(value) AS mx, count(*) AS n FROM fa " +
         "WHERE value >= -20.0 AND value < 35.5",
       s"SELECT tag, sum(value) AS s, count(*) AS n FROM fa " +
@@ -420,6 +427,88 @@ class ValuePredicateSpec extends AnyFunSuite {
       // value predicate; only fixed-width epoch-floor units splice.
       ("SELECT date_trunc('MONTH', ts) AS d, sum(value) AS s FROM fa " +
         "WHERE value > 0.0 GROUP BY 1 ORDER BY 1", "fa"))
+    for ((q, t) <- declined) {
+      val df = engine.sql(q)
+      assert(df.queryExecution.executedPlan.toString.contains("Generate"),
+        s"should grid: $q")
+      val want = spark.sql(q.replace(s"FROM $t", s"FROM ${t}_raw")).collect()
+        .map(_.toSeq.map(String.valueOf)).toSeq
+      assert(df.collect().map(_.toSeq.map(String.valueOf)).toSeq == want, q)
+    }
+  }
+
+  test("FILTER-clause aggregates splice thresholdStats beside closed forms") {
+    val engine = newEngine()
+    buildTable(engine, "fc", "", irregular = false)
+    engine.readTable("fc").createOrReplaceTempView("fc_raw")
+    def fmt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      us / 1000000L, (us % 1000000L * 1000L).toInt, java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val bounds = engine.readTable("fc")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    val mid = fmt((bounds.getLong(0) + bounds.getLong(1)) / 2)
+
+    // FILTER keeps every group (unlike a WHERE): groups whose filtered
+    // set is empty still appear, with 0 counts and NULL sums.
+    val rewritten = Seq(
+      "SELECT tag, count(*) AS n, count(*) FILTER (WHERE value > 0.5) " +
+        "AS n_hi FROM fc GROUP BY tag ORDER BY tag",
+      "SELECT tag, sum(value) FILTER (WHERE value > 0.0) AS s_pos, " +
+        "sum(value) FILTER (WHERE value <= 0.0) AS s_neg, avg(value) AS a " +
+        "FROM fc GROUP BY tag ORDER BY tag",
+      "SELECT tag, min(value) FILTER (WHERE value > -5.0 AND value <= 5.0)" +
+        " AS band_min, max(ts) FILTER (WHERE value > 0.0) AS t_last " +
+        "FROM fc GROUP BY tag ORDER BY tag",
+      "SELECT count(*) FILTER (WHERE value > 1.0e30) AS none, " +
+        "sum(value) FILTER (WHERE value > 1.0e30) AS s_none, " +
+        "count(*) AS n FROM fc",
+      "SELECT tag, var_samp(value) FILTER (WHERE value <= 0.0) AS vs, " +
+        "min(ts) AS t0 FROM fc GROUP BY tag ORDER BY tag",
+      s"SELECT tag, count(*) FILTER (WHERE value > 0.0) AS n_hi, " +
+        s"sum(value) AS s FROM fc WHERE ts >= TIMESTAMP '$mid' " +
+        "GROUP BY tag ORDER BY tag")
+    for (q <- rewritten) {
+      val df = engine.sql(q)
+      val plan = df.queryExecution.executedPlan.toString
+      // A ts range routes the UNFILTERED side through the hybrid plan,
+      // which decodes the at-most-two boundary segments per series —
+      // that Generate is the intended plan; everything else needs none.
+      if (!q.contains("TIMESTAMP"))
+        assert(!plan.contains("Generate"),
+          s"FILTER aggregate must not decode points: $q")
+      val got = df.collect()
+      val want = spark.sql(q.replace("FROM fc", "FROM fc_raw")).collect()
+      assert(got.length == want.length, s"$q: ${got.length} vs ${want.length}")
+      got.zip(want).foreach { case (a, b) =>
+        a.toSeq.zip(b.toSeq).foreach {
+          case (null, null) =>
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            assert((x.isNaN && y.isNaN) ||
+              math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y)),
+              s"$q: $a vs $b")
+          case (x: java.lang.Float, y: java.lang.Float) =>
+            assert(java.lang.Float.compare(x, y) == 0 ||
+              (x.floatValue == 0f && y.floatValue == 0f), s"$q: $a vs $b")
+          case (x, y) => assert(x == y, s"$q: $a vs $b")
+        }
+      }
+    }
+
+    // Declined: a FILTER predicate with non-value conjuncts, or over a
+    // different field than the aggregated one — those grid.
+    engine.sql("CREATE TIME SERIES TABLE fc2(" +
+      "ts TIMESTAMP, a FIELD, b FIELD, tag TAG)")
+    engine.write("fc2", engine.readTable("fc")
+      .select(col("ts"), col("value").as("a"),
+        (col("value") * lit(0.5f)).as("b"), col("tag")))
+    engine.readTable("fc2").createOrReplaceTempView("fc2_raw")
+    val declined = Seq(
+      ("SELECT tag, sum(a) FILTER (WHERE b > 0.0) AS s FROM fc2 " +
+        "GROUP BY tag ORDER BY tag", "fc2"),
+      ("SELECT tag, count(*) FILTER (WHERE value > 0.0 AND tag = 'a') " +
+        "AS n FROM fc GROUP BY tag ORDER BY tag", "fc"))
     for ((q, t) <- declined) {
       val df = engine.sql(q)
       assert(df.queryExecution.executedPlan.toString.contains("Generate"),
