@@ -269,19 +269,46 @@ object ValueCounts {
   def statsInRange(lower: Double, hasLower: Boolean, upper: Double,
       tsLo: Long, tsHi: Long, mt: Byte, st: Long, et: Long,
       tsBytes: Array[Byte], mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): Array[Double] =
+    statsInRanges(Array(if (hasLower) lower else Double.NaN), Array(upper),
+      tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals)
+
+  /** [[statsInRange]] over a UNION of disjoint intervals — the kernel
+    * behind `WHERE v < a OR v > b` (the outlier band) and any disjunction
+    * of value ranges the rewrite merges. `los(i)` NaN = that interval is
+    * unbounded below (-Inf included); `his(i)` NaN = unbounded above (NaN
+    * values included). Intervals MUST be disjoint and ascending: each
+    * value then lands in at most one, and the union's stats are exactly
+    * the per-value accumulation. One traversal total; a Swing segment
+    * binary-searches one run per interval.
+    */
+  def statsInRanges(los: Array[Double], his: Array[Double],
+      tsLo: Long, tsHi: Long, mt: Byte, st: Long, et: Long,
+      tsBytes: Array[Byte], mn: Float, mx: Float, values: Array[Byte],
       residuals: Array[Byte]): Array[Double] = {
-    val acc = new StatsAcc(lower, hasLower, upper)
-    if (hasLower && sqlCompare(lower, upper) >= 0) return acc.result()
+    require(los.length == his.length && los.nonEmpty,
+      "statsInRanges needs matched, non-empty bound arrays")
+    val acc = new StatsAcc(los, his)
     // Metadata short-circuit, mirroring SegmentAggregates.allOutCol: the
     // NaN-ignoring stored bounds cover every non-NaN value, and a HIDDEN
     // NaN (MacaqueV / residual tails only) passes any lower bound but
-    // fails every finite upper — only the NaN sentinel keeps it in.
+    // fails every finite upper — only the NaN sentinel keeps it in. The
+    // segment skips only when EVERY interval excludes it.
     val hideable = mt == Models.MacaqueVId || Models.residualsLength(residuals) > 0
-    val upperUnbounded = java.lang.Double.isNaN(upper)
-    val outBelow = hasLower && sqlCompare(mx.toDouble, lower) <= 0 &&
-      !(upperUnbounded && hideable)
-    val outAbove = !upperUnbounded && sqlCompare(mn.toDouble, upper) > 0
-    if (outBelow || outAbove) return acc.result()
+    var allOut = true
+    var i = 0
+    while (i < los.length && allOut) {
+      val hasLower = !java.lang.Double.isNaN(los(i))
+      val upperUnbounded = java.lang.Double.isNaN(his(i))
+      val emptyInterval =
+        hasLower && sqlCompare(los(i), his(i)) >= 0
+      val outBelow = hasLower && sqlCompare(mx.toDouble, los(i)) <= 0 &&
+        !(upperUnbounded && hideable)
+      val outAbove = !upperUnbounded && sqlCompare(mn.toDouble, his(i)) > 0
+      if (!emptyInterval && !outBelow && !outAbove) allOut = false
+      i += 1
+    }
+    if (allOut) return acc.result()
     traverse(tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals, acc)
     val r = acc.result()
     if (r(0) > 0) {
@@ -310,31 +337,40 @@ object ValueCounts {
     }
   }
 
-  private final class StatsAcc(lower: Double, hasLower: Boolean,
-      upper: Double) extends Acc {
+  /** Accumulates over a union of DISJOINT intervals (los(i) NaN = no
+    * lower bound, his(i) NaN = unbounded above). First/last indices track
+    * by min/max — order-independent, so per-interval monotone runs may
+    * arrive out of index order.
+    */
+  private final class StatsAcc(los: Array[Double], his: Array[Double])
+      extends Acc {
     private var count = 0L
     private var sum = 0.0
     private var sumSq = 0.0
     private var mnV = 0.0f
     private var mxV = 0.0f
-    private var firstIdx = -1
+    private var firstIdx = Int.MaxValue
     private var lastIdx = -1
 
     private def in(v: Float): Boolean = {
       val d = v.toDouble
-      (!hasLower || sqlCompare(d, lower) > 0) && sqlCompare(d, upper) <= 0
+      var i = 0
+      while (i < los.length) {
+        if ((java.lang.Double.isNaN(los(i)) || sqlCompare(d, los(i)) > 0) &&
+          sqlCompare(d, his(i)) <= 0) return true
+        i += 1
+      }
+      false
     }
 
-    // Accumulation proceeds in point-index (= time) order, so the first
-    // noted index is the in-range set's earliest point and the last noted
-    // its latest.
     private def note(v: Float, n: Long, at: Int, to: Int): Unit = {
-      if (count == 0L) { mnV = v; mxV = v; firstIdx = at }
+      if (count == 0L) { mnV = v; mxV = v }
       else {
         if (sqlCompare(v.toDouble, mnV.toDouble) < 0) mnV = v
         if (sqlCompare(v.toDouble, mxV.toDouble) > 0) mxV = v
       }
-      lastIdx = to
+      if (at < firstIdx) firstIdx = at
+      if (to > lastIdx) lastIdx = to
       count += n
       // n·v is exact in f64 for any float v and realistic n (24+31 < 53
       // mantissa bits), so constant runs lose nothing to the fold.
@@ -353,16 +389,22 @@ object ValueCounts {
         var i = from
         while (i < until) { addValue(eval(i), i); i += 1 }
       } else {
-        // The satisfying indices form one contiguous run (monotone values,
-        // monotone membership): locate it with the shared binary searches,
-        // then evaluate only the run.
-        val leU = monotoneCountLE(upper, eval, from, until)
-        val leL = if (hasLower) monotoneCountLE(lower, eval, from, until) else 0
-        val nonDecr = !(eval(from) > eval(until - 1))
-        val runFrom = if (nonDecr) from + leL else until - leU
-        val runUntil = if (nonDecr) from + leU else until - leL
-        var i = runFrom
-        while (i < runUntil) { note(eval(i), 1L, i, i); i += 1 }
+        // Intervals are disjoint, so each interval's satisfying indices
+        // form one contiguous run of the monotone sequence: locate each
+        // with the shared binary searches and evaluate only the runs.
+        var k = 0
+        while (k < los.length) {
+          val leU = monotoneCountLE(his(k), eval, from, until)
+          val leL =
+            if (java.lang.Double.isNaN(los(k))) 0
+            else monotoneCountLE(los(k), eval, from, until)
+          val nonDecr = !(eval(from) > eval(until - 1))
+          val runFrom = if (nonDecr) from + leL else until - leU
+          val runUntil = if (nonDecr) from + leU else until - leL
+          var i = runFrom
+          while (i < runUntil) { note(eval(i), 1L, i, i); i += 1 }
+          k += 1
+        }
       }
 
     def result(): Array[Double] = Array(

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, CreateNamedStruct, DayOfWeek, Divide, EqualTo, ExprId, Expression, Floor, GetStructField, GreaterThan, GreaterThanOrEqual, Hour, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Minute, Multiply, PredicateHelper, Remainder, Second, Subtract, TruncTimestamp, UnaryMinus, WeekDay}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, CreateNamedStruct, DayOfWeek, Divide, EqualTo, ExprId, Expression, Floor, GetStructField, GreaterThan, GreaterThanOrEqual, Hour, In, IsNotNull, LessThan, LessThanOrEqual, Literal, Minute, Multiply, Or, PredicateHelper, Remainder, Second, Subtract, TruncTimestamp, UnaryMinus, WeekDay}
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project, SubqueryAlias, View}
 import org.apache.spark.sql.functions._
@@ -140,7 +140,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     * exactly one side).
     */
   private[plans] final case class ValueBound(
-    field: String, lower: Option[Double], upper: Option[Double])
+    field: String, intervals: Seq[(Option[Double], Option[Double])])
 
   /** A fixed-width value-bin grouping: (field, origin, width). */
   private[plans] final case class ValueBin(
@@ -395,7 +395,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                     case BucketRef(_) => bucket.exists(_.isInstanceOf[FixedUs])
                     case _ => false
                   }
-                  val bucketOk = bucket.forall(_.isInstanceOf[FixedUs])
+                  val bucketOk = bucket.forall(_.isInstanceOf[FixedUs]) &&
+                    (bucket.isEmpty || vb.forall(_.intervals.size == 1))
                   val produced = vb.map(b =>
                     Set(s"count_in_${b.field}", s"count_${b.field}",
                       s"sum_in_${b.field}", s"min_in_${b.field}",
@@ -524,6 +525,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     var valueField: Option[String] = scala.None
     var vLo: Option[Double] = scala.None
     var vHi: Option[Double] = scala.None
+    var hadConjCmp = false
+    var orIntervals: Option[Seq[(Option[Double], Option[Double])]] = scala.None
     var ok = true
 
     def tightenLo(v: Long): Unit = lo = Some(lo.fold(v)(math.max(_, v)))
@@ -573,9 +576,68 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       if (valueField.exists(_ != f)) ok = false
       else {
         valueField = Some(f)
+        hadConjCmp = true
         newLo.foreach(l => vLo = Some(vLo.fold(l)(math.max(_, l))))
         newHi.foreach(h => vHi = Some(vHi.fold(h)(math.min(_, h))))
       }
+    // One comparison canonicalized to (field, lower, upper] — the shared
+    // matcher behind both the conjunction arms and OR disjunctions.
+    def valueCmpOf(e: Expression): Option[(String, Option[Double], Option[Double])] =
+      e match {
+        case GreaterThan(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+          Some((fieldOf(l).get, Some(fin(r).get), scala.None))
+        case GreaterThanOrEqual(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+          Some((fieldOf(l).get, Some(Math.nextDown(fin(r).get)), scala.None))
+        case LessThanOrEqual(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+          Some((fieldOf(l).get, scala.None, Some(fin(r).get)))
+        case LessThan(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+          Some((fieldOf(l).get, scala.None, Some(Math.nextDown(fin(r).get))))
+        case EqualTo(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+          Some((fieldOf(l).get, Some(Math.nextDown(fin(r).get)),
+            Some(fin(r).get)))
+        case GreaterThan(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+          Some((fieldOf(l).get, scala.None, Some(Math.nextDown(fin(r).get))))
+        case GreaterThanOrEqual(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+          Some((fieldOf(l).get, scala.None, Some(fin(r).get)))
+        case LessThanOrEqual(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+          Some((fieldOf(l).get, Some(Math.nextDown(fin(r).get)), scala.None))
+        case LessThan(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+          Some((fieldOf(l).get, Some(fin(r).get), scala.None))
+        case EqualTo(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
+          Some((fieldOf(l).get, Some(Math.nextDown(fin(r).get)),
+            Some(fin(r).get)))
+        case _ => scala.None
+      }
+    // An OR whose every disjunct is a conjunction of value comparisons on
+    // ONE shared field: union of the per-disjunct intervals.
+    def orBoundOf(or: Expression): Option[(String, Seq[(Option[Double], Option[Double])])] = {
+      val perDisjunct = splitDisjunctivePredicates(or).map { d =>
+        val cmps = splitConjunctivePredicates(d).map(valueCmpOf)
+        if (cmps.exists(_.isEmpty)) scala.None
+        else {
+          val parts = cmps.flatten
+          if (parts.map(_._1).distinct.size != 1) scala.None
+          else {
+            val f = parts.head._1
+            val lo = parts.flatMap(_._2) match {
+              case Seq() => scala.None
+              case ls => Some(ls.max)
+            }
+            val hi = parts.flatMap(_._3) match {
+              case Seq() => scala.None
+              case hs => Some(hs.min)
+            }
+            Some((f, lo, hi))
+          }
+        }
+      }
+      if (perDisjunct.exists(_.isEmpty)) scala.None
+      else {
+        val ds = perDisjunct.flatten
+        if (ds.map(_._1).distinct.size != 1) scala.None
+        else Some((ds.head._1, ds.map(d => (d._2, d._3))))
+      }
+    }
 
     splitConjunctivePredicates(cond).foreach {
       case GreaterThanOrEqual(a: AttributeReference, Literal(v: Long, TimestampType))
@@ -611,33 +673,56 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       // Value comparisons on one stored field, canonicalized to the
       // (lower, upper] interval countInRange counts (SQL total order,
       // `>= c` ⇔ `> nextDown(c)` exactly for doubles).
-      case GreaterThan(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
-        addValue(fieldOf(l).get, Some(fin(r).get), scala.None)
-      case GreaterThanOrEqual(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
-        addValue(fieldOf(l).get, Some(Math.nextDown(fin(r).get)), scala.None)
-      case LessThanOrEqual(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
-        addValue(fieldOf(l).get, scala.None, Some(fin(r).get))
-      case LessThan(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
-        addValue(fieldOf(l).get, scala.None, Some(Math.nextDown(fin(r).get)))
-      case EqualTo(l, r) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
-        addValue(fieldOf(l).get, Some(Math.nextDown(fin(r).get)),
-          Some(fin(r).get))
-      case GreaterThan(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
-        addValue(fieldOf(l).get, scala.None, Some(Math.nextDown(fin(r).get)))
-      case GreaterThanOrEqual(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
-        addValue(fieldOf(l).get, scala.None, Some(fin(r).get))
-      case LessThanOrEqual(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
-        addValue(fieldOf(l).get, Some(Math.nextDown(fin(r).get)), scala.None)
-      case LessThan(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
-        addValue(fieldOf(l).get, Some(fin(r).get), scala.None)
-      case EqualTo(r, l) if fieldOf(l).nonEmpty && fin(r).nonEmpty =>
-        addValue(fieldOf(l).get, Some(Math.nextDown(fin(r).get)),
-          Some(fin(r).get))
+      case e if valueCmpOf(e).nonEmpty =>
+        val (f, l2, h2) = valueCmpOf(e).get
+        addValue(f, l2, h2)
+      // ONE disjunction of value ranges on one field — `v < a OR v > b`,
+      // the outlier band. A second OR conjunct, or mixing with plain
+      // value comparisons, has no single-interval-set form — bail.
+      case or @ Or(_, _) =>
+        orBoundOf(or) match {
+          case Some((f, ivs))
+              if orIntervals.isEmpty && !valueField.exists(_ != f) =>
+            valueField = Some(f)
+            orIntervals = Some(ivs)
+          case _ => ok = false
+        }
       case _ => ok = false
     }
+    if (ok && hadConjCmp && orIntervals.nonEmpty) ok = false
     if (ok) Some((lo, hi, tags, tagIn,
-      valueField.map(f => ValueBound(f, vLo, vHi))))
+      valueField.map { f =>
+        val ivs = orIntervals.getOrElse(Seq((vLo, vHi)))
+        ValueBound(f, mergeIntervals(ivs))
+      }))
     else None
+  }
+
+  /** Union-merge canonical (lower, upper] intervals (all bound values
+    * finite — they come from literal canonicalization; None = unbounded)
+    * into a disjoint ascending list. Empty intervals drop; an all-empty
+    * input keeps ONE empty interval so an always-false predicate still
+    * answers 0/NULL through the kernel instead of losing its ValueBound.
+    */
+  private def mergeIntervals(
+      ivs: Seq[(Option[Double], Option[Double])]):
+      Seq[(Option[Double], Option[Double])] = {
+    def isEmptyIv(iv: (Option[Double], Option[Double])): Boolean =
+      iv._1.isDefined && iv._2.isDefined && iv._1.get >= iv._2.get
+    val nonEmpty = ivs.filterNot(isEmptyIv)
+    if (nonEmpty.isEmpty) return Seq((Some(0.0), Some(0.0)))
+    val sorted = nonEmpty.sortBy(_._1.getOrElse(Double.NegativeInfinity))
+    sorted.tail.foldLeft(Vector(sorted.head)) { (acc, iv) =>
+      val (plo, phi) = acc.last
+      val overlaps = phi.isEmpty ||
+        iv._1.getOrElse(Double.NegativeInfinity) <= phi.get
+      if (overlaps) {
+        val hi =
+          if (phi.isEmpty || iv._2.isEmpty) scala.None
+          else Some(math.max(phi.get, iv._2.get))
+        acc.init :+ ((plo, hi))
+      } else acc :+ iv
+    }
   }
 
   /** The child must be exactly the registered logical view of a time series
@@ -1091,9 +1176,10 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             s"non-fixed bucket $other under a value predicate")
         }
         val f = vb.field
+        val (bLo, bUp) = vb.intervals.head
         val bs = engine.thresholdStatsBucketed(m.meta.name, f,
           java.time.Duration.of(w, java.time.temporal.ChronoUnit.MICROS),
-          vb.lower, vb.upper, m.groupTags, m.startUs.map(inst),
+          bLo, bUp, m.groupTags, m.startUs.map(inst),
           m.endUs.map(inst), m.tagEq, m.tagIn)
         val nonEmpty = bs.where(col(s"count_in_$f") > 0L)
         val ordered = m.specs.map {
@@ -1113,8 +1199,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             s"unsupported spec $other under a bucketed value predicate")
         }
         nonEmpty.select(ordered: _*)
-      } else if (countsOnly) {
-        val (lower, upper, complement) = (vb.lower, vb.upper) match {
+      } else if (countsOnly && vb.intervals.size == 1) {
+        val (lower, upper, complement) = vb.intervals.head match {
           case (Some(l), Some(u)) => (l, u, false)
           case (Some(l), scala.None) => (l, Double.NaN, false)
           case (scala.None, Some(u)) => (u, Double.NaN, true)
@@ -1137,7 +1223,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         nonEmpty.select(ordered: _*)
       } else {
         val f = vb.field
-        val ts = engine.thresholdStats(m.meta.name, f, vb.lower, vb.upper,
+        val ts = engine.thresholdStatsMulti(m.meta.name, f, vb.intervals,
           m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq,
           m.tagIn)
         val nonEmpty =
@@ -1222,7 +1308,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       val idxOf = bounds.zipWithIndex.toMap
       val boundFrames = bounds.zipWithIndex.map { case (b, i) =>
         val f = b.field
-        engine.thresholdStats(m.meta.name, f, b.lower, b.upper,
+        engine.thresholdStatsMulti(m.meta.name, f, b.intervals,
           m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq,
           m.tagIn)
           .select(m.groupTags.map(col) ++ Seq(

@@ -473,6 +473,25 @@ object TsQueries {
       FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 150.0
       GROUP BY 1 ORDER BY 1""")),
 
+    // The outlier band through the SQL surface: `v < a OR v > b` merges
+    // into a disjoint interval union answered in ONE metadata-dominated
+    // pass — segments inside the band (the vast majority) skip on stored
+    // bounds alone, and each straddler binary-searches one run per
+    // interval. The fixed-band outlier census at 100 TB.
+    ("ts_sql_outlier_band", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, count(*) AS n_out, round(avg(value), 4) AS a_out " +
+          "FROM events_lossless WHERE value < 20.0 OR value > 180.0 " +
+          "GROUP BY user ORDER BY user")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(count(*) AS BIGINT) AS n_out,
+        round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS a_out
+      FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) < 20.0
+        OR CAST(CAST(value AS FLOAT4) AS DOUBLE) > 180.0
+      GROUP BY 1 ORDER BY 1""")),
+
     // FILTER-clause aggregates: conditional and unconditional aggregates
     // in ONE query — `count(*) FILTER (WHERE v > x)` beside plain
     // count/avg — splice as one thresholdStats pass per distinct bound

@@ -881,6 +881,22 @@ final class Engine(val spark: SparkSession, val root: String) {
       startTime: Option[java.time.Instant] = scala.None,
       endTime: Option[java.time.Instant] = scala.None,
       tagFilters: Map[String, String] = Map.empty,
+      tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame =
+    thresholdStatsMulti(table, field, Seq((lower, upper)), groupByTags,
+      startTime, endTime, tagFilters, tagInFilters)
+
+  /** [[thresholdStats]] over a UNION of disjoint value intervals — the
+    * outlier band `v < a OR v > b` and any disjunction of ranges, still
+    * ONE metadata-dominated pass: each segment evaluates the interval
+    * list against its stored bounds (skip when every interval excludes
+    * it) and a single traversal accumulates the union's stats.
+    */
+  def thresholdStatsMulti(table: String, field: String,
+      intervals: Seq[(Option[Double], Option[Double])],
+      groupByTags: Seq[String] = Seq.empty,
+      startTime: Option[java.time.Instant] = scala.None,
+      endTime: Option[java.time.Instant] = scala.None,
+      tagFilters: Map[String, String] = Map.empty,
       tagInFilters: Map[String, Seq[String]] = Map.empty): DataFrame = {
     val meta = dataFolder.metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table.")
@@ -888,7 +904,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       s"$field is not a stored field of $table.")
     require(groupByTags.forall(meta.tagColumns.contains),
       s"Group-by columns must be tags of $table.")
-    val up = upper.getOrElse(Double.NaN)
+    require(intervals.nonEmpty, "thresholdStatsMulti needs intervals")
     val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
     val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
 
@@ -903,16 +919,16 @@ final class Engine(val spark: SparkSession, val root: String) {
     val partials =
       if (startUs.isEmpty && endUs.isEmpty)
         segments.select(keys :+
-          SegmentAggregates.statsInRangeCol(lower, up).as("__ts_st"): _*)
+          SegmentAggregates.statsInRangesCol(intervals).as("__ts_st"): _*)
       else {
         val tsLo = startUs.getOrElse(Long.MinValue)
         val tsHi = endUs.getOrElse(Long.MaxValue)
         val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
           endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
         val interior = segments.where(contained).select(keys :+
-          SegmentAggregates.statsInRangeCol(lower, up).as("__ts_st"): _*)
+          SegmentAggregates.statsInRangesCol(intervals).as("__ts_st"): _*)
         val boundary = segments.where(!contained).select(keys :+
-          SegmentAggregates.statsInRangeCol(lower, up, tsLo, tsHi)
+          SegmentAggregates.statsInRangesCol(intervals, tsLo, tsHi)
             .as("__ts_st"): _*)
         interior.unionByName(boundary)
       }

@@ -166,6 +166,37 @@ object SegmentAggregates {
     when(outBelow || outAbove, empty).otherwise(kernel)
   }
 
+  /** [[statsInRangeCol]] over a UNION of disjoint intervals — the
+    * partial behind `WHERE v < a OR v > b`: a segment short-circuits to
+    * the empty struct only when its stored bounds exclude EVERY
+    * interval.
+    */
+  def statsInRangesCol(
+      intervals: Seq[(Option[Double], Option[Double])],
+      tsLo: Long = Long.MinValue, tsHi: Long = Long.MaxValue): Column = {
+    require(intervals.nonEmpty, "statsInRangesCol needs intervals")
+    val kernel = ColumnBridge.column(SegmentStatsInRanges(
+      intervals.map(_._1.getOrElse(Double.NaN)),
+      intervals.map(_._2.getOrElse(Double.NaN)), tsLo, tsHi,
+      attr("model_type_id"), attr("start_time"), attr("end_time"),
+      attr("timestamps"), attr("min_value"), attr("max_value"),
+      attr("values"), attr("residuals")))
+    val empty = struct(lit(0L).as("cnt"), lit(0.0).as("sum"),
+      lit(null).cast("float").as("mn"), lit(null).cast("float").as("mx"),
+      lit(null).cast("long").as("tmin"), lit(null).cast("long").as("tmax"),
+      lit(0.0).as("sumsq"))
+    val allOut = intervals.map { case (lo, up) =>
+      val outBelow = lo
+        .map(l =>
+          if (up.isEmpty) col("max_value") <= l && !nanCapable
+          else col("max_value") <= l)
+        .getOrElse(lit(false))
+      val outAbove = up.map(col("min_value") > _).getOrElse(lit(false))
+      outBelow || outAbove
+    }.reduce(_ && _)
+    when(allOut, empty).otherwise(kernel)
+  }
+
   /** [[statsInRangeCol]] with the TIMESTAMP window as COLUMNS — the
     * per-(segment, bucket) partial behind bucketed value-filtered stats.
     * The entirely-out short-circuit still comes from the stored value

@@ -148,8 +148,17 @@ object SegmentKernels {
       tsLo: Long, tsHi: Long, modelTypeId: Byte, startTime: Long,
       endTime: Long, timestamps: Array[Byte], minValue: Float,
       maxValue: Float, values: Array[Byte],
+      residuals: Array[Byte]): InternalRow =
+    statsInRangesRow(Array(if (hasLower) lower else Double.NaN),
+      Array(upper), tsLo, tsHi, modelTypeId, startTime, endTime, timestamps,
+      minValue, maxValue, values, residuals)
+
+  def statsInRangesRow(los: Array[Double], his: Array[Double],
+      tsLo: Long, tsHi: Long, modelTypeId: Byte, startTime: Long,
+      endTime: Long, timestamps: Array[Byte], minValue: Float,
+      maxValue: Float, values: Array[Byte],
       residuals: Array[Byte]): InternalRow = {
-    val a = graft.core.ValueCounts.statsInRange(lower, hasLower, upper,
+    val a = graft.core.ValueCounts.statsInRanges(los, his,
       tsLo, tsHi, modelTypeId, startTime, endTime, timestamps, minValue,
       maxValue, values, residuals)
     val r = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(7)
@@ -424,6 +433,69 @@ case class SegmentStatsInRange(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(lower, hasLower, upper, tsLo, tsHi, newChildren(0), newChildren(1),
+      newChildren(2), newChildren(3), newChildren(4), newChildren(5),
+      newChildren(6), newChildren(7))
+}
+
+/** [[SegmentStatsInRange]] over a UNION of disjoint value intervals —
+  * the kernel behind `WHERE v < a OR v > b` (the outlier band): the
+  * merged, ascending interval list rides along as a codegen reference
+  * object and one traversal accumulates the union's stats. `los(i)` NaN
+  * = that interval is unbounded below; `his(i)` NaN = unbounded above.
+  */
+case class SegmentStatsInRanges(
+    los: Seq[Double], his: Seq[Double], tsLo: Long, tsHi: Long,
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression {
+
+  override def children: Seq[Expression] = Seq(
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = StructType(Seq(
+    StructField("cnt", LongType, nullable = false),
+    StructField("sum", DoubleType, nullable = false),
+    StructField("mn", FloatType, nullable = true),
+    StructField("mx", FloatType, nullable = true),
+    StructField("tmin", LongType, nullable = true),
+    StructField("tmax", LongType, nullable = true),
+    StructField("sumsq", DoubleType, nullable = false)))
+  override def nullable: Boolean = false
+
+  @transient private lazy val losArr: Array[Double] = los.toArray
+  @transient private lazy val hisArr: Array[Double] = his.toArray
+
+  override def eval(input: InternalRow): Any = {
+    SegmentKernels.statsInRangesRow(losArr, hisArr, tsLo, tsHi,
+      modelTypeId.eval(input).asInstanceOf[Byte],
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      minValue.eval(input).asInstanceOf[Float],
+      maxValue.eval(input).asInstanceOf[Float],
+      values.eval(input).asInstanceOf[Array[Byte]],
+      residuals.eval(input).asInstanceOf[Array[Byte]])
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val evals = children.map(_.genCode(ctx))
+    val losRef = ctx.addReferenceObj("los", losArr, "double[]")
+    val hisRef = ctx.addReferenceObj("his", hisArr, "double[]")
+    val rowCls = classOf[InternalRow].getName
+    ev.copy(
+      code = evals.map(_.code).reduce(_ + _) +
+        code"""
+           |$rowCls ${ev.value} = graft.tsdb.SegmentKernels.statsInRangesRow(
+           |  $losRef, $hisRef, ${tsLo}L, ${tsHi}L,
+           |  ${evals.map(_.value).mkString(", ")});
+           """.stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(los, his, tsLo, tsHi, newChildren(0), newChildren(1),
       newChildren(2), newChildren(3), newChildren(4), newChildren(5),
       newChildren(6), newChildren(7))
 }

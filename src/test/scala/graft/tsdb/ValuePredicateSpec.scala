@@ -368,6 +368,19 @@ class ValuePredicateSpec extends AnyFunSuite {
       "SELECT min(ts) AS t0, max(ts) AS t1 FROM fa WHERE value <= -10.0",
       s"SELECT tag, min(ts) AS t0 FROM fa WHERE value > 0.0 " +
         s"AND ts >= TIMESTAMP '$mid' GROUP BY tag ORDER BY tag",
+      // OR of value ranges — the outlier band and friends: the disjuncts
+      // merge into a disjoint interval union answered in ONE pass.
+      "SELECT tag, count(*) AS n, sum(value) AS s, min(ts) AS t0 FROM fa " +
+        "WHERE value < -30.0 OR value > 30.0 GROUP BY tag ORDER BY tag",
+      "SELECT count(*) AS n, max(value) AS mx FROM fa " +
+        "WHERE value <= -60.0 OR value = 0.0 OR value >= 60.0",
+      "SELECT tag, count(*) AS n FROM fa WHERE value > 10.0 OR value > 20.0 " +
+        "GROUP BY tag ORDER BY tag",
+      s"SELECT tag, count(*) AS n FROM fa " +
+        s"WHERE (value < -30.0 OR value > 30.0) AND ts >= TIMESTAMP '$mid' " +
+        "GROUP BY tag ORDER BY tag",
+      "SELECT tag, count(*) FILTER (WHERE value < -30.0 OR value > 30.0) " +
+        "AS n_out, count(*) AS n FROM fa GROUP BY tag ORDER BY tag",
       // Per-bucket filtered stats: exceedances per fixed date_trunc
       // bucket, straddling segments clipped per bucket; empty buckets
       // vanish like the gridded plan's.
@@ -426,7 +439,9 @@ class ValuePredicateSpec extends AnyFunSuite {
       // Calendar truncations (variable-width buckets) decline under a
       // value predicate; only fixed-width epoch-floor units splice.
       ("SELECT date_trunc('MONTH', ts) AS d, sum(value) AS s FROM fa " +
-        "WHERE value > 0.0 GROUP BY 1 ORDER BY 1", "fa"))
+        "WHERE value > 0.0 GROUP BY 1 ORDER BY 1", "fa"),
+      // An OR mixing value and tag predicates has no interval form.
+      ("SELECT count(*) AS n FROM fa WHERE value > 5.0 OR tag = 'a'", "fa"))
     for ((q, t) <- declined) {
       val df = engine.sql(q)
       assert(df.queryExecution.executedPlan.toString.contains("Generate"),
