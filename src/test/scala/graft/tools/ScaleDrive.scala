@@ -274,6 +274,81 @@ object ScaleDrive {
     println(f"  on disk: ${bytes / 1024.0 / 1024.0}%.1f MiB " +
       f"(${bytes.toDouble * 8 / nPoints}%.2f bits/value incl. timestamps+tags)")
 
+    // ------------------------------- filtered aggregates / argmax at scale
+    // The value-filtered stats family: sum/min/max + first/last exceedance
+    // timestamps under a predicate, the OR outlier band, per-bucket
+    // exceedances, and argmax — all segment-native, controls gridded.
+    val fstats = timed("thresholdStats (v > 50, global)") {
+      engine.thresholdStats("big", "v", Some(50.0)).collect().head
+    }
+    timed("gridded filtered-stats control") {
+      val ctrl = engine.readTable("big").where(col("v") > 50.0f)
+        .agg(count(lit(1)), sum(col("v").cast("double")), min("v"), max("v"),
+          min("ts"), max("ts")).collect().head
+      assert(fstats.getLong(0) == ctrl.getLong(0), "filtered count mismatch")
+      assert(math.abs(fstats.getDouble(1) - ctrl.getDouble(1)) <=
+        1e-9 * math.max(1.0, math.abs(ctrl.getDouble(1))),
+        "filtered sum mismatch")
+      assert(fstats.getFloat(2) == ctrl.getFloat(2) &&
+        fstats.getFloat(3) == ctrl.getFloat(3), "filtered min/max mismatch")
+      assert(fstats.getTimestamp(4) == ctrl.getTimestamp(4) &&
+        fstats.getTimestamp(5) == ctrl.getTimestamp(5),
+        "exceedance timestamps mismatch")
+    }
+
+    val band = timed("outlier band (v < -80 OR v > 80)") {
+      engine.thresholdStatsMulti("big", "v",
+        Seq((scala.None, Some(Math.nextDown(-80.0))), (Some(80.0), scala.None)),
+        groupByTags = Seq("tag")).collect()
+    }
+    println(f"  band rows: ${band.length}%,d series")
+    timed("gridded band spot control (s0)") {
+      val got = band.find(_.getString(0) == "s0").get
+      val ctrl = engine.readTable("big")
+        .where(col("tag") === "s0" && (col("v") < -80.0f || col("v") > 80.0f))
+        .agg(count(lit(1))).collect().head
+      assert(got.getLong(1) == ctrl.getLong(0), "band count mismatch")
+    }
+
+    val daily = timed("bucketed exceedances (1h, v > 50)") {
+      engine.thresholdStatsBucketed("big", "v",
+        java.time.Duration.ofHours(1), Some(50.0)).collect()
+    }
+    println(f"  hourly buckets: ${daily.length}%,d")
+    timed("gridded bucketed control") {
+      val ctrl = engine.readTable("big").where(col("v") > 50.0f)
+        .groupBy(date_trunc("HOUR", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val got = daily.map(r => r.getTimestamp(0) -> r.getLong(1))
+        .filter(_._2 > 0L).toMap
+      assert(got == ctrl, "bucketed exceedance counts mismatch")
+    }
+
+    val am = timed("argExtremum max (1000 series)") {
+      engine.argExtremum("big", "v", "max", Seq("tag")).collect()
+    }
+    assert(am.length == nSeries, "argmax row count")
+    timed("gridded argmax spot control (s0)") {
+      val got = am.find(_.getString(0) == "s0").get
+      val mx = engine.readTable("big").where(col("tag") === "s0")
+        .agg(max("v")).collect().head.getFloat(0)
+      val t = engine.readTable("big")
+        .where(col("tag") === "s0" && col("v") === mx)
+        .agg(min("ts")).collect().head.getTimestamp(0)
+      assert(got.getFloat(1) == mx && got.getTimestamp(2) == t,
+        s"argmax (${got.getFloat(1)}, ${got.getTimestamp(2)}) != ($mx, $t)")
+    }
+
+    timed("SQL FILTER-clause splice") {
+      val df = engine.sql(
+        "SELECT count(*) AS n, count(*) FILTER (WHERE v > 50.0) AS n_hi, " +
+          "sum(v) FILTER (WHERE v <= 50.0) AS s_lo FROM big")
+      assert(!df.queryExecution.executedPlan.toString.contains("Generate"),
+        "FILTER splice must not decode points")
+      df.collect()
+    }
+
     // ---------------------------------------------- pipeline ops at scale
     // 200k synthetic documents (40x the sf0.1 corpus) with planted
     // near-dup groups: MinHash candidates, exact verify, transitive
