@@ -1064,6 +1064,47 @@ final class Engine(val spark: SparkSession, val root: String) {
         col(s"stddev_samp_in_$field"), col(s"stddev_pop_in_$field")): _*)
   }
 
+  /** STREAMING exceedance monitor: a continuous per-series count of
+    * values inside the interval, windowed on each segment's END time —
+    * the alerting query over the compressed store. Appended segments
+    * arrive as micro-batches and contribute their filtered-stats partial
+    * WITHOUT reconstruction (same kernel as [[thresholdStats]]: stored
+    * bounds settle most segments, NaN keeps SQL semantics); a watermarked
+    * tumbling window then aggregates per (window, tags…). Attribution is
+    * by segment CLOSE time — the moment the data became queryable — which
+    * also makes the event time monotone per series, so the watermark
+    * advances cleanly. State is one row per (window, series); segments
+    * never reconstruct, the stream moves seven scalars per segment.
+    * Output: (window, tags…, count_in_f, count_f, min_in_f, max_in_f).
+    */
+  def thresholdCountStream(table: String, field: String,
+      lower: Option[Double], upper: Option[Double] = scala.None,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "2 hours",
+      maxVersionsPerTrigger: Option[Long] = scala.None): DataFrame = {
+    val meta = dataFolder.metadata(table)
+    require(meta.isTimeSeries, s"$table is not a time series table.")
+    require(meta.fieldColumns.contains(field),
+      s"$field is not a stored field of $table.")
+    val segs = dataFolder.segmentsStream(table, maxVersionsPerTrigger)
+      .where(fieldColumnPredicate(meta, Seq(field)))
+    val st = SegmentAggregates
+      .statsInRangeCol(lower, upper.getOrElse(Double.NaN))
+    val keys = window(col("__seg_end"), windowDuration) +:
+      meta.tagColumns.map(col)
+    segs
+      .withColumn("__seg_end", timestamp_micros(col("end_time")))
+      .withColumn("__ts_st", st)
+      .withWatermark("__seg_end", watermarkDelay)
+      .groupBy(keys: _*)
+      .agg(
+        coalesce(sum(col("__ts_st").getField("cnt")), lit(0L))
+          .as(s"count_in_$field"),
+        coalesce(sum(SegmentAggregates.lenCol), lit(0L)).as(s"count_$field"),
+        min(col("__ts_st").getField("mn")).as(s"min_in_$field"),
+        max(col("__ts_st").getField("mx")).as(s"max_in_$field"))
+  }
+
   /** [[thresholdStats]] with PER-GROUP bounds: `bounds` carries some of
     * the table's tag columns plus `lower`/`upper` (doubles; NULL =
     * unbounded, upper semantics as in [[thresholdStats]]), broadcast-joins

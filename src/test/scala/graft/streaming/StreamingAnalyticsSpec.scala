@@ -547,6 +547,62 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming exceedance monitor matches the batch segment attribution") {
+    import spark.implicits._
+    val engine = new graft.tsdb.Engine(spark,
+      Files.createTempDirectory("graft_stream_thr").toString)
+    engine.sql("CREATE TIME SERIES TABLE sm(ts TIMESTAMP, v FIELD, tag TAG)")
+
+    def points(offset: Int, n: Int) = (0 until n)
+      .map(i => (1700000000000000L + (offset + i) * 1000000L,
+        ((offset + i) % 120).toFloat, s"u${i % 2}"))
+      .toDF("ts_us", "v", "tag")
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("v"), col("tag"))
+    engine.write("sm", points(0, 400))
+    engine.write("sm", points(400, 300))
+
+    val stream = engine.thresholdCountStream("sm", "v", Some(50.0),
+      windowDuration = "1 minute", watermarkDelay = "10 minutes")
+    assert(stream.isStreaming)
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory").queryName("thr_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_thr_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val got = spark.sql(
+      "SELECT window.start, tag, count_in_v, count_v FROM thr_stream_out")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1.getTime, t._2)).toSeq
+
+    // Batch control with the SAME segment-close attribution over the
+    // same kernel partials — the stream must deliver exactly this.
+    val segs = engine.dataFolder.segments("sm")
+    val ctrl = segs
+      .withColumn("__seg_end", timestamp_micros(col("end_time")))
+      .withColumn("__ts_st",
+        graft.tsdb.SegmentAggregates.statsInRangeCol(Some(50.0), Double.NaN))
+      .groupBy(window(col("__seg_end"), "1 minute"), col("tag"))
+      .agg(
+        coalesce(sum(col("__ts_st").getField("cnt")), lit(0L)).as("n_in"),
+        coalesce(sum(graft.tsdb.SegmentAggregates.lenCol), lit(0L)).as("n"))
+      .select(col("window.start"), col("tag"), col("n_in"), col("n"))
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1.getTime, t._2)).toSeq
+    assert(got == ctrl, s"stream $got != batch $ctrl")
+
+    // Point-level sanity: every segment lands in exactly one window, so
+    // the window totals add up to the table-wide exceedance count.
+    assert(got.map(_._3).sum ==
+      engine.readTable("sm").where(col("v") > 50.0f).count())
+    assert(got.map(_._4).sum == 700L)
+  }
+
   test("streaming dedup drops repeated payloads within the watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -511,14 +511,39 @@ class ValuePredicateSpec extends AnyFunSuite {
       }
     }
 
-    // Declined: a FILTER predicate with non-value conjuncts, or over a
-    // different field than the aggregated one — those grid.
+    // Each FILTER aggregate may target its OWN field — one
+    // thresholdStats pass per distinct (field, bound), joined.
     engine.sql("CREATE TIME SERIES TABLE fc2(" +
       "ts TIMESTAMP, a FIELD, b FIELD, tag TAG)")
     engine.write("fc2", engine.readTable("fc")
       .select(col("ts"), col("value").as("a"),
         (col("value") * lit(0.5f)).as("b"), col("tag")))
     engine.readTable("fc2").createOrReplaceTempView("fc2_raw")
+    val multiField =
+      "SELECT tag, sum(a) FILTER (WHERE a > 0.0) AS sa, " +
+        "sum(b) FILTER (WHERE b <= 0.0) AS sb, count(*) AS n " +
+        "FROM fc2 GROUP BY tag ORDER BY tag"
+    val mfDf = engine.sql(multiField)
+    assert(!mfDf.queryExecution.executedPlan.toString.contains("Generate"),
+      s"multi-field FILTER must splice: $multiField")
+    val mfWant = spark.sql(multiField.replace("FROM fc2", "FROM fc2_raw"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    assert(mfDf.collect().map(_.toSeq.map(String.valueOf)).toSeq == mfWant,
+      multiField)
+
+    // HAVING over a spliced aggregate: the splice sits under the
+    // analyzer's Filter and parents resolve unchanged.
+    val having =
+      "SELECT tag, count(*) FILTER (WHERE value > 0.5) AS n_hi FROM fc " +
+        "GROUP BY tag HAVING count(*) FILTER (WHERE value > 0.5) > 0 " +
+        "ORDER BY tag"
+    val hvDf = engine.sql(having)
+    assert(!hvDf.queryExecution.executedPlan.toString.contains("Generate"),
+      s"HAVING over the splice must not grid: $having")
+    val hvWant = spark.sql(having.replace("FROM fc", "FROM fc_raw"))
+      .collect().map(_.toSeq.map(String.valueOf)).toSeq
+    assert(hvDf.collect().map(_.toSeq.map(String.valueOf)).toSeq == hvWant,
+      having)
     val declined = Seq(
       ("SELECT tag, sum(a) FILTER (WHERE b > 0.0) AS s FROM fc2 " +
         "GROUP BY tag ORDER BY tag", "fc2"),
