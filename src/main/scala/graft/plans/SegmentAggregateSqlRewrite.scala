@@ -338,16 +338,23 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             case _ => false
           } && pAggs.map(_.field).distinct.size == 1 &&
             bucket.isEmpty && bin.isEmpty && phase.isEmpty)
-          // FILTER-clause aggregates compose with plain tag groupings and
-          // the closed-form unfiltered kinds (joined frames); buckets,
-          // bins, phases, and DISTINCT shapes decline.
+          // FILTER-clause aggregates compose with plain tag groupings,
+          // the closed-form unfiltered kinds (joined frames), and
+          // fixed-width date_trunc buckets (per-bucket frames joined on
+          // (tags, bucket); single-interval bounds there — the bucketed
+          // engine pass takes one interval). Bins, phases, calendar
+          // buckets, and DISTINCT shapes decline.
           val filteredOk = !flat.exists(_.isInstanceOf[FilteredAgg]) ||
             (flat.forall {
               case TagRef(_) | FieldAgg(_, _, _) | TsAgg(_, _) |
                   FilteredAgg(_, _, _) => true
-              case _: FieldExprAgg => true
+              case BucketRef(_) => bucket.exists(_.isInstanceOf[FixedUs])
+              case _: FieldExprAgg => bucket.isEmpty
               case _ => false
-            } && bucket.isEmpty && bin.isEmpty && phase.isEmpty)
+            } && bin.isEmpty && phase.isEmpty &&
+              (bucket.isEmpty || (bucket.exists(_.isInstanceOf[FixedUs]) &&
+                flat.collect { case fa: FilteredAgg => fa }
+                  .forall(_.bound.intervals.size == 1))))
           if (collides || !binOk || !phaseOk || !percOk || !filteredOk) None
           else filterCond match {
             case _ if (!hasAgg || hasTagDistinct) && bucket.nonEmpty =>
@@ -1306,27 +1313,47 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
       val bounds = m.specs.collect { case fa: FilteredAgg => fa.bound }.distinct
       val idxOf = bounds.zipWithIndex.toMap
+      val bucketUs = m.bucket.map {
+        case FixedUs(us) => us
+        case other => throw new IllegalStateException(
+          s"non-fixed bucket $other beside FILTER aggregates")
+      }
+      val joinKeys = m.groupTags ++
+        (if (bucketUs.nonEmpty) Seq("__graft_b") else Seq.empty)
       val boundFrames = bounds.zipWithIndex.map { case (b, i) =>
         val f = b.field
-        engine.thresholdStatsMulti(m.meta.name, f, b.intervals,
-          m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq,
-          m.tagIn)
-          .select(m.groupTags.map(col) ++ Seq(
-            col(s"count_in_$f").as(s"__fb${i}_count"),
-            col(s"sum_in_$f").as(s"__fb${i}_sum"),
-            col(s"min_in_$f").as(s"__fb${i}_min"),
-            col(s"max_in_$f").as(s"__fb${i}_max"),
-            col(s"avg_in_$f").as(s"__fb${i}_avg"),
-            col(s"min_ts_in_$f").as(s"__fb${i}_ts_min"),
-            col(s"max_ts_in_$f").as(s"__fb${i}_ts_max"),
-            col(s"var_samp_in_$f").as(s"__fb${i}_var_samp"),
-            col(s"var_pop_in_$f").as(s"__fb${i}_var_pop"),
-            col(s"stddev_samp_in_$f").as(s"__fb${i}_stddev_samp"),
-            col(s"stddev_pop_in_$f").as(s"__fb${i}_stddev_pop")): _*)
+        val base = bucketUs match {
+          case Some(w) =>
+            val (bLo, bUp) = b.intervals.head
+            engine.thresholdStatsBucketed(m.meta.name, f,
+              java.time.Duration.of(w, java.time.temporal.ChronoUnit.MICROS),
+              bLo, bUp, m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
+              m.tagEq, m.tagIn)
+              .withColumnRenamed("bucket", "__graft_b")
+          case scala.None =>
+            engine.thresholdStatsMulti(m.meta.name, f, b.intervals,
+              m.groupTags, m.startUs.map(inst), m.endUs.map(inst), m.tagEq,
+              m.tagIn)
+        }
+        base.select(joinKeys.map(col) ++ Seq(
+          col(s"count_in_$f").as(s"__fb${i}_count"),
+          col(s"sum_in_$f").as(s"__fb${i}_sum"),
+          col(s"min_in_$f").as(s"__fb${i}_min"),
+          col(s"max_in_$f").as(s"__fb${i}_max"),
+          // Bucketed engine output carries no avg column — Average's
+          // sum/count arithmetic is identical either way.
+          (col(s"sum_in_$f") / col(s"count_in_$f").cast("double"))
+            .as(s"__fb${i}_avg"),
+          col(s"min_ts_in_$f").as(s"__fb${i}_ts_min"),
+          col(s"max_ts_in_$f").as(s"__fb${i}_ts_max"),
+          col(s"var_samp_in_$f").as(s"__fb${i}_var_samp"),
+          col(s"var_pop_in_$f").as(s"__fb${i}_var_pop"),
+          col(s"stddev_samp_in_$f").as(s"__fb${i}_stddev_samp"),
+          col(s"stddev_pop_in_$f").as(s"__fb${i}_stddev_pop")): _*)
       }
       val renamedPlain = m.specs.zipWithIndex.collect {
         case (s, i) if !s.isInstanceOf[FilteredAgg] &&
-            !s.isInstanceOf[TagRef] => s match {
+            !s.isInstanceOf[TagRef] && !s.isInstanceOf[BucketRef] => s match {
           case FieldAgg(k, f2, _) => FieldAgg(k, f2, s"__pb$i")
           case TsAgg(k, _) => TsAgg(k, s"__pb$i")
           case fe: FieldExprAgg => fe.copy(outName = s"__pb$i")
@@ -1334,16 +1361,25 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             s"unsupported spec $other beside FILTER aggregates")
         }
       }
+      // Under a bucket grouping the PLAIN frame defines the key set (the
+      // gridded GROUP BY emits exactly the buckets holding >= 1 row; a
+      // bound frame may carry extra all-empty buckets from straddler
+      // spans, dropped by the inner join). With no unfiltered aggregate
+      // a closed-form count stands in, unselected.
+      val needPlain = renamedPlain.nonEmpty || bucketUs.nonEmpty
+      val plainSpecs = m.groupTags.map(TagRef(_)) ++
+        (if (bucketUs.nonEmpty) Seq(BucketRef("__graft_b")) else Seq.empty) ++
+        (if (renamedPlain.nonEmpty) renamedPlain
+         else Seq(FieldAgg("count", bounds.head.field, "__pb_keys")))
       val plainOpt =
-        if (renamedPlain.nonEmpty)
-          Some(build(engine, m.copy(
-            specs = m.groupTags.map(TagRef(_)) ++ renamedPlain)))
+        if (needPlain) Some(build(engine, m.copy(specs = plainSpecs)))
         else scala.None
       val joined = (plainOpt.toSeq ++ boundFrames).reduce { (a, b) =>
-        if (m.groupTags.isEmpty) a.crossJoin(b) else a.join(b, m.groupTags)
+        if (joinKeys.isEmpty) a.crossJoin(b) else a.join(b, joinKeys)
       }
       val ordered = m.specs.zipWithIndex.map { case (s, i) => s match {
         case TagRef(tag) => col(tag)
+        case BucketRef(outName) => col("__graft_b").as(outName)
         case FilteredAgg(kind, b, outName) =>
           col(s"__fb${idxOf(b)}_$kind").as(outName)
         case FieldAgg(_, _, outName) => col(s"__pb$i").as(outName)

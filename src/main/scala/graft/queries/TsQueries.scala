@@ -473,6 +473,24 @@ object TsQueries {
       FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 150.0
       GROUP BY 1 ORDER BY 1""")),
 
+    // Top-k series by an aggregate: the rewrite splices the per-tag
+    // closed forms and Spark's TakeOrderedAndProject handles the ORDER
+    // BY + LIMIT above them — a ranking over a million series costs the
+    // metadata aggregation plus a k-row heap, never a full sort.
+    ("ts_sql_topk_series", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, round(avg(value), 4) AS a, count(*) AS n " +
+          "FROM events_lossless GROUP BY user " +
+          "ORDER BY avg(value) DESC, user LIMIT 10")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS a,
+        CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+      ORDER BY avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)) DESC, 1
+      LIMIT 10""")),
+
     // The outlier band through the SQL surface: `v < a OR v > b` merges
     // into a disjoint interval union answered in ONE metadata-dominated
     // pass — segments inside the band (the vast majority) skip on stored
@@ -513,6 +531,28 @@ object TsQueries {
           AS BIGINT) AS n_hi,
         round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)) FILTER (
           WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) <= 100.0), 4) AS s_lo,
+        round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS a
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // FILTER beside totals PER DAY — the dashboard query: total rows and
+    // exceedances side by side per bucket. The unfiltered side rides the
+    // bucketed closed forms, each FILTER bound its own per-bucket stats
+    // pass, joined answer-sized on the day key.
+    ("ts_sql_filter_daily", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT date_trunc('DAY', ts) AS day, count(*) AS n, " +
+          "count(*) FILTER (WHERE value > 120.0) AS n_hi, " +
+          "round(avg(value), 4) AS a FROM events_lossless " +
+          "GROUP BY 1 ORDER BY 1")
+        .select(unix_micros(col("day")).as("day_us"), col("n"),
+          col("n_hi"), col("a"))
+    }, Some("""
+      SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(*) FILTER (
+          WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 120.0)
+          AS BIGINT) AS n_hi,
         round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS a
       FROM events GROUP BY 1 ORDER BY 1""")),
 

@@ -481,16 +481,30 @@ class ValuePredicateSpec extends AnyFunSuite {
         "count(*) AS n FROM fc",
       "SELECT tag, var_samp(value) FILTER (WHERE value <= 0.0) AS vs, " +
         "min(ts) AS t0 FROM fc GROUP BY tag ORDER BY tag",
+      // FILTER beside totals PER TIME BUCKET — the dashboard shape:
+      // per hour, total rows and exceedances side by side.
+      "SELECT date_trunc('HOUR', ts) AS b, count(*) AS n, " +
+        "count(*) FILTER (WHERE value > 0.5) AS n_hi, " +
+        "sum(value) FILTER (WHERE value <= 0.5) AS s_lo FROM fc " +
+        "GROUP BY 1 ORDER BY 1",
+      "SELECT tag, date_trunc('MINUTE', ts) AS b, " +
+        "count(*) FILTER (WHERE value > 0.0) AS n_hi FROM fc " +
+        "GROUP BY tag, 2 ORDER BY tag, b",
       s"SELECT tag, count(*) FILTER (WHERE value > 0.0) AS n_hi, " +
         s"sum(value) AS s FROM fc WHERE ts >= TIMESTAMP '$mid' " +
         "GROUP BY tag ORDER BY tag")
     for (q <- rewritten) {
       val df = engine.sql(q)
       val plan = df.queryExecution.executedPlan.toString
-      // A ts range routes the UNFILTERED side through the hybrid plan,
-      // which decodes the at-most-two boundary segments per series —
-      // that Generate is the intended plan; everything else needs none.
-      if (!q.contains("TIMESTAMP"))
+      // A ts range routes the UNFILTERED side through the hybrid plan
+      // (at most two boundary segments per series decode), and a bucket
+      // grouping explodes straddlers per bucket — those Generates are
+      // the intended plans; the full point-decode generator must never
+      // appear, and everything else needs no generator at all.
+      assert(!plan.contains("gridpoints") || q.contains("TIMESTAMP") ||
+        q.contains("date_trunc"),
+        s"FILTER aggregate must not decode points: $q")
+      if (!q.contains("TIMESTAMP") && !q.contains("date_trunc"))
         assert(!plan.contains("Generate"),
           s"FILTER aggregate must not decode points: $q")
       val got = df.collect()
