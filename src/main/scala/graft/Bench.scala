@@ -53,6 +53,21 @@ object Bench {
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
   }
 
+  /** Emit the combined line AND persist it to BENCH_LOCAL.json: the line
+    * is the driver's contract, but harness captures have truncated long
+    * lines before (the per-query head was lost in round 11) — the file
+    * keeps a complete machine-readable copy for auditing. Children
+    * (one-query forks) skip the file.
+    */
+  private def emit(results: Seq[(String, Double)]): Unit = {
+    val line = jsonLine(results)
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_CHILD"))
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      catch { case _: Exception => () } // read-only cwd must not kill the line
+    println(line)
+  }
+
   // ---------------------------------------------------------------- forked
 
   /** Fork `java -cp <this classpath> graft.Bench` once per query with
@@ -124,7 +139,7 @@ object Bench {
       // A cumulative line after EVERY child: consumers take the last JSON
       // line on stdout, so a run killed by an external timeout still
       // reports every query measured before the kill instead of nothing.
-      println(jsonLine(completed.toSeq))
+      emit(completed.toSeq)
       System.out.flush()
     }
   }
@@ -196,7 +211,7 @@ object Bench {
       val median = if (times.size < Runs) -1.0 else times.sorted(Ordering.Double.TotalOrdering)(Runs / 2)
       name -> median
     }
-    println(jsonLine(results))
+    emit(results)
     spark.stop()
   }
 }
