@@ -509,6 +509,17 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     try { java.time.ZoneId.of(id); true }
     catch { case _: java.time.DateTimeException => false }
 
+  /** A condition that is NOTHING BUT a value-bound conjunction/disjunction
+    * on one stored field — the only shape FILTER clauses and the
+    * predicate-bearing aggregates (count_if/any/every) accept.
+    */
+  private def pureValueBound(
+      meta: TableMetadata, cond: Expression): Option[ValueBound] =
+    parseFilter(meta, cond).collect {
+      case (scala.None, scala.None, tags, tagIn, Some(vb))
+          if tags.isEmpty && tagIn.isEmpty => vb
+    }
+
   /** Parse a filter into (startUs, endUs, tag equalities, tag IN-lists):
     * only conjunctions of `ts <cmp> TIMESTAMP-literal`, `tag = string`,
     * and `tag IN (strings)` (in either operand order for the comparisons)
@@ -705,6 +716,26 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     else None
   }
 
+  /** Complement of a MERGED disjoint ascending interval list under the
+    * SQL total order (bottom = below -Inf, top = NaN): the head below the
+    * first lower bound, the gaps, and the tail above the last upper. A
+    * predicate that covers everything complements to ONE empty interval
+    * (the always-false convention [[mergeIntervals]] also uses) — the
+    * building block for `every(p)` = "nothing satisfies NOT p".
+    */
+  private def complementIntervals(
+      ivs: Seq[(Option[Double], Option[Double])]):
+      Seq[(Option[Double], Option[Double])] = {
+    val out = scala.collection.mutable.Buffer[(Option[Double], Option[Double])]()
+    ivs.head._1.foreach(lo1 => out += ((scala.None, Some(lo1))))
+    ivs.sliding(2).foreach {
+      case Seq((_, Some(u)), (Some(l2), _)) => out += ((Some(u), Some(l2)))
+      case _ => ()
+    }
+    ivs.last._2.foreach(uk => out += ((Some(uk), scala.None)))
+    if (out.isEmpty) Seq((Some(0.0), Some(0.0))) else out.toSeq
+  }
+
   /** Union-merge canonical (lower, upper] intervals (all bound values
     * finite — they come from literal canonicalization; None = unbounded)
     * into a disjoint ascending list. Empty intervals drop; an all-empty
@@ -797,10 +828,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       // column must be the bound's own field (count: any column — all
       // are non-null and row-aligned) or the timestamp.
       case Alias(AggregateExpression(fn, Complete, false, Some(cond), _), outName) =>
-        parseFilter(meta, cond).collect {
-          case (scala.None, scala.None, tags, tagIn, Some(vb))
-              if tags.isEmpty && tagIn.isEmpty => vb
-        }.flatMap { vb =>
+        pureValueBound(meta, cond).flatMap { vb =>
           val kind = fn match {
             case Count(Seq(Literal(_, _))) => Some("count")
             case Count(Seq(a: AttributeReference))
@@ -919,6 +947,26 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           case md: Median =>
             varianceField(meta, md.child).map(f =>
               PercentileAgg(f, 0.5, outName))
+          // percentile_cont(q) WITHIN GROUP (ORDER BY f): its runtime
+          // replacement IS Percentile with the same interpolation.
+          case PercentileCont(l, r, false) =>
+            for {
+              f <- varianceField(meta, l)
+              q <- constOf(r)
+              if q >= 0.0 && q <= 1.0
+            } yield PercentileAgg(f, q, outName)
+          // count_if / any / every with a value-range predicate ride the
+          // FILTER machinery: count_if(p) == count(*) FILTER (WHERE p),
+          // any(p) == "some point qualifies" (count > 0), every(p) ==
+          // "no point satisfies NOT p" (interval complement, count == 0).
+          case CountIf(p) =>
+            pureValueBound(meta, p).map(FilteredAgg("count", _, outName))
+          case BoolOr(p) =>
+            pureValueBound(meta, p).map(FilteredAgg("any", _, outName))
+          case BoolAnd(p) =>
+            pureValueBound(meta, p).map(vb => FilteredAgg("none",
+              ValueBound(vb.field, complementIntervals(vb.intervals)),
+              outName))
           case Count(Seq(e1)) =>
             linearOf(engine, meta, e1).map(le =>
               FieldExprAgg("count", le.field, outName, le.scale, le.shift,
@@ -1380,6 +1428,10 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       val ordered = m.specs.zipWithIndex.map { case (s, i) => s match {
         case TagRef(tag) => col(tag)
         case BucketRef(outName) => col("__graft_b").as(outName)
+        case FilteredAgg("any", b, outName) =>
+          (col(s"__fb${idxOf(b)}_count") > 0L).as(outName)
+        case FilteredAgg("none", b, outName) =>
+          (col(s"__fb${idxOf(b)}_count") === 0L).as(outName)
         case FilteredAgg(kind, b, outName) =>
           col(s"__fb${idxOf(b)}_$kind").as(outName)
         case FieldAgg(_, _, outName) => col(s"__pb$i").as(outName)

@@ -491,6 +491,27 @@ object TsQueries {
       ORDER BY avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)) DESC, 1
       LIMIT 10""")),
 
+    // count_if / any / every through the SQL surface: predicate-bearing
+    // aggregates ride the FILTER machinery — count_if(p) is a filtered
+    // count, any(p) is "count > 0", and every(p) complements the
+    // interval ("nothing satisfies NOT p") — all from the same
+    // metadata-dominated passes, no reconstruction.
+    ("ts_sql_count_if", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, count_if(value > 100.0) AS n_hi, " +
+          "any(value > 190.0) AS any_top, " +
+          "every(value > 5.0) AS all_mid " +
+          "FROM events_lossless GROUP BY user ORDER BY user")
+    }, Some("""
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(count(*) FILTER (
+          WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 100.0)
+          AS BIGINT) AS n_hi,
+        bool_or(CAST(CAST(value AS FLOAT4) AS DOUBLE) > 190.0) AS any_top,
+        bool_and(CAST(CAST(value AS FLOAT4) AS DOUBLE) > 5.0) AS all_mid
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
     // The outlier band through the SQL surface: `v < a OR v > b` merges
     // into a disjoint interval union answered in ONE metadata-dominated
     // pass — segments inside the band (the vast majority) skip on stored

@@ -287,7 +287,9 @@ class ValuePredicateSpec extends AnyFunSuite {
       "SELECT tag, median(value) AS med FROM pm WHERE tag = 'a' " +
         "GROUP BY tag",
       s"SELECT tag, median(value) AS med FROM pm " +
-        s"WHERE ts >= TIMESTAMP '$mid' GROUP BY tag ORDER BY tag")
+        s"WHERE ts >= TIMESTAMP '$mid' GROUP BY tag ORDER BY tag",
+      "SELECT tag, percentile_cont(0.25) WITHIN GROUP (ORDER BY value) " +
+        "AS p25 FROM pm GROUP BY tag ORDER BY tag")
     for (q <- rewritten) {
       val df = engine.sql(q)
       assert(!df.queryExecution.executedPlan.toString.contains("Generate"),
@@ -481,6 +483,18 @@ class ValuePredicateSpec extends AnyFunSuite {
         "count(*) AS n FROM fc",
       "SELECT tag, var_samp(value) FILTER (WHERE value <= 0.0) AS vs, " +
         "min(ts) AS t0 FROM fc GROUP BY tag ORDER BY tag",
+      // count_if/any/every are the FILTER machinery under other names:
+      // every(p) goes through the interval COMPLEMENT ("nothing
+      // satisfies NOT p"), so OR bands complement to bands too. The
+      // fixture's NaN rows satisfy every `> x` and violate every `<= x`.
+      "SELECT tag, count_if(value > 0.5) AS n_hi, " +
+        "any(value > 1.0e30) AS a_none, " +
+        "every(value <= 1.0e30) AS e_all, " +
+        "bool_or(value < -60.0) AS has_low, " +
+        "bool_and(value <= 0.0 OR value > 0.4) AS e_band, " +
+        "count(*) AS n FROM fc GROUP BY tag ORDER BY tag",
+      "SELECT count_if(value = 0.0) AS n_zero, " +
+        "every(value > -1.0e30) AS e FROM fc",
       // FILTER beside totals PER TIME BUCKET — the dashboard shape:
       // per hour, total rows and exceedances side by side.
       "SELECT date_trunc('HOUR', ts) AS b, count(*) AS n, " +
