@@ -105,7 +105,8 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     * two bracketing order statistics.
     */
   private[plans] final case class PercentileAgg(
-    field: String, q: Double, outName: String) extends AggSpec
+    field: String, q: Double, outName: String,
+    disc: Boolean = false) extends AggSpec
   /** An aggregate with a FILTER clause whose predicate is a value-bound
     * conjunction on one stored field — `sum(v) FILTER (WHERE v > x)` —
     * answered by [[graft.tsdb.Engine.thresholdStats]] (one pass per
@@ -955,6 +956,16 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
               q <- constOf(r)
               if q >= 0.0 && q <= 1.0
             } yield PercentileAgg(f, q, outName)
+          // percentile_disc(q): the smallest value whose cumulative
+          // share reaches q — rank ceil(q·n), EXACTLY one ladder order
+          // statistic, no interpolation. Non-legacy selection only
+          // (spark.sql.legacy.percentileDiscCalculation=false).
+          case PercentileDisc(l, r, false, _, _, false) =>
+            for {
+              f <- varianceField(meta, l)
+              q <- constOf(r)
+              if q >= 0.0 && q <= 1.0
+            } yield PercentileAgg(f, q, outName, disc = true)
           // count_if / any / every with a value-range predicate ride the
           // FILTER machinery: count_if(p) == count(*) FILTER (WHERE p),
           // any(p) == "some point qualifies" (count > 0), every(p) ==
@@ -1450,20 +1461,25 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       // result exactly. The output is an answer-sized driver frame.
       val pAggs = m.specs.collect { case p: PercentileAgg => p }
       val field = pAggs.map(_.field).distinct.head
-      val qsP = pAggs.map(_.q).distinct
       def inst(us: Long) = java.time.Instant.ofEpochSecond(
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
+      def discRank(q: Double, n: Long): Long =
+        math.min(math.max(1L, math.ceil(q * n).toLong), n)
       def ranksFor(n: Long): Seq[Long] =
         if (n <= 0L) Seq.empty
-        else qsP.flatMap { q =>
-          val pos = (n - 1).toDouble * q
-          Seq(math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
+        else pAggs.flatMap { p =>
+          if (p.disc) Seq(discRank(p.q, n))
+          else {
+            val pos = (n - 1).toDouble * p.q
+            Seq(math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
+          }
         }.distinct
       val (stats, resolved) = engine.exactRanksBy(m.meta.name, field,
         ranksFor, m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
         m.tagEq, m.tagIn)
-      def valueAt(g: Seq[String], q: Double): Double = {
+      def valueAt(g: Seq[String], q: Double, disc: Boolean): Double = {
         val n = stats(g)._1
+        if (disc) return resolved((g, discRank(q, n))).toDouble
         val pos = (n - 1).toDouble * q
         val lower = math.floor(pos).toLong
         val higher = math.ceil(pos).toLong
@@ -1483,7 +1499,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       val rows = groups.map { g =>
         org.apache.spark.sql.Row.fromSeq(m.specs.map {
           case TagRef(tag) => g(m.groupTags.indexOf(tag))
-          case PercentileAgg(_, q, _) => valueAt(g, q)
+          case PercentileAgg(_, q, _, disc) => valueAt(g, q, disc)
           case other => throw new IllegalStateException(
             s"unsupported spec $other alongside percentiles")
         })
@@ -1491,7 +1507,7 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
       val schema = org.apache.spark.sql.types.StructType(m.specs.map {
         case TagRef(tag) =>
           org.apache.spark.sql.types.StructField(tag, StringType)
-        case PercentileAgg(_, _, outName) =>
+        case PercentileAgg(_, _, outName, _) =>
           org.apache.spark.sql.types.StructField(outName, DoubleType)
         case other => throw new IllegalStateException(
           s"unsupported spec $other alongside percentiles")

@@ -289,7 +289,11 @@ class ValuePredicateSpec extends AnyFunSuite {
       s"SELECT tag, median(value) AS med FROM pm " +
         s"WHERE ts >= TIMESTAMP '$mid' GROUP BY tag ORDER BY tag",
       "SELECT tag, percentile_cont(0.25) WITHIN GROUP (ORDER BY value) " +
-        "AS p25 FROM pm GROUP BY tag ORDER BY tag")
+        "AS p25 FROM pm GROUP BY tag ORDER BY tag",
+      "SELECT tag, percentile_disc(0.9) WITHIN GROUP (ORDER BY value) " +
+        "AS d90, percentile_disc(0.0) WITHIN GROUP (ORDER BY value) " +
+        "AS d0, percentile_disc(1.0) WITHIN GROUP (ORDER BY value) " +
+        "AS d100 FROM pm GROUP BY tag ORDER BY tag")
     for (q <- rewritten) {
       val df = engine.sql(q)
       assert(!df.queryExecution.executedPlan.toString.contains("Generate"),
