@@ -491,6 +491,24 @@ object TsQueries {
       ORDER BY avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)) DESC, 1
       LIMIT 10""")),
 
+    // percentile_disc through the SQL surface: rank ceil(q*n) resolved by
+    // the same exact-rank ladder, no interpolation — the oracle replays
+    // the rank selection explicitly (window rank, not DuckDB's own
+    // quantile_disc, whose convention differs).
+    ("ts_sql_percentile_disc", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT user, CAST(percentile_disc(0.9) WITHIN GROUP " +
+          "(ORDER BY value) AS FLOAT) AS d90 " +
+          "FROM events_lossless GROUP BY user ORDER BY user")
+    }, Some("""
+      WITH s AS (SELECT user_id, CAST(value AS FLOAT4) AS v,
+        row_number() OVER (PARTITION BY user_id
+          ORDER BY CAST(value AS FLOAT4)) AS rn,
+        count(*) OVER (PARTITION BY user_id) AS n FROM events)
+      SELECT CAST(user_id AS VARCHAR) AS user, v AS d90
+      FROM s WHERE rn = CAST(ceil(0.9 * n) AS BIGINT) ORDER BY 1""")),
+
     // count_if / any / every through the SQL surface: predicate-bearing
     // aggregates ride the FILTER machinery — count_if(p) is a filtered
     // count, any(p) is "count > 0", and every(p) complements the
