@@ -1629,13 +1629,40 @@ final class Engine(val spark: SparkSession, val root: String) {
       extracted.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*).collect()
     }
 
-    val censusRows = reduceArr(partialsOf(censusArr, Seq.empty), 2)
+    // The census job also carries each group's stored value bounds: they
+    // seed the bisection brackets, cutting the key range from 2^32 to the
+    // group's actual span (usually a few rounds' worth).
+    val censusParts = partialsOf(censusArr,
+      Seq(col("min_value").as("__mn"), col("max_value").as("__mx")))
+    val censusExtracted = censusParts.select(keys ++ (0 until 2).map(i =>
+      element_at(col("__arr"), i + 1).as(s"__in_$i")) ++
+      Seq(col("__n"), col("__mn"), col("__mx")): _*)
+    val censusAggs = (0 until 2).map(i =>
+      coalesce(sum(col(s"__in_$i")), lit(0L)).as(s"__in_$i")) ++ Seq(
+      coalesce(sum(col("__n")), lit(0L)).as("__n"),
+      min(col("__mn")).as("__mn"), max(col("__mx")).as("__mx"))
+    val censusRows = censusExtracted.groupBy(keys: _*)
+      .agg(censusAggs.head, censusAggs.tail: _*).collect()
     val t = groupByTags.length
     // group key -> (n, negInfCount, nanCount)
     val stats: Map[Seq[String], (Long, Long, Long)] = censusRows.map { r =>
       val g: Seq[String] = List.tabulate(t)(r.getString)
       val n = r.getLong(t + 2)
       (g, (n, n - r.getLong(t), r.getLong(t + 1)))
+    }.toMap
+    // group key -> seeded (lo, hi) bracket. Bounds may be unclipped for
+    // boundary segments — a SUPERSET bracket, which the lower-bound loop
+    // tolerates — and the top is always P-confirmed: above key(max)+1
+    // only NaNs remain, and active ranks satisfy k <= n - nanCount.
+    val bracketOf: Map[Seq[String], (Long, Long)] = censusRows.map { r =>
+      val g: Seq[String] = List.tabulate(t)(r.getString)
+      val mnV = if (r.isNullAt(t + 3)) Float.NaN else r.getFloat(t + 3)
+      val mxV = if (r.isNullAt(t + 4)) Float.NaN else r.getFloat(t + 4)
+      val bLo = if (mnV.isNaN) fullLo
+        else math.max(fullLo, totalOrderKey(mnV) - 1L)
+      val bHi = if (mxV.isNaN) fullHi
+        else math.min(fullHi, totalOrderKey(mxV) + 1L)
+      g -> (bLo, bHi)
     }.toMap
 
     // Per (group, k): the bisection interval. The full range's top (+Inf)
@@ -1649,7 +1676,7 @@ final class Engine(val spark: SparkSession, val root: String) {
           s"rank $k out of range for a group of $n")
         if (n == 0L || k > n - nan) resolved((g, k)) = Float.NaN
         else if (k <= negInf) resolved((g, k)) = Float.NegativeInfinity
-        else active((g, k)) = (fullLo, fullHi)
+        else active((g, k)) = bracketOf.getOrElse(g, (fullLo, fullHi))
       }
     }
 
