@@ -142,6 +142,50 @@ class ExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("the value-filtered family splices through plain spark.sql") {
+    freshEngine()
+    // Each control injects a non-bare-field conjunct (or wraps the
+    // aggregated column in v*1) — vacuous on this finite fixture but
+    // unrecognizable to the rewrite — forcing the gridded plan of the
+    // same semantics.
+    val inf = "CAST('Infinity' AS FLOAT)"
+    val cases = Seq(
+      ("SELECT tag, COUNT(*) AS n, SUM(v) AS s, MAX(v) AS mx FROM ext " +
+         "WHERE v > 50 GROUP BY tag ORDER BY tag",
+       "SELECT tag, COUNT(*) AS n, SUM(v) AS s, MAX(v) AS mx FROM ext " +
+         s"WHERE v > 50 AND v * 1 <= $inf GROUP BY tag ORDER BY tag"),
+      ("SELECT tag, COUNT(*) FILTER (WHERE v > 50) AS n_hi, COUNT(*) AS n " +
+         "FROM ext GROUP BY tag ORDER BY tag",
+       "SELECT tag, COUNT(*) FILTER (WHERE v > 50 AND v * 1 <= " +
+         s"$inf) AS n_hi, COUNT(*) AS n FROM ext GROUP BY tag ORDER BY tag"),
+      ("SELECT tag, MEDIAN(v) AS med FROM ext GROUP BY tag ORDER BY tag",
+       "SELECT tag, MEDIAN(v * 1) AS med FROM ext GROUP BY tag ORDER BY tag"),
+      ("SELECT COUNT(*) AS n FROM ext WHERE v < 10 OR v > 90",
+       "SELECT COUNT(*) AS n FROM ext " +
+         s"WHERE (v < 10 OR v > 90) AND v * 1 <= $inf"))
+    for ((q, cq) <- cases) {
+      val df = spark.sql(q)
+      assert(!df.queryExecution.executedPlan.toString.contains("Generate"),
+        s"must splice via the extensions rule: $q")
+      val ctrl = spark.sql(cq)
+      assert(ctrl.queryExecution.executedPlan.toString.contains("Generate"),
+        s"control must grid: $cq")
+      val got = df.collect()
+      val want = ctrl.collect()
+      assert(got.length == want.length, q)
+      got.zip(want).foreach { case (a, b) =>
+        a.toSeq.zip(b.toSeq).foreach {
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            assert(math.abs(x - y) <= 1e-6 * math.max(1.0, math.abs(y)),
+              s"$q: $a vs $b")
+          case (x: java.lang.Float, y: java.lang.Float) =>
+            assert(java.lang.Float.compare(x, y) == 0, s"$q: $a vs $b")
+          case (x, y) => assert(x == y, s"$q: $a vs $b")
+        }
+      }
+    }
+  }
+
   test("filters, expressions, and spoofed aliases behave per contract") {
     freshEngine()
     // A tag equality no longer blocks the rewrite: tags are denormalized
