@@ -397,10 +397,11 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
                     // min/max(ts) of the qualifying rows — "first/last
                     // exceedance" — ride the same stats partials.
                     case TsAgg(_, _) => true
-                    // Fixed-width date_trunc buckets compose (per-bucket
-                    // filtered stats); calendar truncations and window
-                    // structs don't — those grid below.
-                    case BucketRef(_) => bucket.exists(_.isInstanceOf[FixedUs])
+                    // Fixed-width date_trunc buckets AND tumbling
+                    // window(ts, w) groupings compose (per-bucket filtered
+                    // stats); calendar truncations decline and grid.
+                    case BucketRef(_) | WindowPart(_, _) =>
+                      bucket.exists(_.isInstanceOf[FixedUs])
                     case _ => false
                   }
                   val bucketOk = bucket.forall(_.isInstanceOf[FixedUs]) &&
@@ -1248,9 +1249,15 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
           bLo, bUp, m.groupTags, m.startUs.map(inst),
           m.endUs.map(inst), m.tagEq, m.tagIn)
         val nonEmpty = bs.where(col(s"count_in_$f") > 0L)
+        val wStart = col("bucket")
+        val wEnd = timestamp_micros(unix_micros(col("bucket")) + lit(w))
         val ordered = m.specs.map {
           case TagRef(tag) => col(tag)
           case BucketRef(outName) => col("bucket").as(outName)
+          case WindowPart("struct", outName) =>
+            struct(wStart.as("start"), wEnd.as("end")).as(outName)
+          case WindowPart("start", outName) => wStart.as(outName)
+          case WindowPart("end", outName) => wEnd.as(outName)
           case FieldAgg("count", _, outName) =>
             col(s"count_in_$f").as(outName)
           case FieldAgg("avg", _, outName) =>

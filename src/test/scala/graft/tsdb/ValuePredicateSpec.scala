@@ -398,7 +398,15 @@ class ValuePredicateSpec extends AnyFunSuite {
         "GROUP BY tag, 2 ORDER BY tag, b",
       s"SELECT date_trunc('HOUR', ts) AS b, avg(value) AS a FROM fa " +
         s"WHERE value > 0.0 AND ts >= TIMESTAMP '$mid' " +
-        "GROUP BY 1 ORDER BY 1")
+        "GROUP BY 1 ORDER BY 1",
+      // Tumbling window(ts, w) + value predicate: the proven fixed-width
+      // bucket rides the same per-bucket stats, the struct rebuilt from
+      // the bucket start.
+      "SELECT window, count(*) AS n FROM fa WHERE value > 0.5 " +
+        "GROUP BY window(ts, '1 hour') ORDER BY window",
+      "SELECT window.start AS ws, window.end AS we, sum(value) AS s, " +
+        "min(ts) AS t0 FROM fa WHERE value <= -5.0 " +
+        "GROUP BY window(ts, '30 minutes') ORDER BY ws")
     for (q <- rewritten) {
       val df = engine.sql(q)
       val plan = df.queryExecution.executedPlan.toString
@@ -407,7 +415,7 @@ class ValuePredicateSpec extends AnyFunSuite {
       // buckets); the point-decode generator must never appear.
       assert(!plan.contains("gridpoints"),
         s"filtered aggregate must not decode points: $q")
-      if (!q.contains("date_trunc"))
+      if (!q.contains("date_trunc") && !q.contains("window("))
         assert(!plan.contains("Generate"),
           s"unbucketed filtered aggregate needs no generator at all: $q")
       val got = df.collect()
