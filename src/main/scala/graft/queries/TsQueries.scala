@@ -595,6 +595,23 @@ object TsQueries {
         round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS a
       FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // The same per-bucket filtered stats through the window() spelling:
+    // a tumbling window is a proven epoch-floor bucket, so the struct
+    // rebuilds from the bucket start and the oracle is the day floor.
+    ("ts_sql_window_exceedance", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      engine.sql(
+        "SELECT window.start AS ws, count(*) AS n, max(value) AS mx " +
+          "FROM events_lossless WHERE value > 150.0 " +
+          "GROUP BY window(ts, '1 day') ORDER BY ws")
+        .select(unix_micros(col("ws")).as("ws_us"), col("n"), col("mx"))
+    }, Some("""
+      SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS ws_us,
+        CAST(count(*) AS BIGINT) AS n,
+        max(CAST(value AS FLOAT4)) AS mx
+      FROM events WHERE CAST(CAST(value AS FLOAT4) AS DOUBLE) > 150.0
+      GROUP BY 1 ORDER BY 1""")),
+
     // Exceedances per DAY through the SQL surface: date_trunc + value
     // predicate splice into per-bucket filtered stats — bucket-contained
     // segments contribute one unclipped partial, straddlers explode into
