@@ -61,7 +61,10 @@ object Bench {
     */
   private def emit(results: Seq[(String, Double)]): Unit = {
     val line = jsonLine(results)
-    if (!sys.env.contains("SPARK_GRAFT_BENCH_CHILD"))
+    // Only full-registry runs persist: a SPARK_GRAFT_BENCH_ONLY-filtered
+    // iteration must not clobber the complete checked-in map.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_CHILD") &&
+        !sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
       catch { case _: Exception => () } // read-only cwd must not kill the line
