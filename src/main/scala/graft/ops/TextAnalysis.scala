@@ -351,7 +351,16 @@ object TextAnalysis {
     val base = df.select(col(idCol).as("doc_id"), toks.as("__ws"))
     val counts = base.select(explode(col("__ws")).as("t"))
       .groupBy("t").agg(count(lit(1)).as("c"))
-    val nTokens = counts.agg(sum(col("c"))).collect().head.getLong(0)
+    // sum over zero rows is NULL: an all-empty corpus has no vocabulary
+    // and no scorable documents — short-circuit to the empty frame the
+    // n_tokens > 0 filter would produce instead of NPE-ing on getLong.
+    val nTokensRow = counts.agg(sum(col("c"))).collect().head
+    if (nTokensRow.isNullAt(0)) {
+      return base.select(col("doc_id"), size(col("__ws")).as("n_tokens"),
+          lit(0.0).as("xent_bits"))
+        .where(col("n_tokens") > 0)
+    }
+    val nTokens = nTokensRow.getLong(0)
     val vocab = counts.orderBy(col("c").desc, col("t")).limit(vocabSize)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val logDenom = math.log(nTokens.toDouble + vocab.length + 1.0)

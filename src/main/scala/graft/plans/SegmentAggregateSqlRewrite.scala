@@ -1502,8 +1502,19 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
             (pos - lower.toDouble) * vHi.toDouble
         }
       }
-      val groups = stats.keys.toSeq.sortBy(_.mkString("\u0000"))
-      val rows = groups.map { g =>
+      // A group whose segments overlap the time range but hold no
+      // in-range points has n = 0: ranksFor returned Seq.empty, so no
+      // (group, rank) resolved for it. The gridded plan this splice
+      // replaces emits no row for such a group (GROUP BY over zero
+      // rows) — drop it here too instead of crashing on the absent key.
+      val groups = stats.keys.toSeq.filter(g => stats(g)._1 > 0L)
+        .sortBy(_.mkString("\u0000"))
+      val rows =
+        if (groups.isEmpty && m.groupTags.isEmpty)
+          // An UNGROUPED aggregate over an empty range still returns one
+          // row (NULL percentiles) — the global-aggregate SQL shape.
+          Seq(org.apache.spark.sql.Row.fromSeq(m.specs.map(_ => null)))
+        else groups.map { g =>
         org.apache.spark.sql.Row.fromSeq(m.specs.map {
           case TagRef(tag) => g(m.groupTags.indexOf(tag))
           case PercentileAgg(_, q, _, disc) => valueAt(g, q, disc)

@@ -842,9 +842,14 @@ object TsQueries {
     // DuckDB replays the identical arithmetic.
     ("ts_corr_pairs", (s: SparkSession, d: String) => {
       val engine = engineFor(s, d)
+      // The mod-10 panel predicate runs INSIDE the frame, so only the
+      // selected 10% of distinct tags ever reaches the driver — the
+      // collect is bounded by the panel size (the correlation output is
+      // O(panel^2) anyway), not the series count.
       val panel = engine.dataFolder.segments("events_lossless")
-        .select(col("user")).distinct().collect()
-        .map(_.getString(0)).filter(_.toLong % 10 == 0).toSeq.sorted
+        .select(col("user")).distinct()
+        .where(col("user").cast("long") % 10 === 0)
+        .collect().map(_.getString(0)).toSeq.sorted
       engine.correlationMatrix("events_lossless", "value",
           java.time.Duration.ofDays(1), "user", minOverlap = 5,
           tagInFilters = Map("user" -> panel))
@@ -936,6 +941,36 @@ object TsQueries {
         round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.9), 4)
           AS p90
       FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Time-RANGED grouped median over a NARROW (2 h) window: most series
+    // have a segment overlapping the window but zero points inside it —
+    // the census sees n = 0 for those groups and the splice must drop
+    // them exactly as the gridded GROUP BY would (regression for the
+    // n=0-group NoSuchElementException in the percentile splice). Only
+    // the handful of series with an in-window point appear.
+    ("ts_sql_median_ranged", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val (lo, hi) = eventsWindow(s, d)
+      val nLo = lo + (hi - lo) / 2
+      val nHi = nLo + 7200000000L
+      engine.sql(
+        s"SELECT user, round(med, 4) AS med FROM (" +
+          s"SELECT user, median(value) AS med FROM events_lossless " +
+          s"WHERE ts >= TIMESTAMP '${fmtTs(nLo)}' " +
+          s"AND ts <= TIMESTAMP '${fmtTs(nHi)}' " +
+          s"GROUP BY user) ORDER BY user")
+    }, Some("""
+      WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0
+        FROM events),
+      r AS (SELECT lo0 + (hi0 - lo0) // 3 AS lo,
+        lo0 + 2 * (hi0 - lo0) // 3 AS hi FROM b),
+      r2 AS (SELECT lo + (hi - lo) // 2 AS nlo FROM r)
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.5), 4)
+          AS med
+      FROM events, r2
+      WHERE epoch_us(ts) >= nlo AND epoch_us(ts) <= nlo + 7200000000
+      GROUP BY 1 ORDER BY 1""")),
 
     // LTTB visualization downsample (parallel variant): one point per
     // series per day, maximizing the triangle area against the neighbor

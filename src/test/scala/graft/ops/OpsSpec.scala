@@ -574,6 +574,17 @@ class OpsSpec extends AnyFunSuite {
     assert(got(2L)._1 == 3 && math.abs(got(2L)._2 - e2) < 1e-12)
   }
 
+  test("unigramXent on an all-empty corpus returns an empty frame, not an NPE") {
+    val blank = Seq((1L, ""), (2L, "   "), (3L, "      "))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.unigramXent(blank, "doc_id", "text")
+    assert(got.collect().isEmpty)
+    assert(got.columns.toSeq == Seq("doc_id", "n_tokens", "xent_bits"))
+    // And a fully empty input frame too.
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.unigramXent(none, "doc_id", "text").collect().isEmpty)
+  }
+
   test("text analysis signals are sane on real documents") {
     val annotated = TextAnalysis.annotate(docs, "text").cache()
     val n = annotated.count()

@@ -874,4 +874,58 @@ class ValuePredicateSpec extends AnyFunSuite {
     val eligible = seg.where(SegmentAggregates.singleBinCol(0.0, 1000.0))
     assert(eligible.count() == seg.count())
   }
+
+  test("ranged percentile drops groups whose overlapping segments hold no in-range points") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE pg(ts TIMESTAMP, value FIELD, tag TAG)")
+    import spark.implicits._
+    // tag 'a': one constant run with a large hole — compresses to PMC
+    // segment(s) spanning [0 s, 2000 s] with NO points in (10 s, 1990 s).
+    // tag 'b': points throughout. A window inside the hole overlaps 'a'
+    // segments (census n = 0) but only 'b' has in-range points.
+    val aPts = ((0 to 10) ++ (1990 to 2000)).map(i => (i * 1000000L, 5.0f, "a"))
+    val bPts = (0 to 2000 by 10).map(i => (i * 1000000L, i.toFloat, "b"))
+    engine.write("pg", (aPts ++ bPts).toDF("ts", "value", "tag"))
+    engine.readTable("pg").createOrReplaceTempView("pg_raw")
+
+    // Sanity: 'a' really has a segment overlapping the window with no
+    // in-range points — otherwise this test is not testing the n=0 path.
+    val loUs = 500L * 1000000L
+    val hiUs = 1500L * 1000000L
+    val aOverlap = engine.dataFolder.segments("pg")
+      .where(col("tag") === "a" &&
+        col("start_time") <= hiUs && col("end_time") >= loUs)
+      .count()
+    assert(aOverlap > 0, "fixture must produce an 'a' segment spanning the hole")
+
+    val window = "ts >= TIMESTAMP '1970-01-01 00:08:20' " +
+      "AND ts <= TIMESTAMP '1970-01-01 00:25:00'"
+    for (q <- Seq(
+        s"SELECT tag, median(value) AS med FROM pg WHERE $window " +
+          "GROUP BY tag ORDER BY tag",
+        s"SELECT tag, percentile_disc(0.9) WITHIN GROUP (ORDER BY value) " +
+          s"AS d90 FROM pg WHERE $window GROUP BY tag ORDER BY tag")) {
+      val df = engine.sql(q)
+      assert(!df.queryExecution.executedPlan.toString.contains("Generate"),
+        s"percentile must splice, not grid: $q")
+      val got = df.collect()
+      val want = spark.sql(q.replace("FROM pg", "FROM pg_raw")).collect()
+      assert(got.map(_.getString(0)).toSeq == Seq("b"), q)
+      assert(got.length == want.length, q)
+      got.zip(want).foreach { case (a, b) =>
+        assert(a.toSeq.map(String.valueOf) == b.toSeq.map(String.valueOf),
+          s"$q: $a vs $b")
+      }
+    }
+
+    // UNGROUPED percentile over a range with zero points: one NULL row,
+    // the global-aggregate SQL shape (a GROUP BY would return no rows).
+    val g = engine.sql("SELECT median(value) AS med FROM pg " +
+      s"WHERE tag = 'a' AND $window")
+    val gRows = g.collect()
+    assert(gRows.length == 1 && gRows.head.isNullAt(0))
+    val gWant = spark.sql("SELECT median(value) AS med FROM pg_raw " +
+      s"WHERE tag = 'a' AND $window").collect()
+    assert(gWant.length == 1 && gWant.head.isNullAt(0))
+  }
 }
