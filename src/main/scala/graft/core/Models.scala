@@ -180,9 +180,10 @@ object Models {
     sum
   }
 
-  /** Per-segment (Σv, Σv²), f64-accumulated in decode order over the same
-    * f32 values as [[grid]] — ONE decode pass answers both the sum and the
-    * squared-sum partials behind the VAR/STDDEV closed forms.
+  /** Per-segment (Σv, m2 = Σ(v − mean_seg)²), f64-accumulated over the
+    * same f32 values as [[grid]] — ONE decode answers both the sum and
+    * the centered-second-moment partials behind the VAR/STDDEV closed
+    * forms.
     */
   def sumStats(
       modelTypeId: Byte, startTime: Long, endTime: Long, timestamps: Array[Byte],
@@ -193,17 +194,27 @@ object Models {
     grid(modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
       values, residuals, ts, vs)
     var sum = 0.0
-    var sumSq = 0.0
     var i = 0
     val n = vs.length
     val arr = vs.backing
     while (i < n) {
-      val v = arr(i)
-      sum += v
-      sumSq += v.toDouble * v.toDouble
+      sum += arr(i)
       i += 1
     }
-    Array(sum, sumSq)
+    // Second moment CENTERED on the segment mean (two-pass — the values
+    // are already in memory): Σ(v − mean)² stays ~n·σ² regardless of the
+    // mean's magnitude, where raw Σv² − (Σv)²/n cancels catastrophically
+    // for large-mean/low-variance series. Cross-segment merge is Chan's
+    // update (graft.tsdb.PartialM2Merge).
+    val mean = if (n == 0) 0.0 else sum / n
+    var m2 = 0.0
+    i = 0
+    while (i < n) {
+      val d = arr(i).toDouble - mean
+      m2 += d * d
+      i += 1
+    }
+    Array(sum, m2)
   }
 
   /** A segment's chronologically first and last values, WITHOUT

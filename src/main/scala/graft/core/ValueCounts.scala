@@ -249,12 +249,14 @@ object ValueCounts {
     }
   }
 
-  /** (count, Σv, min, max, tFirst, tLast) of the reconstructed values
+  /** (count, Σv, min, max, tFirst, tLast, m2) of the reconstructed values
     * inside the value interval — lower EXCLUSIVE (ignored when `hasLower`
     * is false), upper INCLUSIVE with Double.NaN as the "unbounded"
     * sentinel (the total order's maximum, so NaN values are included) —
     * among points whose timestamp lies in [tsLo, tsHi]. Returned as
-    * `Array(count, sum, min, max, tFirst, tLast)` with everything past
+    * `Array(count, sum, min, max, tFirst, tLast, m2)` — m2 the CENTERED
+    * second moment Σ(v − mean_in_range)² (weighted Welford) — with
+    * everything past
     * `sum` meaningful only when count > 0 (an all-NaN in-range set
     * carries NaN min/max — exactly the NaN-greatest order Spark's own
     * MIN/MAX aggregates follow). tFirst/tLast are the µs timestamps of
@@ -346,7 +348,11 @@ object ValueCounts {
       extends Acc {
     private var count = 0L
     private var sum = 0.0
-    private var sumSq = 0.0
+    // Centered second moment via the weighted Welford/West update — the
+    // result slot that used to carry raw Σv² now carries
+    // m2 = Σ(v − mean_acc)², cancellation-free at any mean.
+    private var wmean = 0.0
+    private var m2 = 0.0
     private var mnV = 0.0f
     private var mxV = 0.0f
     private var firstIdx = Int.MaxValue
@@ -371,11 +377,17 @@ object ValueCounts {
       }
       if (at < firstIdx) firstIdx = at
       if (to > lastIdx) lastIdx = to
-      count += n
-      // n·v is exact in f64 for any float v and realistic n (24+31 < 53
-      // mantissa bits), so constant runs lose nothing to the fold.
+      // Chan merge of (count, wmean, m2) with the n-copies-of-v partial
+      // (its internal moment is 0): exact for constant runs, stable for
+      // everything else. n·v is exact in f64 for any float v and
+      // realistic n (24+31 < 53 mantissa bits).
+      val newCount = count + n
+      val delta = v.toDouble - wmean
+      val r = delta * n.toDouble / newCount.toDouble
+      m2 += delta * r * count.toDouble
+      wmean += r
+      count = newCount
       sum += v.toDouble * n.toDouble
-      sumSq += v.toDouble * v.toDouble * n.toDouble
     }
 
     override def addConstant(v: Float, n: Int, at: Int): Unit =
@@ -411,7 +423,7 @@ object ValueCounts {
       count.toDouble, sum,
       if (count == 0L) Double.NaN else mnV.toDouble,
       if (count == 0L) Double.NaN else mxV.toDouble,
-      firstIdx.toDouble, lastIdx.toDouble, sumSq)
+      firstIdx.toDouble, lastIdx.toDouble, m2)
   }
 
   /** Per-threshold counts of reconstructed values v with v > xs(i) under

@@ -472,7 +472,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       inRange && bucketOf(col("start_time")) === bucketOf(col("end_time"))
 
     // Both sides emit raw partial rows in ONE shape — (tags...,
-    // field_column, __graft_bucket, cnt/sum/sumsq/min/max/tmin/tmax) — merged
+    // field_column, __graft_bucket, cnt/sum/m2/min/max/tmin/tmax) — merged
     // a single aggregation: contained segments contribute closed-form
     // per-segment expressions (no decode), straddlers per-bucket rows from
     // the decode generator. One shuffle on the output keys, no
@@ -488,7 +488,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       withEdges)
       .select(keys ++ Seq(
         col(SegmentSchema.FieldColumn), col("__graft_bucket"),
-        col("__bp_cnt"), col("__bp_sum"), col("__bp_sumsq"),
+        col("__bp_cnt"), col("__bp_sum"), col("__bp_m2"),
         col("__bp_min"), col("__bp_max"),
         col("__bp_tmin"), col("__bp_tmax")) ++
         (if (withEdges) Seq(col("__bp_vfirst"), col("__bp_vlast"))
@@ -955,26 +955,25 @@ final class Engine(val spark: SparkSession, val root: String) {
       max(st.getField("mx")).as(s"max_in_$field"),
       timestamp_micros(min(st.getField("tmin"))).as(s"min_ts_in_$field"),
       timestamp_micros(max(st.getField("tmax"))).as(s"max_ts_in_$field"),
-      sum(when(st.getField("cnt") > 0L, st.getField("sumsq")))
-        .as(s"__sumsq_in"))
+      SegmentAggregates.m2MergeCol(st.getField("cnt"),
+        st.getField("sum"), st.getField("m2")).as("__m2_in"))
     val grouped =
       if (keys.isEmpty) partials.agg(aggs.head, aggs.tail: _*)
       else partials.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
-    // Variance family from the same (count, Σv, Σv²) scalars — SQL
-    // var_samp/var_pop NULL thresholds included.
+    // Variance family from the Chan-merged centered moment — SQL
+    // var_samp/var_pop NULL thresholds included, stable at any mean.
     val cnt = col(s"count_in_$field")
-    val s1 = col(s"sum_in_$field")
-    val s2 = col("__sumsq_in")
+    val m2 = col("__m2_in")
     grouped
       .withColumn(s"var_samp_in_$field",
-        SegmentAggregates.varianceFrom(cnt, s1, s2, sample = true))
+        SegmentAggregates.varianceFromM2(cnt, m2, sample = true))
       .withColumn(s"var_pop_in_$field",
-        SegmentAggregates.varianceFrom(cnt, s1, s2, sample = false))
+        SegmentAggregates.varianceFromM2(cnt, m2, sample = false))
       .withColumn(s"stddev_samp_in_$field",
         sqrt(col(s"var_samp_in_$field")))
       .withColumn(s"stddev_pop_in_$field",
         sqrt(col(s"var_pop_in_$field")))
-      .drop("__sumsq_in")
+      .drop("__m2_in")
   }
 
   /** [[thresholdStats]] per TIME BUCKET: value-filtered count/sum/min/max
@@ -2160,8 +2159,7 @@ final class Engine(val spark: SparkSession, val root: String) {
         truncOf(col("__graft_ts")).as("__graft_bucket"),
         lit(1L).as("__bp_cnt"),
         col("__graft_value").cast(DoubleType).as("__bp_sum"),
-        (col("__graft_value").cast(DoubleType) *
-          col("__graft_value").cast(DoubleType)).as("__bp_sumsq"),
+        lit(0d).as("__bp_m2"),
         col("__graft_value").as("__bp_min"),
         col("__graft_value").as("__bp_max"),
         col("__graft_ts").as("__bp_tmin"),
@@ -2193,25 +2191,23 @@ final class Engine(val spark: SparkSession, val root: String) {
 
   private def gridAggColumn(agg: Aggregate, f: String,
       tsName: String = "ts"): Column = {
-    // Variance over gridded points uses the same (count, Σv, Σv²) formula
-    // as the closed-form paths, so hybrid and gridded plans agree.
-    def cnt = count(col(f))
-    def s = sum(col(f).cast(DoubleType))
-    def ss = sum(col(f).cast(DoubleType) * col(f).cast(DoubleType))
+    // Variance over gridded points rides Spark's own Welford aggregates —
+    // the same merge arithmetic as the closed-form paths' PartialM2Merge,
+    // so hybrid and gridded plans agree to rounding at any mean.
     agg match {
       case Aggregate.Count => count(col(f)).as(s"count_$f")
       case Aggregate.Min => min(col(f)).as(s"min_$f")
       case Aggregate.Max => max(col(f)).as(s"max_$f")
       case Aggregate.Sum => sum(col(f)).as(s"sum_$f")
       case Aggregate.Avg => avg(col(f)).as(s"avg_$f")
-      case Aggregate.VarSamp => SegmentAggregates
-        .varianceFrom(cnt, s, ss, sample = true).as(s"var_samp_$f")
-      case Aggregate.VarPop => SegmentAggregates
-        .varianceFrom(cnt, s, ss, sample = false).as(s"var_pop_$f")
-      case Aggregate.StdSamp => sqrt(SegmentAggregates
-        .varianceFrom(cnt, s, ss, sample = true)).as(s"stddev_samp_$f")
-      case Aggregate.StdPop => sqrt(SegmentAggregates
-        .varianceFrom(cnt, s, ss, sample = false)).as(s"stddev_pop_$f")
+      case Aggregate.VarSamp =>
+        var_samp(col(f).cast(DoubleType)).as(s"var_samp_$f")
+      case Aggregate.VarPop =>
+        var_pop(col(f).cast(DoubleType)).as(s"var_pop_$f")
+      case Aggregate.StdSamp =>
+        stddev_samp(col(f).cast(DoubleType)).as(s"stddev_samp_$f")
+      case Aggregate.StdPop =>
+        stddev_pop(col(f).cast(DoubleType)).as(s"stddev_pop_$f")
       case Aggregate.First => min_by(col(f), col(tsName)).as(s"first_$f")
       case Aggregate.Last => max_by(col(f), col(tsName)).as(s"last_$f")
       case Aggregate.None => throw new IllegalArgumentException("not an aggregate")
@@ -2278,7 +2274,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       withSq: Boolean = false,
       withEdges: Boolean = false,
       withSum: Boolean = true): DataFrame = {
-    // With Σv² requested, sum and sumsq extract from ONE SegmentSumStats
+    // With the moment requested, sum and m2 extract from ONE SegmentSumStats
     // struct — a single decode pass; the chained projection keeps
     // CollapseProject from inlining (re-decoding) the kernel per field.
     // Edge values (FIRST/LAST) likewise: one SegmentEdgeValues struct,
@@ -2290,8 +2286,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     val sumCols =
       if (withSq) Seq(SegmentAggregates.sumStatsCol.as("__bp_stats"))
       else if (withSum) Seq(SegmentAggregates.sumCol.as("__bp_sum"),
-        lit(0d).as("__bp_sumsq"))
-      else Seq(lit(0d).as("__bp_sum"), lit(0d).as("__bp_sumsq"))
+        lit(0d).as("__bp_m2"))
+      else Seq(lit(0d).as("__bp_sum"), lit(0d).as("__bp_m2"))
     // MAX must surface a hidden NaN (Spark float ordering), and segment
     // bounds are written NaN-ignoring. But NaN can only HIDE in a
     // MacaqueV value stream or a residual tail — a fitted PMC/Swing model
@@ -2320,7 +2316,7 @@ final class Engine(val spark: SparkSession, val root: String) {
       if (!withSq) base0
       else base0
         .withColumn("__bp_sum", col("__bp_stats").getField("sum"))
-        .withColumn("__bp_sumsq", col("__bp_stats").getField("sumsq"))
+        .withColumn("__bp_m2", col("__bp_stats").getField("m2"))
         .drop("__bp_stats")
     val base =
       if (!withEdges) base1
@@ -2361,7 +2357,9 @@ final class Engine(val spark: SparkSession, val root: String) {
         sum(when(isF, col("__bp_sum"))).as(s"__sum_$f"),
         min(when(isF, col("__bp_min"))).as(s"__min_$f"),
         max(when(isF, col("__bp_max"))).as(s"__max_$f")) ++
-        (if (withSq) Seq(sum(when(isF, col("__bp_sumsq"))).as(s"__sumsq_$f"))
+        (if (withSq) Seq(SegmentAggregates.m2MergeCol(
+          when(isF, col("__bp_cnt")), when(isF, col("__bp_sum")),
+          when(isF, col("__bp_m2"))).as(s"__m2_$f"))
         else Seq.empty) ++
         // The merged FIRST is the edge of the partial with the smallest
         // tmin (min_by skips rows whose ordering is NULL — i.e. other
@@ -2386,8 +2384,8 @@ final class Engine(val spark: SparkSession, val root: String) {
       tsAggregates: Seq[Aggregate] = Seq.empty,
       tsName: String = "ts"): Seq[Column] =
     (for (agg <- aggregates; f <- fields) yield {
-      def varOf(sample: Boolean) = SegmentAggregates.varianceFrom(
-        col(s"__cnt_$f"), col(s"__sum_$f"), col(s"__sumsq_$f"), sample)
+      def varOf(sample: Boolean) = SegmentAggregates.varianceFromM2(
+        col(s"__cnt_$f"), col(s"__m2_$f"), sample)
       agg match {
         case Aggregate.Count => col(s"__cnt_$f").as(s"count_$f")
         case Aggregate.Min => col(s"__min_$f").as(s"min_$f")
@@ -2496,7 +2494,7 @@ final class Engine(val spark: SparkSession, val root: String) {
           SegmentAggregates.clippedLenCol(
             startUs.getOrElse(Long.MinValue), endUs.getOrElse(Long.MaxValue))
             .as("__bp_cnt"),
-          lit(0d).as("__bp_sum"), lit(0d).as("__bp_sumsq"),
+          lit(0d).as("__bp_sum"), lit(0d).as("__bp_m2"),
           lit(Float.NaN).as("__bp_min"), lit(Float.NaN).as("__bp_max"),
           lit(0L).as("__bp_tmin"), lit(0L).as("__bp_tmax")): _*)
       else GridView.bucketPartials(
@@ -2504,7 +2502,7 @@ final class Engine(val spark: SparkSession, val root: String) {
         withEdges)
         .select(groupByTags.map(col) ++ Seq(
           col(SegmentSchema.FieldColumn),
-          col("__bp_cnt"), col("__bp_sum"), col("__bp_sumsq"),
+          col("__bp_cnt"), col("__bp_sum"), col("__bp_m2"),
           col("__bp_min"), col("__bp_max"),
           col("__bp_tmin"), col("__bp_tmax")) ++
           (if (withEdges) Seq(col("__bp_vfirst"), col("__bp_vlast"))

@@ -41,7 +41,7 @@ object DecodeKernels {
     new GenericArrayData(out)
   }
 
-  /** Per-bucket partial rows (bucket, cnt, sum, sumsq, min, max, tmin,
+  /** Per-bucket partial rows (bucket, cnt, sum, m2, min, max, tmin,
     * tmax[, vfirst, vlast]) of one segment, range-clipped to [lo, hi] —
     * with `withEdges`, vfirst/vlast are the values at tmin/tmax, the
     * in-bucket chronological edges behind FIRST/LAST (plans not asking
@@ -64,7 +64,11 @@ object DecodeKernels {
     var bucket = 0L
     var cnt = 0L
     var sum = 0.0
-    var sumSq = 0.0
+    // Welford running mean/moment: the partial carries the CENTERED
+    // second moment m2 = Σ(v − mean_bucket)², merged downstream with
+    // Chan's update (PartialM2Merge) — never the cancellation-prone Σv².
+    var bmean = 0.0
+    var m2 = 0.0
     var mn = Float.PositiveInfinity // running extremes over non-NaN values
     var mx = Float.NegativeInfinity
     var nanSeen = false
@@ -78,7 +82,7 @@ object DecodeKernels {
       r.setLong(0, bucket)
       r.setLong(1, cnt)
       r.setDouble(2, sum)
-      r.setDouble(3, sumSq)
+      r.setDouble(3, m2)
       // Spark's float ordering sorts NaN greatest: MIN ignores NaN unless
       // every value is NaN, MAX is NaN as soon as one value is. The ±Inf
       // init sentinels never escape — an all-NaN bucket is (NaN, NaN).
@@ -98,7 +102,7 @@ object DecodeKernels {
       if (t >= lo && t <= hi) {
         val b = Math.floorDiv(t, bucketUs) * bucketUs
         if (cnt > 0 && b != bucket) {
-          flush(); cnt = 0; sum = 0.0; sumSq = 0.0
+          flush(); cnt = 0; sum = 0.0; bmean = 0.0; m2 = 0.0
           mn = Float.PositiveInfinity; mx = Float.NegativeInfinity
           nanSeen = false; nonNanSeen = false
           tmn = Long.MaxValue; tmx = Long.MinValue
@@ -107,7 +111,9 @@ object DecodeKernels {
         val v = vBuf(i)
         cnt += 1
         sum += v
-        sumSq += v.toDouble * v.toDouble
+        val d = v.toDouble - bmean
+        bmean += d / cnt.toDouble
+        m2 += d * (v.toDouble - bmean)
         if (java.lang.Float.isNaN(v)) nanSeen = true
         else {
           nonNanSeen = true
@@ -271,7 +277,7 @@ case class GridPoints(
   * `bucketUs = Long.MaxValue` degenerates to one partial per segment,
   * which is exactly what a range aggregate's boundary side needs.
   *
-  * Rows are (bucket, cnt, sum, sumsq, min, max, tmin, tmax, vfirst,
+  * Rows are (bucket, cnt, sum, m2, min, max, tmin, tmax, vfirst,
   * vlast); see [[DecodeKernels.bucketPartialsArray]] for the
   * order-independence and NaN semantics. The tmin/tmax columns are the
   * bucket's first/last in-range timestamps (letting `min/max(ts)` under a
@@ -296,7 +302,7 @@ case class BucketPartials(
     StructField("__graft_bucket", LongType, nullable = false),
     StructField("__bp_cnt", LongType, nullable = false),
     StructField("__bp_sum", DoubleType, nullable = false),
-    StructField("__bp_sumsq", DoubleType, nullable = false),
+    StructField("__bp_m2", DoubleType, nullable = false),
     StructField("__bp_min", FloatType, nullable = false),
     StructField("__bp_max", FloatType, nullable = false),
     StructField("__bp_tmin", LongType, nullable = false),

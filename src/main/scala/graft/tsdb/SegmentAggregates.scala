@@ -34,8 +34,10 @@ object SegmentAggregates {
     attr("timestamps"), attr("min_value"), attr("max_value"),
     attr("values"), attr("residuals")))
 
-  /** (Σv, Σv²) struct of a segment's values in ONE decode pass — the
-    * shared partial behind the VAR/STDDEV closed forms.
+  /** (Σv, m2) struct of a segment's values in ONE decode pass — m2 the
+    * CENTERED second moment Σ(v − mean_seg)², the shared partial behind
+    * the VAR/STDDEV closed forms (merged with [[PartialM2Merge]], never
+    * the cancellation-prone raw Σv²).
     */
   def sumStatsCol: Column = ColumnBridge.column(SegmentSumStats(
     attr("model_type_id"), attr("start_time"), attr("end_time"),
@@ -155,7 +157,7 @@ object SegmentAggregates {
     val empty = struct(lit(0L).as("cnt"), lit(0.0).as("sum"),
       lit(null).cast("float").as("mn"), lit(null).cast("float").as("mx"),
       lit(null).cast("long").as("tmin"), lit(null).cast("long").as("tmax"),
-      lit(0.0).as("sumsq"))
+      lit(0.0).as("m2"))
     val outBelow = lower
       .map(l =>
         if (upper.isNaN) col("max_value") <= l && !nanCapable
@@ -184,7 +186,7 @@ object SegmentAggregates {
     val empty = struct(lit(0L).as("cnt"), lit(0.0).as("sum"),
       lit(null).cast("float").as("mn"), lit(null).cast("float").as("mx"),
       lit(null).cast("long").as("tmin"), lit(null).cast("long").as("tmax"),
-      lit(0.0).as("sumsq"))
+      lit(0.0).as("m2"))
     val allOut = intervals.map { case (lo, up) =>
       val outBelow = lo
         .map(l =>
@@ -213,7 +215,7 @@ object SegmentAggregates {
     val empty = struct(lit(0L).as("cnt"), lit(0.0).as("sum"),
       lit(null).cast("float").as("mn"), lit(null).cast("float").as("mx"),
       lit(null).cast("long").as("tmin"), lit(null).cast("long").as("tmax"),
-      lit(0.0).as("sumsq"))
+      lit(0.0).as("m2"))
     val outBelow = lower
       .map(l =>
         if (upper.isNaN) col("max_value") <= l && !nanCapable
@@ -269,16 +271,27 @@ object SegmentAggregates {
       binCol(col("min_value"), origin, width) ===
         binCol(col("max_value"), origin, width)
 
-  /** Textbook variance from (count, Σv, Σv²) aggregate columns, clamped at
-    * zero (float cancellation can dip epsilon-negative) and NULL below the
-    * minimum count — mirroring SQL var_samp (n >= 2) / var_pop (n >= 1).
-    * All three inputs come from the same single-pass aggregation.
+  /** The Chan-merged centered second moment of (count, Σv, m2) partial
+    * columns — one aggregate column merging per-segment moments into the
+    * group's M2 = Σ(v − μ_group)², numerically stable at any mean (raw
+    * Σv² − (Σv)²/n cancels catastrophically for large-mean/low-variance
+    * series). NULL/zero-count partials are skipped inside the aggregate,
+    * so `when(cond, partial)` field gating works unchanged.
     */
-  def varianceFrom(cnt: Column, s: Column, ss: Column, sample: Boolean): Column = {
+  def m2MergeCol(cnt: Column, s: Column, m2: Column): Column =
+    ColumnBridge.column(PartialM2Merge(
+      ColumnBridge.expression(cnt), ColumnBridge.expression(s),
+      ColumnBridge.expression(m2)).toAggregateExpression())
+
+  /** Variance from a group's (count, merged M2) — NULL below the minimum
+    * count, mirroring SQL var_samp (n >= 2) / var_pop (n >= 1); the
+    * greatest(0, ·) guard only absorbs epsilon-negative merge residue
+    * (M2 is a sum of squares up to rounding), never a cancelled moment.
+    */
+  def varianceFromM2(cnt: Column, m2: Column, sample: Boolean): Column = {
     val n = cnt.cast("double")
     val divisor = if (sample) n - 1d else n
-    when(cnt > (if (sample) 1L else 0L),
-      greatest(lit(0d), (ss - s * s / n) / divisor))
+    when(cnt > (if (sample) 1L else 0L), greatest(lit(0d), m2 / divisor))
       .otherwise(lit(null).cast("double"))
   }
 
@@ -290,23 +303,25 @@ object SegmentAggregates {
     val onField = (c: Column) =>
       when(col(SegmentSchema.FieldColumn) === fieldIndex, c)
     // The var/stddev kinds share one SegmentSumStats decode: the sum and
-    // sumsq aggregates extract fields of the SAME struct subtree, which
-    // Spark's aggregate-level subexpression elimination evaluates once.
+    // m2 extracts reference the SAME struct subtree, which Spark's
+    // aggregate-level subexpression elimination evaluates once; the
+    // per-segment moments merge with Chan's update (PartialM2Merge).
     def cnt = sum(onField(lenCol))
-    def statsSum = sum(onField(sumStatsCol.getField("sum")))
-    def statsSq = sum(onField(sumStatsCol.getField("sumsq")))
+    def statsM2 = m2MergeCol(onField(lenCol),
+      onField(sumStatsCol.getField("sum")),
+      onField(sumStatsCol.getField("m2")))
     kind match {
       case "count" => coalesce(sum(onField(lenCol)), lit(0L))
       case "min" => org.apache.spark.sql.functions.min(onField(col("min_value")))
       case "max" => org.apache.spark.sql.functions.max(onField(col("max_value")))
       case "sum" => sum(onField(sumCol))
       case "avg" => sum(onField(sumCol)) / sum(onField(lenCol))
-      case "var_samp" => varianceFrom(cnt, statsSum, statsSq, sample = true)
-      case "var_pop" => varianceFrom(cnt, statsSum, statsSq, sample = false)
+      case "var_samp" => varianceFromM2(cnt, statsM2, sample = true)
+      case "var_pop" => varianceFromM2(cnt, statsM2, sample = false)
       case "stddev_samp" =>
-        sqrt(varianceFrom(cnt, statsSum, statsSq, sample = true))
+        sqrt(varianceFromM2(cnt, statsM2, sample = true))
       case "stddev_pop" =>
-        sqrt(varianceFrom(cnt, statsSum, statsSq, sample = false))
+        sqrt(varianceFromM2(cnt, statsM2, sample = false))
       // FIRST/LAST by time: the group winner is the segment with the
       // extreme time bound; its edge value is that extreme's point
       // (segments of one series never overlap, so the bound is unique

@@ -94,7 +94,7 @@ case class SegmentSum(
       newChildren(4), newChildren(5), newChildren(6), newChildren(7))
 }
 
-/** Static kernel wrapper producing the (sum, sumsq) struct row — callable
+/** Static kernel wrapper producing the (sum, m2) struct row — callable
   * from generated code, shared with interpreted eval.
   */
 object SegmentKernels {
@@ -176,9 +176,9 @@ object SegmentKernels {
   }
 }
 
-/** (Σv, Σv²) of a segment's values as one struct — a SINGLE decode pass
-  * answers both partials, so variance closed forms don't pay a second
-  * reconstruction next to [[SegmentSum]]. Codegen'd like [[SegmentLen]];
+/** (Σv, m2 = Σ(v − mean_seg)²) of a segment's values as one struct — a
+  * SINGLE decode pass answers both partials, so variance closed forms
+  * don't pay a second reconstruction next to [[SegmentSum]]. Codegen'd like [[SegmentLen]];
   * consumers extract the fields in a CHAINED projection so CollapseProject
   * never inlines (and re-decodes) the kernel per extracted field.
   */
@@ -193,7 +193,7 @@ case class SegmentSumStats(
     values, residuals)
   override def dataType: DataType = StructType(Seq(
     StructField("sum", DoubleType, nullable = false),
-    StructField("sumsq", DoubleType, nullable = false)))
+    StructField("m2", DoubleType, nullable = false)))
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any = {
@@ -399,7 +399,7 @@ case class SegmentStatsInRange(
     StructField("mx", FloatType, nullable = true),
     StructField("tmin", LongType, nullable = true),
     StructField("tmax", LongType, nullable = true),
-    StructField("sumsq", DoubleType, nullable = false)))
+    StructField("m2", DoubleType, nullable = false)))
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any = {
@@ -460,7 +460,7 @@ case class SegmentStatsInRanges(
     StructField("mx", FloatType, nullable = true),
     StructField("tmin", LongType, nullable = true),
     StructField("tmax", LongType, nullable = true),
-    StructField("sumsq", DoubleType, nullable = false)))
+    StructField("m2", DoubleType, nullable = false)))
   override def nullable: Boolean = false
 
   @transient private lazy val losArr: Array[Double] = los.toArray
@@ -525,7 +525,7 @@ case class SegmentStatsInRangeDyn(
     StructField("mx", FloatType, nullable = true),
     StructField("tmin", LongType, nullable = true),
     StructField("tmax", LongType, nullable = true),
-    StructField("sumsq", DoubleType, nullable = false)))
+    StructField("m2", DoubleType, nullable = false)))
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any = {
@@ -595,7 +595,7 @@ case class SegmentStatsBetween(
     StructField("mx", FloatType, nullable = true),
     StructField("tmin", LongType, nullable = true),
     StructField("tmax", LongType, nullable = true),
-    StructField("sumsq", DoubleType, nullable = false)))
+    StructField("m2", DoubleType, nullable = false)))
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any = {

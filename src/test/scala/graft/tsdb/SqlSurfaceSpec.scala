@@ -209,6 +209,57 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(single.getDouble(1) == 0.0, "var_pop of one point must be 0")
   }
 
+  test("variance survives large-mean/low-variance series (no cancellation)") {
+    // mean = 10^6, spread = a few float ulps (ulp(10^6) = 0.0625): raw
+    // sum-of-squares variance needs ~1e-13 relative precision in
+    // sum(v^2) - (sum v)^2/n and collapses to the greatest(0, .) clamp;
+    // the Chan-merged centered moment keeps full precision. True
+    // var_pop of the 5-point pattern mean + {-2,-1,0,1,2}*0.0625 is
+    // 0.0625^2 * 2 = 0.0078125.
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE lv(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    val df = (0 until 2000).map { i =>
+      (1700000000000000L + i * 1000000L,
+        1000000.0f + ((i % 5) - 2) * 0.0625f, s"t${i % 2}")
+    }.toDF("ts", "v", "tag")
+    engine.write("lv", df)
+
+    val sqlDf = engine.sql(
+      "SELECT var_pop(v) AS vp, var_samp(v) AS vs, " +
+        "stddev_pop(v) AS sp FROM lv")
+    assert(!sqlDf.queryExecution.executedPlan.toString.contains("Generate"),
+      "large-mean variance must stay segment-native")
+    val got = sqlDf.collect().head
+    val truePop = 0.0078125
+    assert(math.abs(got.getDouble(0) - truePop) <= truePop * 1e-6,
+      s"var_pop ${got.getDouble(0)} vs analytic $truePop — " +
+        "cancellation would clamp this to 0")
+    // And against Spark's own Welford over the reconstructed points.
+    val ctrl = engine.readTable("lv")
+      .agg(var_pop(col("v")), var_samp(col("v")), stddev_pop(col("v")))
+      .collect().head
+    for (i <- 0 until 3)
+      assert(math.abs(got.getDouble(i) - ctrl.getDouble(i)) <=
+        math.abs(ctrl.getDouble(i)) * 1e-9,
+        s"column $i: ${got.getDouble(i)} vs ${ctrl.getDouble(i)}")
+
+    // The VALUE-FILTERED variance path (thresholdStats partials) is just
+    // as exposed: filter to v > mean - 1 (keeps everything) and compare.
+    val filtered = engine.thresholdStats("lv", "v", Some(999999.0),
+      groupByTags = Seq("tag")).orderBy("tag").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("var_samp_in_v")).toMap
+    val fCtrl = engine.readTable("lv")
+      .where(col("v").cast("double") > 999999.0)
+      .groupBy("tag").agg(var_samp(col("v")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    filtered.foreach { case (t, v) =>
+      assert(math.abs(v - fCtrl(t)) <= math.abs(fCtrl(t)) * 1e-9,
+        s"filtered group $t: $v vs ${fCtrl(t)}")
+      assert(v > 0.0, s"filtered group $t variance clamped to $v")
+    }
+  }
+
   test("first/last by time answer from segment edges without gridding") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE fl(ts TIMESTAMP, v FIELD, tag TAG)")
