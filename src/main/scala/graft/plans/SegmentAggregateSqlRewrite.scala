@@ -171,6 +171,10 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     * segment-native equivalent ([[spliceRewrite]] preserves the subtree's
     * output attributes, so parents are untouched).
     */
+  /** TEST-ONLY splice counter (SqlRewriteFuzzSpec asserts the generator
+    * keeps exercising the accept paths, not just gridded declines). */
+  private[plans] val spliceCountForTests = new java.util.concurrent.atomic.AtomicLong
+
   def tryRewrite(engine: Engine, df: DataFrame): Option[DataFrame] = {
     var hit = false
     val transformed = df.queryExecution.analyzed.transformUp {
@@ -179,9 +183,10 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         case scala.None => agg
       }
     }
-    if (hit)
+    if (hit) {
+      spliceCountForTests.incrementAndGet()
       Some(org.apache.spark.sql.graft.PlanBridge.ofRows(engine.spark, transformed))
-    else scala.None
+    } else scala.None
   }
 
   /** Rewrite one matching Aggregate into the analyzed plan of its
@@ -1218,7 +1223,18 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     }
   }
 
-  private[plans] def build(engine: Engine, m: MatchResult): DataFrame = {
+  /** TEST-ONLY mutation hook for the metamorphic fuzz harness
+    * (SqlRewriteFuzzSpec): when set, every accepted time-ranged shape is
+    * built with its end bound silently extended by one second — a planted
+    * wrong-accept the splice-vs-gridded equivalence check MUST flag. Never
+    * set outside tests.
+    */
+  private[plans] var plantRangeBugForTests: Boolean = false
+
+  private[plans] def build(engine: Engine, m0: MatchResult): DataFrame = {
+    val m =
+      if (plantRangeBugForTests) m0.copy(endUs = m0.endUs.map(_ + 1000000L))
+      else m0
     if (m.valueBound.nonEmpty) {
       // Value-predicate aggregates. COUNT-only queries route through
       // thresholdCount — stored bounds settle most segments without
