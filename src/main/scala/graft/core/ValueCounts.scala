@@ -470,30 +470,74 @@ object ValueCounts {
   }
 
   private final class MultiCountAcc(xs: Array[Double]) extends Acc {
-    val counts = new Array[Long](xs.length)
-
-    override def addConstant(v: Float, n: Int, at: Int): Unit = {
-      val d = v.toDouble
-      var i = 0
+    // Thresholds sorted once (by the SQL total order) so each decoded
+    // value costs O(log width) — binary search + one difference-array
+    // bump — instead of O(width) compares. `counts` materializes the
+    // prefix-summed contributions back into the CALLER'S threshold order
+    // on first read. Probe arrays of the distributed quantile ladder run
+    // at width 256-512, where the linear scan dominated kernel time.
+    private val order: Array[Int] = {
+      val idx = Array.tabulate(xs.length)(identity)
+      val boxed = idx.map(Integer.valueOf)
+      java.util.Arrays.sort(boxed, (a: Integer, b: Integer) =>
+        sqlCompare(xs(a), xs(b)))
+      boxed.map(_.intValue())
+    }
+    private val sorted: Array[Double] = order.map(xs)
+    // diff(i): weight added to sorted thresholds [0, i) — i.e. all
+    // thresholds strictly below the value.
+    private val diff = new Array[Long](xs.length + 1)
+    private val direct = new Array[Long](xs.length)
+    private var finished = false
+    private lazy val out: Array[Long] = {
+      finished = true
+      val pref = new Array[Long](xs.length)
+      var run = 0L
+      var i = xs.length - 1
+      while (i >= 0) {
+        run += diff(i + 1)
+        pref(i) = run
+        i -= 1
+      }
+      // pref(i) (sorted order) = sum of diff(j+1) for j >= i: every value
+      // that cleared sorted threshold i also cleared the smaller ones —
+      // accumulate from the top down.
+      val res = new Array[Long](xs.length)
+      i = 0
       while (i < xs.length) {
-        if (sqlCompare(d, xs(i)) > 0) counts(i) += n.toLong
+        res(order(i)) = pref(i) + direct(order(i))
         i += 1
       }
+      res
+    }
+    def counts: Array[Long] = out
+
+    /** Number of sorted thresholds strictly below d (SQL order). */
+    private def below(d: Double): Int = {
+      var lo = 0
+      var hi = sorted.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (sqlCompare(d, sorted(mid)) > 0) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    override def addConstant(v: Float, n: Int, at: Int): Unit = {
+      require(!finished)
+      diff(below(v.toDouble)) += n.toLong
     }
 
     override def addValue(v: Float, at: Int): Unit = {
-      val d = v.toDouble
-      var i = 0
-      while (i < xs.length) {
-        if (sqlCompare(d, xs(i)) > 0) counts(i) += 1L
-        i += 1
-      }
+      require(!finished)
+      diff(below(v.toDouble)) += 1L
     }
 
     override def addMonotone(eval: Int => Float, from: Int, until: Int): Unit = {
+      require(!finished)
       var i = 0
       while (i < xs.length) {
-        counts(i) += (until - from -
+        direct(i) += (until - from -
           monotoneCountLE(xs(i), eval, from, until)).toLong
         i += 1
       }

@@ -1488,17 +1488,9 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
         Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L)
       def discRank(q: Double, n: Long): Long =
         math.min(math.max(1L, math.ceil(q * n).toLong), n)
-      def ranksFor(n: Long): Seq[Long] =
-        if (n <= 0L) Seq.empty
-        else pAggs.flatMap { p =>
-          if (p.disc) Seq(discRank(p.q, n))
-          else {
-            val pos = (n - 1).toDouble * p.q
-            Seq(math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
-          }
-        }.distinct
       val (stats, resolved) = engine.exactRanksBy(m.meta.name, field,
-        ranksFor, m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
+        pAggs.map(p => (p.q, p.disc)).distinct,
+        m.groupTags, m.startUs.map(inst), m.endUs.map(inst),
         m.tagEq, m.tagIn)
       def valueAt(g: Seq[String], q: Double, disc: Boolean): Double = {
         val n = stats(g)._1

@@ -1524,8 +1524,7 @@ final class Engine(val spark: SparkSession, val root: String) {
     require(groupByTags.nonEmpty,
       "Use exactQuantiles for the ungrouped whole-table case.")
     val (stats, resolved) = exactRanksBy(table, field,
-      n => qs.map(q => math.max(1L, math.ceil(q * n).toLong)
-        .min(math.max(n, 1L))).distinct,
+      qs.map(q => (q, true)),
       groupByTags, startTime, endTime, tagFilters, tagInFilters)
     val out = stats.keys.toSeq.sortBy(_.mkString("\u0000")).flatMap { g =>
       val n = stats(g)._1
@@ -1548,15 +1547,32 @@ final class Engine(val spark: SparkSession, val root: String) {
   }
 
   /** The grouped exact-order-statistic core behind [[exactQuantilesBy]]
-    * and the percentile SQL splice: resolves, per tag group, the
-    * `ranksOf(n_group)` 1-based ranks of the field under the SQL float
-    * total order, returning the per-group census (n, count(-Inf),
-    * count(NaN)) and every resolved (group, rank) value. Ranks beyond
-    * the non-NaN tail resolve to NaN, ranks inside the -Inf head to
-    * -Inf; everything else bisects.
+    * and the percentile SQL splice: resolves, per tag group, the ranks
+    * implied by `rankSpecs` — (q, disc=true) the discrete rank
+    * min(max(1, ceil(q*n)), max(n, 1)); (q, disc=false) BOTH bracketing
+    * continuous ranks floor((n-1)*q)+1 and ceil((n-1)*q)+1 (n > 0 only) —
+    * of the field under the SQL float total order, returning the
+    * per-group census (n, count(-Inf), count(NaN)) and every resolved
+    * (group, rank) value. Ranks beyond the non-NaN tail resolve to NaN,
+    * ranks inside the -Inf head to -Inf; everything else bisects.
+    *
+    * DISTRIBUTED LADDER: census, per-(group, rank) brackets, probe
+    * points, and per-round updates all live in DataFrames — the driver
+    * holds only the round counter and an active-row count, so 10^6-10^7
+    * series bisect with O(1) driver memory. Per round: the active state
+    * derives each rank's ladder points inside the plan (IntegralDivide on
+    * the total-order keyspace, identical arithmetic to the sequential
+    * ladder it replaces), points aggregate into one probe array per group
+    * (k-sorted, padded to a spec-static width), the array joins onto the
+    * segment relation for ONE kernel pass, and a fixed-width column
+    * reduction (map-side combined, no point explode) yields per-group
+    * counts that shrink each bracket. Job count stays O(log(key space) /
+    * log(fan)), independent of data volume and group count; the ONLY
+    * O(groups) driver materialization is the final answer collect the
+    * callers consume.
     */
   private[graft] def exactRanksBy(table: String, field: String,
-      ranksOf: Long => Seq[Long], groupByTags: Seq[String],
+      rankSpecs: Seq[(Double, Boolean)], groupByTags: Seq[String],
       startTime: Option[java.time.Instant] = scala.None,
       endTime: Option[java.time.Instant] = scala.None,
       tagFilters: Map[String, String] = Map.empty,
@@ -1571,35 +1587,52 @@ final class Engine(val spark: SparkSession, val root: String) {
       s"$field is not a stored field of $table.")
     require(groupByTags.forall(meta.tagColumns.contains),
       s"Group-by columns must be tags of $table.")
+    require(rankSpecs.nonEmpty, "exactRanksBy needs at least one rank spec.")
     val startUs = startTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
     val endUs = endTime.map(i => i.getEpochSecond * 1000000L + i.getNano / 1000L)
-    import graft.core.ValueCounts.{floatFromKey, totalOrderKey}
+    import graft.core.ValueCounts.totalOrderKey
     val fullLo = totalOrderKey(Float.NegativeInfinity)
     val fullHi = totalOrderKey(Float.PositiveInfinity)
+    val ksStatic = rankSpecs.distinct.map { case (_, d) => if (d) 1 else 2 }.sum
 
-    def prunedSegments() = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    def attrOf(name: String) = ColumnBridge.expression(col(name))
+    def keyToFloat(c: Column): Column =
+      ColumnBridge.column(FloatFromOrderKey(ColumnBridge.expression(c)))
+    def floatToKey(c: Column): Column =
+      ColumnBridge.column(FloatTotalOrderKey(ColumnBridge.expression(c)))
+    def longDiv(a: Column, b: Column): Column = ColumnBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+    // One synthetic constant key unifies the grouped and whole-table
+    // shapes (the global case is ONE group — a single-row probe frame).
+    val keyNames: Seq[String] =
+      if (groupByTags.isEmpty) Seq("__gk") else groupByTags
+    val keys = keyNames.map(col)
+    def withKey(df: DataFrame): DataFrame =
+      if (groupByTags.isEmpty) df.withColumn("__gk", lit("g")) else df
+
+    // The ladder scans the SAME pruned segment slice ~6-8 times (census,
+    // every bisection round, verification): cache it once, spill-safe —
+    // on a cluster this pins each executor's slice hot across rounds
+    // instead of re-reading parquet per round.
+    val segCached = {
       val segments0 = dataFolder
         .segmentsPruned(table, startUs, endUs, tagFilters, tagInFilters)
         .where(fieldColumnPredicate(meta, Seq(field)))
         .where(GridView.segmentTimePredicate(startUs, endUs))
-      tagPredicate(tagFilters, tagInFilters)
-        .map(segments0.where).getOrElse(segments0)
+      withKey(tagPredicate(tagFilters, tagInFilters)
+        .map(segments0.where).getOrElse(segments0))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
-    import org.apache.spark.sql.graft.ColumnBridge
-    def attr(name: String) = ColumnBridge.expression(col(name))
-    val keys = groupByTags.map(col)
+    def prunedSegments() = segCached
 
-    // Grouped census: per group, n, count(> -Inf), count(> +Inf) — one
-    // static-threshold kernel job (the same probe array for every group).
-    val censusArr = (tsLo: Long, tsHi: Long) => ColumnBridge.column(
-      SegmentCountAboveMulti(
-        Seq(Double.NegativeInfinity, Double.PositiveInfinity), tsLo, tsHi,
-        attr("model_type_id"), attr("start_time"), attr("end_time"),
-        attr("timestamps"), attr("min_value"), attr("max_value"),
-        attr("values"), attr("residuals")))
+    /** Per-segment kernel partials with the shared contained/straddler
+      * time clipping, selecting `keys ++ arr ++ extra`.
+      */
     def partialsOf(arrOf: (Long, Long) => Column,
-        extra: Seq[Column]): DataFrame = {
-      val segments = prunedSegments()
+        extra: Seq[Column], segments: DataFrame): DataFrame = {
       if (startUs.isEmpty && endUs.isEmpty)
         segments.select(keys ++ Seq(
           arrOf(Long.MinValue, Long.MaxValue).as("__arr"),
@@ -1618,190 +1651,239 @@ final class Engine(val spark: SparkSession, val root: String) {
             extra: _*))
       }
     }
-    def reduceArr(parts: DataFrame,
-        width: Int): Seq[org.apache.spark.sql.Row] = {
-      val extracted = parts.select(keys ++ (0 until width).map(i =>
-        element_at(col("__arr"), i + 1).as(s"__in_$i")) :+ col("__n"): _*)
-      val aggs = (0 until width).map(i =>
-        coalesce(sum(col(s"__in_$i")), lit(0L)).as(s"__in_$i")) :+
-        coalesce(sum(col("__n")), lit(0L)).as("__n")
-      extracted.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*).collect()
-    }
 
-    // The census job also carries each group's stored value bounds: they
-    // seed the bisection brackets, cutting the key range from 2^32 to the
-    // group's actual span (usually a few rounds' worth).
+    // Grouped census as a DataFrame — never collected until the final
+    // answer: per group n, the -Inf head, the NaN tail, and the stored
+    // value bounds seeding each bracket (cutting the key range from 2^32
+    // to the group's actual span).
+    val censusArr = (tsLo: Long, tsHi: Long) => ColumnBridge.column(
+      SegmentCountAboveMulti(
+        Seq(Double.NegativeInfinity, Double.PositiveInfinity), tsLo, tsHi,
+        attrOf("model_type_id"), attrOf("start_time"), attrOf("end_time"),
+        attrOf("timestamps"), attrOf("min_value"), attrOf("max_value"),
+        attrOf("values"), attrOf("residuals")))
     val censusParts = partialsOf(censusArr,
-      Seq(col("min_value").as("__mn"), col("max_value").as("__mx")))
-    val censusExtracted = censusParts.select(keys ++ (0 until 2).map(i =>
-      element_at(col("__arr"), i + 1).as(s"__in_$i")) ++
-      Seq(col("__n"), col("__mn"), col("__mx")): _*)
-    val censusAggs = (0 until 2).map(i =>
-      coalesce(sum(col(s"__in_$i")), lit(0L)).as(s"__in_$i")) ++ Seq(
-      coalesce(sum(col("__n")), lit(0L)).as("__n"),
-      min(col("__mn")).as("__mn"), max(col("__mx")).as("__mx"))
-    val censusRows = censusExtracted.groupBy(keys: _*)
-      .agg(censusAggs.head, censusAggs.tail: _*).collect()
-    val t = groupByTags.length
-    // group key -> (n, negInfCount, nanCount)
-    val stats: Map[Seq[String], (Long, Long, Long)] = censusRows.map { r =>
-      val g: Seq[String] = List.tabulate(t)(r.getString)
-      val n = r.getLong(t + 2)
-      (g, (n, n - r.getLong(t), r.getLong(t + 1)))
-    }.toMap
-    // group key -> seeded (lo, hi) bracket. Bounds may be unclipped for
-    // boundary segments — a SUPERSET bracket, which the lower-bound loop
-    // tolerates — and the top is always P-confirmed: above key(max)+1
-    // only NaNs remain, and active ranks satisfy k <= n - nanCount.
-    val bracketOf: Map[Seq[String], (Long, Long)] = censusRows.map { r =>
-      val g: Seq[String] = List.tabulate(t)(r.getString)
-      val mnV = if (r.isNullAt(t + 3)) Float.NaN else r.getFloat(t + 3)
-      val mxV = if (r.isNullAt(t + 4)) Float.NaN else r.getFloat(t + 4)
-      val bLo = if (mnV.isNaN) fullLo
-        else math.max(fullLo, totalOrderKey(mnV) - 1L)
-      val bHi = if (mxV.isNaN) fullHi
-        else math.min(fullHi, totalOrderKey(mxV) + 1L)
-      g -> (bLo, bHi)
-    }.toMap
+      Seq(col("min_value").as("__mn"), col("max_value").as("__mx")),
+      prunedSegments())
+    val censusDf = censusParts
+      .select(keys ++ Seq(
+        element_at(col("__arr"), 1).as("__gt_neginf"),
+        element_at(col("__arr"), 2).as("__gt_posinf"),
+        col("__n"), col("__mn"), col("__mx")): _*)
+      .groupBy(keys: _*)
+      .agg(
+        coalesce(sum(col("__gt_neginf")), lit(0L)).as("__gt_neginf"),
+        coalesce(sum(col("__gt_posinf")), lit(0L)).as("__nan"),
+        coalesce(sum(col("__n")), lit(0L)).as("n"),
+        min(col("__mn")).as("__mn"), max(col("__mx")).as("__mx"))
+      .select(keys ++ Seq(
+        col("n"),
+        (col("n") - col("__gt_neginf")).as("negInf"),
+        col("__nan").as("nan"),
+        when(col("__mn").isNull || isnan(col("__mn")), lit(fullLo))
+          .otherwise(greatest(lit(fullLo), floatToKey(col("__mn")) - 1L))
+          .as("bLo"),
+        when(col("__mx").isNull || isnan(col("__mx")), lit(fullHi))
+          .otherwise(least(lit(fullHi), floatToKey(col("__mx")) + 1L))
+          .as("bHi")): _*)
+      .cache()
 
-    // Per (group, k): the bisection interval. The full range's top (+Inf)
-    // satisfies P for every surviving k (the NaN pre-check), so hi is
-    // always confirmed.
-    val resolved = scala.collection.mutable.Map.empty[(Seq[String], Long), Float]
-    val active = scala.collection.mutable.Map.empty[(Seq[String], Long), (Long, Long)]
-    stats.foreach { case (g, (n, negInf, nan)) =>
-      ranksOf(n).distinct.foreach { k =>
-        require(k >= 1L && k <= math.max(n, 1L),
-          s"rank $k out of range for a group of $n")
-        if (n == 0L || k > n - nan) resolved((g, k)) = Float.NaN
-        else if (k <= negInf) resolved((g, k)) = Float.NegativeInfinity
-        else active((g, k)) = bracketOf.getOrElse(g, (fullLo, fullHi))
-      }
-    }
+    // Probe width adapts to the group count (one cheap count on the
+    // cached census): each round's probe state is ~groups × width × 8 B,
+    // so a few thousand groups afford a 2048-key fan (a 2^27 bracket in
+    // 3 rounds) while 10^5+ groups scale the fan down to keep the
+    // per-round probe volume near 64 MB — round count grows only
+    // logarithmically as the fan shrinks. Every group's probe array pads
+    // to the static width with +Inf (the kernel's cheapest threshold;
+    // the sorted-threshold accumulator keeps each decoded value
+    // O(log width) regardless), and the reduction is ONE LongVectorSum
+    // column, so planning cost is width-independent.
+    val nGroups = math.max(1L, censusDf.count())
+    val fan = math.max(16L, math.min(2048L / ksStatic,
+      8000000L / (nGroups * ksStatic)))
+    val width = (ksStatic * fan).toInt
 
-    // One dynamic-probe job per round: each group's probe array is the
-    // concatenation of its active quantiles' ladder points.
-    def probeRound(
-        probesByGroup: Map[Seq[String], Array[Double]])
-        : Map[Seq[String], Array[Long]] = {
-      val maxK = probesByGroup.values.map(_.length).max
-      val rows = probesByGroup.toSeq.map { case (g, xs) =>
-        org.apache.spark.sql.Row.fromSeq(g ++ Seq(xs.toSeq ++
-          Seq.fill(maxK - xs.length)(Double.PositiveInfinity)))
-      }
-      val schema = org.apache.spark.sql.types.StructType(
-        groupByTags.map(tc => org.apache.spark.sql.types.StructField(
-          tc, org.apache.spark.sql.types.StringType)) :+
-          org.apache.spark.sql.types.StructField("__xs",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.DoubleType, containsNull = false)))
-      val probesDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), schema)
+    // Ranks per group from the spec list — the same clamp arithmetic as
+    // the sequential ladder (IEEE double ops are deterministic, so the
+    // expression and the Scala closure agree bit-for-bit).
+    val specArr = array(rankSpecs.distinct.map { case (q, d) =>
+      struct(lit(q).as("q"), lit(d).as("d")) }: _*)
+    val discK = least(
+      greatest(lit(1L), ceil(col("q") * col("n").cast("double")).cast("long")),
+      greatest(col("n"), lit(1L)))
+    val contPos = (col("n") - 1L).cast("double") * col("q")
+    val ksArr = when(col("d"), array(discK))
+      .otherwise(when(col("n") > 0L,
+        array(floor(contPos).cast("long") + 1L,
+          ceil(contPos).cast("long") + 1L))
+        .otherwise(array().cast("array<long>")))
+    val state0 = censusDf
+      .select(keys ++ Seq(col("n"), col("negInf"), col("nan"), col("bLo"),
+        col("bHi"), explode(specArr).as("spec")): _*)
+      .withColumn("q", col("spec.q")).withColumn("d", col("spec.d"))
+      .select(keys ++ Seq(col("n"), col("negInf"), col("nan"), col("bLo"),
+        col("bHi"), explode(ksArr).as("k")): _*)
+      .dropDuplicates(keyNames :+ "k")
+      .select(keys ++ Seq(col("k"), col("n"),
+        when(col("n") === 0L || col("k") > col("n") - col("nan"),
+          lit(Float.NaN))
+          .when(col("k") <= col("negInf"), lit(Float.NegativeInfinity))
+          .otherwise(lit(null).cast("float")).as("res"),
+        col("bLo").as("lo"), col("bHi").as("hi")): _*)
+
+    // The per-rank ladder points, derived INSIDE the plan from (lo, hi)
+    // by a compiled kernel ([[LadderKernels.ladderPoints]]) — integer
+    // keyspace arithmetic identical to the sequential ladder.
+    val ptsExpr: Column = ColumnBridge.column(LadderPointsExpr(
+      ColumnBridge.expression(col("lo")), ColumnBridge.expression(col("hi")),
+      fan))
+
+    /** One probe job: per active (group, k) row with its `pts` array,
+      * count reconstructed values above every point — returns the input
+      * rows with `__off` (this k's slice offset in the group's probe
+      * array) and `__cnts` (the group's summed count array) attached.
+      * Everything stays row-level expressions: the probe array assembles
+      * with one small window + one collect_list aggregation, the kernel
+      * reduction is a single [[LongVectorSum]] column, and the per-point
+      * flags are evaluated by the CALLER with array transforms — no
+      * point-level explode, no per-slot codegen columns.
+      */
+    def probeCounts(pointsDf: DataFrame, probeWidth: Int = width): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keys: _*).orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val withOff = pointsDf.withColumn("__off",
+        coalesce(sum(size(col("pts")).cast("long")).over(w), lit(0L)))
+      // One k-sorted probe array per group, padded to the static width
+      // (+Inf thresholds are the kernel's cheapest) — compiled assembly.
+      val probes = pointsDf.groupBy(keys: _*).agg(
+        collect_list(struct(col("k"), col("pts"))).as("__sl"))
+        .select(keys :+ ColumnBridge.column(ProbeXsExpr(
+          ColumnBridge.expression(col("__sl")), probeWidth)).as("__xs"): _*)
+      val segments = prunedSegments().join(probes, keyNames)
       val dynArr = (tsLo: Long, tsHi: Long) => ColumnBridge.column(
-        SegmentCountAboveMultiDyn(tsLo, tsHi, attr("__xs"),
-          attr("model_type_id"), attr("start_time"), attr("end_time"),
-          attr("timestamps"), attr("min_value"), attr("max_value"),
-          attr("values"), attr("residuals")))
-      // The probe join must precede the kernel projection: wrap
-      // partialsOf's segment source by joining inside. Rebuild here with
-      // the join applied first. An empty tag set means ONE probe row for
-      // the whole table — a broadcast cross join.
-      val segments =
-        if (groupByTags.isEmpty) prunedSegments().crossJoin(broadcast(probesDf))
-        else prunedSegments().join(broadcast(probesDf), groupByTags)
-      val parts =
-        if (startUs.isEmpty && endUs.isEmpty)
-          segments.select(keys :+
-            dynArr(Long.MinValue, Long.MaxValue).as("__arr") :+
-            SegmentAggregates.lenCol.as("__n"): _*)
-        else {
-          val tsLo = startUs.getOrElse(Long.MinValue)
-          val tsHi = endUs.getOrElse(Long.MaxValue)
-          val contained = (startUs.map(lo => col("start_time") >= lo).toSeq ++
-            endUs.map(hi => col("end_time") <= hi).toSeq).reduce(_ && _)
-          segments.where(contained).select(keys :+
-            dynArr(Long.MinValue, Long.MaxValue).as("__arr") :+
-            SegmentAggregates.lenCol.as("__n"): _*)
-            .unionByName(segments.where(!contained).select(keys :+
-              dynArr(tsLo, tsHi).as("__arr") :+
-              SegmentAggregates.clippedLenCol(tsLo, tsHi).as("__n"): _*))
-        }
-      reduceArr(parts, maxK).map { r =>
-        val g: Seq[String] = List.tabulate(t)(r.getString)
-        (g, (0 until maxK).map(i => r.getLong(t + i)).toArray)
-      }.toMap
+        SegmentCountAboveMultiDyn(tsLo, tsHi, attrOf("__xs"),
+          attrOf("model_type_id"), attrOf("start_time"), attrOf("end_time"),
+          attrOf("timestamps"), attrOf("min_value"), attrOf("max_value"),
+          attrOf("values"), attrOf("residuals")))
+      val parts = partialsOf(dynArr, Seq.empty, segments)
+      val counts = parts.groupBy(keys: _*).agg(
+        ColumnBridge.column(LongVectorSum(
+          ColumnBridge.expression(col("__arr")), probeWidth)
+          .toAggregateExpression()).as("__cnts"))
+      withOff.join(counts, keyNames)
     }
 
+    /** P(pts(j)) for this row's slice: count(v > pt) <= n - k. */
+    def flagAt(j: Column): Column =
+      element_at(col("__cnts"), (col("__off") + j + lit(1L)).cast("int")) <=
+        col("n") - col("k")
+
+    // Bisection: each round shrinks every active bracket by ~fan; state
+    // advances as a cached DataFrame, the driver sees only the active
+    // count. P is monotone in the probe point, so the first satisfied
+    // point is the new upper bound and the last unsatisfied + 1 the new
+    // lower — exactly the sequential ladder's update.
+    // localCheckpoint (NOT cache) each round: the next round's plan
+    // references this round's state twice, so without lineage truncation
+    // the logical plan doubles per round and the driver OOMs building
+    // plan strings around round ~25. Checkpoint blocks are reclaimed by
+    // the ContextCleaner when the round's Dataset is GC'd.
+    var state = state0.localCheckpoint(true)
+    var act = state.where(col("res").isNull).count()
+    val ladderDebug = sys.env.contains("SPARK_GRAFT_LADDER_DEBUG")
     def bisect(maxRounds: Int): Unit = {
-      var rounds = 0
-      while (active.nonEmpty && rounds < maxRounds) {
-        rounds += 1
-        val fan = 16L
-        // plan: group -> ordered (k, points) slices into its probe array.
-        val byGroup = active.toSeq.groupBy(_._1._1)
-        val plan: Map[Seq[String], Seq[(Long, Seq[Long])]] = byGroup.map {
-          case (g, entries) => g -> entries.sortBy(_._1._2).map {
-            case ((_, k), (lo, hi)) =>
-              val m = math.min(fan, hi - lo)
-              val pts = (1L to m).map(j => lo + (hi - lo) * j / (m + 1))
-                .distinct.filter(p => p >= lo && p < hi)
-              (k, if (pts.isEmpty) Seq(lo) else pts)
-          }
-        }
-        val counts = probeRound(plan.map { case (g, sl) =>
-          g -> sl.flatMap(_._2).map(p => floatFromKey(p).toDouble).toArray
-        })
-        plan.foreach { case (g, slices) =>
-          val (n, _, _) = stats(g)
-          var off = 0
-          slices.foreach { case (k, ps) =>
-            val flags = ps.indices.map(i => counts(g)(off + i) <= n - k)
-            off += ps.length
-            val (lo, hi) = active((g, k))
-            val newHi = ps.zip(flags).find(_._2).map(_._1).getOrElse(hi)
-            val newLo = ps.zip(flags).takeWhile(!_._2).lastOption
-              .map(_._1 + 1).getOrElse(lo)
-            active((g, k)) = (newLo, newHi)
-          }
-        }
-        active.toSeq.foreach { case (gk, (lo, hi)) =>
-          if (lo >= hi) { resolved(gk) = floatFromKey(hi); active.remove(gk) }
-        }
+      var r = 0
+      while (act > 0 && r < maxRounds) {
+        r += 1
+        val t0 = System.nanoTime()
+        val pointsDf = state.where(col("res").isNull)
+          .withColumn("pts", ptsExpr)
+          .select(keys ++ Seq(col("k"), col("n"), col("lo"), col("hi"),
+            col("pts")): _*)
+        // P is monotone in the probe point, so the first satisfied point
+        // is the new upper bound and the last unsatisfied + 1 the new
+        // lower — one compiled pass over the row's count slice.
+        val updActive = probeCounts(pointsDf)
+          .withColumn("__mm", ColumnBridge.column(BracketMinMaxExpr(
+            ColumnBridge.expression(col("pts")),
+            ColumnBridge.expression(col("__cnts")),
+            ColumnBridge.expression(col("__off")),
+            ColumnBridge.expression(col("n") - col("k")))))
+          .withColumn("__minT", col("__mm.minT"))
+          .withColumn("__maxF", col("__mm.maxF"))
+          .withColumn("__lo2", coalesce(col("__maxF") + 1L, col("lo")))
+          .withColumn("__hi2", coalesce(col("__minT"), col("hi")))
+          .select(keys ++ Seq(col("k"), col("n"),
+            when(col("__lo2") >= col("__hi2"), keyToFloat(col("__hi2")))
+              .otherwise(lit(null).cast("float")).as("res"),
+            col("__lo2").as("lo"), col("__hi2").as("hi")): _*)
+        val next = state.where(col("res").isNotNull)
+          .unionByName(updActive)
+          .localCheckpoint(true)
+        act = next.where(col("res").isNull).count()
+        state = next
+        if (ladderDebug) System.err.println(
+          s"[ladder] round $r: active=$act " +
+            s"${(System.nanoTime() - t0) / 1000000L} ms")
       }
-      require(active.isEmpty, "Grouped quantile bisection failed to converge.")
+      require(act == 0L, "Grouped quantile bisection failed to converge.")
     }
     bisect(64)
 
-    // Shared verification job: P(ans) ∧ ¬P(prev) per finite answer; any
-    // casualty redoes its full range (same guard as exactQuantiles).
-    val finite = resolved.toSeq.collect {
-      case (gk @ (g, k), v) if !v.isNaN && !v.isInfinite => (gk, v)
-    }
-    if (finite.nonEmpty) {
-      val byG = finite.groupBy(_._1._1)
-      val checks = probeRound(byG.map { case (g, entries) =>
-        g -> entries.sortBy(_._1._2).flatMap { case ((_, _), v) =>
-          val key = totalOrderKey(v)
-          Seq(floatFromKey(key).toDouble,
-            floatFromKey(math.max(fullLo, key - 1)).toDouble)
-        }.toArray
-      })
-      val bad = byG.toSeq.flatMap { case (g, entries) =>
-        val (n, _, _) = stats(g)
-        entries.sortBy(_._1._2).zipWithIndex.filter { case (((_, k), v), i) =>
-          val key = totalOrderKey(v)
-          val pAns = checks(g)(2 * i) <= n - k
-          val pPrev = checks(g)(2 * i + 1) <= n - k
-          !pAns || (key > fullLo && pPrev)
-        }.map(_._1._1)
-      }
-      if (bad.nonEmpty) {
-        bad.foreach { gk => resolved.remove(gk); active(gk) = (fullLo, fullHi) }
+    // Shared verification job: P(ans) AND NOT P(prev) per finite answer;
+    // any casualty redoes its full range (same guard as exactQuantiles).
+    val finite = state.where(col("res").isNotNull && !isnan(col("res")) &&
+      col("res") =!= lit(Float.NegativeInfinity) &&
+      col("res") =!= lit(Float.PositiveInfinity))
+    locally {
+      val vPoints = finite
+        .withColumn("pts", array(floatToKey(col("res")),
+          greatest(lit(fullLo), floatToKey(col("res")) - 1L)))
+        .select(keys ++ Seq(col("k"), col("n"), col("pts")): _*)
+      // Two probe points per rank: a width-(2·ranks) pass, not the
+      // full ladder width.
+      val verdict = probeCounts(vPoints, 2 * ksStatic)
+        .withColumn("__pAns", flagAt(lit(0L)))
+        .withColumn("__pPrev", flagAt(lit(1L)))
+        .withColumn("__keyAns", element_at(col("pts"), 1))
+      val bad = verdict.where(!col("__pAns") ||
+        (col("__keyAns") > lit(fullLo) && col("__pPrev")))
+        .select(keys ++ Seq(col("k"), lit(true).as("__bad")): _*)
+      if (bad.limit(1).count() > 0) {
+        state = state.join(bad, keyNames :+ "k", "left")
+          .select(keys ++ Seq(col("k"), col("n"),
+            when(col("__bad"), lit(null).cast("float")).otherwise(col("res"))
+              .as("res"),
+            when(col("__bad"), lit(fullLo)).otherwise(col("lo")).as("lo"),
+            when(col("__bad"), lit(fullHi)).otherwise(col("hi")).as("hi")): _*)
+          .localCheckpoint(true)
+        act = state.where(col("res").isNull).count()
         bisect(64)
       }
     }
-    (stats, resolved.toMap)
+
+    // The ONLY O(groups) driver materialization: the answer itself, the
+    // size the callers return anyway.
+    val t = groupByTags.length
+    val stats: Map[Seq[String], (Long, Long, Long)] = censusDf
+      .select(groupByTags.map(col) ++
+        Seq(col("n"), col("negInf"), col("nan")): _*)
+      .collect().map { r =>
+        val g: Seq[String] = List.tabulate(t)(r.getString)
+        (g, (r.getLong(t), r.getLong(t + 1), r.getLong(t + 2)))
+      }.toMap
+    val resolved: Map[(Seq[String], Long), Float] = state
+      .select(groupByTags.map(col) ++ Seq(col("k"), col("res")): _*)
+      .collect().map { r =>
+        val g: Seq[String] = List.tabulate(t)(r.getString)
+        ((g, r.getLong(t)), r.getFloat(t + 1))
+      }.toMap
+    censusDf.unpersist(false)
+    segCached.unpersist(false)
+    (stats, resolved)
   }
+
 
   /** [[thresholdCount]] with PER-GROUP bounds: `bounds` carries some of the
     * table's tag columns plus `lower`/`upper` (doubles; NULL = unbounded,

@@ -78,3 +78,64 @@ case class PartialM2Merge(cnt: Expression, sumv: Expression, m2v: Expression)
       newChildren: IndexedSeq[Expression]): Expression =
     copy(newChildren(0), newChildren(1), newChildren(2))
 }
+
+/** Elementwise sum of fixed-width `array<long>` partials — ONE aggregate
+  * column regardless of width, where a per-slot `sum(element_at(...))`
+  * projection pays codegen and planning linear in the width. The
+  * distributed exact-rank ladder reduces its per-segment probe-count
+  * arrays (width 256-512) with this.
+  */
+case class LongVectorSum(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    width: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](width)
+
+  override def update(b: Array[Long], input: InternalRow): Array[Long] = {
+    val a = child.eval(input).asInstanceOf[ArrayData]
+    if (a != null) {
+      val m = math.min(width, a.numElements())
+      var i = 0
+      while (i < m) { b(i) += a.getLong(i); i += 1 }
+    }
+    b
+  }
+
+  override def merge(b: Array[Long], o: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < width) { b(i) += o(i); i += 1 }
+    b
+  }
+
+  override def eval(b: Array[Long]): Any = new GenericArrayData(b)
+
+  override def serialize(b: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * width)
+    bb.asLongBuffer().put(b)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](width)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongVectorSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongVectorSum =
+    copy(inputAggBufferOffset = newOffset)
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "long_vector_sum"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LongVectorSum =
+    copy(child = newChildren(0))
+}

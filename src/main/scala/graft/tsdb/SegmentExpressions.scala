@@ -1,7 +1,7 @@
 package graft.tsdb
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types._
@@ -911,4 +911,32 @@ case class SegmentCountAboveMultiDyn(
     copy(tsLo, tsHi, newChildren(0), newChildren(1), newChildren(2),
       newChildren(3), newChildren(4), newChildren(5), newChildren(6),
       newChildren(7), newChildren(8))
+}
+
+/** [[graft.core.ValueCounts.totalOrderKey]] as a codegen'd expression —
+  * a float's position in the SQL total order's 32-bit keyspace, used by
+  * the distributed exact-rank ladder to derive probe points inside the
+  * plan (no driver round-trip).
+  */
+case class FloatTotalOrderKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.ValueCounts.totalOrderKey(v.asInstanceOf[Float])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.ValueCounts.totalOrderKey($c)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(newChild)
+}
+
+/** Inverse of [[FloatTotalOrderKey]] ([[graft.core.ValueCounts.floatFromKey]]). */
+case class FloatFromOrderKey(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = FloatType
+  override protected def nullSafeEval(v: Any): Any =
+    graft.core.ValueCounts.floatFromKey(v.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.core.ValueCounts.floatFromKey($c)")
+  override protected def withNewChildInternal(newChild: Expression) =
+    copy(newChild)
 }

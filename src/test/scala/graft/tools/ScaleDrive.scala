@@ -181,6 +181,38 @@ object ScaleDrive {
       assert(medians("s0") == want, s"median ${medians("s0")} != $want")
     }
 
+    // 100k-GROUP quantile ladder probe: the distributed ladder's driver
+    // state must stay flat in the group count (only the final answer is
+    // ever collected). A fresh 100k-series table (20 pts each) bisects
+    // per-series medians; driver heap is sampled around the run.
+    locally {
+      val qGroups = 100000
+      engine.sql(
+        "CREATE TIME SERIES TABLE wide(ts TIMESTAMP, v FIELD, tag TAG)")
+      val widePts = spark.range(qGroups * 20L)
+        .select(
+          (lit(1700000000000000L) + (col("id") / qGroups).cast("long")
+            * 1000000L).as("ts"),
+          (sin(col("id") / 37.0) * 100.0).cast("float").as("v"),
+          concat(lit("w"), pmod(col("id"), lit(qGroups)).cast("string"))
+            .as("tag"))
+      timed(f"ingest wide ($qGroups%,d series)") {
+        engine.write("wide", widePts)
+      }
+      val rt = Runtime.getRuntime
+      System.gc()
+      val heapBefore = rt.totalMemory() - rt.freeMemory()
+      val wideRows = timed(f"exact median, $qGroups%,d groups") {
+        engine.exactQuantilesBy("wide", "v", Seq(0.5), Seq("tag")).count()
+      }
+      System.gc()
+      val heapAfter = rt.totalMemory() - rt.freeMemory()
+      assert(wideRows == qGroups, s"expected $qGroups medians, got $wideRows")
+      println(f"  driver heap: ${heapBefore / 1048576}%,d MB -> " +
+        f"${heapAfter / 1048576}%,d MB " +
+        f"(delta ${(heapAfter - heapBefore) / 1048576}%,d MB)")
+    }
+
     timed("first/last via SQL rewrite") {
       val r = engine.sql(
         "SELECT min_by(v, ts) AS f, max_by(v, ts) AS l FROM big")
