@@ -1512,6 +1512,44 @@ object TsQueries {
       UNION ALL
       SELECT count(*) AS n, min(CAST(value AS FLOAT4)) AS mn FROM events""")),
 
+    // Federated aggregate PUSHDOWN: INCLUDE MERGE decomposes the grouped
+    // aggregate into algebraic partials, ships the PARTIAL query to the
+    // live remote endpoint (which answers it through its own segment-
+    // native rewrite — no point reconstruction), and merges locally; only
+    // groups x partials scalars cross the wire. The variance partial
+    // merges through the Chan M2 update, not raw-sum cancellation. The
+    // oracle replays the merged semantics as a plain aggregate over the
+    // doubled raw data.
+    ("ts_include_agg", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val statements = new java.util.concurrent.atomic.AtomicReference[String]
+      val server = new graft.remote.RemoteServer(engine,
+        onStatement = statements.set)
+      try {
+        // The remote partial frame drains eagerly inside sql(), so the
+        // statement hook has fired by the time this returns.
+        val merged = engine.sql(s"INCLUDE MERGE '${server.address}' " +
+          "SELECT user, count(*) AS n, sum(value) AS s, avg(value) AS av, " +
+          "min(value) AS mn, stddev_samp(value) AS sd " +
+          "FROM events_lossless GROUP BY user")
+        val shipped = statements.get
+        require(shipped != null && shipped.contains("__p0"),
+          s"remote must receive the partial projection, got: $shipped")
+        merged.select(col("user"), col("n"),
+          round(col("s"), 2).as("s"), round(col("av"), 4).as("av"),
+          col("mn"), round(col("sd"), 4).as("sd"))
+          .orderBy("user")
+      } finally server.close()
+    }, Some("""
+      WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(count(*) AS BIGINT) AS n,
+        round(sum(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 2) AS s,
+        round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS av,
+        min(CAST(value AS FLOAT4)) AS mn,
+        round(stddev_samp(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS sd
+      FROM u GROUP BY 1 ORDER BY 1""")),
+
     // Compaction end to end, hash-checked: OPTIMIZE swaps a cached
     // small-file table (four chunked appends, the streaming shape) for
     // coalesced files in one atomic manifest commit, and the reconstructed

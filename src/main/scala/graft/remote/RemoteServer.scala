@@ -28,7 +28,8 @@ import graft.tsdb.Engine
   * is one statement (mirroring one Flight call); connections are handled
   * on a cached daemon pool.
   */
-final class RemoteServer(engine: Engine, port: Int = 0) extends AutoCloseable {
+final class RemoteServer(engine: Engine, port: Int = 0,
+    onStatement: String => Unit = _ => ()) extends AutoCloseable {
 
   private val server = new ServerSocket(port)
   @volatile private var running = true
@@ -66,6 +67,7 @@ final class RemoteServer(engine: Engine, port: Int = 0) extends AutoCloseable {
       val sqlBytes = new Array[Byte](sqlLen)
       in.readFully(sqlBytes)
       val sqlText = new String(sqlBytes, UTF_8)
+      onStatement(sqlText)
       try {
         val batches = ArrowBridge.toBatches(engine.sql(sqlText))
         // Planning/validation errors surface before the first byte is

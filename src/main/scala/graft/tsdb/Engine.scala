@@ -2761,22 +2761,37 @@ final class Engine(val spark: SparkSession, val root: String) {
       case SqlExtensions.Optimize(names, targetBytes, zorder) =>
         val targets = if (names.isEmpty) tables() else names
         targets.foreach(t => compact(t, targetBytes, zorder)); emptyOk()
-      case SqlExtensions.Include(addresses, select) =>
+      case SqlExtensions.Include(addresses, select, merge) =>
         // INCLUDE 'graft://host:port' federates to a live RemoteServer
         // (reference: INCLUDE over Flight, remote.rs:88-165); any other
         // address is opened as another data folder and queried in-process.
-        val local = sql(select)
+        // Plain INCLUDE row-unions each endpoint's result (reference
+        // parity); INCLUDE MERGE decomposes an aggregate statement into
+        // algebraic partials, ships the PARTIAL query to every endpoint
+        // (each answers it through its own segment-native rewrite) and
+        // merges the partial frames locally — groups x partials scalars
+        // cross the wire, never points.
+        val decomposed =
+          if (merge) {
+            forceRegisterViews()
+            Some(FederatedAggregate.decompose(spark, select))
+          } else scala.None
+        val shipped = decomposed.map(_.partialSql).getOrElse(select)
+        val local = sql(shipped)
         val remotes = addresses.map { addr =>
           graft.remote.RemoteClient.parseAddress(addr) match {
-            case Some(a) => graft.remote.RemoteClient.sql(spark, a, select)
+            case Some(a) => graft.remote.RemoteClient.sql(spark, a, shipped)
             case scala.None =>
               val remote = new Engine(spark, addr)
-              val df = remote.sql(select)
+              val df = remote.sql(shipped)
               forceRegisterViews() // restore local views
               df
           }
         }
-        remotes.foldLeft(local)(_ unionAll _)
+        decomposed match {
+          case Some(d) => d.merge(local +: remotes)
+          case scala.None => remotes.foldLeft(local)(_ unionAll _)
+        }
       case SqlExtensions.InsertInto(tableName, columnList, source) =>
         // INSERT routes through the storage engine (compress + append for
         // time series tables), mirroring the reference's DataSink path.

@@ -25,7 +25,8 @@ object SqlExtensions {
   final case class Vacuum(names: Seq[String], retentionSeconds: Long) extends Statement
   final case class Optimize(names: Seq[String], targetBytes: Long,
       zorder: Boolean) extends Statement
-  final case class Include(folders: Seq[String], select: String) extends Statement
+  final case class Include(folders: Seq[String], select: String,
+      merge: Boolean = false) extends Statement
   final case class InsertInto(
       table: String, columns: Seq[String], sourceSql: String) extends Statement
   case object Passthrough extends Statement
@@ -48,8 +49,12 @@ object SqlExtensions {
   // can claim the keyword safely).
   private val OptimizeRe =
     """(?is)^\s*OPTIMIZE(?:\s+(?!TARGET\b|ZORDER\b)([A-Za-z_][A-Za-z0-9_,\s]*?))?(?:\s+(ZORDER)\b)?(?:\s+TARGET\s+(\d+))?\s*$""".r
+  // INCLUDE MERGE — beyond the reference grammar: instead of row-unioning
+  // each endpoint's result, decompose an aggregate SELECT into algebraic
+  // partials, push the partial query to every endpoint, and merge locally
+  // (see [[graft.tsdb.FederatedAggregate]]).
   private val IncludeRe =
-    """(?is)^\s*INCLUDE\s+((?:'[^']*'\s*,?\s*)+)(SELECT\b.*)$""".r
+    """(?is)^\s*INCLUDE\s+(MERGE\s+)?((?:'[^']*'\s*,?\s*)+)(SELECT\b.*)$""".r
   private val InsertRe =
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*)?((?:SELECT|VALUES)\b.*)$""".r
 
@@ -58,9 +63,9 @@ object SqlExtensions {
       CreateTimeSeriesTable(parseTimeSeriesColumns(name, cols))
     case CreateNormal(name, cols) => CreateNormalTable(name, cols)
     case CreateAsSelect(name, select) => CreateTableAsSelect(name, select)
-    case IncludeRe(folders, select) =>
+    case IncludeRe(mergeKw, folders, select) =>
       val paths = "'([^']*)'".r.findAllMatchIn(folders).map(_.group(1)).toSeq
-      Include(paths, select)
+      Include(paths, select, merge = mergeKw != null)
     case InsertRe(tableName, columnList, source) =>
       InsertInto(tableName,
         Option(columnList).map(splitNames).getOrElse(Seq.empty), source)

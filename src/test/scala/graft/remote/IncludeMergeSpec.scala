@@ -1,0 +1,185 @@
+package graft.remote
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.DataGeneration
+import graft.tsdb.{Engine, FederatedAggregate, SparkTestSession}
+
+/** `INCLUDE MERGE` federated aggregate pushdown: the partial query — not
+  * the points, not the verbatim statement — ships to each endpoint, and
+  * the merged result equals the aggregate over the COMBINED data. The
+  * combined-data expectation replays every aggregate with Spark's own
+  * functions over the raw union of both endpoints' reconstructed tables.
+  */
+class IncludeMergeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** An engine over a fresh folder holding `series` tag runs of `n` points
+    * each (distinct value streams per tag so per-group statistics differ).
+    */
+  private def makeEngine(tags: Seq[String], n: Int): Engine = {
+    val engine = new Engine(spark,
+      Files.createTempDirectory("graft_merge").toString)
+    engine.sql("CREATE TIME SERIES TABLE mts(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    tags.foreach { tag =>
+      val rng = new scala.util.Random(tag.hashCode.toLong)
+      val ts = DataGeneration.generateTimestamps(n, irregular = false, rng)
+      val vs = DataGeneration.generateValues(n,
+        DataGeneration.RandomValues(-100f, 100f), Some(0.05f), rng)
+      engine.write("mts", ts.indices.map(i => (ts(i), vs(i), tag))
+        .toDF("ts_us", "v", "tag"))
+    }
+    engine
+  }
+
+  /** Raw combined rows of both endpoints (reconstructed points). */
+  private def combined(a: Engine, b: Engine): DataFrame =
+    a.readTable("mts").unionByName(b.readTable("mts"))
+
+  private def assertClose(got: Double, want: Double, what: String): Unit = {
+    if (want.isNaN) assert(got.isNaN, s"$what: expected NaN, got $got")
+    else assert(math.abs(got - want) <= math.abs(want) * 1e-9 + 1e-12,
+      s"$what: got $got, want $want")
+  }
+
+  test("grouped merge equals the aggregate over the combined data " +
+      "and ships partials, not points or the verbatim statement") {
+    val local = makeEngine(Seq("a", "b"), 400)
+    val remote = makeEngine(Seq("b", "c"), 300)
+    val statements = mutable.ArrayBuffer.empty[String]
+    val server = new RemoteServer(remote, onStatement = statements += _)
+    try {
+      val merged = local.sql(
+        s"INCLUDE MERGE '${server.address}' " +
+          "SELECT tag, count(*) AS n, sum(v) AS s, min(v) AS mn, " +
+          "max(v) AS mx, avg(v) AS av, var_samp(v) AS vs, " +
+          "stddev_pop(v) AS sp FROM mts GROUP BY tag")
+        .collect().map(r => r.getString(0) -> r).toMap
+
+      // The remote saw exactly one statement: the PARTIAL query.
+      assert(statements.size == 1, s"expected one remote statement: $statements")
+      val shipped = statements.head
+      assert(shipped.contains("__p0") && shipped.contains("__g0"),
+        s"remote must receive the partial projection, got: $shipped")
+      assert(shipped.toLowerCase.contains("var_pop("),
+        "the variance partial (per-endpoint M2) must be pushed down")
+      assert(!shipped.toLowerCase.contains("var_samp(") &&
+        !shipped.toLowerCase.contains("stddev"),
+        s"final statistics must NOT ship — they merge locally: $shipped")
+
+      val want = combined(local, remote)
+        .groupBy("tag").agg(
+          count(lit(1)).as("n"), sum(col("v")).as("s"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"),
+          avg(col("v")).as("av"),
+          var_samp(col("v").cast("double")).as("vs"),
+          stddev_pop(col("v").cast("double")).as("sp"))
+        .collect().map(r => r.getString(0) -> r).toMap
+
+      assert(merged.keySet == Set("a", "b", "c"),
+        "groups from every endpoint must appear, including single-endpoint ones")
+      want.foreach { case (tag, w) =>
+        val g = merged(tag)
+        assert(g.getLong(1) == w.getLong(1), s"count($tag)")
+        assertClose(g.getDouble(2), w.getDouble(2), s"sum($tag)")
+        assert(g.getFloat(3) == w.getFloat(3), s"min($tag)")
+        assert(g.getFloat(4) == w.getFloat(4), s"max($tag)")
+        assertClose(g.getDouble(5), w.getDouble(5), s"avg($tag)")
+        assertClose(g.getDouble(6), w.getDouble(6), s"var_samp($tag)")
+        assertClose(g.getDouble(7), w.getDouble(7), s"stddev_pop($tag)")
+      }
+    } finally server.close()
+  }
+
+  test("global merge (no GROUP BY) and scalar post-processing") {
+    val local = makeEngine(Seq("x"), 250)
+    val remote = makeEngine(Seq("y"), 350)
+    val server = new RemoteServer(remote)
+    try {
+      val row = local.sql(
+        s"INCLUDE MERGE '${server.address}' " +
+          "SELECT count(*) AS n, round(avg(v), 3) AS av3, " +
+          "max(v) - min(v) AS span FROM mts")
+        .collect()
+      assert(row.length == 1, "a global aggregate merges to ONE row")
+      val all = combined(local, remote).agg(
+        count(lit(1)), round(avg(col("v")), 3),
+        max(col("v")) - min(col("v"))).collect().head
+      assert(row.head.getLong(0) == all.getLong(0))
+      assertClose(row.head.getDouble(1), all.getDouble(1), "round(avg)")
+      assertClose(row.head.getFloat(2).toDouble, all.getFloat(2).toDouble, "span")
+    } finally server.close()
+  }
+
+  test("endpoint rewrites answer the partial from segment metadata " +
+      "(pushdown composes with the segment-native aggregate rewrite)") {
+    // count/min/max/sum/avg partials over a stored field are exactly the
+    // shapes the per-node SQL rewrite answers without reconstruction; the
+    // merged result must still be exact.
+    val local = makeEngine(Seq("p"), 500)
+    val remote = makeEngine(Seq("q"), 500)
+    val server = new RemoteServer(remote)
+    try {
+      val got = local.sql(
+        s"INCLUDE MERGE '${server.address}' " +
+          "SELECT count(*) AS n, min(v) AS mn, max(v) AS mx FROM mts")
+        .collect().head
+      val want = combined(local, remote)
+        .agg(count(lit(1)), min(col("v")), max(col("v"))).collect().head
+      assert(got.getLong(0) == want.getLong(0))
+      assert(got.getFloat(1) == want.getFloat(1))
+      assert(got.getFloat(2) == want.getFloat(2))
+    } finally server.close()
+  }
+
+  test("folder endpoints merge too, and duplicate aggregate calls dedupe") {
+    val local = makeEngine(Seq("f"), 200)
+    val remote = makeEngine(Seq("g"), 200)
+    val dec = FederatedAggregate.decompose _
+    val merged = local.sql(
+      s"INCLUDE MERGE '${remote.root}' " +
+        "SELECT avg(v) AS a1, avg(v) * 2 AS a2 FROM mts").collect().head
+    assertClose(merged.getDouble(1), merged.getDouble(0) * 2, "a2 = 2*a1")
+    val want = combined(local, remote).agg(avg(col("v"))).collect().head
+    assertClose(merged.getDouble(0), want.getDouble(0), "avg")
+    locally { val _ = dec } // silence unused-warning if signature drifts
+  }
+
+  test("non-mergeable statements are rejected with clear errors") {
+    val local = makeEngine(Seq("r"), 60)
+    val remote = makeEngine(Seq("s"), 60)
+    val server = new RemoteServer(remote)
+    try {
+      def rejects(select: String, fragment: String): Unit = {
+        val e = intercept[IllegalArgumentException] {
+          local.sql(s"INCLUDE MERGE '${server.address}' $select")
+        }
+        assert(e.getMessage.contains(fragment),
+          s"for [$select] got: ${e.getMessage}")
+      }
+      rejects("SELECT count(DISTINCT v) AS n FROM mts", "DISTINCT")
+      rejects("SELECT tag, count(*) AS n FROM mts GROUP BY tag ORDER BY tag",
+        "plain aggregate SELECT")
+      rejects("SELECT tag, count(*) AS n FROM mts GROUP BY tag HAVING count(*) > 1",
+        "plain aggregate SELECT")
+      rejects("SELECT tag, count(*) AS n FROM mts GROUP BY 1", "ordinal")
+      rejects("SELECT percentile(v, 0.5) AS p FROM mts", "not algebraically mergeable")
+      rejects("SELECT tag, v FROM mts", "plain aggregate SELECT")
+    } finally server.close()
+  }
+
+  test("partial split survives FROM-like tokens inside expressions") {
+    val (head, tail) = FederatedAggregate.splitAtTopLevelFrom(
+      "SELECT extract(YEAR FROM ts_us) AS y, count(*) AS n " +
+        "FROM mts WHERE tag <> 'from' GROUP BY extract(YEAR FROM ts_us)")
+    assert(head == "SELECT extract(YEAR FROM ts_us) AS y, count(*) AS n")
+    assert(tail.startsWith("FROM mts WHERE"))
+  }
+}
