@@ -22,6 +22,9 @@ final class LongBuf(initialCapacity: Int = 16) {
 
   /** Direct view of the backing array; only indices < length are valid. */
   def backing: Array[Long] = arr
+
+  /** Reset to empty, keeping the grown capacity (per-run buffer reuse). */
+  def clear(): Unit = count = 0
 }
 
 final class FloatBuf(initialCapacity: Int = 16) {
@@ -39,4 +42,7 @@ final class FloatBuf(initialCapacity: Int = 16) {
   def last: Float = arr(count - 1)
   def toArray: Array[Float] = java.util.Arrays.copyOf(arr, count)
   def backing: Array[Float] = arr
+
+  /** Reset to empty, keeping the grown capacity (per-run buffer reuse). */
+  def clear(): Unit = count = 0
 }

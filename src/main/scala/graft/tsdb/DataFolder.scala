@@ -2,8 +2,11 @@ package graft.tsdb
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.core._
 
@@ -166,7 +169,15 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     */
   def write(table: String, df: DataFrame,
       applyWalBatches: Seq[String] = Seq.empty,
-      streamVersion: Option[(String, Long)] = scala.None): Unit = {
+      streamVersion: Option[(String, Long)] = scala.None): Unit =
+    appendSegments(table, compressForIngest(table, df), applyWalBatches,
+      streamVersion)
+
+  /** The compression stage of [[write]] without the append: arrange the
+    * points and lazily compress them into segment rows. Exposed so scale
+    * probes can time the kernel separately from the parquet write.
+    */
+  private[graft] def compressForIngest(table: String, df: DataFrame): DataFrame = {
     val meta = metadata(table)
     require(meta.isTimeSeries, s"$table is not a time series table; use writeNormal.")
 
@@ -197,12 +208,21 @@ final class DataFolder(val spark: SparkSession, val root: String) {
 
     val tableName = table
     val columnNames = (tsName +: fieldNames) ++ tagNames
-    val segments = arranged.mapPartitions { rows =>
+    // Per-row null checks only when the plan can actually produce one: a
+    // provably non-nullable input schema skips the branch per column per
+    // point while keeping the clear ingest error for nullable inputs.
+    val mayHaveNulls = arranged.schema.exists(_.nullable)
+    // Compress over InternalRows: the kernel reads primitives straight out
+    // of the sorted UnsafeRows (tag equality is a byte comparison, no
+    // per-row String materialization) and emits InternalRows, skipping the
+    // deserialize/re-encode round trip an external-Row mapPartitions pays
+    // per data point.
+    val segmentRows = arranged.queryExecution.toRdd.mapPartitions { rows =>
       new SegmentIterator(rows, nFields, nTags, errorBounds, tableName,
-        columnNames)
-    }(Encoders.row(outSchema))
-
-    appendSegments(table, segments, applyWalBatches, streamVersion)
+        columnNames, mayHaveNulls)
+    }
+    org.apache.spark.sql.graft.PlanBridge
+      .ofInternalRows(spark, segmentRows, outSchema)
   }
 
   /** Append already-compressed segment rows and atomically commit them into
@@ -559,9 +579,16 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     if (relFiles.isEmpty) Map.empty
     else if (relFiles.size > DataFolder.FooterBoundsMaxFiles)
       stagedFileMetaJob(stagingDir, relFiles, tagCols)
-    else relFiles.map { rel =>
-      rel -> footerMeta(new Path(s"$stagingDir/$rel"), tagCols)
-    }.toMap
+    else {
+      // Footer reads are independent metadata I/O: overlap them instead of
+      // paying sequential per-file latency on every commit (on object
+      // stores each open is a round trip).
+      import scala.jdk.CollectionConverters._
+      relFiles.asJava.parallelStream().map[(String, StagedMeta)] { rel =>
+        rel -> footerMeta(new Path(s"$stagingDir/$rel"), tagCols)
+      }.collect(java.util.stream.Collectors.toList[(String, StagedMeta)])
+        .asScala.toMap
+    }
 
   /** One file's stats from its footer's row-group statistics. */
   private def footerMeta(path: Path, tagCols: Seq[String]): StagedMeta =
@@ -934,11 +961,18 @@ object DataFolder {
   /** Streams sorted (ts, fields..., tags...) rows, splits them into per-tag
     * runs, compresses each run with the kernel, and lazily emits segment
     * rows. Input rows: [ts: Long, field_0..field_{n-1}: Float, tag_0..: String].
+    *
+    * Operates on `InternalRow`s straight off the sort: per-point work is
+    * primitive reads plus an UnsafeRow byte-equality check on the tags —
+    * tag strings are copied once per RUN (when the run key changes), never
+    * per point, and segment rows are built as `GenericInternalRow`s so no
+    * encoder runs on either side of the kernel.
     */
   private final class SegmentIterator(
-      rows: Iterator[Row], nFields: Int, nTags: Int,
+      rows: Iterator[InternalRow], nFields: Int, nTags: Int,
       errorBounds: Array[ErrorBound], tableName: String,
-      columnNames: Seq[String]) extends Iterator[Row] {
+      columnNames: Seq[String],
+      mayHaveNulls: Boolean) extends Iterator[InternalRow] {
 
     /** Fail fast with a clear ingest error on NULLs: the segment schema is
       * non-nullable (as in the reference's Arrow arrays), and a null would
@@ -946,7 +980,7 @@ object DataFolder {
       * One branch per column per row — far cheaper than guarding with
       * conditional expressions in the projection.
       */
-    private def checkNoNulls(row: Row): Unit = {
+    private def checkNoNulls(row: InternalRow): Unit = {
       var i = 0
       val n = 1 + nFields + nTags
       while (i < n) {
@@ -958,51 +992,64 @@ object DataFolder {
       }
     }
 
-    private var tsBuf = new LongBuf(1024)
+    private val tsBuf = new LongBuf(1024)
     private val valueBufs = Array.fill(nFields)(new FloatBuf(1024))
-    private var runTags: Array[String] = null
-    private val pending = new scala.collection.mutable.Queue[Row]()
+    // Per-run tag values, copied out of the (reused) UnsafeRow once per run.
+    private var runTags: Array[UTF8String] = null
+    private val pending =
+      new scala.collection.mutable.Queue[InternalRow]()
 
-    private def sameTags(row: Row): Boolean = {
+    private def sameTags(row: InternalRow): Boolean = {
       var i = 0
       while (i < nTags) {
-        if (runTags(i) != row.getString(1 + nFields + i)) return false
+        if (runTags(i) != row.getUTF8String(1 + nFields + i)) return false
         i += 1
       }
       true
     }
 
+    private def copyTags(row: InternalRow): Array[UTF8String] =
+      Array.tabulate(nTags)(i => row.getUTF8String(1 + nFields + i).copy())
+
     /** Compress the buffered run into segment rows queued on `pending`. */
     private def flushRun(): Unit = {
       if (tsBuf.length == 0) return
       val ts = tsBuf.toArray
-      val tagValues: Seq[Any] =
-        if (runTags == null) Seq.empty else runTags.toSeq
       var f = 0
       while (f < nFields) {
         val values = valueBufs(f).toArray
         val segs = Compressor.compressUnivariate(ts, values, errorBounds(f))
         segs.foreach { s =>
-          pending.enqueue(Row.fromSeq(
-            Seq(s.modelTypeId, s.startTime, s.endTime, s.timestamps,
-              s.minValue, s.maxValue, s.values, s.residuals, s.error) ++
-              tagValues :+ f))
+          val out = new Array[Any](9 + nTags + 1)
+          out(0) = s.modelTypeId
+          out(1) = s.startTime
+          out(2) = s.endTime
+          out(3) = s.timestamps
+          out(4) = s.minValue
+          out(5) = s.maxValue
+          out(6) = s.values
+          out(7) = s.residuals
+          out(8) = s.error
+          var t = 0
+          while (t < nTags) { out(9 + t) = runTags(t); t += 1 }
+          out(9 + nTags) = f
+          pending.enqueue(new GenericInternalRow(out))
         }
-        valueBufs(f) = new FloatBuf(1024)
+        valueBufs(f).clear()
         f += 1
       }
-      tsBuf = new LongBuf(1024)
+      tsBuf.clear()
     }
 
     private def fill(): Unit = {
       while (pending.isEmpty && rows.hasNext) {
         val row = rows.next()
-        checkNoNulls(row)
+        if (mayHaveNulls) checkNoNulls(row)
         if (runTags == null) {
-          runTags = Array.tabulate(nTags)(i => row.getString(1 + nFields + i))
+          runTags = copyTags(row)
         } else if ((nTags > 0 && !sameTags(row)) || tsBuf.length >= MaxRunLength) {
           flushRun()
-          runTags = Array.tabulate(nTags)(i => row.getString(1 + nFields + i))
+          runTags = copyTags(row)
         }
         tsBuf.add(row.getLong(0))
         var f = 0
@@ -1019,7 +1066,7 @@ object DataFolder {
       else { fill(); pending.nonEmpty }
     }
 
-    override def next(): Row = {
+    override def next(): InternalRow = {
       if (!hasNext) throw new NoSuchElementException()
       pending.dequeue()
     }

@@ -27,4 +27,18 @@ object PlanBridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** `internalCreateDataFrame` is `private[sql]`: re-exported so hot
+    * `mapPartitions` kernels (the ingest compressor) can consume and emit
+    * `InternalRow`s directly instead of paying the external-Row
+    * deserialize/re-encode round trip on every data point.
+    */
+  def ofInternalRows(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }
