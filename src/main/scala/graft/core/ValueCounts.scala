@@ -459,12 +459,32 @@ object ValueCounts {
       i += 1
     }
     if (!needTraverse) return out
-    val acc = new MultiCountAcc(xs)
-    traverse(tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals, acc)
+    // Traverse with ONLY the unsettled thresholds: the ladder joins a
+    // group's full probe array (width 512-2048, mostly +Inf padding or
+    // other ranks' brackets) onto every one of its segments, but a
+    // segment's own value span settles the vast majority above — the
+    // sort/diff machinery then runs at the unsettled count, not width.
+    var nSub = 0
     i = 0
     while (i < xs.length) {
-      if (out(i) == Long.MinValue) out(i) = acc.counts(i)
+      if (out(i) == Long.MinValue) nSub += 1
       i += 1
+    }
+    val xsSub = new Array[Double](nSub)
+    val idxSub = new Array[Int](nSub)
+    var j = 0
+    i = 0
+    while (i < xs.length) {
+      if (out(i) == Long.MinValue) { xsSub(j) = xs(i); idxSub(j) = i; j += 1 }
+      i += 1
+    }
+    val acc = new MultiCountAcc(xsSub)
+    traverse(tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals, acc)
+    val sub = acc.counts
+    j = 0
+    while (j < nSub) {
+      out(idxSub(j)) = sub(j)
+      j += 1
     }
     out
   }

@@ -1698,38 +1698,55 @@ final class Engine(val spark: SparkSession, val root: String) {
     // the sorted-threshold accumulator keeps each decoded value
     // O(log width) regardless), and the reduction is ONE LongVectorSum
     // column, so planning cost is width-independent.
-    val nGroups = math.max(1L, censusDf.count())
+    val ladderDebug = sys.env.contains("SPARK_GRAFT_LADDER_DEBUG")
+    def debugPhase[T](label: String)(body: => T): T = {
+      if (!ladderDebug) body
+      else {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(
+          s"[ladder] $label ${(System.nanoTime() - t0) / 1000000L} ms")
+        r
+      }
+    }
+    val nGroups = debugPhase("census")(math.max(1L, censusDf.count()))
     val fan = math.max(16L, math.min(2048L / ksStatic,
-      8000000L / (nGroups * ksStatic)))
+      24000000L / (nGroups * ksStatic)))
     val width = (ksStatic * fan).toInt
 
     // Ranks per group from the spec list — the same clamp arithmetic as
     // the sequential ladder (IEEE double ops are deterministic, so the
-    // expression and the Scala closure agree bit-for-bit).
+    // expression and the Scala closure agree bit-for-bit). The group's
+    // distinct ranks are assembled in ONE array so posexplode hands each
+    // rank a group-stable position `__r` — its FIXED slot block in every
+    // probe array this ladder builds (offset = __r·fan, a pure
+    // expression; no per-round prefix sum over variable slice sizes).
     val specArr = array(rankSpecs.distinct.map { case (q, d) =>
       struct(lit(q).as("q"), lit(d).as("d")) }: _*)
-    val discK = least(
-      greatest(lit(1L), ceil(col("q") * col("n").cast("double")).cast("long")),
-      greatest(col("n"), lit(1L)))
-    val contPos = (col("n") - 1L).cast("double") * col("q")
-    val ksArr = when(col("d"), array(discK))
-      .otherwise(when(col("n") > 0L,
-        array(floor(contPos).cast("long") + 1L,
-          ceil(contPos).cast("long") + 1L))
-        .otherwise(array().cast("array<long>")))
+    val ksOfSpec = (s: Column) => {
+      val q = s.getField("q")
+      val discK = least(
+        greatest(lit(1L), ceil(q * col("n").cast("double")).cast("long")),
+        greatest(col("n"), lit(1L)))
+      val contPos = (col("n") - 1L).cast("double") * q
+      when(s.getField("d"), array(discK))
+        .otherwise(when(col("n") > 0L,
+          array(floor(contPos).cast("long") + 1L,
+            ceil(contPos).cast("long") + 1L))
+          .otherwise(array().cast("array<long>")))
+    }
+    val ksFull = array_distinct(flatten(transform(specArr, ksOfSpec)))
     val state0 = censusDf
       .select(keys ++ Seq(col("n"), col("negInf"), col("nan"), col("bLo"),
-        col("bHi"), explode(specArr).as("spec")): _*)
-      .withColumn("q", col("spec.q")).withColumn("d", col("spec.d"))
-      .select(keys ++ Seq(col("n"), col("negInf"), col("nan"), col("bLo"),
-        col("bHi"), explode(ksArr).as("k")): _*)
-      .dropDuplicates(keyNames :+ "k")
-      .select(keys ++ Seq(col("k"), col("n"),
-        when(col("n") === 0L || col("k") > col("n") - col("nan"),
+        col("bHi"), posexplode(ksFull)): _*)
+      .select(keys ++ Seq(col("col").as("k"), col("pos").cast("int").as("__r"),
+        col("n"),
+        when(col("n") === 0L || col("col") > col("n") - col("nan"),
           lit(Float.NaN))
-          .when(col("k") <= col("negInf"), lit(Float.NegativeInfinity))
+          .when(col("col") <= col("negInf"), lit(Float.NegativeInfinity))
           .otherwise(lit(null).cast("float")).as("res"),
-        col("bLo").as("lo"), col("bHi").as("hi")): _*)
+        col("bLo").as("lo"), col("bHi").as("hi"),
+        lit(false).as("prov")): _*)
 
     // The per-rank ladder points, derived INSIDE the plan from (lo, hi)
     // by a compiled kernel ([[LadderKernels.ladderPoints]]) — integer
@@ -1742,24 +1759,27 @@ final class Engine(val spark: SparkSession, val root: String) {
       * count reconstructed values above every point — returns the input
       * rows with `__off` (this k's slice offset in the group's probe
       * array) and `__cnts` (the group's summed count array) attached.
-      * Everything stays row-level expressions: the probe array assembles
-      * with one small window + one collect_list aggregation, the kernel
-      * reduction is a single [[LongVectorSum]] column, and the per-point
-      * flags are evaluated by the CALLER with array transforms — no
-      * point-level explode, no per-slot codegen columns.
+      * Everything stays row-level expressions: the probe array AND each
+      * rank's slice offset assemble from one collect_list aggregation
+      * (compiled kernels — no per-round window), the kernel reduction is
+      * a single [[LongVectorSum]] column, and the per-point flags are
+      * evaluated by the CALLER with array transforms — no point-level
+      * explode, no per-slot codegen columns.
       */
-    def probeCounts(pointsDf: DataFrame, probeWidth: Int = width): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(keys: _*).orderBy(col("k"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val withOff = pointsDf.withColumn("__off",
-        coalesce(sum(size(col("pts")).cast("long")).over(w), lit(0L)))
-      // One k-sorted probe array per group, padded to the static width
-      // (+Inf thresholds are the kernel's cheapest) — compiled assembly.
+    def probeCounts(pointsDf: DataFrame, probeWidth: Int = width,
+        slice: Int = fan.toInt): DataFrame = {
+      // One probe array per group, each rank's points at its fixed slot
+      // block __r·slice, all unused slots +Inf (the kernel's cheapest
+      // threshold) — compiled assembly from one collect_list. Join
+      // strategy is left to AQE: an explicit broadcast() hint here costs
+      // a blocking driver collect per round, while AQE's runtime stats
+      // convert the tiny probe side to a broadcast inside the round's
+      // one job when it fits.
       val probes = pointsDf.groupBy(keys: _*).agg(
-        collect_list(struct(col("k"), col("pts"))).as("__sl"))
+        collect_list(struct(col("__r"), col("pts"))).as("__sl"))
         .select(keys :+ ColumnBridge.column(ProbeXsExpr(
-          ColumnBridge.expression(col("__sl")), probeWidth)).as("__xs"): _*)
+          ColumnBridge.expression(col("__sl")), probeWidth, slice))
+          .as("__xs"): _*)
       val segments = prunedSegments().join(probes, keyNames)
       val dynArr = (tsLo: Long, tsHi: Long) => ColumnBridge.column(
         SegmentCountAboveMultiDyn(tsLo, tsHi, attrOf("__xs"),
@@ -1771,7 +1791,8 @@ final class Engine(val spark: SparkSession, val root: String) {
         ColumnBridge.column(LongVectorSum(
           ColumnBridge.expression(col("__arr")), probeWidth)
           .toAggregateExpression()).as("__cnts"))
-      withOff.join(counts, keyNames)
+      pointsDf.withColumn("__off", col("__r").cast("long") * lit(slice.toLong))
+        .join(counts, keyNames)
     }
 
     /** P(pts(j)) for this row's slice: count(v > pt) <= n - k. */
@@ -1789,9 +1810,8 @@ final class Engine(val spark: SparkSession, val root: String) {
     // the logical plan doubles per round and the driver OOMs building
     // plan strings around round ~25. Checkpoint blocks are reclaimed by
     // the ContextCleaner when the round's Dataset is GC'd.
-    var state = state0.localCheckpoint(true)
+    var state = debugPhase("state0")(state0.localCheckpoint(true))
     var act = state.where(col("res").isNull).count()
-    val ladderDebug = sys.env.contains("SPARK_GRAFT_LADDER_DEBUG")
     def bisect(maxRounds: Int): Unit = {
       var r = 0
       while (act > 0 && r < maxRounds) {
@@ -1799,8 +1819,8 @@ final class Engine(val spark: SparkSession, val root: String) {
         val t0 = System.nanoTime()
         val pointsDf = state.where(col("res").isNull)
           .withColumn("pts", ptsExpr)
-          .select(keys ++ Seq(col("k"), col("n"), col("lo"), col("hi"),
-            col("pts")): _*)
+          .select(keys ++ Seq(col("k"), col("__r"), col("n"), col("lo"),
+            col("hi"), col("pts")): _*)
         // P is monotone in the probe point, so the first satisfied point
         // is the new upper bound and the last unsatisfied + 1 the new
         // lower — one compiled pass over the row's count slice.
@@ -1814,10 +1834,19 @@ final class Engine(val spark: SparkSession, val root: String) {
           .withColumn("__maxF", col("__mm.maxF"))
           .withColumn("__lo2", coalesce(col("__maxF") + 1L, col("lo")))
           .withColumn("__hi2", coalesce(col("__minT"), col("hi")))
-          .select(keys ++ Seq(col("k"), col("n"),
+          .select(keys ++ Seq(col("k"), col("__r"), col("n"),
             when(col("__lo2") >= col("__hi2"), keyToFloat(col("__hi2")))
               .otherwise(lit(null).cast("float")).as("res"),
-            col("__lo2").as("lo"), col("__hi2").as("hi")): _*)
+            col("__lo2").as("lo"), col("__hi2").as("hi"),
+            // A bracket that collapsed onto ADJACENT probed points is
+            // already verified by this round's counts: P(minT) held and
+            // P(maxF = minT-1) failed in the same kernel pass over the
+            // same immutable segment slice — exactly the invariant the
+            // verification probe re-checks. Only resolutions that fell
+            // back to an unprobed bound stay unproven.
+            (col("__lo2") >= col("__hi2") && col("__minT").isNotNull &&
+              col("__maxF").isNotNull &&
+              col("__maxF") + 1L === col("__minT")).as("prov")): _*)
         val next = state.where(col("res").isNotNull)
           .unionByName(updActive)
           .localCheckpoint(true)
@@ -1833,17 +1862,20 @@ final class Engine(val spark: SparkSession, val root: String) {
 
     // Shared verification job: P(ans) AND NOT P(prev) per finite answer;
     // any casualty redoes its full range (same guard as exactQuantiles).
+    // Answers proven by their resolving round's own counts (adjacent
+    // probed points, the common case) skip re-probing entirely — the
+    // verification kernel pass only runs for bound-fallback resolutions.
     val finite = state.where(col("res").isNotNull && !isnan(col("res")) &&
       col("res") =!= lit(Float.NegativeInfinity) &&
-      col("res") =!= lit(Float.PositiveInfinity))
-    locally {
+      col("res") =!= lit(Float.PositiveInfinity) && !col("prov"))
+    if (debugPhase("verify-gate")(finite.limit(1).count()) > 0) {
       val vPoints = finite
         .withColumn("pts", array(floatToKey(col("res")),
           greatest(lit(fullLo), floatToKey(col("res")) - 1L)))
-        .select(keys ++ Seq(col("k"), col("n"), col("pts")): _*)
+        .select(keys ++ Seq(col("k"), col("__r"), col("n"), col("pts")): _*)
       // Two probe points per rank: a width-(2·ranks) pass, not the
       // full ladder width.
-      val verdict = probeCounts(vPoints, 2 * ksStatic)
+      val verdict = probeCounts(vPoints, 2 * ksStatic, 2)
         .withColumn("__pAns", flagAt(lit(0L)))
         .withColumn("__pPrev", flagAt(lit(1L)))
         .withColumn("__keyAns", element_at(col("pts"), 1))
@@ -1852,11 +1884,13 @@ final class Engine(val spark: SparkSession, val root: String) {
         .select(keys ++ Seq(col("k"), lit(true).as("__bad")): _*)
       if (bad.limit(1).count() > 0) {
         state = state.join(bad, keyNames :+ "k", "left")
-          .select(keys ++ Seq(col("k"), col("n"),
+          .select(keys ++ Seq(col("k"), col("__r"), col("n"),
             when(col("__bad"), lit(null).cast("float")).otherwise(col("res"))
               .as("res"),
             when(col("__bad"), lit(fullLo)).otherwise(col("lo")).as("lo"),
-            when(col("__bad"), lit(fullHi)).otherwise(col("hi")).as("hi")): _*)
+            when(col("__bad"), lit(fullHi)).otherwise(col("hi")).as("hi"),
+            when(col("__bad"), lit(false)).otherwise(col("prov"))
+              .as("prov")): _*)
           .localCheckpoint(true)
         act = state.where(col("res").isNull).count()
         bisect(64)
@@ -1866,19 +1900,21 @@ final class Engine(val spark: SparkSession, val root: String) {
     // The ONLY O(groups) driver materialization: the answer itself, the
     // size the callers return anyway.
     val t = groupByTags.length
-    val stats: Map[Seq[String], (Long, Long, Long)] = censusDf
-      .select(groupByTags.map(col) ++
-        Seq(col("n"), col("negInf"), col("nan")): _*)
-      .collect().map { r =>
-        val g: Seq[String] = List.tabulate(t)(r.getString)
-        (g, (r.getLong(t), r.getLong(t + 1), r.getLong(t + 2)))
-      }.toMap
-    val resolved: Map[(Seq[String], Long), Float] = state
-      .select(groupByTags.map(col) ++ Seq(col("k"), col("res")): _*)
-      .collect().map { r =>
-        val g: Seq[String] = List.tabulate(t)(r.getString)
-        ((g, r.getLong(t)), r.getFloat(t + 1))
-      }.toMap
+    val stats: Map[Seq[String], (Long, Long, Long)] = debugPhase("collect")(
+      censusDf
+        .select(groupByTags.map(col) ++
+          Seq(col("n"), col("negInf"), col("nan")): _*)
+        .collect().map { r =>
+          val g: Seq[String] = List.tabulate(t)(r.getString)
+          (g, (r.getLong(t), r.getLong(t + 1), r.getLong(t + 2)))
+        }.toMap)
+    val resolved: Map[(Seq[String], Long), Float] = debugPhase("collect2")(
+      state
+        .select(groupByTags.map(col) ++ Seq(col("k"), col("res")): _*)
+        .collect().map { r =>
+          val g: Seq[String] = List.tabulate(t)(r.getString)
+          ((g, r.getLong(t)), r.getFloat(t + 1))
+        }.toMap)
     censusDf.unpersist(false)
     segCached.unpersist(false)
     (stats, resolved)

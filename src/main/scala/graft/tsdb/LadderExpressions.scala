@@ -39,44 +39,30 @@ object LadderKernels {
     new GenericArrayData(java.util.Arrays.copyOf(buf, nOut))
   }
 
-  /** One group's probe array: the collected (k, pts) slices sorted by k,
-    * flattened, converted key→float→double, padded to `width` with +Inf
-    * (the kernel's cheapest threshold).
+  /** One group's probe array: each collected (r, pts) slice lands at the
+    * FIXED slot block r·slice of its rank (r is the rank's group-stable
+    * position from the state build), key→float→double converted, all
+    * unused slots +Inf (the kernel's cheapest threshold). Fixed slots
+    * make a row's count-slice offset a pure expression (r·slice) — no
+    * per-round window prefix sum, no offset join.
     */
-  def probeXs(structs: ArrayData, width: Int): ArrayData = {
+  def probeXs(structs: ArrayData, width: Int, slice: Int): ArrayData = {
+    val out = new Array[Double](width)
+    java.util.Arrays.fill(out, Double.PositiveInfinity)
     val nS = structs.numElements()
-    val ks = new Array[Long](nS)
-    val arrs = new Array[ArrayData](nS)
     var i = 0
     while (i < nS) {
       val r = structs.getStruct(i, 2)
-      ks(i) = r.getLong(0)
-      arrs(i) = r.getArray(1)
-      i += 1
-    }
-    // Insertion sort by k — nS is the group's active rank count (<= ~8).
-    i = 1
-    while (i < nS) {
-      val kk = ks(i); val aa = arrs(i)
-      var j = i - 1
-      while (j >= 0 && ks(j) > kk) { ks(j + 1) = ks(j); arrs(j + 1) = arrs(j); j -= 1 }
-      ks(j + 1) = kk; arrs(j + 1) = aa
-      i += 1
-    }
-    val out = new Array[Double](width)
-    var o = 0
-    i = 0
-    while (i < nS) {
-      val a = arrs(i)
+      val base = r.getInt(0) * slice
+      val a = r.getArray(1)
       var j = 0
       val n = a.numElements()
-      while (j < n && o < width) {
-        out(o) = ValueCounts.floatFromKey(a.getLong(j)).toDouble
-        o += 1; j += 1
+      while (j < n && base + j < width) {
+        out(base + j) = ValueCounts.floatFromKey(a.getLong(j)).toDouble
+        j += 1
       }
       i += 1
     }
-    while (o < width) { out(o) = Double.PositiveInfinity; o += 1 }
     new GenericArrayData(out)
   }
 
@@ -130,12 +116,13 @@ case class LadderPointsExpr(lo: Expression, hi: Expression, fan: Long)
     copy(newChildren(0), newChildren(1))
 }
 
-case class ProbeXsExpr(structs: Expression, width: Int) extends Expression {
+case class ProbeXsExpr(structs: Expression, width: Int, slice: Int)
+    extends Expression {
   override def children: Seq[Expression] = Seq(structs)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = false
   override def eval(input: InternalRow): Any = LadderKernels.probeXs(
-    structs.eval(input).asInstanceOf[ArrayData], width)
+    structs.eval(input).asInstanceOf[ArrayData], width, slice)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val evals = children.map(_.genCode(ctx))
     val cls = classOf[ArrayData].getName
@@ -143,7 +130,7 @@ case class ProbeXsExpr(structs: Expression, width: Int) extends Expression {
       code = evals.map(_.code).reduce(_ + _) +
         code"""
            |$cls ${ev.value} = graft.tsdb.LadderKernels.probeXs(
-           |  ${evals(0).value}, $width);
+           |  ${evals(0).value}, $width, $slice);
            """.stripMargin,
       isNull = FalseLiteral)
   }
