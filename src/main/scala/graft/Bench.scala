@@ -62,12 +62,23 @@ object Bench {
   private def emit(results: Seq[(String, Double)]): Unit = {
     val line = jsonLine(results)
     // Only full-registry runs persist: a SPARK_GRAFT_BENCH_ONLY-filtered
-    // iteration must not clobber the complete checked-in map.
+    // iteration must not clobber the complete checked-in map. The FILE
+    // copy (not the stdout contract line) is stamped with the measured
+    // HEAD sha and a wall-clock timestamp so the artifact is
+    // self-evidencing — a stale or hand-bumped map is detectable.
     if (!sys.env.contains("SPARK_GRAFT_BENCH_CHILD") &&
-        !sys.env.contains("SPARK_GRAFT_BENCH_ONLY"))
+        !sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) {
+      val sha = try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
+        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case _: Exception => "unknown" }
+      val stamped = line.dropRight(1) +
+        s""","commit":"$sha","generatedAtMs":${System.currentTimeMillis()}}"""
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), stamped + "\n")
       catch { case _: Exception => () } // read-only cwd must not kill the line
+    }
     println(line)
   }
 
