@@ -293,7 +293,14 @@ class ValuePredicateSpec extends AnyFunSuite {
       "SELECT tag, percentile_disc(0.9) WITHIN GROUP (ORDER BY value) " +
         "AS d90, percentile_disc(0.0) WITHIN GROUP (ORDER BY value) " +
         "AS d0, percentile_disc(1.0) WITHIN GROUP (ORDER BY value) " +
-        "AS d100 FROM pm GROUP BY tag ORDER BY tag")
+        "AS d100 FROM pm GROUP BY tag ORDER BY tag",
+      // DUPLICATE ranks across specs: median and percentile(0.5) imply
+      // identical continuous ranks, and the disc rank can coincide with a
+      // cont bracket — the ladder's per-group rank list dedups before slot
+      // assignment (regression for the fixed-slot probe layout).
+      "SELECT tag, median(value) AS med, percentile(value, 0.5) AS p50, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS d50 " +
+        "FROM pm GROUP BY tag ORDER BY tag")
     for (q <- rewritten) {
       val df = engine.sql(q)
       assert(!df.queryExecution.executedPlan.toString.contains("Generate"),
