@@ -19,6 +19,28 @@ object TsQueries {
 
   private val builtRoots = scala.collection.mutable.Set[String]()
 
+  /** Cross-process build lock: the shared /tmp cache is checked and built
+    * by whichever JVM arrives first, and the isolated bench forks one JVM
+    * per query — concurrent arrivals (or an interactive session running
+    * alongside a bench) must not interleave the wipe/create/write
+    * sequence, which manifests as "table already exists" races and
+    * FILE_NOT_EXIST reads of half-replaced caches. An OS file lock beside
+    * the cache root serializes every check-and-build across processes.
+    */
+  private def withBuildLock[T](root: String)(body: => T): T = {
+    val rootFile = new File(root)
+    val dir = rootFile.getParentFile
+    dir.mkdirs()
+    val lockPath = new File(dir, rootFile.getName + ".lock").toPath
+    val ch = java.nio.channels.FileChannel.open(lockPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val l = ch.lock()
+      try body finally l.release()
+    } finally ch.close()
+  }
+
   /** Bump when the segment format or build recipe changes so stale caches
     * from earlier builds are discarded.
     */
@@ -35,11 +57,17 @@ object TsQueries {
     val root = s"/tmp/graft_ts_cache/$sfName-$CacheVersion"
     val engine = new Engine(spark, root)
     if (!builtRoots.contains(root)) {
-      val haveAll = tableNames.forall { t =>
-        engine.dataFolder.tableExists(t) &&
-          new File(s"$root/tables/$t/_SUCCESS").exists()
+      withBuildLock(root) {
+        // Completeness = the explicit end-of-build marker rebuild() writes
+        // after its last table commit (NOT Spark's _SUCCESS: the staged
+        // manifest write path moves files out of _graft_staging and leaves
+        // no _SUCCESS at the table root, so that check was always false
+        // and every fresh JVM silently rebuilt — and could wipe a cache a
+        // concurrent reader was mid-scan on).
+        val haveAll = new File(s"$root/_BUILT").exists() &&
+          tableNames.forall(engine.dataFolder.tableExists)
+        if (!haveAll) rebuild(spark, sfDir, engine)
       }
-      if (!haveAll) rebuild(spark, sfDir, engine)
       builtRoots += root
     }
     engine
@@ -77,7 +105,7 @@ object TsQueries {
     val sfName = new File(sfDir).getName
     val root = s"/tmp/graft_ts_cache/$sfName-$CacheVersion"
     val engine = new Engine(spark, root)
-    rebuild(spark, sfDir, engine)
+    withBuildLock(root) { rebuild(spark, sfDir, engine) }
     builtRoots += root
     engine
   }
@@ -95,6 +123,7 @@ object TsQueries {
     val root = s"/tmp/graft_ts_cache/$sfName-$CacheVersion-compact"
     val marker = new File(s"$root/_PRISTINE")
     val engine = new Engine(spark, root)
+    withBuildLock(root) {
     if (marker.exists() && engine.dataFolder.tableExists("cr")) {
       (engine, new String(java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong)
     } else {
@@ -114,6 +143,7 @@ object TsQueries {
       val pristine = TableManifest.latest(fs, dir).get.version
       java.nio.file.Files.write(marker.toPath, pristine.toString.getBytes)
       (fresh, pristine)
+    }
     }
   }
 
@@ -136,6 +166,11 @@ object TsQueries {
       "ts TIMESTAMP, value FIELD, value2 FIELD, " +
       "vf FIELD AS (value * 0.5 - 8.0), user TAG)")
     engine.write("events_multi", events.withColumn("value2", col("value") * 2.0f))
+    // End-of-build marker checked by engineFor: written only after every
+    // table committed, so a torn build is rebuilt, never trusted.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"${engine.root}/_BUILT"),
+      CacheVersion.getBytes("UTF-8"))
   }
 
   val queries: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] = Seq(
