@@ -41,14 +41,14 @@ object Dedup {
   // the whole-stage-codegen break a UDF forces on its Project.
   import org.apache.spark.sql.graft.ColumnBridge.{column => kcol, expression => kexpr}
 
-  private def minhashBandKeysCol(text: Column, numHashes: Int, bands: Int,
-      shingleK: Int): Column =
+  private[graft] def minhashBandKeysCol(text: Column, numHashes: Int,
+      bands: Int, shingleK: Int): Column =
     kcol(MinhashBandKeysExpr(kexpr(text), numHashes, bands, shingleK))
 
-  private def shinglesCol(text: Column, k: Int): Column =
+  private[graft] def shinglesCol(text: Column, k: Int): Column =
     kcol(WordShinglesExpr(kexpr(text), k))
 
-  private def jaccardCol(a: Column, b: Column): Column =
+  private[graft] def jaccardCol(a: Column, b: Column): Column =
     kcol(JaccardExpr(kexpr(a), kexpr(b)))
 
   /** (id, band, band_hash) rows: one per LSH band per document. Two

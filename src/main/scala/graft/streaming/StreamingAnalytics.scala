@@ -49,6 +49,60 @@ object StreamingAnalytics {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
+  /** STREAMING near-duplicate screen against a static reference corpus —
+    * the continuous form of training-data decontamination: every document
+    * flowing through the stream is checked against a benchmark/eval set
+    * and flagged with its matching reference document and exact n-gram
+    * Jaccard. Returns (doc_id, ref_id, jaccard) rows for matches at or
+    * above `threshold`, one row per matching pair per micro-batch.
+    *
+    * Scale shape: a STATELESS stream-static equi-join on MinHash LSH band
+    * keys — no watermark, no streaming state store. The stream side
+    * computes signatures in a narrow one-pass compiled kernel; only
+    * colliding (band, key) candidates are verified with exact shingle
+    * Jaccard, so per-batch cost is proportional to candidates, never
+    * |batch| × |corpus|. A pair colliding in several bands is collapsed
+    * to one output row WITHOUT streaming state: collisions repartition by
+    * pair and a per-partition (per-batch) hash set keeps the first — the
+    * only cross-batch identity is the caller's doc_id. The corpus side
+    * re-evaluates per micro-batch (Spark's stream-static contract), so
+    * callers should `persist()` the corpus DataFrame.
+    */
+  def screenStream(
+      stream: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, refIdCol: String, refTextCol: String,
+      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 16,
+      shingleK: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val sBanded = stream.select(
+      col(idCol).as("doc_id"),
+      graft.ops.Dedup.shinglesCol(col(textCol), shingleK).as("__sh"),
+      posexplode(graft.ops.Dedup.minhashBandKeysCol(
+        col(textCol), numHashes, bands, shingleK))
+        .as(Seq("band", "band_hash")))
+    val cBanded = graft.ops.Dedup
+      .minhashBands(corpus, refIdCol, refTextCol, numHashes, bands, shingleK)
+      .toDF("ref_id", "band", "band_hash")
+    val cContent = corpus.select(col(refIdCol).as("ref_id"),
+      graft.ops.Dedup.shinglesCol(col(refTextCol), shingleK).as("__sh_ref"))
+    val verified = sBanded
+      .join(cBanded, Seq("band", "band_hash"))
+      .join(cContent, Seq("ref_id"))
+      .withColumn("jaccard",
+        graft.ops.Dedup.jaccardCol(col("__sh"), col("__sh_ref")))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_id"), col("ref_id"), col("jaccard"))
+    // Exact per-batch pair dedup with zero streaming state: multi-band
+    // collisions of the same pair land in one partition and a transient
+    // hash set keeps the first.
+    val enc = org.apache.spark.sql.Encoders.row(verified.schema)
+    verified.repartition(col("doc_id"), col("ref_id"))
+      .mapPartitions { rows =>
+        val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
+        rows.filter(r => seen.add((r.get(0), r.get(1))))
+      }(enc)
+  }
+
   /** Event input for sessionization. */
   final case class SessionEvent(key: String, tsMicros: Long, value: Double)
 

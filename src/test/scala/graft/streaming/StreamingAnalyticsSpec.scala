@@ -665,4 +665,71 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
     assert(closed.toSeq == Seq(("u1", 3L, 6.0, 50_000_000L)))
   }
+
+  test("streaming near-dup screen flags stream docs against a static corpus") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // Static "benchmark" corpus: two reference documents.
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (200L, "all along the watchtower princes kept the view while women came and went"))
+      .toDF("ref_id", "ref_text").persist()
+    corpus.count()
+
+    val stream = MemoryStream[(Long, String)]
+    val docs = stream.toDF().toDF("doc_id", "text")
+    val flagged = StreamingAnalytics.screenStream(
+      docs, "doc_id", "text", corpus, "ref_id", "ref_text",
+      threshold = 0.5, numHashes = 64, bands = 16, shingleK = 2)
+
+    // Batch 1: an EXACT copy of ref 100 (collides in EVERY band — the
+    // per-batch pair dedup must still emit ONE row), a near-copy of ref
+    // 200 (one word changed), and an unrelated document.
+    stream.addData(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "all along the watchtower princes kept the view while women came and walked"),
+      (3L, "completely unrelated text about spark segment compression kernels"))
+    // Batch 2: another near-dup of ref 100 arriving later.
+    stream.addData(
+      (4L, "the quick brown fox jumps over the lazy dog near the river edge"))
+
+    val query = flagged.writeStream
+      .outputMode("append")
+      .format("memory").queryName("screen_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_screen_ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination(60000)
+
+    val got = spark.sql("SELECT doc_id, ref_id, jaccard FROM screen_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // One row per matching pair — the exact copy must not repeat per band.
+    assert(got.map(p => (p._1, p._2)).toSeq.sorted ==
+      Seq((1L, 100L), (2L, 200L), (4L, 100L)),
+      s"got ${got.toSeq}")
+    assert(got.find(_._1 == 1L).get._3 == 1.0)
+
+    // Equivalence with the batch path: the same inputs through the batch
+    // MinHash pair finder (stream docs unioned with the corpus) must
+    // yield exactly the same cross pairs at the same jaccard.
+    val allDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "all along the watchtower princes kept the view while women came and walked"),
+      (3L, "completely unrelated text about spark segment compression kernels"),
+      (4L, "the quick brown fox jumps over the lazy dog near the river edge"),
+      (100L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (200L, "all along the watchtower princes kept the view while women came and went"))
+      .toDF("doc_id", "text")
+    val batchPairs = graft.ops.Dedup.minhashDuplicatePairs(
+        allDocs, "doc_id", "text", threshold = 0.5, numHashes = 64,
+        bands = 16, shingleK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 < 100L && p._2 >= 100L) // stream-vs-corpus pairs only
+      .map(p => (p._1, p._2, p._3)).toSeq.sorted
+    assert(got.map(p => (p._1, p._2, p._3)).toSeq.sorted == batchPairs,
+      s"stream ${got.toSeq} vs batch $batchPairs")
+    corpus.unpersist()
+  }
 }
