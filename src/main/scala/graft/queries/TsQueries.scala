@@ -27,18 +27,29 @@ object TsQueries {
     * FILE_NOT_EXIST reads of half-replaced caches. An OS file lock beside
     * the cache root serializes every check-and-build across processes.
     */
+  // FileChannel.lock() does not queue within one JVM — it throws
+  // OverlappingFileLockException when any thread of this process already
+  // holds the region. Same-JVM callers serialize on a per-path monitor
+  // FIRST, so the OS lock only ever mediates cross-process contention.
+  private val jvmLockMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def withBuildLock[T](root: String)(body: => T): T = {
     val rootFile = new File(root)
     val dir = rootFile.getParentFile
     dir.mkdirs()
     val lockPath = new File(dir, rootFile.getName + ".lock").toPath
-    val ch = java.nio.channels.FileChannel.open(lockPath,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val l = ch.lock()
-      try body finally l.release()
-    } finally ch.close()
+    val monitor = jvmLockMonitors
+      .computeIfAbsent(lockPath.toAbsolutePath.toString, _ => new Object)
+    monitor.synchronized {
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val l = ch.lock()
+        try body finally l.release()
+      } finally ch.close()
+    }
   }
 
   /** Bump when the segment format or build recipe changes so stale caches

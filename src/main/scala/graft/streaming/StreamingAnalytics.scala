@@ -85,22 +85,29 @@ object StreamingAnalytics {
       .toDF("ref_id", "band", "band_hash")
     val cContent = corpus.select(col(refIdCol).as("ref_id"),
       graft.ops.Dedup.shinglesCol(col(refTextCol), shingleK).as("__sh_ref"))
-    val verified = sBanded
+    // Candidate pairs are deduped per batch BEFORE the corpus-content join
+    // and the exact-Jaccard verify: a pair colliding in several bands would
+    // otherwise pay the verify kernel once per colliding band (up to
+    // `bands`×) and drag both shingle arrays through the join that many
+    // times. The dedup is stateless (no streaming state store): multi-band
+    // collisions of one pair land in one partition and a transient hash set
+    // keeps the first. The stream side's shingles ride along — they are
+    // identical across a pair's collisions, and re-deriving them after the
+    // dedup would need a stream-stream self-join, which is not stateless.
+    val cand = sBanded
       .join(cBanded, Seq("band", "band_hash"))
+      .select(col("doc_id"), col("ref_id"), col("__sh"))
+    val candEnc = org.apache.spark.sql.Encoders.row(cand.schema)
+    cand.repartition(col("doc_id"), col("ref_id"))
+      .mapPartitions { rows =>
+        val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
+        rows.filter(r => seen.add((r.get(0), r.get(1))))
+      }(candEnc)
       .join(cContent, Seq("ref_id"))
       .withColumn("jaccard",
         graft.ops.Dedup.jaccardCol(col("__sh"), col("__sh_ref")))
       .where(col("jaccard") >= threshold)
       .select(col("doc_id"), col("ref_id"), col("jaccard"))
-    // Exact per-batch pair dedup with zero streaming state: multi-band
-    // collisions of the same pair land in one partition and a transient
-    // hash set keeps the first.
-    val enc = org.apache.spark.sql.Encoders.row(verified.schema)
-    verified.repartition(col("doc_id"), col("ref_id"))
-      .mapPartitions { rows =>
-        val seen = scala.collection.mutable.HashSet.empty[(Any, Any)]
-        rows.filter(r => seen.add((r.get(0), r.get(1))))
-      }(enc)
   }
 
   /** Event input for sessionization. */

@@ -208,9 +208,17 @@ final class DataFolder(val spark: SparkSession, val root: String) {
 
     val tableName = table
     val columnNames = (tsName +: fieldNames) ++ tagNames
-    // Per-row null checks only when the plan can actually produce one: a
-    // provably non-nullable input schema skips the branch per column per
-    // point while keeping the clear ingest error for nullable inputs.
+    // Per-row null checks on the primitive columns only when the plan can
+    // actually produce one: a provably non-nullable input schema skips the
+    // branch per column per point while keeping the clear ingest error for
+    // nullable inputs. Spark does not ENFORCE declared nullability (a
+    // createDataFrame(rdd, schema) with a wrong non-nullable flag can lie),
+    // so this trusts the optimizer's nullability the same way Spark's own
+    // codegen does — a lying schema reads its nulls as 0, which is Spark's
+    // documented behavior for such plans. Tag columns are exempt from the
+    // fast path: a null tag would surface as an opaque NPE or a corrupt
+    // run key, so they are checked unconditionally (one bit test per tag
+    // per point, trivial next to the kernel).
     val mayHaveNulls = arranged.schema.exists(_.nullable)
     // Compress over InternalRows: the kernel reads primitives straight out
     // of the sorted UnsafeRows (tag equality is a byte comparison, no
@@ -582,12 +590,16 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     else {
       // Footer reads are independent metadata I/O: overlap them instead of
       // paying sequential per-file latency on every commit (on object
-      // stores each open is a round trip).
-      import scala.jdk.CollectionConverters._
-      relFiles.asJava.parallelStream().map[(String, StagedMeta)] { rel =>
-        rel -> footerMeta(new Path(s"$stagingDir/$rel"), tagCols)
-      }.collect(java.util.stream.Collectors.toList[(String, StagedMeta)])
-        .asScala.toMap
+      // stores each open is a round trip). Runs on a dedicated pool, NOT
+      // ForkJoinPool.commonPool — see [[DataFolder.footerIoPool]].
+      val futures = relFiles.map { rel =>
+        DataFolder.footerIoPool.submit(
+          new java.util.concurrent.Callable[(String, StagedMeta)] {
+            def call(): (String, StagedMeta) =
+              rel -> footerMeta(new Path(s"$stagingDir/$rel"), tagCols)
+          })
+      }
+      futures.map(_.get()).toMap
     }
 
   /** One file's stats from its footer's row-group statistics. */
@@ -952,6 +964,21 @@ object DataFolder {
     */
   val FooterBoundsMaxFiles = 256
 
+  /** Dedicated pool for commit-time footer metadata I/O. parallelStream()
+    * would run these blocking parquet opens on ForkJoinPool.commonPool,
+    * where one slow object-store round trip starves every other commonPool
+    * user in the JVM (and concurrent commits contend on the same pool);
+    * a small named daemon pool isolates the blocking I/O instead.
+    */
+  private[tsdb] lazy val footerIoPool: java.util.concurrent.ExecutorService = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    java.util.concurrent.Executors.newFixedThreadPool(16, (r: Runnable) => {
+      val t = new Thread(r, s"graft-footer-io-${counter.incrementAndGet()}")
+      t.setDaemon(true)
+      t
+    })
+  }
+
   /** Max points buffered per series chunk before segments are cut, matching
     * the reference's uncompressed buffer capacity
     * (/root/reference/crates/modelardb_server/src/storage/mod.rs:51-58).
@@ -980,10 +1007,9 @@ object DataFolder {
       * One branch per column per row — far cheaper than guarding with
       * conditional expressions in the projection.
       */
-    private def checkNoNulls(row: InternalRow): Unit = {
-      var i = 0
-      val n = 1 + nFields + nTags
-      while (i < n) {
+    private def checkNoNulls(row: InternalRow, from: Int, until: Int): Unit = {
+      var i = from
+      while (i < until) {
         if (row.isNullAt(i)) throw new IllegalArgumentException(
           s"Cannot ingest into time series table '$tableName': column " +
             s"'${columnNames(i)}' contains NULL; time series tables require " +
@@ -1044,7 +1070,10 @@ object DataFolder {
     private def fill(): Unit = {
       while (pending.isEmpty && rows.hasNext) {
         val row = rows.next()
-        if (mayHaveNulls) checkNoNulls(row)
+        // Primitives trust declared nullability; tags are always checked
+        // (a null tag would NPE in the run-key comparison, not fail fast).
+        if (mayHaveNulls) checkNoNulls(row, 0, 1 + nFields)
+        if (nTags > 0) checkNoNulls(row, 1 + nFields, 1 + nFields + nTags)
         if (runTags == null) {
           runTags = copyTags(row)
         } else if ((nTags > 0 && !sameTags(row)) || tsBuf.length >= MaxRunLength) {
