@@ -1596,6 +1596,62 @@ object TsQueries {
         round(stddev_samp(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS sd
       FROM u GROUP BY 1 ORDER BY 1""")),
 
+    // Federated EXACT percentiles: INCLUDE MERGE locates the combined
+    // data's order statistics without moving points — the single partial
+    // round ships per-group (count, min, max), then a batched 16-ary rank
+    // search ships one count-probe statement per round (thresholds ride in
+    // an answer-sized VALUES join the endpoint broadcasts) and a final
+    // bounded in-interval fetch reads the rank off locally. Hash-exact vs
+    // DuckDB's quantile_cont over the doubled raw data: both interpolate
+    // the same two order statistics in double.
+    ("ts_include_percentile", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val server = new graft.remote.RemoteServer(engine)
+      try {
+        engine.sql(s"INCLUDE MERGE '${server.address}' " +
+          "SELECT user, percentile(value, 0.5) AS med, " +
+          "percentile(value, 0.9) AS p90, count(*) AS n " +
+          "FROM events_lossless GROUP BY user")
+          .select(col("user"), round(col("med"), 4).as("med"),
+            round(col("p90"), 4).as("p90"), col("n"))
+          .orderBy("user")
+      } finally server.close()
+    }, Some("""
+      WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.5), 4) AS med,
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.9), 4) AS p90,
+        CAST(count(*) AS BIGINT) AS n
+      FROM u GROUP BY 1 ORDER BY 1""")),
+
+    // Federated approximate DISTINCT: endpoints ship fixed-size
+    // DataSketches HLL sketches (never values), merged locally with
+    // hll_union_agg — the 100 TB shape for federated count-distinct. The
+    // estimate is bounded against the exact local distinct counts at 3x
+    // the requested 2% rsd (lgK=12, RSE ≈ 1.04/√4096 ≈ 1.6%); the oracle
+    // pins the bound booleans TRUE and the exact merged row count.
+    ("ts_include_distinct_approx", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val server = new graft.remote.RemoteServer(engine)
+      try {
+        val approx = engine.sql(s"INCLUDE MERGE '${server.address}' " +
+          "SELECT approx_count_distinct(value, 0.02) AS adv, " +
+          "approx_count_distinct(user, 0.02) AS adu, count(*) AS n " +
+          "FROM events_lossless")
+        val exact = engine.sql("SELECT count(DISTINCT value) AS ev, " +
+          "count(DISTINCT user) AS eu FROM events_lossless")
+        approx.crossJoin(exact).select(
+          (abs(col("adv").cast("double") / col("ev") - 1d) <= 0.06)
+            .as("values_ok"),
+          (abs(col("adu").cast("double") / col("eu") - 1d) <= 0.06)
+            .as("users_ok"),
+          col("n"))
+      } finally server.close()
+    }, Some("""
+      SELECT TRUE AS values_ok, TRUE AS users_ok,
+        CAST(2 * count(*) AS BIGINT) AS n
+      FROM events""")),
+
     // Compaction end to end, hash-checked: OPTIMIZE swaps a cached
     // small-file table (four chunked appends, the streaming shape) for
     // coalesced files in one atomic manifest commit, and the reconstructed

@@ -2807,26 +2807,32 @@ final class Engine(val spark: SparkSession, val root: String) {
         // (each answers it through its own segment-native rewrite) and
         // merges the partial frames locally — groups x partials scalars
         // cross the wire, never points.
-        val decomposed =
-          if (merge) {
-            forceRegisterViews()
-            Some(FederatedAggregate.decompose(spark, select))
-          } else scala.None
-        val shipped = decomposed.map(_.partialSql).getOrElse(select)
-        val local = sql(shipped)
-        val remotes = addresses.map { addr =>
-          graft.remote.RemoteClient.parseAddress(addr) match {
-            case Some(a) => graft.remote.RemoteClient.sql(spark, a, shipped)
-            case scala.None =>
-              val remote = new Engine(spark, addr)
-              val df = remote.sql(shipped)
-              forceRegisterViews() // restore local views
-              df
+        // Folder endpoints open once per statement; every merge round
+        // (the partial and any percentile rank-search probes) reuses them.
+        lazy val folderEngines =
+          scala.collection.mutable.LinkedHashMap.empty[String, Engine]
+        def runAll(text: String): Seq[DataFrame] = {
+          val local = sql(text)
+          val remotes = addresses.map { addr =>
+            graft.remote.RemoteClient.parseAddress(addr) match {
+              case Some(a) => graft.remote.RemoteClient.sql(spark, a, text)
+              case scala.None =>
+                val remote = folderEngines
+                  .getOrElseUpdate(addr, new Engine(spark, addr))
+                val df = remote.sql(text)
+                forceRegisterViews() // restore local views
+                df
+            }
           }
+          local +: remotes
         }
-        decomposed match {
-          case Some(d) => d.merge(local +: remotes)
-          case scala.None => remotes.foldLeft(local)(_ unionAll _)
+        if (merge) {
+          forceRegisterViews()
+          val d = FederatedAggregate.decompose(spark, select)
+          d.merge(runAll(d.partialSql), runAll)
+        } else {
+          val frames = runAll(select)
+          frames.tail.foldLeft(frames.head)(_ unionAll _)
         }
       case SqlExtensions.InsertInto(tableName, columnList, source) =>
         // INSERT routes through the storage engine (compress + append for

@@ -2,15 +2,17 @@ package graft.tsdb
 
 import scala.collection.mutable
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Average, Count, Max, Min, StddevPop, StddevSamp, Sum,
+  AggregateExpression, Average, Count, HyperLogLogPlusPlus, Max, Median, Min,
+  Percentile, PercentileCont, PercentileDisc, StddevPop, StddevSamp, Sum,
   VariancePop, VarianceSamp}
 import org.apache.spark.sql.catalyst.plans.logical.Aggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
 
 /** Federated aggregate pushdown for `INCLUDE MERGE 'endpoint' SELECT …`.
   *
@@ -28,25 +30,77 @@ import org.apache.spark.sql.graft.ColumnBridge
   * per-node: a federated `avg(value)` is answered from segment metadata on
   * every endpoint, and only `groups × partials` scalars cross the wire.
   *
-  * Supported: `count` / `sum` / `min` / `max` / `avg` and the variance
-  * family (`var_pop/var_samp/stddev_pop/stddev_samp`, merged through
-  * [[PartialM2Merge]]'s Chan update — no catastrophic Σv² cancellation),
-  * under arbitrary scalar post-processing and grouping expressions.
-  * Rejected (with a clear error): DISTINCT aggregates, FILTER clauses,
-  * HAVING / ORDER BY / LIMIT on the merged statement, ordinal GROUP BY,
-  * and non-decomposable functions — those semantics need the raw rows, so
-  * the caller should fall back to plain INCLUDE over a point query.
+  * Supported:
+  *   - `count` / `sum` / `min` / `max` / `avg` and the variance family
+  *     (`var_pop/var_samp/stddev_pop/stddev_samp`, merged through
+  *     [[PartialM2Merge]]'s Chan update — no catastrophic Σv² cancellation)
+  *     under arbitrary scalar post-processing and grouping expressions.
+  *   - `approx_count_distinct(x[, rsd])`: endpoints ship fixed-size
+  *     DataSketches HLL sketches (`hll_sketch_agg` partials, lgK sized
+  *     from the requested rsd via RSE ≈ 1.04/√2^lgK), merged locally with
+  *     `hll_union_agg` — sketch bytes cross the wire, never values. The
+  *     estimate carries the sketch's rsd, like any approx-distinct.
+  *   - `percentile` / `median` / `percentile_cont` / `percentile_disc`
+  *     (scalar percentage, frequency 1): EXACT, via an interactive rank
+  *     search — after the single partial round establishes per-group
+  *     (count, min, max), the needed order statistics are located by a
+  *     batched 16-ary bisection where every round ships ONE count-probe
+  *     query (`count_if(x <= t)` per threshold) to every endpoint and only
+  *     per-state count scalars return; once a state's candidate interval
+  *     holds ≤ [[QuantileFetchGap]] points (or collapses to float-ulp
+  *     width) a final bounded fetch ships the ≤ gap distinct values in the
+  *     interval and the rank is read off locally. Probe thresholds and the
+  *     answer-sized group list travel inside the probe statement (a VALUES
+  *     join the endpoint broadcasts), so wire cost per round is
+  *     O(states × fanout) scalars and rounds are O(log(span)) — typically
+  *     2-4. Driver state is answer-sized (the merged groups themselves).
+  *
+  * Rejected (with a clear error): exact DISTINCT aggregates (use
+  * `approx_count_distinct`), FILTER clauses, HAVING / ORDER BY / LIMIT on
+  * the merged statement, ordinal GROUP BY, and non-decomposable functions —
+  * those semantics need the raw rows, so the caller should fall back to
+  * plain INCLUDE over a point query.
   */
 object FederatedAggregate {
 
   /** `partialSql` runs on every endpoint (including the local engine);
     * `merge` folds the resulting partial frames into the final answer.
+    * `runAll` executes one follow-up SQL statement on every endpoint (same
+    * order as the partial frames) — the interactive channel the exact
+    * percentile rank search probes through; purely algebraic statements
+    * never use it.
     */
   final case class Decomposed(
-      partialSql: String, merge: Seq[DataFrame] => DataFrame)
+      partialSql: String,
+      merge: (Seq[DataFrame], String => Seq[DataFrame]) => DataFrame)
+
+  /** A candidate interval narrows by count-probes until it holds at most
+    * this many points, then the distinct values inside ship in one bounded
+    * fetch. Bounds the fetch result per state per round.
+    */
+  val QuantileFetchGap = 1024L
+
+  /** Probe fanout: thresholds per state per rank-search round (16-ary
+    * bisection — interval shrinks 16× per round).
+    */
+  private val QuantileFan = 16
 
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"INCLUDE MERGE: $msg")
+
+  /** Test-only planted mutations proving the fuzz harness detects a wrong
+    * merge (see FederatedMergeFuzzSpec): drop the last endpoint's partial
+    * frame / shift every rank-search target by one. Never set in
+    * production code.
+    */
+  private[graft] var plantDropFrameForTests = false
+  private[graft] var plantRankBugForTests = false
+
+  /** One percentile/median call: locate the order statistics of
+    * `childSql` (per group) for percentage `p`.
+    */
+  private final case class QuantileSpec(
+      childSql: String, p: Double, discrete: Boolean, resultType: DataType)
 
   /** Analyze `selectText` against the CURRENT session catalog (the caller
     * must have registered the engine views) and decompose it.
@@ -64,6 +118,9 @@ object FederatedAggregate {
     if (head.isEmpty || fromTail.isEmpty)
       fail("could not locate the statement's top-level FROM clause.")
     rejectOrdinalGroupBy(fromTail)
+    // FROM + WHERE only — the rank-search probe queries re-group by the
+    // probe's own keys, so the original GROUP BY must not ride along.
+    val fromWhere = stripTopLevelGroupBy(fromTail)
 
     val groupings = agg.groupingExpressions.zipWithIndex
 
@@ -105,45 +162,145 @@ object FederatedAggregate {
       if (sq) sqrt(v) else v
     }
 
-    /** The merged column for one aggregate call, registering whatever
-      * partials it needs.
+    /** HLL-sketch partial for `approx_count_distinct`: the endpoint ships
+      * a DataSketches HLL sketch (binary, fixed size) instead of an
+      * estimate — sketches union losslessly across endpoints, estimates do
+      * not. lgK is sized so the sketch's RSE (≈1.04/√2^lgK) matches the
+      * call's requested rsd. Types DataSketches cannot hash directly are
+      * mapped injectively (timestamps → micros, fractional → string), so
+      * distinctness is preserved.
       */
-    def mergeColOf(ae: AggregateExpression): Column = {
+    def hllMerge(h: HyperLogLogPlusPlus): Column = {
+      val x = sqlOf(h.child)
+      val hashable = h.child.dataType match {
+        case ByteType | ShortType | IntegerType => s"CAST($x AS BIGINT)"
+        case LongType | StringType | BinaryType => x
+        case TimestampType => s"unix_micros($x)"
+        case DateType => s"unix_date($x)"
+        case FloatType | DoubleType | _: DecimalType | BooleanType =>
+          s"CAST($x AS STRING)"
+        case other => fail(
+          s"approx_count_distinct over ${other.sql} is not sketch-mergeable.")
+      }
+      val lgK = math.ceil(
+        2.0 * math.log(1.04 / h.relativeSD) / math.log(2.0))
+        .toInt.max(4).min(21)
+      val p = pAlias(s"hll_sketch_agg($hashable, $lgK)")
+      hll_sketch_estimate(hll_union_agg(col(p)))
+    }
+
+    // Percentile calls discovered in the select list; merged via the
+    // interactive rank search, not a single-round partial.
+    val quantileSpecs = mutable.ArrayBuffer.empty[(String, QuantileSpec)]
+
+    def quantileMerge(ae: AggregateExpression, alias: String,
+        child: Expression, percentage: Expression,
+        frequency: Option[Expression], reverse: Boolean,
+        discrete: Boolean): Unit = {
+      if (!percentage.foldable || percentage.dataType.isInstanceOf[ArrayType])
+        fail(s"percentile percentage in ${ae.sql} must be a scalar literal " +
+          "(array percentages: issue one call per percentage).")
+      frequency.foreach { f =>
+        val one = f.foldable && (f.eval() match {
+          case l: Long => l == 1L
+          case i: Int => i == 1
+          case _ => false
+        })
+        if (!one) fail(
+          s"percentile frequency in ${ae.sql} must be 1 for INCLUDE MERGE.")
+      }
+      if (!child.dataType.isInstanceOf[NumericType]) fail(
+        s"percentile over ${child.dataType.sql} is not rank-searchable; " +
+          "INCLUDE MERGE supports numeric percentile children.")
+      val p0 = percentage.eval() match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case d: Decimal => d.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case other => fail(s"cannot read percentage $other in ${ae.sql}.")
+      }
+      val p =
+        if (!reverse) p0
+        else if (!discrete) 1.0 - p0 // DESC cont is the ASC mirror
+        else fail(s"percentile_disc … ORDER BY … DESC in ${ae.sql} is not " +
+          "supported by INCLUDE MERGE (discrete ranks do not mirror).")
+      val x = sqlOf(child)
+      // Per-child stats the search initializes from (dedup via pAlias).
+      pAlias(s"count($x)")
+      pAlias(s"min(CAST($x AS DOUBLE))")
+      pAlias(s"max(CAST($x AS DOUBLE))")
+      quantileSpecs += alias -> QuantileSpec(x, p, discrete, ae.dataType)
+    }
+
+    /** The merged column for one ALGEBRAIC aggregate call (registering its
+      * partials), or None when the call is a percentile handled by the
+      * rank search.
+      */
+    def mergeColOf(ae: AggregateExpression, alias: String): Option[Column] = {
       if (ae.isDistinct) fail(
-        s"DISTINCT aggregate ${ae.sql} is not algebraically mergeable.")
+        s"DISTINCT aggregate ${ae.sql} is not algebraically mergeable; " +
+          "use approx_count_distinct(x[, rsd]) for a sketch-mergeable " +
+          "estimate, or plain INCLUDE over a point query for exact " +
+          "DISTINCT.")
       if (ae.filter.isDefined) fail(
         s"FILTER clause on ${ae.sql} is not supported; filter in WHERE.")
       ae.aggregateFunction match {
         case c: Count =>
           val p = pAlias(s"count(${c.children.map(sqlOf).mkString(", ")})")
-          coalesce(sum(col(p)), lit(0L))
-        case s: Sum => sum(col(pAlias(s"sum(${sqlOf(s.child)})")))
-        case m: Min => min(col(pAlias(s"min(${sqlOf(m.child)})")))
-        case m: Max => max(col(pAlias(s"max(${sqlOf(m.child)})")))
+          Some(coalesce(sum(col(p)), lit(0L)))
+        case s: Sum => Some(sum(col(pAlias(s"sum(${sqlOf(s.child)})"))))
+        case m: Min => Some(min(col(pAlias(s"min(${sqlOf(m.child)})"))))
+        case m: Max => Some(max(col(pAlias(s"max(${sqlOf(m.child)})"))))
         case a: Average =>
           val x = sqlOf(a.child)
-          sum(col(pAlias(s"sum($x)"))) /
-            sum(col(pAlias(s"count($x)"))).cast("double")
-        case v: VariancePop => varianceMerge(v.child, pop = true, sq = false)
-        case v: VarianceSamp => varianceMerge(v.child, pop = false, sq = false)
-        case v: StddevPop => varianceMerge(v.child, pop = true, sq = true)
-        case v: StddevSamp => varianceMerge(v.child, pop = false, sq = true)
+          Some(sum(col(pAlias(s"sum($x)"))) /
+            sum(col(pAlias(s"count($x)"))).cast("double"))
+        case v: VariancePop =>
+          Some(varianceMerge(v.child, pop = true, sq = false))
+        case v: VarianceSamp =>
+          Some(varianceMerge(v.child, pop = false, sq = false))
+        case v: StddevPop =>
+          Some(varianceMerge(v.child, pop = true, sq = true))
+        case v: StddevSamp =>
+          Some(varianceMerge(v.child, pop = false, sq = true))
+        case h: HyperLogLogPlusPlus => Some(hllMerge(h))
+        case p: Percentile =>
+          quantileMerge(ae, alias, p.child, p.percentageExpression,
+            Some(p.frequencyExpression), p.reverse, discrete = false)
+          scala.None
+        case m: Median =>
+          quantileMerge(ae, alias, m.child,
+            org.apache.spark.sql.catalyst.expressions.Literal(0.5),
+            scala.None, reverse = false, discrete = false)
+          scala.None
+        case pc: PercentileCont =>
+          quantileMerge(ae, alias, pc.left, pc.right, scala.None,
+            pc.reverse, discrete = false)
+          scala.None
+        case pd: PercentileDisc =>
+          quantileMerge(ae, alias, pd.child, pd.percentageExpression,
+            scala.None, pd.reverse, discrete = true)
+          scala.None
         case other => fail(
           s"aggregate ${other.prettyName} is not algebraically mergeable " +
             "(supported: count, sum, min, max, avg, var_pop, var_samp, " +
-            "stddev_pop, stddev_samp).")
+            "stddev_pop, stddev_samp, approx_count_distinct, percentile, " +
+            "median, percentile_cont, percentile_disc).")
       }
     }
 
     // Distinct aggregate calls across the select list, keyed semantically
-    // so `avg(v)` appearing twice merges once.
-    val mergedAggs = mutable.ArrayBuffer.empty[(AggregateExpression, String, Column)]
+    // so `avg(v)` appearing twice merges once. Algebraic calls carry their
+    // merged Column; percentile calls are joined in by the rank search.
+    val mergedAggs =
+      mutable.ArrayBuffer.empty[(AggregateExpression, String, Option[Column])]
     def mergedAliasFor(ae: AggregateExpression): String =
       mergedAggs.find(_._1.semanticEquals(ae)) match {
         case Some((_, a, _)) => a
         case scala.None =>
           val alias = s"__a${mergedAggs.size}"
-          mergedAggs += ((ae, alias, mergeColOf(ae)))
+          mergedAggs += ((ae, alias, mergeColOf(ae, alias)))
           alias
       }
 
@@ -171,19 +328,331 @@ object FederatedAggregate {
     val partialSql = s"SELECT ${items.mkString(", ")} $fromTail"
 
     val gCols = groupings.map { case (_, i) => col(s"__g$i") }
-    val merge = (frames: Seq[DataFrame]) => {
+    val groupExprSqls = groupings.map { case (g, _) => sqlOf(g) }
+    val quantiles = quantileSpecs.toSeq
+    val qChildren = quantiles.map(_._2.childSql).distinct
+
+    val merge = (frames0: Seq[DataFrame], runAll: String => Seq[DataFrame]) => {
+      val frames =
+        if (plantDropFrameForTests && frames0.size > 1) frames0.init
+        else frames0
       require(frames.nonEmpty)
       val all = frames.reduce(_ unionByName _)
-      val merged =
-        if (mergedAggs.isEmpty) all.select(gCols: _*).distinct()
-        else {
-          val aggCols = mergedAggs.map { case (_, a, c) => c.as(a) }.toSeq
-          if (gCols.isEmpty) all.agg(aggCols.head, aggCols.tail: _*)
-          else all.groupBy(gCols: _*).agg(aggCols.head, aggCols.tail: _*)
-        }
-      merged.select(finalCols: _*)
+      val algCols = mergedAggs.collect { case (_, a, Some(c)) => c.as(a) }.toSeq
+      // Per-child stats columns the rank search initializes from.
+      val qStatCols = qChildren.zipWithIndex.flatMap { case (x, ci) =>
+        Seq(
+          sum(col(partials(s"count($x)"))).as(s"__qn$ci"),
+          min(col(partials(s"min(CAST($x AS DOUBLE))"))).as(s"__qlo$ci"),
+          max(col(partials(s"max(CAST($x AS DOUBLE))"))).as(s"__qhi$ci"))
+      }
+      val aggCols = algCols ++ qStatCols
+      val grouped =
+        if (aggCols.isEmpty) all.select(gCols.toSeq: _*).distinct()
+        else if (gCols.isEmpty) all.agg(aggCols.head, aggCols.tail: _*)
+        else all.groupBy(gCols.toSeq: _*).agg(aggCols.head, aggCols.tail: _*)
+      val withQuantiles =
+        if (quantiles.isEmpty) grouped
+        else attachQuantiles(spark, grouped, groupings.size, groupExprSqls,
+          quantiles, qChildren, fromWhere, runAll)
+      withQuantiles.select(finalCols: _*)
     }
     Decomposed(partialSql, merge)
+  }
+
+  // ------------------------------------------------------------------
+  // Exact federated percentiles: batched 16-ary rank search.
+  // ------------------------------------------------------------------
+
+  /** One active rank search: the smallest value v of child `cix` (per the
+    * state's group) with cumulativeCount(x <= v) >= target. Invariant:
+    * cLo = count(x <= lo) < target <= count(x <= hi) = cHi.
+    */
+  private final class RankState(
+      val sid: Int, val groupIdx: Int, val cix: Int, val target: Long,
+      var lo: Double, var hi: Double, var cLo: Long, var cHi: Long) {
+    var value: Double = Double.NaN
+    var done: Boolean = false
+    def fetchable: Boolean =
+      cHi - cLo <= QuantileFetchGap ||
+        hi - lo <= 64 * math.max(math.ulp(lo), math.ulp(hi))
+  }
+
+  /** Resolve every percentile call against the endpoints and join the
+    * results onto the merged frame as the calls' __a<k> columns.
+    *
+    * All driver state here is answer-sized: the merged groups themselves
+    * (which ARE the statement's result rows) plus O(1) per percentile
+    * call. Each search round ships one probe statement to every endpoint;
+    * per-state wire cost is `QuantileFan` count scalars per round and one
+    * ≤[[QuantileFetchGap]]-row fetch at the end.
+    */
+  private def attachQuantiles(
+      spark: SparkSession, grouped: DataFrame, nKeys: Int,
+      groupExprSqls: Seq[String], quantiles: Seq[(String, QuantileSpec)],
+      qChildren: Seq[String], fromWhere: String,
+      runAll: String => Seq[DataFrame]): DataFrame = {
+    // The merged frame is answer-sized by definition — pin it as a local
+    // relation so the stats collect and the final join don't re-run the
+    // endpoint partials.
+    val groupedRows = grouped.collect()
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(groupedRows: _*), grouped.schema)
+    val schema = grouped.schema
+    def idx(name: String) = schema.fieldIndex(name)
+
+    // The probe queries' shared FROM: group keys + each percentile child,
+    // evaluated over the statement's own FROM/WHERE.
+    val innerItems =
+      groupExprSqls.zipWithIndex.map { case (g, i) => s"$g AS __pg$i" } ++
+        qChildren.zipWithIndex.map { case (x, ci) =>
+          s"CAST($x AS DOUBLE) AS __px$ci" }
+    val innerSql = s"SELECT ${innerItems.mkString(", ")} $fromWhere"
+    val vExpr =
+      if (qChildren.size == 1) "__s.__px0"
+      else "CASE __probe.__cix " + qChildren.indices
+        .map(ci => s"WHEN $ci THEN __s.__px$ci").mkString(" ") + " END"
+    val keyCols = (0 until nKeys).map(i => s"__k$i")
+    val joinSql =
+      if (nKeys == 0) "CROSS JOIN"
+      else "JOIN"
+    def onSql(probeCols: Seq[String], valueRows: Seq[String]): String = {
+      val base = s"($innerSql) __s $joinSql " +
+        s"(VALUES ${valueRows.mkString(", ")}) " +
+        s"AS __probe(${probeCols.mkString(", ")})"
+      if (nKeys == 0) base
+      else base + " ON " + (0 until nKeys)
+        .map(i => s"__s.__pg$i <=> __probe.__k$i").mkString(" AND ")
+    }
+
+    // Group-key literals per merged row, rendered once.
+    val keyLits: Array[Seq[String]] = groupedRows.map { r =>
+      (0 until nKeys).map { i =>
+        renderLiteral(r.get(idx(s"__g$i")), schema(idx(s"__g$i")).dataType)
+      }.toSeq
+    }
+
+    // ---- Initialize one or two rank states per (group, call). ----
+    // resolvedValueOf((groupIdx, cix, target)) is the located value.
+    val states = mutable.LinkedHashMap.empty[(Int, Int, Long), RankState]
+    // Per (groupIdx, callIdx): the plan to assemble the final double.
+    sealed trait CallPlan
+    case object NullResult extends CallPlan
+    final case class Const(v: Double) extends CallPlan
+    final case class Interp(n: Long, cix: Int) extends CallPlan
+    final case class Disc(cix: Int, target: Long) extends CallPlan
+    val plans = Array.ofDim[CallPlan](groupedRows.length, quantiles.size)
+    var sidGen = 0
+    def stateFor(g: Int, cix: Int, target: Long, lo0: Double,
+        hi0: Double, n: Long): Unit =
+      if (!states.contains((g, cix, target))) {
+        sidGen += 1
+        val effTarget = // test-only planted off-by-one, see fuzz spec
+          if (plantRankBugForTests) math.min(target + 1, n) else target
+        states((g, cix, target)) = new RankState(
+          sidGen, g, cix, effTarget, math.nextDown(lo0), hi0, 0L, n)
+      }
+
+    groupedRows.indices.foreach { g =>
+      val r = groupedRows(g)
+      quantiles.zipWithIndex.foreach { case ((_, spec), k) =>
+        val cix = qChildren.indexOf(spec.childSql)
+        val n = if (r.isNullAt(idx(s"__qn$cix"))) 0L
+          else r.getLong(idx(s"__qn$cix"))
+        if (n == 0L) plans(g)(k) = NullResult
+        else {
+          val lo0 = r.getDouble(idx(s"__qlo$cix"))
+          val hi0 = r.getDouble(idx(s"__qhi$cix"))
+          if (hi0.isNaN) fail(
+            "percentile over NaN-containing data is not rank-searchable; " +
+              "filter NaNs in WHERE or use plain INCLUDE.")
+          if (lo0 == hi0) plans(g)(k) = Const(lo0)
+          else if (spec.discrete) {
+            val target = math.max(math.ceil(spec.p * n).toLong, 1L)
+            stateFor(g, cix, target, lo0, hi0, n)
+            plans(g)(k) = Disc(cix, target)
+          } else {
+            val pos = (n - 1) * spec.p
+            val jLo = math.floor(pos).toLong
+            val jHi = math.ceil(pos).toLong
+            stateFor(g, cix, jLo + 1, lo0, hi0, n)
+            if (jHi != jLo) stateFor(g, cix, jHi + 1, lo0, hi0, n)
+            plans(g)(k) = Interp(n, cix)
+          }
+        }
+      }
+    }
+
+    // ---- Search rounds. ----
+    var rounds = 0
+    while (states.values.exists(!_.done)) {
+      rounds += 1
+      require(rounds <= 64,
+        s"federated percentile rank search did not converge in $rounds rounds")
+      val pending = states.values.filter(!_.done).toSeq
+      val (fetches, probes) = pending.partition(_.fetchable)
+
+      if (fetches.nonEmpty) {
+        val probeCols =
+          Seq("__sid") ++ keyCols ++ Seq("__cix", "__lo", "__hi")
+        val rows = fetches.map { st =>
+          "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
+            Seq(st.cix.toString, renderDouble(st.lo), renderDouble(st.hi)))
+            .mkString(", ") + ")"
+        }
+        val sql =
+          s"""SELECT __sid, __v, count(*) AS __c FROM (
+             |  SELECT __probe.__sid AS __sid, __probe.__lo AS __lo,
+             |         __probe.__hi AS __hi, $vExpr AS __v
+             |  FROM ${onSql(probeCols, rows)}
+             |) __j WHERE __v > __lo AND __v <= __hi
+             |GROUP BY __sid, __v""".stripMargin
+        val merged = runAll(sql).reduce(_ unionByName _)
+          .groupBy("__sid", "__v").agg(sum(col("__c")).as("__c"))
+          .collect()
+        val bySid = merged.groupBy(_.getInt(0))
+        fetches.foreach { st =>
+          val vals = bySid.getOrElse(st.sid, Array.empty[Row])
+            .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+          var cum = st.cLo
+          var i = 0
+          while (!st.done && i < vals.length) {
+            cum += vals(i)._2
+            if (cum >= st.target) { st.value = vals(i)._1; st.done = true }
+            i += 1
+          }
+          if (!st.done) throw new IllegalStateException(
+            s"federated percentile fetch lost rank ${st.target} in " +
+              s"(${st.lo}, ${st.hi}] (cum=$cum) — endpoint data changed " +
+              "between rounds?")
+        }
+      }
+
+      if (probes.nonEmpty) {
+        val nT = QuantileFan - 1
+        val probeCols = Seq("__sid") ++ keyCols ++ Seq("__cix") ++
+          (1 to nT).map(m => s"__t$m")
+        def thresholds(st: RankState): Seq[Double] =
+          (1 to nT).map(m => st.lo + (st.hi - st.lo) * m / QuantileFan)
+        val rows = probes.map { st =>
+          "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
+            Seq(st.cix.toString) ++ thresholds(st).map(renderDouble))
+            .mkString(", ") + ")"
+        }
+        val sql =
+          s"""SELECT __sid, ${(1 to nT)
+            .map(m => s"count_if(__v <= __t$m) AS __c$m").mkString(", ")}
+             |FROM (
+             |  SELECT __probe.__sid AS __sid, ${(1 to nT)
+            .map(m => s"__probe.__t$m AS __t$m").mkString(", ")},
+             |         $vExpr AS __v
+             |  FROM ${onSql(probeCols, rows)}
+             |) __j GROUP BY __sid""".stripMargin
+        val sumCols = (1 to nT).map(m => sum(col(s"__c$m")).as(s"__c$m"))
+        val merged = runAll(sql).reduce(_ unionByName _)
+          .groupBy("__sid")
+          .agg(sumCols.head, sumCols.tail: _*)
+          .collect()
+        val bySid = merged.map(r => r.getInt(0) -> r).toMap
+        probes.foreach { st =>
+          val ts = thresholds(st)
+          val row = bySid.getOrElse(st.sid, null)
+          def cnt(m: Int): Long =
+            if (m == 0) st.cLo
+            else if (m == QuantileFan) st.cHi
+            else if (row == null || row.isNullAt(m)) 0L
+            else row.getLong(m)
+          def thr(m: Int): Double =
+            if (m == 0) st.lo else if (m == QuantileFan) st.hi else ts(m - 1)
+          var m = 1
+          while (m <= QuantileFan && cnt(m) < st.target) m += 1
+          require(m <= QuantileFan, s"probe lost rank ${st.target}")
+          st.lo = thr(m - 1); st.cLo = cnt(m - 1)
+          st.hi = thr(m); st.cHi = cnt(m)
+        }
+      }
+    }
+
+    // ---- Assemble per-call results and join them onto the frame. ----
+    def valueOf(g: Int, cix: Int, target: Long): Double =
+      states((g, cix, target)).value
+    val qRows: Seq[Row] = groupedRows.indices.map { g =>
+      val keyVals = (0 until nKeys).map(i => groupedRows(g).get(idx(s"__g$i")))
+      val callVals: Seq[Any] = quantiles.zipWithIndex.map { case ((_, spec), k) =>
+        plans(g)(k) match {
+          case NullResult => null
+          case Const(v) => java.lang.Double.valueOf(v)
+          case Disc(cix, target) =>
+            java.lang.Double.valueOf(valueOf(g, cix, target))
+          case Interp(n, cix) =>
+            val pos = (n - 1) * spec.p
+            val jLo = math.floor(pos).toLong
+            val jHi = math.ceil(pos).toLong
+            val vLo = valueOf(g, cix, jLo + 1)
+            val v =
+              if (jHi == jLo) vLo
+              else {
+                val vHi = valueOf(g, cix, jHi + 1)
+                vLo * (jHi - pos) + vHi * (pos - jLo)
+              }
+            java.lang.Double.valueOf(v)
+        }
+      }
+      Row.fromSeq(keyVals ++ callVals)
+    }
+    val qSchema = StructType(
+      (0 until nKeys).map(i => schema(idx(s"__g$i")).copy(name = s"__qk$i")) ++
+        quantiles.map { case (a, _) => StructField(a, DoubleType) })
+    val qFrame = spark.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qSchema)
+    val joined =
+      if (nKeys == 0) local.crossJoin(broadcast(qFrame))
+      else {
+        val cond = (0 until nKeys)
+          .map(i => col(s"__g$i") <=> col(s"__qk$i")).reduce(_ && _)
+        local.join(broadcast(qFrame), cond, "left")
+          .drop((0 until nKeys).map(i => s"__qk$i"): _*)
+      }
+    // Each call's column carries the analyzed expression's type (double
+    // for continuous percentiles, the child type for percentile_disc).
+    quantiles.foldLeft(joined) { case (df, (a, spec)) =>
+      df.withColumn(a, col(a).cast(spec.resultType))
+    }
+  }
+
+  private def renderDouble(d: Double): String =
+    if (d.isNaN) "CAST('NaN' AS DOUBLE)"
+    else if (d == Double.PositiveInfinity) "CAST('Infinity' AS DOUBLE)"
+    else if (d == Double.NegativeInfinity) "CAST('-Infinity' AS DOUBLE)"
+    else s"CAST('${java.lang.Double.toString(d)}' AS DOUBLE)"
+
+  /** Render one collected group-key value as a SQL literal for the probe
+    * statement's VALUES join. Group values are answer-sized, so this runs
+    * O(groups) times total.
+    */
+  private def renderLiteral(v: Any, dt: DataType): String = v match {
+    case null => s"CAST(NULL AS ${dt.sql})"
+    case s: String =>
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case b: java.lang.Boolean => b.toString
+    case b: java.lang.Byte => s"CAST($b AS TINYINT)"
+    case s: java.lang.Short => s"CAST($s AS SMALLINT)"
+    case i: java.lang.Integer => i.toString
+    case l: java.lang.Long => s"CAST($l AS BIGINT)"
+    case f: java.lang.Float => s"CAST(${renderDouble(f.toDouble)} AS FLOAT)"
+    case d: java.lang.Double => renderDouble(d)
+    case d: java.math.BigDecimal => s"CAST('${d.toPlainString}' AS ${dt.sql})"
+    case t: java.sql.Timestamp =>
+      val us = Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+      s"timestamp_micros($us)"
+    case t: java.time.Instant =>
+      s"timestamp_micros(${t.getEpochSecond * 1000000L + t.getNano / 1000L})"
+    case d: java.sql.Date => s"date_from_unix_date(${d.toLocalDate.toEpochDay})"
+    case d: java.time.LocalDate => s"date_from_unix_date(${d.toEpochDay})"
+    case other => fail(
+      s"GROUP BY value $other (${dt.sql}) cannot ship in a federated " +
+        "percentile probe; group by literal-renderable types or use " +
+        "plain INCLUDE.")
   }
 
   /** Split at the SELECT's own FROM: the first `FROM` keyword at paren
@@ -212,6 +681,33 @@ object FederatedAggregate {
       i += 1
     }
     (sql.trim, "")
+  }
+
+  /** Drop the trailing top-level GROUP BY clause (HAVING/ORDER/LIMIT were
+    * rejected upstream, so the grouping list runs to the statement end).
+    */
+  private[graft] def stripTopLevelGroupBy(fromTail: String): String = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < fromTail.length) {
+      val c = fromTail.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'g' | 'G' if depth == 0 &&
+            fromTail.regionMatches(true, i, "GROUP", 0, 5) &&
+            (i == 0 || !isWordChar(fromTail.charAt(i - 1))) &&
+            fromTail.substring(i).matches("(?is)^GROUP\\s+BY\\b.*") =>
+          return fromTail.substring(0, i).trim
+        case _ =>
+      }
+      i += 1
+    }
+    fromTail.trim
   }
 
   /** The partial query replaces the select list, so ordinal GROUP BY

@@ -1,0 +1,288 @@
+package graft.remote
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.DataGeneration
+import graft.tsdb.{Engine, FederatedAggregate, SparkTestSession}
+
+/** Metamorphic fuzz harness for [[FederatedAggregate]]: the INCLUDE MERGE
+  * decomposer re-implements Spark's partial/merge split by hand, and the
+  * only property every accepted shape must satisfy is MERGE ≡ RE-AGGREGATE
+  * — the merged result equals the same statement evaluated over the union
+  * of every endpoint's raw points (the reference's federation contract,
+  * /root/reference/crates/modelardb_server/src/remote.rs:88-165, lifted
+  * from row-union to combined-data semantics).
+  *
+  * A seeded generator composes random legal shapes — count/sum/min/max/avg
+  * × the variance family × exact percentiles (cont, disc, median, DESC
+  * mirror) × scalar post-processing × 0-2 grouping expressions × time/tag/
+  * value predicates × 1-2 endpoints with overlapping and disjoint tag sets
+  * — and every seed asserts equivalence against `spark.sql` over the
+  * combined raw view. Planted-mutation tests prove both a dropped partial
+  * frame and an off-by-one rank target are actually caught, and dedicated
+  * seeds hit every rejection branch.
+  *
+  * Folder endpoints keep the fuzz in-process; the TCP/Arrow remote path is
+  * covered by [[IncludeMergeSpec]] and `ts_include_*`.
+  */
+class FederatedMergeFuzzSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** One engine per endpoint: distinct value streams per tag; the local
+    * engine's "c" tag carries NaN runs (merge must propagate them the way
+    * Spark does over the combined data).
+    */
+  private def makeEngine(tags: Seq[String], n: Int, nanTag: Option[String])
+      : Engine = {
+    val engine = new Engine(spark,
+      Files.createTempDirectory("graft_fmfuzz").toString)
+    engine.sql("CREATE TIME SERIES TABLE mts(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    tags.foreach { tag =>
+      val rng = new scala.util.Random(tag.hashCode * 7919L + n)
+      val ts = DataGeneration.generateTimestamps(n, irregular = true, rng)
+      val vs = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val run = math.min(n - i, 30 + rng.nextInt(50))
+        val vals = (rng.nextInt(8): @unchecked) match {
+          case 0 | 1 => DataGeneration.generateValues(run,
+            DataGeneration.Constant, None, rng)
+          case 2 | 3 => DataGeneration.generateValues(run,
+            DataGeneration.Linear, Some(0.3f), rng)
+          case 4 | 5 | 6 => DataGeneration.generateValues(run,
+            DataGeneration.RandomValues(-90f, 90f), None, rng)
+          case 7 =>
+            if (nanTag.contains(tag)) Array.fill(run)(Float.NaN)
+            else DataGeneration.generateValues(run,
+              DataGeneration.RandomValues(0f, 50f), None, rng)
+        }
+        System.arraycopy(vals, 0, vs, i, run)
+        i += run
+      }
+      engine.write("mts", ts.indices.map(i => (ts(i), vs(i), tag))
+        .toDF("ts", "v", "tag"))
+    }
+    engine
+  }
+
+  // local shares tag "b" with endpoint 1 and nothing with endpoint 2 —
+  // merged groups span one, two, and three endpoints.
+  private lazy val local = makeEngine(Seq("a", "b", "c"), 260, Some("c"))
+  private lazy val ep1 = makeEngine(Seq("b", "d"), 220, None)
+  private lazy val ep2 = makeEngine(Seq("a", "e"), 180, None)
+
+  private lazy val fixture: Unit = {
+    local.readTable("mts").unionByName(ep1.readTable("mts"))
+      .createOrReplaceTempView("__fm_c1")
+    local.readTable("mts").unionByName(ep1.readTable("mts"))
+      .unionByName(ep2.readTable("mts"))
+      .createOrReplaceTempView("__fm_c2")
+  }
+
+  private lazy val (tsMin, tsMax) = {
+    val r = local.readTable("mts")
+      .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def fmtTs(us: Long): String = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    .format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+  /** One random legal statement:
+    * (select, numberOfGroupKeyColumns, numberOfEndpoints, hasPercentile).
+    */
+  private def genQuery(seed: Int): (String, Int, Int, Boolean) = {
+    val rng = new scala.util.Random(seed * 1099511628211L + 31)
+    def pick[T](xs: Seq[T]): T = xs(rng.nextInt(xs.length))
+    val endpoints = 1 + rng.nextInt(2)
+    val percentileSeed = rng.nextDouble() < 0.2
+
+    val groupings: Seq[(String, String)] = rng.nextInt(8) match {
+      case 0 | 1 => Seq.empty
+      case 2 | 3 | 4 => Seq(("tag", "tag"))
+      case 5 =>
+        val u = pick(Seq("HOUR", "DAY"))
+        Seq((s"date_trunc('$u', ts) AS b", s"date_trunc('$u', ts)"))
+      case 6 => Seq(("floor(v / 40.0) AS bin", "floor(v / 40.0)"))
+      case 7 => Seq(("tag", "tag"), ("hour(ts) AS ph", "hour(ts)"))
+    }
+
+    val where = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (rng.nextDouble() < 0.35) {
+      val a = tsMin + (rng.nextDouble() * (tsMax - tsMin)).toLong
+      val b = tsMin + (rng.nextDouble() * (tsMax - tsMin)).toLong
+      val (lo, hi) = if (a <= b) (a, b) else (b, a)
+      where += s"ts >= TIMESTAMP '${fmtTs(lo)}' AND ts <= TIMESTAMP '${fmtTs(hi)}'"
+    }
+    if (rng.nextDouble() < 0.3)
+      where += pick(Seq("tag <> 'e'", "tag IN ('a', 'b', 'd')", "tag >= 'b'"))
+    if (rng.nextDouble() < 0.25) {
+      val c = -60.0 + rng.nextDouble() * 120.0
+      where += pick(Seq(s"v > $c", s"v <= $c", f"v > $c%.3f AND v <= ${c + 45.0}%.3f"))
+    }
+    // The rank search rejects NaN-containing percentile inputs by design —
+    // percentile seeds filter them the way a federation user would.
+    if (percentileSeed) where += "NOT isnan(v)"
+
+    val aggs: Seq[String] =
+      if (percentileSeed) {
+        val pcts = Seq("0.0", "0.1", "0.25", "0.5", "0.9", "0.99", "1.0")
+        val pool = Seq(
+          () => s"percentile(v, ${pick(pcts)})",
+          () => "median(v)",
+          () => s"percentile_cont(${pick(pcts)}) WITHIN GROUP (ORDER BY v)",
+          () => s"percentile_cont(${pick(pcts)}) WITHIN GROUP (ORDER BY v DESC)",
+          () => s"percentile_disc(${pick(pcts)}) WITHIN GROUP (ORDER BY v)",
+          // percentiles mix with algebraic calls in one statement
+          () => "count(*)", () => "avg(v)", () => "max(v) - min(v)")
+        Seq.fill(1 + rng.nextInt(3))(pick(pool)()).distinct
+          .zipWithIndex.map { case (a, i) => s"$a AS p$i" }
+      } else {
+        val pool = Seq(
+          "count(*)", "count(v)", "sum(v)", "avg(v)", "min(v)", "max(v)",
+          "var_samp(v)", "var_pop(v)", "stddev_samp(v)", "stddev_pop(v)",
+          "min(ts)", "max(ts)", "sum(v * 0.5 + 8.0)", "avg(v * 2.0 - 1.0)",
+          "round(avg(v), 3)", "max(v) - min(v)", "count(*) + 1",
+          "sum(v) / count(*)")
+        Seq.fill(1 + rng.nextInt(3))(pick(pool)).distinct
+          .zipWithIndex.map { case (a, i) => s"$a AS a$i" }
+      }
+
+    val selectCols = (groupings.map(_._1) ++ aggs).mkString(", ")
+    val whereSql = if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", "")
+    val groupSql =
+      if (groupings.isEmpty) ""
+      else groupings.map(_._2).mkString(" GROUP BY ", ", ", "")
+    (s"SELECT $selectCols FROM mts$whereSql$groupSql",
+      groupings.length, endpoints, percentileSeed)
+  }
+
+  /** merged ≡ spark.sql over the combined raw view, rows matched by their
+    * group-key prefix, doubles to 1e-9 relative (partial sums reorder).
+    */
+  private def assertEquivalent(q: String, nKeys: Int, endpoints: Int): Unit = {
+    fixture
+    val folders = Seq(ep1.root, ep2.root).take(endpoints)
+    val got = local.sql(
+      s"INCLUDE MERGE ${folders.map(f => s"'$f'").mkString(", ")} $q")
+      .collect()
+    val combined = if (endpoints == 1) "__fm_c1" else "__fm_c2"
+    val want = spark.sql(q.replace("FROM mts", s"FROM $combined")).collect()
+    def key(r: Row) =
+      (0 until nKeys).map(i => String.valueOf(r.get(i))).mkString(" ")
+    val g = got.sortBy(key)
+    val w = want.sortBy(key)
+    assert(g.length == w.length, s"row count ${g.length} vs ${w.length}\n$q")
+    g.zip(w).foreach { case (a, b) =>
+      (0 until a.length).foreach { i =>
+        (a.get(i), b.get(i)) match {
+          case (null, null) =>
+          case (x: java.lang.Double, y: java.lang.Double) =>
+            assert(x.isNaN && y.isNaN || math.abs(x - y) <=
+              math.max(1e-12, 1e-9 * math.max(math.abs(x), math.abs(y))),
+              s"col $i: $x vs $y\n$q\nmerged: $a\ncombined: $b")
+          case (x: java.lang.Float, y: java.lang.Float) =>
+            assert(x.isNaN && y.isNaN ||
+              math.abs(x.toDouble - y.toDouble) <= 1e-6 +
+                1e-6 * math.max(math.abs(x.toDouble), math.abs(y.toDouble)),
+              s"col $i: $x vs $y\n$q\nmerged: $a\ncombined: $b")
+          case (x, y) =>
+            assert(x == y, s"col $i: $x vs $y\n$q\nmerged: $a\ncombined: $b")
+        }
+      }
+    }
+  }
+
+  test("200 seeded random shapes: INCLUDE MERGE ≡ re-aggregation over the " +
+      "combined endpoints' points") {
+    var percentileSeeds = 0
+    (1 to 200).foreach { seed =>
+      val (q, nKeys, endpoints, hasPct) = genQuery(seed)
+      if (hasPct) percentileSeeds += 1
+      withClue(s"seed $seed: ") { assertEquivalent(q, nKeys, endpoints) }
+    }
+    // The generator must keep exercising the interactive rank-search path.
+    assert(percentileSeeds >= 20,
+      s"only $percentileSeeds of 200 seeds exercised percentiles")
+  }
+
+  test("planted dropped-endpoint mutation is caught") {
+    // Simulates the wrong-partial-shape bug class: a merge that silently
+    // loses one endpoint's partial frame. Seeds whose last endpoint holds
+    // data the others don't must flag the mismatch.
+    val seeds = (1 to 60).map(genQuery)
+    FederatedAggregate.plantDropFrameForTests = true
+    try {
+      val caught = seeds.exists { case (q, nKeys, endpoints, _) =>
+        try { assertEquivalent(q, nKeys, endpoints); false }
+        catch { case _: Throwable => true }
+      }
+      assert(caught, "no seed detected the dropped endpoint frame")
+    } finally FederatedAggregate.plantDropFrameForTests = false
+    // The harness still passes with the mutation off (no latent state).
+    val (q, nKeys, endpoints, _) = genQuery(1)
+    assertEquivalent(q, nKeys, endpoints)
+  }
+
+  test("planted off-by-one rank target is caught by percentile seeds") {
+    val pctSeeds = (1 to 200).map(genQuery).filter(_._4)
+    assert(pctSeeds.nonEmpty, "generator produced no percentile seeds")
+    FederatedAggregate.plantRankBugForTests = true
+    try {
+      val caught = pctSeeds.exists { case (q, nKeys, endpoints, _) =>
+        try { assertEquivalent(q, nKeys, endpoints); false }
+        catch { case _: Throwable => true }
+      }
+      assert(caught, "no percentile seed detected the rank off-by-one")
+    } finally FederatedAggregate.plantRankBugForTests = false
+  }
+
+  test("every rejection branch fires with its clear error") {
+    fixture
+    def rejects(select: String, fragment: String): Unit = {
+      val e = intercept[IllegalArgumentException] {
+        local.sql(s"INCLUDE MERGE '${ep1.root}' $select")
+      }
+      assert(e.getMessage.contains(fragment),
+        s"for [$select] got: ${e.getMessage}")
+    }
+    rejects("SELECT count(DISTINCT tag) AS n FROM mts", "approx_count_distinct")
+    rejects("SELECT sum(v) FILTER (WHERE v > 0) AS s FROM mts", "FILTER")
+    rejects("SELECT tag, count(*) AS n FROM mts GROUP BY tag HAVING count(*) > 9",
+      "plain aggregate SELECT")
+    rejects("SELECT tag, count(*) AS n FROM mts GROUP BY tag ORDER BY tag",
+      "plain aggregate SELECT")
+    rejects("SELECT count(*) AS n FROM mts LIMIT 1", "plain aggregate SELECT")
+    rejects("SELECT tag, count(*) AS n FROM mts GROUP BY 1", "ordinal")
+    rejects("SELECT collect_list(v) AS l FROM mts",
+      "not algebraically mergeable")
+    rejects("SELECT percentile(v, array(0.1, 0.9)) AS p FROM mts",
+      "scalar literal")
+    rejects("SELECT percentile(v, 0.5, 2) AS p FROM mts", "frequency")
+    rejects("SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v DESC) " +
+      "AS p FROM mts", "not supported")
+    // A string child is implicitly cast to double at analysis (failing in
+    // the ANSI cast at runtime, exactly like a local percentile(tag)); an
+    // interval child survives analysis un-cast and hits the guard.
+    rejects("SELECT median(ts - TIMESTAMP '2024-01-01') AS p FROM mts",
+      "numeric")
+    rejects("SELECT approx_count_distinct(array(v)) AS n FROM mts",
+      "sketch-mergeable")
+    rejects("SELECT tag FROM mts", "plain aggregate SELECT")
+    // NaN guard: tag "c" has NaN runs and the seed forgot the filter.
+    val e = intercept[IllegalArgumentException] {
+      local.sql(s"INCLUDE MERGE '${ep1.root}' " +
+        "SELECT tag, median(v) AS m FROM mts GROUP BY tag")
+    }
+    assert(e.getMessage.contains("NaN"), e.getMessage)
+  }
+}

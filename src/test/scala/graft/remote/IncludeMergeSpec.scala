@@ -152,6 +152,80 @@ class IncludeMergeSpec extends AnyFunSuite {
     locally { val _ = dec } // silence unused-warning if signature drifts
   }
 
+  test("grouped percentile merge is EXACT vs the combined data, and only " +
+      "count-probe statements ship — never points") {
+    val local = makeEngine(Seq("a", "b"), 450)
+    val remote = makeEngine(Seq("b", "c"), 350)
+    val statements = mutable.ArrayBuffer.empty[String]
+    val server = new RemoteServer(remote, onStatement = statements += _)
+    try {
+      val got = local.sql(
+        s"INCLUDE MERGE '${server.address}' " +
+          "SELECT tag, percentile(v, 0.9) AS p90, median(v) AS med, " +
+          "count(*) AS n FROM mts GROUP BY tag")
+        .collect().map(r => r.getString(0) -> r).toMap
+      val want = combined(local, remote).groupBy("tag")
+        .agg(expr("percentile(v, 0.9)").as("p90"), expr("median(v)").as("med"),
+          count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (tag, w) =>
+        assert(got(tag).getDouble(1) == w.getDouble(1), s"p90($tag) exact")
+        assert(got(tag).getDouble(2) == w.getDouble(2), s"median($tag) exact")
+        assert(got(tag).getLong(3) == w.getLong(3), s"n($tag)")
+      }
+      // Every statement the remote saw is an aggregate shape (the partial,
+      // a count-probe, or a bounded in-interval fetch) — never raw points.
+      assert(statements.nonEmpty)
+      statements.foreach { s =>
+        val probeOrPartial = s.contains("__p0") ||
+          (s.contains("__sid") && (s.contains("count_if") || s.contains("count(*)")))
+        assert(probeOrPartial, s"unexpected remote statement shape: $s")
+      }
+    } finally server.close()
+  }
+
+  test("percentile_disc and percentile_cont merge exactly; all-equal and " +
+      "empty-range groups take the shortcut paths") {
+    val local = makeEngine(Seq("d"), 300)
+    val remote = makeEngine(Seq("e"), 200)
+    val server = new RemoteServer(remote)
+    try {
+      val q = "SELECT tag, percentile_disc(0.25) WITHIN GROUP (ORDER BY v) " +
+        "AS pd, percentile_cont(0.75) WITHIN GROUP (ORDER BY v) AS pc " +
+        "FROM mts GROUP BY tag"
+      val got = local.sql(s"INCLUDE MERGE '${server.address}' $q")
+        .collect().map(r => r.getString(0) -> r).toMap
+      combined(local, remote).createOrReplaceTempView("__imc")
+      val want = spark.sql(q.replace("FROM mts", "FROM __imc"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (tag, w) =>
+        assert(got(tag).get(1) == w.get(1), s"pd($tag)")
+        assert(got(tag).getDouble(2) == w.getDouble(2), s"pc($tag)")
+      }
+    } finally server.close()
+  }
+
+  test("approx_count_distinct merges HLL sketches within the rsd bound") {
+    val local = makeEngine(Seq("h", "i"), 400)
+    val remote = makeEngine(Seq("i", "j"), 400)
+    val server = new RemoteServer(remote)
+    try {
+      val got = local.sql(
+        s"INCLUDE MERGE '${server.address}' " +
+          "SELECT approx_count_distinct(v, 0.02) AS ad, count(*) AS n FROM mts")
+        .collect().head
+      val exact = combined(local, remote)
+        .agg(countDistinct(col("v")), count(lit(1))).collect().head
+      assert(got.getLong(1) == exact.getLong(1), "count merges exactly")
+      val rel = math.abs(got.getLong(0).toDouble / exact.getLong(0) - 1.0)
+      assert(rel <= 0.06,
+        s"sketch estimate ${got.getLong(0)} vs exact ${exact.getLong(0)} " +
+          s"(rel err $rel) outside 3x rsd")
+    } finally server.close()
+  }
+
   test("non-mergeable statements are rejected with clear errors") {
     val local = makeEngine(Seq("r"), 60)
     val remote = makeEngine(Seq("s"), 60)
@@ -164,13 +238,17 @@ class IncludeMergeSpec extends AnyFunSuite {
         assert(e.getMessage.contains(fragment),
           s"for [$select] got: ${e.getMessage}")
       }
-      rejects("SELECT count(DISTINCT v) AS n FROM mts", "DISTINCT")
+      rejects("SELECT count(DISTINCT v) AS n FROM mts", "approx_count_distinct")
       rejects("SELECT tag, count(*) AS n FROM mts GROUP BY tag ORDER BY tag",
         "plain aggregate SELECT")
       rejects("SELECT tag, count(*) AS n FROM mts GROUP BY tag HAVING count(*) > 1",
         "plain aggregate SELECT")
       rejects("SELECT tag, count(*) AS n FROM mts GROUP BY 1", "ordinal")
-      rejects("SELECT percentile(v, 0.5) AS p FROM mts", "not algebraically mergeable")
+      rejects("SELECT collect_list(v) AS p FROM mts", "not algebraically mergeable")
+      rejects("SELECT percentile(v, array(0.25, 0.5)) AS p FROM mts",
+        "scalar literal")
+      rejects("SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v DESC) " +
+        "AS p FROM mts", "not")
       rejects("SELECT tag, v FROM mts", "plain aggregate SELECT")
     } finally server.close()
   }
