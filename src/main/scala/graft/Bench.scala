@@ -46,11 +46,17 @@ object Bench {
   private def fmt(v: Double): String =
     if (v < 0) "-1.0" else f"$v%.3f"
 
-  private def jsonLine(results: Seq[(String, Double)]): String = {
+  private def jsonLine(results: Seq[(String, Double)],
+      spreads: Map[String, (Double, Double)] = Map.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val disp =
+      if (spreads.isEmpty) ""
+      else results.flatMap { case (k, _) => spreads.get(k).map(s =>
+          "\"" + k + "\":[" + fmt(s._1) + "," + fmt(s._2) + "]") }
+        .mkString(""","dispersion":{""", ",", "}")
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$disp,"sf":"$sfDir"}"""
   }
 
   /** Emit the combined line AND persist it to BENCH_LOCAL.json: the line
@@ -59,7 +65,13 @@ object Bench {
     * keeps a complete machine-readable copy for auditing. Children
     * (one-query forks) skip the file.
     */
-  private def emit(results: Seq[(String, Double)]): Unit = {
+  private def emit(results: Seq[(String, Double)],
+      spreads: Map[String, (Double, Double)] = Map.empty): Unit = {
+    // The stdout contract line stays lean (round 11's harness truncated a
+    // long line); per-query dispersion ([min, max] of the timed runs —
+    // same-code spread is the noise band any cross-round comparison must
+    // clear) rides only in child lines (parent parses them) and in the
+    // persisted BENCH_LOCAL.json audit copy.
     val line = jsonLine(results)
     // Only full-registry runs persist: a SPARK_GRAFT_BENCH_ONLY-filtered
     // iteration must not clobber the complete checked-in map. The FILE
@@ -73,13 +85,13 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8").trim
         if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
       } catch { case _: Exception => "unknown" }
-      val stamped = line.dropRight(1) +
+      val stamped = jsonLine(results, spreads).dropRight(1) +
         s""","commit":"$sha","generatedAtMs":${System.currentTimeMillis()}}"""
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), stamped + "\n")
       catch { case _: Exception => () } // read-only cwd must not kill the line
-    }
-    println(line)
+      println(line)
+    } else println(jsonLine(results, spreads)) // child/filtered: tiny line
   }
 
   // ---------------------------------------------------------------- forked
@@ -116,6 +128,7 @@ object Bench {
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_CHILD_TIMEOUT", "900").toLong
     val names = selected.keys.toSeq
     val completed = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    val spreads = scala.collection.mutable.Map[String, (Double, Double)]()
     names.foreach { name =>
       val cmd = (Seq(javaBin, s"-Xmx$heap", "-XX:+UseG1GC") ++ moduleOpts ++
         Seq("-cp", cp, "graft.Bench")).toArray
@@ -139,21 +152,25 @@ object Bench {
         try src.getLines().toList finally src.close()
       }
       outFile.delete()
-      val sec = out.reverseIterator
-        .find(_.startsWith("{\"metric\""))
-        .flatMap { line =>
-          val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.eE+]+)").r
-          re.findFirstMatchIn(line).map(_.group(1).toDouble)
-        }
+      val childLine = out.reverseIterator.find(_.startsWith("{\"metric\""))
         .filter(_ => finished && proc.exitValue() == 0)
-        .getOrElse(-1.0)
+      val sec = childLine.flatMap { line =>
+        val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":(-?[0-9.eE+]+)").r
+        re.findFirstMatchIn(line).map(_.group(1).toDouble)
+      }.getOrElse(-1.0)
+      childLine.foreach { line =>
+        val re = ("\"dispersion\":\\{\"" + java.util.regex.Pattern.quote(name) +
+          "\":\\[(-?[0-9.eE+]+),(-?[0-9.eE+]+)\\]").r
+        re.findFirstMatchIn(line).foreach(m =>
+          spreads(name) = (m.group(1).toDouble, m.group(2).toDouble))
+      }
       if (sec < 0) System.err.println(s"[bench] $name: child failed (rc=${if (finished) proc.exitValue() else "timeout"})")
       else System.err.println(f"[bench] $name: $sec%.3f s (isolated)")
       completed += (name -> sec)
       // A cumulative line after EVERY child: consumers take the last JSON
       // line on stdout, so a run killed by an external timeout still
       // reports every query measured before the kill instead of nothing.
-      emit(completed.toSeq)
+      emit(completed.toSeq, spreads.toMap)
       System.out.flush()
     }
   }
@@ -223,9 +240,13 @@ object Bench {
       }
       // Failure marker: never report a failing query as a fast one.
       val median = if (times.size < Runs) -1.0 else times.sorted(Ordering.Double.TotalOrdering)(Runs / 2)
-      name -> median
+      (name, median, times)
     }
-    emit(results)
+    val spreads = results.collect {
+      case (name, median, times) if median >= 0 && times.nonEmpty =>
+        name -> (times.min, times.max)
+    }.toMap
+    emit(results.map { case (n, m, _) => (n, m) }, spreads)
     spark.stop()
   }
 }

@@ -49,6 +49,38 @@ object StreamingAnalytics {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__content_hash")
 
+  /** Prebuilt corpus side of [[screenStream]]: the MinHash LSH band index
+    * plus the shingle sets the exact-Jaccard verify reads. Build it ONCE
+    * and `persist()` it — a stream-static join re-evaluates the static
+    * side every micro-batch (Spark's contract), and without the pin each
+    * batch would re-run the MinHash kernel over the whole corpus (the
+    * per-batch cost then grows linearly with corpus size — measured 4.3 s
+    * → 22 s per batch for a 4× corpus in OpsScaleDrive before this
+    * existed). `unpersist()` when the query stops.
+    */
+  final case class ScreenIndex(banded: DataFrame, content: DataFrame) {
+    def persist(): this.type = {
+      banded.persist(); content.persist()
+      // Materialize now: the first micro-batch shouldn't pay the build.
+      banded.count(); content.count()
+      this
+    }
+    def unpersist(): Unit = { banded.unpersist(); content.unpersist() }
+  }
+
+  /** Build the static-corpus index [[screenStream]] probes. */
+  def screenIndex(
+      corpus: DataFrame, refIdCol: String, refTextCol: String,
+      numHashes: Int = 128, bands: Int = 16, shingleK: Int = 3): ScreenIndex = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    ScreenIndex(
+      graft.ops.Dedup
+        .minhashBands(corpus, refIdCol, refTextCol, numHashes, bands, shingleK)
+        .toDF("ref_id", "band", "band_hash"),
+      corpus.select(col(refIdCol).as("ref_id"),
+        graft.ops.Dedup.shinglesCol(col(refTextCol), shingleK).as("__sh_ref")))
+  }
+
   /** STREAMING near-duplicate screen against a static reference corpus —
     * the continuous form of training-data decontamination: every document
     * flowing through the stream is checked against a benchmark/eval set
@@ -64,15 +96,16 @@ object StreamingAnalytics {
     * |batch| × |corpus|. A pair colliding in several bands is collapsed
     * to one output row WITHOUT streaming state: collisions repartition by
     * pair and a per-partition (per-batch) hash set keeps the first — the
-    * only cross-batch identity is the caller's doc_id. The corpus side
-    * re-evaluates per micro-batch (Spark's stream-static contract), so
-    * callers should `persist()` the corpus DataFrame.
+    * only cross-batch identity is the caller's doc_id. The corpus rides a
+    * persisted, BROADCAST [[ScreenIndex]] (benchmark/eval corpora are
+    * broadcast-sized; per-batch time is then flat in corpus size — no
+    * per-batch corpus shuffle or kernel re-run). For corpora too large to
+    * broadcast, screen in batch with the pair finder instead.
     */
   def screenStream(
       stream: DataFrame, idCol: String, textCol: String,
-      corpus: DataFrame, refIdCol: String, refTextCol: String,
-      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 16,
-      shingleK: Int = 3): DataFrame = {
+      index: ScreenIndex, threshold: Double, numHashes: Int, bands: Int,
+      shingleK: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val sBanded = stream.select(
       col(idCol).as("doc_id"),
@@ -80,11 +113,8 @@ object StreamingAnalytics {
       posexplode(graft.ops.Dedup.minhashBandKeysCol(
         col(textCol), numHashes, bands, shingleK))
         .as(Seq("band", "band_hash")))
-    val cBanded = graft.ops.Dedup
-      .minhashBands(corpus, refIdCol, refTextCol, numHashes, bands, shingleK)
-      .toDF("ref_id", "band", "band_hash")
-    val cContent = corpus.select(col(refIdCol).as("ref_id"),
-      graft.ops.Dedup.shinglesCol(col(refTextCol), shingleK).as("__sh_ref"))
+    val cBanded = broadcast(index.banded)
+    val cContent = broadcast(index.content)
     // Candidate pairs are deduped per batch BEFORE the corpus-content join
     // and the exact-Jaccard verify: a pair colliding in several bands would
     // otherwise pay the verify kernel once per colliding band (up to
@@ -109,6 +139,21 @@ object StreamingAnalytics {
       .where(col("jaccard") >= threshold)
       .select(col("doc_id"), col("ref_id"), col("jaccard"))
   }
+
+  /** [[screenStream]] with the index built (and persisted for the life of
+    * the query) from a raw corpus frame. For explicit index lifecycle
+    * (several queries over one corpus, unpersist on stop) build a
+    * [[ScreenIndex]] with [[screenIndex]] and pass it directly.
+    */
+  def screenStream(
+      stream: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, refIdCol: String, refTextCol: String,
+      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 16,
+      shingleK: Int = 3): DataFrame =
+    screenStream(stream, idCol, textCol,
+      screenIndex(corpus, refIdCol, refTextCol, numHashes, bands, shingleK)
+        .persist(),
+      threshold, numHashes, bands, shingleK)
 
   /** Event input for sessionization. */
   final case class SessionEvent(key: String, tsMicros: Long, value: Double)

@@ -425,7 +425,8 @@ final class DataFolder(val spark: SparkSession, val root: String) {
               meta.tagColumns.flatMap { t =>
                 val bs = all.map(_.tagBounds.get(t))
                 if (bs.forall(_.isDefined))
-                  Some(t -> (bs.map(_.get._1).min, bs.map(_.get._2).max))
+                  Some(t -> (bs.map(_.get._1).reduce(TagBounds.min),
+                    bs.map(_.get._2).reduce(TagBounds.max)))
                 else scala.None
               }.toMap
             } else Map.empty
@@ -562,16 +563,15 @@ final class DataFolder(val spark: SparkSession, val root: String) {
 
   /** Per-file statistics payload of a freshly staged segment file: time
     * bounds plus per-tag-column [min, max] value ranges. Tag bounds are
-    * kept only when every row group has them AND both ends are pure ASCII
-    * (Java string order, Parquet UTF8 byte order, and Spark UTF8String
-    * order all agree on ASCII — a non-ASCII bound is dropped rather than
-    * risking an order-mismatch skip).
+    * kept only when every row group has them, compared EVERYWHERE in
+    * unsigned UTF-8 byte order via [[TagBounds]] (Parquet's UTF8
+    * comparator and Spark's UTF8String order; Java String order disagrees
+    * above the BMP), and truncated with Parquet's truncate-and-increment
+    * approach so a pathological tag value never bloats the manifest.
     */
   private final case class StagedMeta(
     timeBounds: Option[(Long, Long)],
     tagBounds: Map[String, (String, String)])
-
-  private def isAscii(s: String): Boolean = s.forall(_ < 0x80)
 
   /** Staged-file statistics. Typical batches read the Parquet FOOTERS
     * driver-side (row-group column statistics — milliseconds per file, no
@@ -633,8 +633,10 @@ final class DataFolder(val spark: SparkSession, val root: String) {
               x.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
             val los = perBlock.map(s => str(s.get.genericGetMin: Any))
             val his = perBlock.map(s => str(s.get.genericGetMax: Any))
-            if ((los ++ his).forall(isAscii)) Some(t -> (los.min, his.max))
-            else scala.None
+            // Row-group stats are already UTF-8-ordered (Parquet's UTF8
+            // comparator); fold and truncate in the same order.
+            Some(t -> (TagBounds.truncateLo(los.reduce(TagBounds.min)),
+              TagBounds.truncateHi(his.reduce(TagBounds.max))))
           }
         }.toMap
         StagedMeta(if (timeOk) Some((mn, mx)) else scala.None, tags)
@@ -665,8 +667,10 @@ final class DataFolder(val spark: SparkSession, val root: String) {
         val tags = tagCols.zipWithIndex.flatMap { case (t, i) =>
           val lo = r.getAs[String](s"__tlo_$i")
           val hi = r.getAs[String](s"__thi_$i")
-          if (lo != null && hi != null && isAscii(lo) && isAscii(hi))
-            Some(t -> (lo, hi))
+          // Spark's string min/max are UTF8String (byte-order) aggregates —
+          // the same order the bound compare uses.
+          if (lo != null && hi != null)
+            Some(t -> (TagBounds.truncateLo(lo), TagBounds.truncateHi(hi)))
           else scala.None
         }.toMap
         rel -> StagedMeta(Some((r.getLong(1), r.getLong(2))), tags)
@@ -754,8 +758,10 @@ final class DataFolder(val spark: SparkSession, val root: String) {
     * value (any of them, for IN-lists) is never opened — `WHERE tag =
     * 'sensor-123'` over a tag-sorted layout (ingest range-partitions by
     * tags, compaction re-sorts) touches O(files holding that series), not
-    * O(table). Absent tag bounds (legacy commits, non-ASCII values) keep
-    * the file; exact predicates downstream are unchanged.
+    * O(table). Absent tag bounds (legacy commits) keep the file; exact
+    * predicates downstream are unchanged. Bounds are recorded and compared
+    * in unsigned UTF-8 byte order ([[TagBounds]]), so multilingual tag
+    * values skip correctly too.
     */
   def segmentsPruned(table: String, startUs: Option[Long],
       endUs: Option[Long], tagEq: Map[String, String],
@@ -770,7 +776,8 @@ final class DataFolder(val spark: SparkSession, val root: String) {
         def inBounds(s: TableManifest.FileStats, t: String,
             vs: Seq[String]): Boolean =
           s.tagBounds.get(t).forall { case (mn, mx) =>
-            vs.exists(v => mn.compareTo(v) <= 0 && v.compareTo(mx) <= 0)
+            // UTF-8 byte order — the order the bounds were recorded in.
+            vs.exists(v => TagBounds.contains(mn, mx, v))
           }
         val kept = snapshot.files.filter { rel =>
           snapshot.fileStats.get(rel).forall { s =>

@@ -108,8 +108,10 @@ private[graft] object TableManifest {
     * `end_time` predicate; `tagBounds` holds per-TAG-column [min, max]
     * value ranges so tag-equality predicates (`WHERE tag = 'sensor-123'`,
     * the dominant TSDB access pattern) skip files too. Tag bounds are
-    * recorded only when ASCII (Java string order, Parquet byte order, and
-    * Spark UTF8String order then agree); a tag absent from the map never
+    * recorded and compared in unsigned UTF-8 byte order (see
+    * [[graft.tsdb.TagBounds]] — Parquet's UTF8 comparator and Spark's
+    * UTF8String order; multilingual values included), truncated with the
+    * truncate-and-increment approach; a tag absent from the map never
     * skips. Stats are advisory: a file absent entirely is planned via a
     * filesystem probe and never skipped.
     */

@@ -348,6 +348,60 @@ class ManifestSpec extends AnyFunSuite {
     assert(engine.readTable("ct").count() == before.size + 40L)
   }
 
+  test("multilingual tag values record bounds, skip safely, and still prune") {
+    val engine = newEngine()
+    engine.sql("CREATE TIME SERIES TABLE ml(ts_us TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    // Tags from every script class, including the supplementary plane
+    // (where Java String order and UTF-8 byte order DISAGREE) and the BMP
+    // private-use region that sits between them in exactly one of the two
+    // orders — a String-order bound comparison wrongly skips these.
+    val tags = Seq("alpha", "zulu", "éclair", "жук", "中文値", "한글",
+      "", "퟿", "𐀀𐀁", "🚀rocket", "😀", "🧪lab")
+    val perTag = 60
+    def rowsOf(tag: String, t: Int) =
+      (0 until perTag).map(i => (1_000_000L * t + i * 1000L, i.toFloat, tag))
+    // One append per tag (tag-disjoint files — the pruneable layout) plus
+    // one interleaved append over all tags (a file whose bounds span
+    // scripts, including across the UTF-16/UTF-8 disagreement boundary).
+    tags.zipWithIndex.foreach { case (tag, t) =>
+      engine.write("ml", rowsOf(tag, t).toDF("ts_us", "v", "tag"))
+    }
+    engine.write("ml", tags.zipWithIndex
+      .flatMap { case (tag, t) => rowsOf(tag, t).map(r => (r._1 + 1L, r._2, tag)) }
+      .toDF("ts_us", "v", "tag"))
+
+    val fs = new org.apache.hadoop.fs.Path(engine.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val head = TableManifest.latest(fs, engine.dataFolder.tableDir("ml")).get
+    // Bounds are recorded for multilingual values (pre-round-15 they were
+    // dropped as non-ASCII, silently losing all skipping)…
+    assert(head.files.nonEmpty &&
+      head.files.forall(head.fileStats(_).tagBounds.contains("tag")),
+      "multilingual tag bounds must be recorded for every file")
+    // …round-trip the manifest JSON/checkpoint layer intact…
+    head.files.foreach { f =>
+      val (lo, hi) = head.fileStats(f).tagBounds("tag")
+      assert(TagBounds.compare(lo, hi) <= 0, s"$f bounds inverted: [$lo, $hi]")
+    }
+    // …NEVER skip a file that holds the queried value (2 appends × 60
+    // points per tag must all come back through the pruned scan)…
+    tags.foreach { tag =>
+      val n = engine.readTimeSeriesTable("ml", Seq("v"),
+        engine.Aggregate.Count, tagFilters = Map("tag" -> tag))
+        .collect().head.getLong(0)
+      assert(n == 2L * perTag, s"tag [$tag]: expected ${2 * perTag}, got $n")
+    }
+    // …and pruning still happens: ingest range-partitions by tag, so some
+    // value's file set is a strict subset of the table.
+    val all = engine.dataFolder.segments("ml").inputFiles.length
+    val prunedCounts = tags.map(tag => engine.dataFolder
+      .segmentsPruned("ml", scala.None, scala.None, Map("tag" -> tag))
+      .inputFiles.length)
+    assert(prunedCounts.exists(_ < all),
+      s"no tag value pruned anything ($prunedCounts of $all files)")
+  }
+
   test("OPTIMIZE ZORDER clusters files by tag and sharpens file skipping") {
     val engine = newEngine()
     engine.sql("CREATE TIME SERIES TABLE zc(ts_us TIMESTAMP, v FIELD, tag TAG)")
@@ -738,14 +792,15 @@ class ManifestSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(none == 0)
 
-    // Non-ASCII tags: bounds are dropped (never wrong), files always kept.
+    // Non-ASCII tags record UTF-8-ordered bounds too (round 15; they were
+    // previously dropped, silently losing skipping for non-Latin scripts).
     engine.write("tg", points(3_000_000L, 40, "séns"))
     val snap2 = TableManifest.latest(fs, engine.dataFolder.tableDir("tg")).get
     val newFiles = snap2.files.filterNot(snap.files.toSet)
     assert(newFiles.nonEmpty)
     assert(newFiles.forall(f =>
-      !snap2.fileStats(f).tagBounds.contains("tag")),
-      "non-ASCII tag values must not record bounds")
+      snap2.fileStats(f).tagBounds.contains("tag")),
+      "non-ASCII tag values must record UTF-8-ordered bounds")
     val cnt2 = engine.readTimeSeriesTable("tg", Seq("v"),
       engine.Aggregate.Count, tagFilters = Map("tag" -> "séns1"))
       .collect().head.getLong(0)
