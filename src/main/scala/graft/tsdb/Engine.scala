@@ -1710,6 +1710,9 @@ final class Engine(val spark: SparkSession, val root: String) {
       }
     }
     val nGroups = debugPhase("census")(math.max(1L, censusDf.count()))
+    // Fan cap measured at the knee (round 15): 4096 cuts one narrowing
+    // round but the wider kernel pass costs more than the round saves
+    // (ts_sql_median 4.2 s → 5.7 s); 2048 stands.
     val fan = math.max(16L, math.min(2048L / ksStatic,
       24000000L / (nGroups * ksStatic)))
     val width = (ksStatic * fan).toInt
