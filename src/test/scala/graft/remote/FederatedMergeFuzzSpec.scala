@@ -246,6 +246,44 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     } finally FederatedAggregate.plantRankBugForTests = false
   }
 
+  test("30 sketch-merge seeds: approx_count_distinct stays within 5x rsd " +
+      "of the exact distinct count over the combined endpoints") {
+    fixture
+    (1 to 30).foreach { seed =>
+      val rng = new scala.util.Random(seed * 2862933555777941757L + 11)
+      val grouped = rng.nextBoolean()
+      val rsd = Seq(0.02, 0.05)(rng.nextInt(2))
+      val child = Seq("v", "tag", "ts")(rng.nextInt(3))
+      val endpoints = 1 + rng.nextInt(2)
+      val folders = Seq(ep1.root, ep2.root).take(endpoints)
+      val combined = if (endpoints == 1) "__fm_c1" else "__fm_c2"
+      val (sel, grp) =
+        if (grouped) (s"SELECT tag, approx_count_distinct($child, $rsd) " +
+          "AS ad FROM mts GROUP BY tag", 1)
+        else (s"SELECT approx_count_distinct($child, $rsd) AS ad FROM mts", 0)
+      val got = local.sql(
+        s"INCLUDE MERGE ${folders.map(f => s"'$f'").mkString(", ")} $sel")
+        .collect()
+        .map(r => (if (grp == 1) r.getString(0) else "") -> r.getLong(grp))
+        .toMap
+      val exact = spark.sql(
+        (if (grouped) s"SELECT tag, count(DISTINCT $child) AS e " +
+          s"FROM $combined GROUP BY tag"
+        else s"SELECT count(DISTINCT $child) AS e FROM $combined"))
+        .collect()
+        .map(r => (if (grp == 1) r.getString(0) else "") -> r.getLong(grp))
+        .toMap
+      withClue(s"seed $seed [$sel]: ") {
+        assert(got.keySet == exact.keySet)
+        exact.foreach { case (k, e) =>
+          val rel = math.abs(got(k).toDouble / math.max(e, 1L) - 1.0)
+          assert(rel <= 5 * rsd,
+            s"group [$k]: estimate ${got(k)} vs exact $e (rel $rel)")
+        }
+      }
+    }
+  }
+
   test("every rejection branch fires with its clear error") {
     fixture
     def rejects(select: String, fragment: String): Unit = {
