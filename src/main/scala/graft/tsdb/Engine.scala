@@ -2815,17 +2815,32 @@ final class Engine(val spark: SparkSession, val root: String) {
         lazy val folderEngines =
           scala.collection.mutable.LinkedHashMap.empty[String, Engine]
         def runAll(text: String): Seq[DataFrame] = {
+          // TCP endpoints fan out CONCURRENTLY and are awaited before any
+          // local catalog work: a round over N remotes costs
+          // max(endpoint latency), not the sum. RemoteClient.sql drains
+          // the socket eagerly and builds a local relation, so the
+          // futures never touch this session's catalog; the local query
+          // and folder endpoints (which re-register session views) run
+          // AFTER the await, on the caller thread — an endpoint server
+          // embedded in THIS session (the test shape) would otherwise
+          // race the local view registration.
+          import scala.concurrent.{Await, Future}
+          val remoteFutures = addresses.map { addr =>
+            graft.remote.RemoteClient.parseAddress(addr).map(a => Future(
+              graft.remote.RemoteClient.sql(spark, a, text))(
+              Engine.federationEc))
+          }
+          val drained = remoteFutures.map(_.map(f =>
+            Await.result(f, scala.concurrent.duration.Duration.Inf)))
           val local = sql(text)
-          val remotes = addresses.map { addr =>
-            graft.remote.RemoteClient.parseAddress(addr) match {
-              case Some(a) => graft.remote.RemoteClient.sql(spark, a, text)
-              case scala.None =>
-                val remote = folderEngines
-                  .getOrElseUpdate(addr, new Engine(spark, addr))
-                val df = remote.sql(text)
-                forceRegisterViews() // restore local views
-                df
-            }
+          val remotes = addresses.zip(drained).map {
+            case (_, Some(df)) => df
+            case (addr, scala.None) =>
+              val remote = folderEngines
+                .getOrElseUpdate(addr, new Engine(spark, addr))
+              val df = remote.sql(text)
+              forceRegisterViews() // restore local views
+              df
           }
           local +: remotes
         }
@@ -2930,6 +2945,25 @@ object Engine {
 
   private val transitionGapCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Long]]()
+
+  /** Federation fan-out pool: INCLUDE's remote TCP endpoints drain
+    * eagerly (socket read + Arrow decode, no session-catalog access), so
+    * a round costs max(endpoint latency), not the sum. Daemon threads,
+    * sized for endpoint counts, idle threads reclaimed.
+    */
+  private[tsdb] lazy val federationEc: scala.concurrent.ExecutionContext = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger()
+    val pool = new java.util.concurrent.ThreadPoolExecutor(
+      0, 32, 30L, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.SynchronousQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-federation-${counter.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      },
+      new java.util.concurrent.ThreadPoolExecutor.CallerRunsPolicy())
+    scala.concurrent.ExecutionContext.fromExecutorService(pool)
+  }
 
   private val lastRegistrant =
     new java.util.WeakHashMap[SparkSession, Engine]()

@@ -226,6 +226,33 @@ class IncludeMergeSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("remote endpoints fan out concurrently: a round costs " +
+      "max(endpoint latency), not the sum") {
+    val engine = makeEngine(Seq("z"), 80)
+    // Two endpoints over the same engine, each holding the statement for
+    // 600 ms before serving it. Sequential fan-out would space the two
+    // receive times >= 600 ms apart; the concurrent drain lands both
+    // within the dispatch jitter.
+    val t1 = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val t2 = new java.util.concurrent.atomic.AtomicLong(-1L)
+    def delayed(stamp: java.util.concurrent.atomic.AtomicLong)
+        : String => Unit = _ => {
+      stamp.set(System.nanoTime()); Thread.sleep(600)
+    }
+    val s1 = new RemoteServer(engine, onStatement = delayed(t1))
+    val s2 = new RemoteServer(engine, onStatement = delayed(t2))
+    try {
+      val rows = engine.sql(
+        s"INCLUDE '${s1.address}', '${s2.address}' " +
+          "SELECT count(*) AS n FROM mts").collect()
+      assert(rows.length == 3) // local + 2 endpoints, row-union
+      assert(t1.get() > 0 && t2.get() > 0)
+      val gapMs = math.abs(t1.get() - t2.get()) / 1000000L
+      assert(gapMs < 450,
+        s"endpoints received the statement $gapMs ms apart — sequential?")
+    } finally { s1.close(); s2.close() }
+  }
+
   test("non-mergeable statements are rejected with clear errors") {
     val local = makeEngine(Seq("r"), 60)
     val remote = makeEngine(Seq("s"), 60)
