@@ -226,6 +226,60 @@ class IncludeMergeSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("normal tables with NULL group keys, NULL percentile children, and " +
+      "integer children merge exactly") {
+    def normalEngine(seed: Int, rows: Int): Engine = {
+      val engine = new Engine(spark,
+        Files.createTempDirectory("graft_merge_nt").toString)
+      engine.sql("CREATE TABLE nt(k STRING, x INT, y DOUBLE)")
+      val rng = new scala.util.Random(seed)
+      import spark.implicits._
+      val data = (0 until rows).map { i =>
+        val k = rng.nextInt(4) match {
+          case 0 => null; case 1 => "g1"; case 2 => "g2"; case _ => "g3"
+        }
+        val x: java.lang.Integer =
+          if (rng.nextDouble() < 0.15) null
+          else Int.box(rng.nextInt(2001) - 1000)
+        (k, x, rng.nextDouble() * 50 - 25)
+      } ++
+        // A group whose percentile child is ALL NULL on every endpoint:
+        // the merged percentile must be NULL (count 0), not a crash.
+        (0 until 5).map(i => ("gnull", null: java.lang.Integer, i.toDouble))
+      engine.write("nt", data.toDF("k", "x", "y"))
+      engine
+    }
+    val local = normalEngine(1, 300)
+    val remote = normalEngine(2, 260)
+    val server = new RemoteServer(remote)
+    try {
+      val q = "SELECT k, percentile(x, 0.5) AS med, " +
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY x) AS p90d, " +
+        "count(x) AS nx, avg(y) AS ay FROM nt GROUP BY k"
+      val got = local.sql(s"INCLUDE MERGE '${server.address}' $q")
+        .collect().map(r => Option(r.getString(0)) -> r).toMap
+      local.readTable("nt").unionByName(remote.readTable("nt"))
+        .createOrReplaceTempView("__imnt")
+      val want = spark.sql(q.replace("FROM nt", "FROM __imnt"))
+        .collect().map(r => Option(r.getString(0)) -> r).toMap
+      assert(got.keySet == want.keySet)
+      assert(got.keySet.contains(None), "the NULL group key must merge too")
+      want.foreach { case (k, w) =>
+        val g = got(k)
+        // percentile over INT: both sides interpolate the same exact
+        // doubles, so equality is exact; percentile_disc returns an
+        // actual INT value. The all-NULL group yields NULL percentiles.
+        if (w.isNullAt(1)) assert(g.isNullAt(1), s"med($k) must be NULL")
+        else assert(g.getDouble(1) == w.getDouble(1), s"med($k)")
+        assert(g.get(2) == w.get(2), s"p90d($k)")
+        assert(g.getLong(3) == w.getLong(3), s"nx($k): nulls must not count")
+        assertClose(g.getDouble(4), w.getDouble(4), s"ay($k)")
+      }
+      assert(got(Some("gnull")).isNullAt(1),
+        "all-NULL group's percentile must merge to NULL")
+    } finally server.close()
+  }
+
   test("remote endpoints fan out concurrently: a round costs " +
       "max(endpoint latency), not the sum") {
     val engine = makeEngine(Seq("z"), 80)
