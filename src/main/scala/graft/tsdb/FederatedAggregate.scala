@@ -85,6 +85,12 @@ object FederatedAggregate {
     */
   private val QuantileFan = 16
 
+  /** Max rank states per probe/fetch statement: thresholds ride as VALUES
+    * text, so a round over more states than this splits into several
+    * parse-bounded statements (~2 MB each) instead of one unbounded one.
+    */
+  private val StatesPerStatement = 8192
+
   private def fail(msg: String): Nothing =
     throw new IllegalArgumentException(s"INCLUDE MERGE: $msg")
 
@@ -495,24 +501,30 @@ object FederatedAggregate {
       if (fetches.nonEmpty) {
         val probeCols =
           Seq("__sid") ++ keyCols ++ Seq("__cix", "__lo", "__hi")
-        val rows = fetches.map { st =>
-          "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
-            Seq(st.cix.toString, renderDouble(st.lo), renderDouble(st.hi)))
-            .mkString(", ") + ")"
+        // Statement text is O(states): past the chunk size, several
+        // statements per round keep each one parse-bounded (the answer —
+        // and hence the state count — is already driver-materialized, so
+        // chunking changes round-trip count, never memory).
+        val merged = fetches.grouped(StatesPerStatement).toSeq.flatMap { chunk =>
+          val rows = chunk.map { st =>
+            "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
+              Seq(st.cix.toString, renderDouble(st.lo), renderDouble(st.hi)))
+              .mkString(", ") + ")"
+          }
+          val sql =
+            s"""SELECT __sid, __v, count(*) AS __c FROM (
+               |  SELECT __probe.__sid AS __sid, __probe.__lo AS __lo,
+               |         __probe.__hi AS __hi, $vExpr AS __v
+               |  FROM ${onSql(probeCols, rows)}
+               |) __j WHERE __v > __lo AND __v <= __hi
+               |GROUP BY __sid, __v""".stripMargin
+          runAll(sql).reduce(_ unionByName _)
+            .groupBy("__sid", "__v").agg(sum(col("__c")).as("__c"))
+            .collect().toSeq
         }
-        val sql =
-          s"""SELECT __sid, __v, count(*) AS __c FROM (
-             |  SELECT __probe.__sid AS __sid, __probe.__lo AS __lo,
-             |         __probe.__hi AS __hi, $vExpr AS __v
-             |  FROM ${onSql(probeCols, rows)}
-             |) __j WHERE __v > __lo AND __v <= __hi
-             |GROUP BY __sid, __v""".stripMargin
-        val merged = runAll(sql).reduce(_ unionByName _)
-          .groupBy("__sid", "__v").agg(sum(col("__c")).as("__c"))
-          .collect()
         val bySid = merged.groupBy(_.getInt(0))
         fetches.foreach { st =>
-          val vals = bySid.getOrElse(st.sid, Array.empty[Row])
+          val vals = bySid.getOrElse(st.sid, Seq.empty[Row])
             .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
           var cum = st.cLo
           var i = 0
@@ -534,25 +546,27 @@ object FederatedAggregate {
           (1 to nT).map(m => s"__t$m")
         def thresholds(st: RankState): Seq[Double] =
           (1 to nT).map(m => st.lo + (st.hi - st.lo) * m / QuantileFan)
-        val rows = probes.map { st =>
-          "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
-            Seq(st.cix.toString) ++ thresholds(st).map(renderDouble))
-            .mkString(", ") + ")"
+        val merged = probes.grouped(StatesPerStatement).toSeq.flatMap { chunk =>
+          val rows = chunk.map { st =>
+            "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
+              Seq(st.cix.toString) ++ thresholds(st).map(renderDouble))
+              .mkString(", ") + ")"
+          }
+          val sql =
+            s"""SELECT __sid, ${(1 to nT)
+              .map(m => s"count_if(__v <= __t$m) AS __c$m").mkString(", ")}
+               |FROM (
+               |  SELECT __probe.__sid AS __sid, ${(1 to nT)
+              .map(m => s"__probe.__t$m AS __t$m").mkString(", ")},
+               |         $vExpr AS __v
+               |  FROM ${onSql(probeCols, rows)}
+               |) __j GROUP BY __sid""".stripMargin
+          val sumCols = (1 to nT).map(m => sum(col(s"__c$m")).as(s"__c$m"))
+          runAll(sql).reduce(_ unionByName _)
+            .groupBy("__sid")
+            .agg(sumCols.head, sumCols.tail: _*)
+            .collect().toSeq
         }
-        val sql =
-          s"""SELECT __sid, ${(1 to nT)
-            .map(m => s"count_if(__v <= __t$m) AS __c$m").mkString(", ")}
-             |FROM (
-             |  SELECT __probe.__sid AS __sid, ${(1 to nT)
-            .map(m => s"__probe.__t$m AS __t$m").mkString(", ")},
-             |         $vExpr AS __v
-             |  FROM ${onSql(probeCols, rows)}
-             |) __j GROUP BY __sid""".stripMargin
-        val sumCols = (1 to nT).map(m => sum(col(s"__c$m")).as(s"__c$m"))
-        val merged = runAll(sql).reduce(_ unionByName _)
-          .groupBy("__sid")
-          .agg(sumCols.head, sumCols.tail: _*)
-          .collect()
         val bySid = merged.map(r => r.getInt(0) -> r).toMap
         probes.foreach { st =>
           val ts = thresholds(st)
