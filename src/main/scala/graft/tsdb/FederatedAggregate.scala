@@ -472,6 +472,11 @@ object FederatedAggregate {
           if (hi0.isNaN) fail(
             "percentile over NaN-containing data is not rank-searchable; " +
               "filter NaNs in WHERE or use plain INCLUDE.")
+          // ±Infinity poisons the probe thresholds (lo + (hi-lo)·m is
+          // NaN): reject clearly instead of failing mid-search.
+          if (lo0.isInfinite || hi0.isInfinite) fail(
+            "percentile over infinite values is not rank-searchable; " +
+              "filter them in WHERE or use plain INCLUDE.")
           if (lo0 == hi0) plans(g)(k) = Const(lo0)
           else if (spec.discrete) {
             val target = math.max(math.ceil(spec.p * n).toLong, 1L)

@@ -322,5 +322,13 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
         "SELECT tag, median(v) AS m FROM mts GROUP BY tag")
     }
     assert(e.getMessage.contains("NaN"), e.getMessage)
+    // Infinity guard: ±Inf would poison the probe thresholds (lo+(hi-lo)·m
+    // = NaN); the child expression manufactures one deterministically.
+    val e2 = intercept[IllegalArgumentException] {
+      local.sql(s"INCLUDE MERGE '${ep1.root}' " +
+        "SELECT median(CASE WHEN tag = 'a' THEN float('Infinity') " +
+        "ELSE v END) AS m FROM mts WHERE NOT isnan(v)")
+    }
+    assert(e2.getMessage.contains("infinite"), e2.getMessage)
   }
 }
