@@ -284,6 +284,38 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("rank-search statement chunking: a round spanning >8192 states " +
+      "splits into several probe statements and stays exact") {
+    // 4,100 groups × 2 ranks each = 8,200 states — one past the 8,192
+    // per-statement cap, so every probe/fetch round runs as two chunked
+    // statements whose merged counts must still resolve every group.
+    def wide(seed: Int): Engine = {
+      val e = new Engine(spark,
+        Files.createTempDirectory("graft_fm_wide").toString)
+      e.sql("CREATE TABLE wt(g INT, x DOUBLE)")
+      import spark.implicits._
+      val rng = new scala.util.Random(seed)
+      e.write("wt", (0 until 4100).flatMap(g =>
+        (0 until 15).map(_ => (g, rng.nextDouble() * 1000 - 500)))
+        .toDF("g", "x"))
+      e
+    }
+    val local = wide(1)
+    val remote = wide(2)
+    val got = local.sql(s"INCLUDE MERGE '${remote.root}' " +
+      "SELECT g, percentile(x, 0.73) AS p FROM wt GROUP BY g")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    local.readTable("wt").unionByName(remote.readTable("wt"))
+      .createOrReplaceTempView("__fm_wide")
+    val want = spark.sql(
+      "SELECT g, percentile(x, 0.73) AS p FROM __fm_wide GROUP BY g")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got.size == 4100 && got.keySet == want.keySet)
+    want.foreach { case (g, w) =>
+      assert(got(g) == w, s"group $g: ${got(g)} vs $w")
+    }
+  }
+
   test("every rejection branch fires with its clear error") {
     fixture
     def rejects(select: String, fragment: String): Unit = {
