@@ -2846,7 +2846,27 @@ final class Engine(val spark: SparkSession, val root: String) {
         }
         if (merge) {
           forceRegisterViews()
-          val d = FederatedAggregate.decompose(spark, select)
+          // Time travel composes with MERGE: bind LOCAL snapshot views so
+          // the decomposer can analyze the statement, but ship the
+          // original travel clause — each endpoint resolves `VERSION AS
+          // OF` against its own history, the same per-endpoint semantics
+          // plain INCLUDE gives it.
+          val (travelRewritten, travels) =
+            SqlExtensions.rewriteTimeTravel(select)
+          travels.foreach { case (table, travel) =>
+            val snapshot = travel match {
+              case SqlExtensions.AtVersion(v) => readTableVersion(table, v)
+              case SqlExtensions.AtTimestamp(ms) =>
+                readTableAsOfTimestamp(table, ms)
+              case SqlExtensions.AtChanges(a, b) =>
+                readTableChanges(table, a, b)
+            }
+            snapshot.createOrReplaceTempView(
+              SqlExtensions.travelViewName(table, travel))
+          }
+          val d = FederatedAggregate.decompose(spark, select,
+            analyzeSql = if (travels.isEmpty) scala.None
+              else Some(travelRewritten))
           d.merge(runAll(d.partialSql), runAll)
         } else {
           val frames = runAll(select)

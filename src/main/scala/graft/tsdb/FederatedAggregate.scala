@@ -110,9 +110,18 @@ object FederatedAggregate {
 
   /** Analyze `selectText` against the CURRENT session catalog (the caller
     * must have registered the engine views) and decompose it.
+    *
+    * `analyzeSql` is the text analysis runs on when it differs from what
+    * ships — time travel: `FROM t VERSION AS OF n` is pre-parser syntax,
+    * so the caller binds local snapshot views and passes the view-rewritten
+    * text here, while the partial and every probe keep the ORIGINAL travel
+    * clause and each endpoint resolves it against its own history (the
+    * same per-endpoint semantics plain INCLUDE gives the clause).
     */
-  def decompose(spark: SparkSession, selectText: String): Decomposed = {
-    val analyzed = spark.sql(selectText).queryExecution.analyzed
+  def decompose(spark: SparkSession, selectText: String,
+      analyzeSql: Option[String] = scala.None): Decomposed = {
+    val analyzed =
+      spark.sql(analyzeSql.getOrElse(selectText)).queryExecution.analyzed
     val agg = analyzed match {
       case a: Aggregate => a
       case other => fail(

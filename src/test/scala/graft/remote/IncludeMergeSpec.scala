@@ -226,6 +226,27 @@ class IncludeMergeSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("time travel composes with MERGE: each endpoint aggregates its own " +
+      "VERSION AS OF snapshot") {
+    // Two commits per engine (one per tag): version 1 holds only the
+    // first tag's points on each endpoint.
+    val local = makeEngine(Seq("a", "b"), 120)
+    val remote = makeEngine(Seq("c", "d"), 90)
+    val server = new RemoteServer(remote)
+    try {
+      val got = local.sql(s"INCLUDE MERGE '${server.address}' " +
+        "SELECT count(*) AS n, avg(v) AS av, percentile(v, 0.5) AS med " +
+        "FROM mts VERSION AS OF 1").collect().head
+      val combinedV1 = local.readTableVersion("mts", 1)
+        .unionByName(remote.readTableVersion("mts", 1))
+      val want = combinedV1.agg(count(lit(1)), avg(col("v")),
+        expr("percentile(v, 0.5)")).collect().head
+      assert(got.getLong(0) == 120L + 90L && got.getLong(0) == want.getLong(0))
+      assertClose(got.getDouble(1), want.getDouble(1), "avg@v1")
+      assert(got.getDouble(2) == want.getDouble(2), "median@v1 exact")
+    } finally server.close()
+  }
+
   test("normal tables with NULL group keys, NULL percentile children, and " +
       "integer children merge exactly") {
     def normalEngine(seed: Int, rows: Int): Engine = {
