@@ -246,6 +246,57 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     } finally FederatedAggregate.plantRankBugForTests = false
   }
 
+  test("20 travel seeds: MERGE over VERSION AS OF k ≡ re-aggregation over " +
+      "the endpoints' own version-k snapshots") {
+    fixture
+    (1 to 20).foreach { seed =>
+      val rng = new scala.util.Random(seed * 6364136223846793005L + 7)
+      // Every endpoint engine commits once per tag, so versions 1-2 exist
+      // everywhere (and exclude the NaN tag, local's 3rd commit).
+      val k = 1 + rng.nextInt(2)
+      val endpoints = 1 + rng.nextInt(2)
+      val folders = Seq(ep1.root, ep2.root).take(endpoints)
+      val grouped = rng.nextBoolean()
+      val aggs = Seq(
+        Seq("count(*) AS n", "sum(v) AS s", "max(v) - min(v) AS sp"),
+        Seq("avg(v) AS a", "var_pop(v) AS vp"),
+        Seq("percentile(v, 0.5) AS med", "count(v) AS n"))(rng.nextInt(3))
+      val sel = (if (grouped) "SELECT tag, " else "SELECT ") +
+        aggs.mkString(", ") + s" FROM mts VERSION AS OF $k" +
+        (if (grouped) " GROUP BY tag" else "")
+      val got = local.sql(
+        s"INCLUDE MERGE ${folders.map(f => s"'$f'").mkString(", ")} $sel")
+        .collect()
+      val engines = local +: Seq(ep1, ep2).take(endpoints)
+      engines.map(_.readTableVersion("mts", k)).reduce(_ unionByName _)
+        .createOrReplaceTempView("__fm_travel")
+      val want = spark.sql(
+        sel.replace(s"FROM mts VERSION AS OF $k", "FROM __fm_travel"))
+        .collect()
+      val nKeys = if (grouped) 1 else 0
+      def key(r: Row) =
+        (0 until nKeys).map(i => String.valueOf(r.get(i))).mkString(" ")
+      val (g, w) = (got.sortBy(key), want.sortBy(key))
+      withClue(s"seed $seed [$sel]: ") {
+        assert(g.length == w.length)
+        g.zip(w).foreach { case (a, b) =>
+          (0 until a.length).foreach { i =>
+            (a.get(i), b.get(i)) match {
+              case (x: java.lang.Double, y: java.lang.Double) =>
+                assert(x.isNaN && y.isNaN || math.abs(x - y) <=
+                  math.max(1e-12, 1e-9 * math.max(math.abs(x), math.abs(y))),
+                  s"col $i: $x vs $y")
+              case (x: java.lang.Float, y: java.lang.Float) =>
+                assert(math.abs(x.toDouble - y.toDouble) <= 1e-6,
+                  s"col $i: $x vs $y")
+              case (x, y) => assert(x == y, s"col $i: $x vs $y")
+            }
+          }
+        }
+      }
+    }
+  }
+
   test("30 sketch-merge seeds: approx_count_distinct stays within 5x rsd " +
       "of the exact distinct count over the combined endpoints") {
     fixture
