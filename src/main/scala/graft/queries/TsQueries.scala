@@ -1624,6 +1624,32 @@ object TsQueries {
         CAST(count(*) AS BIGINT) AS n
       FROM u GROUP BY 1 ORDER BY 1""")),
 
+    // Array-percentage form of the federated exact rank search: ONE call
+    // registers a rank state per element and every element resolves in
+    // the same shared probe rounds (the search batches arbitrary rank
+    // sets per group). The result array is split into scalar columns so
+    // the DuckDB compare stays list-representation-independent.
+    ("ts_include_percentile_array", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val server = new graft.remote.RemoteServer(engine)
+      try {
+        engine.sql(s"INCLUDE MERGE '${server.address}' " +
+          "SELECT user, percentile(value, array(0.25, 0.5, 0.9)) AS p " +
+          "FROM events_lossless GROUP BY user")
+          .select(col("user"),
+            round(element_at(col("p"), 1), 4).as("p25"),
+            round(element_at(col("p"), 2), 4).as("p50"),
+            round(element_at(col("p"), 3), 4).as("p90"))
+          .orderBy("user")
+      } finally server.close()
+    }, Some("""
+      WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.25), 4) AS p25,
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.5), 4) AS p50,
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.9), 4) AS p90
+      FROM u GROUP BY 1 ORDER BY 1""")),
+
     // Federated approximate DISTINCT: endpoints ship fixed-size
     // DataSketches HLL sketches (never values), merged locally with
     // hll_union_agg — the 100 TB shape for federated count-distinct. The
@@ -1651,6 +1677,50 @@ object TsQueries {
       SELECT TRUE AS values_ok, TRUE AS users_ok,
         CAST(2 * count(*) AS BIGINT) AS n
       FROM events""")),
+
+    // Federated MERGE over a DECIMAL normal table: the merged frame's
+    // arithmetic runs in decimal (sum re-summed at the partial type and
+    // cast back, avg divided exactly like Spark's local Average,
+    // percentile_disc rank-searched in double and cast back to the
+    // decimal child type) — the type-drift regression surface. Endpoints
+    // split orders by parity, so the combined data is the full table and
+    // the DuckDB oracle replays the statement directly.
+    ("ts_include_decimal_merge", (s: SparkSession, d: String) => {
+      def half(even: Boolean): Engine = {
+        val e = new Engine(s, java.nio.file.Files
+          .createTempDirectory("graft_dec_merge").toString)
+        e.sql("CREATE TABLE ord(ok BIGINT, price DECIMAL(12,2), status STRING)")
+        e.write("ord", table(s, d, "orders")
+          .where(col("o_orderkey") % 2 === (if (even) 0 else 1))
+          .select(col("o_orderkey").as("ok"),
+            col("o_totalprice").cast("decimal(12,2)").as("price"),
+            col("o_orderstatus").as("status")))
+        e
+      }
+      val eLocal = half(even = true)
+      val eRemote = half(even = false)
+      eLocal.sql(s"INCLUDE MERGE '${eRemote.root}' " +
+        "SELECT status, count(*) AS n, sum(price) AS s, avg(price) AS a, " +
+        "min(price) AS mn, max(price) AS mx, " +
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY price) AS med " +
+        "FROM ord GROUP BY status")
+        .select(col("status"), col("n"),
+          col("s").cast("double").as("s"),
+          round(col("a").cast("double"), 4).as("a"),
+          col("mn").cast("double").as("mn"),
+          col("mx").cast("double").as("mx"),
+          col("med").cast("double").as("med"))
+        .orderBy("status")
+    }, Some("""
+      WITH o AS (SELECT CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+                        o_orderstatus AS status FROM orders)
+      SELECT status, count(*) AS n,
+        CAST(sum(price) AS DOUBLE) AS s,
+        round(CAST(avg(price) AS DOUBLE), 4) AS a,
+        CAST(min(price) AS DOUBLE) AS mn,
+        CAST(max(price) AS DOUBLE) AS mx,
+        CAST(quantile_disc(price, 0.5) AS DOUBLE) AS med
+      FROM o GROUP BY status ORDER BY status""")),
 
     // Compaction end to end, hash-checked: OPTIMIZE swaps a cached
     // small-file table (four chunked appends, the streaming shape) for

@@ -41,8 +41,14 @@ import org.apache.spark.sql.types._
   *     `hll_union_agg` — sketch bytes cross the wire, never values. The
   *     estimate carries the sketch's rsd, like any approx-distinct.
   *   - `percentile` / `median` / `percentile_cont` / `percentile_disc`
-  *     (scalar percentage, frequency 1): EXACT, via an interactive rank
-  *     search — after the single partial round establishes per-group
+  *     (scalar or array percentage, frequency 1): EXACT, via an
+  *     interactive rank search; an array percentage registers one rank
+  *     state per element and returns the array Spark would. The search probes in DOUBLE, so integral/decimal children
+  *     are accepted only while their (min, max) stay inside the
+  *     exactly-double-representable range (±2^53 for BIGINT,
+  *     2^52·10^-scale for DECIMAL) — beyond it the statement is rejected
+  *     with a clear error rather than returning a silently-collapsed
+  *     value. After the single partial round establishes per-group
   *     (count, min, max), the needed order statistics are located by a
   *     batched 16-ary bisection where every round ships ONE count-probe
   *     query (`count_if(x <= t)` per threshold) to every endpoint and only
@@ -103,10 +109,15 @@ object FederatedAggregate {
   private[graft] var plantRankBugForTests = false
 
   /** One percentile/median call: locate the order statistics of
-    * `childSql` (per group) for percentage `p`.
+    * `childSql` (per group) for percentages `ps` — one element for the
+    * scalar form, several for `percentile(x, array(…))` (the result is
+    * then an array in percentage order, like Spark's). `childType` is the
+    * analyzed child's type — integral and decimal children are guarded
+    * against probing outside the exactly-double-representable range.
     */
   private final case class QuantileSpec(
-      childSql: String, p: Double, discrete: Boolean, resultType: DataType)
+      childSql: String, ps: Seq[Double], isArray: Boolean, discrete: Boolean,
+      resultType: DataType, childType: DataType)
 
   /** Analyze `selectText` against the CURRENT session catalog (the caller
     * must have registered the engine views) and decompose it.
@@ -212,9 +223,8 @@ object FederatedAggregate {
         child: Expression, percentage: Expression,
         frequency: Option[Expression], reverse: Boolean,
         discrete: Boolean): Unit = {
-      if (!percentage.foldable || percentage.dataType.isInstanceOf[ArrayType])
-        fail(s"percentile percentage in ${ae.sql} must be a scalar literal " +
-          "(array percentages: issue one call per percentage).")
+      if (!percentage.foldable)
+        fail(s"percentile percentage in ${ae.sql} must be a literal.")
       frequency.foreach { f =>
         val one = f.foldable && (f.eval() match {
           case l: Long => l == 1L
@@ -227,7 +237,7 @@ object FederatedAggregate {
       if (!child.dataType.isInstanceOf[NumericType]) fail(
         s"percentile over ${child.dataType.sql} is not rank-searchable; " +
           "INCLUDE MERGE supports numeric percentile children.")
-      val p0 = percentage.eval() match {
+      def asDouble(v: Any): Double = v match {
         case d: Double => d
         case f: Float => f.toDouble
         case d: Decimal => d.toDouble
@@ -235,17 +245,29 @@ object FederatedAggregate {
         case l: Long => l.toDouble
         case other => fail(s"cannot read percentage $other in ${ae.sql}.")
       }
-      val p =
+      // `percentile(x, array(…))` registers one rank state per element
+      // and assembles an array result in percentage order, like Spark.
+      val (p0s, isArray) = percentage.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          val et = percentage.dataType.asInstanceOf[ArrayType].elementType
+          (a.toObjectArray(et).toSeq.map(asDouble), true)
+        case v => (Seq(asDouble(v)), false)
+      }
+      if (p0s.isEmpty)
+        fail(s"percentile percentage array in ${ae.sql} must be non-empty.")
+      val ps = p0s.map { p0 =>
         if (!reverse) p0
         else if (!discrete) 1.0 - p0 // DESC cont is the ASC mirror
         else fail(s"percentile_disc … ORDER BY … DESC in ${ae.sql} is not " +
           "supported by INCLUDE MERGE (discrete ranks do not mirror).")
+      }
       val x = sqlOf(child)
       // Per-child stats the search initializes from (dedup via pAlias).
       pAlias(s"count($x)")
       pAlias(s"min(CAST($x AS DOUBLE))")
       pAlias(s"max(CAST($x AS DOUBLE))")
-      quantileSpecs += alias -> QuantileSpec(x, p, discrete, ae.dataType)
+      quantileSpecs += alias -> QuantileSpec(x, ps, isArray, discrete,
+        ae.dataType, child.dataType)
     }
 
     /** The merged column for one ALGEBRAIC aggregate call (registering its
@@ -269,8 +291,20 @@ object FederatedAggregate {
         case m: Max => Some(max(col(pAlias(s"max(${sqlOf(m.child)})"))))
         case a: Average =>
           val x = sqlOf(a.child)
-          Some(sum(col(pAlias(s"sum($x)"))) /
-            sum(col(pAlias(s"count($x)"))).cast("double"))
+          val s = sum(col(pAlias(s"sum($x)")))
+          val n = sum(col(pAlias(s"count($x)")))
+          Some(a.child.dataType match {
+            case _: DecimalType =>
+              // Mirror Spark's Average over decimal exactly: divide
+              // sum.cast(resultType) by count.cast(DECIMAL(20,0)) — the
+              // division's precision rules then round at the same scale
+              // the local plan does. A double (or differently-typed
+              // decimal) division here drifts the last digits vs the
+              // same statement run locally. The final cast to ae.dataType
+              // happens for every merged column below.
+              s.cast(ae.dataType) / n.cast(DecimalType(20, 0))
+            case _ => s / n.cast("double")
+          })
         case v: VariancePop =>
           Some(varianceMerge(v.child, pop = true, sq = false))
         case v: VarianceSamp =>
@@ -315,7 +349,14 @@ object FederatedAggregate {
         case Some((_, a, _)) => a
         case scala.None =>
           val alias = s"__a${mergedAggs.size}"
-          mergedAggs += ((ae, alias, mergeColOf(ae, alias)))
+          // Every merged algebraic column is cast to the ANALYZED call's
+          // type: the federation contract is schema-identical to running
+          // the statement locally, and the merged arithmetic naturally
+          // widens (re-summing a DECIMAL(p+10,s) partial yields p+20;
+          // avg merges as a division) — exactly like the quantile cast in
+          // attachQuantiles.
+          mergedAggs += ((ae, alias, mergeColOf(ae, alias)
+            .map(_.cast(ae.dataType))))
           alias
       }
 
@@ -450,13 +491,14 @@ object FederatedAggregate {
     // ---- Initialize one or two rank states per (group, call). ----
     // resolvedValueOf((groupIdx, cix, target)) is the located value.
     val states = mutable.LinkedHashMap.empty[(Int, Int, Long), RankState]
-    // Per (groupIdx, callIdx): the plan to assemble the final double.
+    // Per (groupIdx, callIdx): the plans to assemble the final result —
+    // one element per percentage (several for the array form); an EMPTY
+    // seq marks the 0-row group's NULL result.
     sealed trait CallPlan
-    case object NullResult extends CallPlan
     final case class Const(v: Double) extends CallPlan
-    final case class Interp(n: Long, cix: Int) extends CallPlan
+    final case class Interp(n: Long, cix: Int, p: Double) extends CallPlan
     final case class Disc(cix: Int, target: Long) extends CallPlan
-    val plans = Array.ofDim[CallPlan](groupedRows.length, quantiles.size)
+    val plans = Array.ofDim[Seq[CallPlan]](groupedRows.length, quantiles.size)
     var sidGen = 0
     def stateFor(g: Int, cix: Int, target: Long, lo0: Double,
         hi0: Double, n: Long): Unit =
@@ -474,7 +516,7 @@ object FederatedAggregate {
         val cix = qChildren.indexOf(spec.childSql)
         val n = if (r.isNullAt(idx(s"__qn$cix"))) 0L
           else r.getLong(idx(s"__qn$cix"))
-        if (n == 0L) plans(g)(k) = NullResult
+        if (n == 0L) plans(g)(k) = Seq.empty
         else {
           val lo0 = r.getDouble(idx(s"__qlo$cix"))
           val hi0 = r.getDouble(idx(s"__qhi$cix"))
@@ -486,31 +528,74 @@ object FederatedAggregate {
           if (lo0.isInfinite || hi0.isInfinite) fail(
             "percentile over infinite values is not rank-searchable; " +
               "filter them in WHERE or use plain INCLUDE.")
-          if (lo0 == hi0) plans(g)(k) = Const(lo0)
-          else if (spec.discrete) {
-            val target = math.max(math.ceil(spec.p * n).toLong, 1L)
-            stateFor(g, cix, target, lo0, hi0, n)
-            plans(g)(k) = Disc(cix, target)
-          } else {
-            val pos = (n - 1) * spec.p
-            val jLo = math.floor(pos).toLong
-            val jHi = math.ceil(pos).toLong
-            stateFor(g, cix, jLo + 1, lo0, hi0, n)
-            if (jHi != jLo) stateFor(g, cix, jHi + 1, lo0, hi0, n)
-            plans(g)(k) = Interp(n, cix)
+          // The search probes in DOUBLE: integral/decimal children whose
+          // values leave the exactly-representable range (±2^53 for
+          // BIGINT; 2^52·10^-scale for DECIMAL, half an ulp under the
+          // decimal's own grid) would silently collapse distinct values
+          // onto one threshold and break the EXACT contract — reject with
+          // a clear error instead. FLOAT/DOUBLE children probe losslessly
+          // at any magnitude.
+          val dblSafeLimit: Option[Double] = spec.childType match {
+            case LongType => Some(9007199254740992.0) // 2^53
+            case dt: DecimalType =>
+              Some(4503599627370496.0 * math.pow(10.0, -dt.scale)) // 2^52/10^s
+            case _ => scala.None
+          }
+          dblSafeLimit.foreach { lim =>
+            if (math.abs(lo0) > lim || math.abs(hi0) > lim) fail(
+              s"percentile over ${spec.childType.sql} values beyond the " +
+                s"exactly-double-representable range (|x| > $lim) cannot " +
+                "be rank-searched exactly; narrow the range in WHERE or " +
+                "use plain INCLUDE over a point query.")
+          }
+          plans(g)(k) = spec.ps.map { p =>
+            if (lo0 == hi0) Const(lo0)
+            else if (spec.discrete) {
+              val target = math.max(math.ceil(p * n).toLong, 1L)
+              stateFor(g, cix, target, lo0, hi0, n)
+              Disc(cix, target)
+            } else {
+              val pos = (n - 1) * p
+              val jLo = math.floor(pos).toLong
+              val jHi = math.ceil(pos).toLong
+              stateFor(g, cix, jLo + 1, lo0, hi0, n)
+              if (jHi != jLo) stateFor(g, cix, jHi + 1, lo0, hi0, n)
+              Interp(n, cix, p)
+            }
           }
         }
       }
     }
 
     // ---- Search rounds. ----
+    // Round cap scaled from the worst initial span: 16-ary bisection
+    // needs up to ceil(log16(span / (64·ulp))) rounds before the
+    // ulp-width fetch condition can fire, and extreme dynamic ranges
+    // (1e308 spans narrowing onto subnormal values) legitimately need
+    // ~520 of them. If the cap is still reached, the remaining states are
+    // FORCED into the bounded fetch instead of failing: a stalled
+    // interval means the values concentrate (counts no longer split), so
+    // the interval holds few DISTINCT values and the fetch stays small —
+    // the safety valve trades one larger fetch for an answer, never an
+    // abort.
+    val capRounds: Int = {
+      val tiny = 64.0 * java.lang.Double.MIN_VALUE
+      val worst = states.values.foldLeft(64.0) { (acc, st) =>
+        val span = st.hi - st.lo
+        if (span.isInfinite || span <= 0.0) math.max(acc, 600.0)
+        else math.max(acc,
+          math.log(span / tiny) / math.log(QuantileFan.toDouble) + 8.0)
+      }
+      math.min(600.0, worst).toInt
+    }
     var rounds = 0
     while (states.values.exists(!_.done)) {
       rounds += 1
-      require(rounds <= 64,
-        s"federated percentile rank search did not converge in $rounds rounds")
+      val forceFetch = rounds > capRounds
       val pending = states.values.filter(!_.done).toSeq
-      val (fetches, probes) = pending.partition(_.fetchable)
+      val (fetches, probes) =
+        if (forceFetch) (pending, Seq.empty[RankState])
+        else pending.partition(_.fetchable)
 
       if (fetches.nonEmpty) {
         val probeCols =
@@ -606,31 +691,33 @@ object FederatedAggregate {
       states((g, cix, target)).value
     val qRows: Seq[Row] = groupedRows.indices.map { g =>
       val keyVals = (0 until nKeys).map(i => groupedRows(g).get(idx(s"__g$i")))
+      def resolve(plan: CallPlan): Double = plan match {
+        case Const(v) => v
+        case Disc(cix, target) => valueOf(g, cix, target)
+        case Interp(n, cix, p) =>
+          val pos = (n - 1) * p
+          val jLo = math.floor(pos).toLong
+          val jHi = math.ceil(pos).toLong
+          val vLo = valueOf(g, cix, jLo + 1)
+          if (jHi == jLo) vLo
+          else {
+            val vHi = valueOf(g, cix, jHi + 1)
+            vLo * (jHi - pos) + vHi * (pos - jLo)
+          }
+      }
       val callVals: Seq[Any] = quantiles.zipWithIndex.map { case ((_, spec), k) =>
-        plans(g)(k) match {
-          case NullResult => null
-          case Const(v) => java.lang.Double.valueOf(v)
-          case Disc(cix, target) =>
-            java.lang.Double.valueOf(valueOf(g, cix, target))
-          case Interp(n, cix) =>
-            val pos = (n - 1) * spec.p
-            val jLo = math.floor(pos).toLong
-            val jHi = math.ceil(pos).toLong
-            val vLo = valueOf(g, cix, jLo + 1)
-            val v =
-              if (jHi == jLo) vLo
-              else {
-                val vHi = valueOf(g, cix, jHi + 1)
-                vLo * (jHi - pos) + vHi * (pos - jLo)
-              }
-            java.lang.Double.valueOf(v)
-        }
+        val elems = plans(g)(k)
+        if (elems.isEmpty) null // 0-row group: the whole call is NULL
+        else if (spec.isArray) elems.map(resolve)
+        else java.lang.Double.valueOf(resolve(elems.head))
       }
       Row.fromSeq(keyVals ++ callVals)
     }
     val qSchema = StructType(
       (0 until nKeys).map(i => schema(idx(s"__g$i")).copy(name = s"__qk$i")) ++
-        quantiles.map { case (a, _) => StructField(a, DoubleType) })
+        quantiles.map { case (a, spec) => StructField(a,
+          if (spec.isArray) ArrayType(DoubleType, containsNull = false)
+          else DoubleType) })
     val qFrame = spark.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qSchema)
     val joined =
@@ -661,7 +748,19 @@ object FederatedAggregate {
   private def renderLiteral(v: Any, dt: DataType): String = v match {
     case null => s"CAST(NULL AS ${dt.sql})"
     case s: String =>
-      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+      // Hex-encoded, not quoted-and-escaped: backslash escapes parse
+      // differently under spark.sql.parser.escapedStringLiterals, so a
+      // probe VALUES row must not depend on the ENDPOINT session's parser
+      // config. X'..' binary literals are parser-native and
+      // config-independent; the cast to STRING decodes the UTF-8 bytes
+      // exactly for arbitrary content (and stays evaluable inside an
+      // inline VALUES table, which function calls are not).
+      if (s.isEmpty) "''"
+      else {
+        val hex = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .map(b => f"${b & 0xff}%02X").mkString
+        s"CAST(X'$hex' AS STRING)"
+      }
     case b: java.lang.Boolean => b.toString
     case b: java.lang.Byte => s"CAST($b AS TINYINT)"
     case s: java.lang.Short => s"CAST($s AS SMALLINT)"

@@ -138,6 +138,8 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
         val pcts = Seq("0.0", "0.1", "0.25", "0.5", "0.9", "0.99", "1.0")
         val pool = Seq(
           () => s"percentile(v, ${pick(pcts)})",
+          () => s"percentile(v, array(${pick(pcts)}, ${pick(pcts)}, " +
+            s"${pick(pcts)}))",
           () => "median(v)",
           () => s"percentile_cont(${pick(pcts)}) WITHIN GROUP (ORDER BY v)",
           () => s"percentile_cont(${pick(pcts)}) WITHIN GROUP (ORDER BY v DESC)",
@@ -168,15 +170,24 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
 
   /** merged ≡ spark.sql over the combined raw view, rows matched by their
     * group-key prefix, doubles to 1e-9 relative (partial sums reorder).
+    * The SCHEMA must match too: the federation contract is
+    * schema-identical to running the statement locally (remote.rs:88-165
+    * row-unions schema-identical frames), so every merged column's type
+    * is asserted against the local plan's — the guard that caught the
+    * decimal sum/avg widening drift.
     */
   private def assertEquivalent(q: String, nKeys: Int, endpoints: Int): Unit = {
     fixture
     val folders = Seq(ep1.root, ep2.root).take(endpoints)
-    val got = local.sql(
+    val gotDf = local.sql(
       s"INCLUDE MERGE ${folders.map(f => s"'$f'").mkString(", ")} $q")
-      .collect()
     val combined = if (endpoints == 1) "__fm_c1" else "__fm_c2"
-    val want = spark.sql(q.replace("FROM mts", s"FROM $combined")).collect()
+    val wantDf = spark.sql(q.replace("FROM mts", s"FROM $combined"))
+    assert(gotDf.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      wantDf.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"schema drift\n$q\nmerged: ${gotDf.schema.sql}\nlocal: ${wantDf.schema.sql}")
+    val got = gotDf.collect()
+    val want = wantDf.collect()
     def key(r: Row) =
       (0 until nKeys).map(i => String.valueOf(r.get(i))).mkString(" ")
     val g = got.sortBy(key)
@@ -195,6 +206,18 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
               math.abs(x.toDouble - y.toDouble) <= 1e-6 +
                 1e-6 * math.max(math.abs(x.toDouble), math.abs(y.toDouble)),
               s"col $i: $x vs $y\n$q\nmerged: $a\ncombined: $b")
+          case (x: scala.collection.Seq[_], y: scala.collection.Seq[_]) =>
+            // Array-percentage results: elementwise double compare.
+            assert(x.length == y.length,
+              s"col $i: $x vs $y\n$q\nmerged: $a\ncombined: $b")
+            x.zip(y).foreach {
+              case (p: java.lang.Double, r: java.lang.Double) =>
+                assert(p.isNaN && r.isNaN || math.abs(p - r) <=
+                  math.max(1e-12, 1e-9 * math.max(math.abs(p), math.abs(r))),
+                  s"col $i: $x vs $y\n$q\nmerged: $a\ncombined: $b")
+              case (p, r) => assert(p == r,
+                s"col $i: $x vs $y\n$q\nmerged: $a\ncombined: $b")
+            }
           case (x, y) =>
             assert(x == y, s"col $i: $x vs $y\n$q\nmerged: $a\ncombined: $b")
         }
@@ -367,6 +390,102 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     }
   }
 
+  // Two normal-table endpoints with INT/BIGINT/DECIMAL/FLOAT/DOUBLE
+  // columns: the typed seeds assert the merged SCHEMA equals the local
+  // plan's (sum/avg over decimal must not widen) and values match
+  // exactly — decimal merges run in decimal arithmetic end to end.
+  private def typedEngine(seed: Int): Engine = {
+    val e = new Engine(spark,
+      Files.createTempDirectory("graft_fm_typed").toString)
+    e.sql("CREATE TABLE nt(g INT, i INT, l BIGINT, d1 DECIMAL(10,2), " +
+      "d2 DECIMAL(38,6), f FLOAT, x DOUBLE)")
+    val rng = new scala.util.Random(seed * 40503L + 5)
+    val rows = (0 until 400).map { _ =>
+      Row(
+        rng.nextInt(6),
+        rng.nextInt(100000) - 50000,
+        (rng.nextLong() % 1000000000000L),
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(
+          (rng.nextInt(2000000) - 1000000).toLong), 2),
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(
+          rng.nextLong() % 1000000000000L), 6),
+        rng.nextFloat() * 200f - 100f,
+        rng.nextDouble() * 2000 - 1000)
+    }
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "g INT, i INT, l BIGINT, d1 DECIMAL(10,2), d2 DECIMAL(38,6), " +
+        "f FLOAT, x DOUBLE")
+    e.write("nt", spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema))
+    e
+  }
+  private lazy val typedLocal = typedEngine(1)
+  private lazy val typedEp = typedEngine(2)
+
+  test("60 typed seeds over INT/BIGINT/DECIMAL normal tables: merged " +
+      "schema == local schema and values match exactly") {
+    typedLocal.readTable("nt").unionByName(typedEp.readTable("nt"))
+      .createOrReplaceTempView("__fm_typed")
+    (1 to 60).foreach { seed =>
+      val rng = new scala.util.Random(seed * 982451653L + 17)
+      def pick[T](xs: Seq[T]): T = xs(rng.nextInt(xs.length))
+      val pool = Seq(
+        "count(*)", "count(d1)", "sum(i)", "sum(l)", "sum(d1)", "sum(d2)",
+        "sum(f)", "sum(x)", "avg(i)", "avg(l)", "avg(d1)", "avg(d2)",
+        "avg(x)", "min(d1)", "max(d2)", "min(l)", "max(i)",
+        "var_samp(x)", "stddev_pop(i)",
+        "percentile(d1, 0.5)", "percentile(l, 0.25)", "median(x)",
+        "percentile_disc(0.9) WITHIN GROUP (ORDER BY d2)",
+        "percentile_disc(0.5) WITHIN GROUP (ORDER BY i)")
+      val aggs = Seq.fill(1 + rng.nextInt(3))(pick(pool)).distinct
+        .zipWithIndex.map { case (a, i) => s"$a AS t$i" }
+      val grouped = rng.nextBoolean()
+      val sel = (if (grouped) "SELECT g, " else "SELECT ") +
+        aggs.mkString(", ") + " FROM nt" + (if (grouped) " GROUP BY g" else "")
+      val gotDf = typedLocal.sql(s"INCLUDE MERGE '${typedEp.root}' $sel")
+      val wantDf = spark.sql(sel.replace("FROM nt", "FROM __fm_typed"))
+      withClue(s"seed $seed [$sel]: ") {
+        assert(gotDf.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+          wantDf.schema.fields.map(f => (f.name, f.dataType)).toSeq,
+          s"schema drift: ${gotDf.schema.sql} vs ${wantDf.schema.sql}")
+        val nKeys = if (grouped) 1 else 0
+        def key(r: Row) =
+          (0 until nKeys).map(i => String.valueOf(r.get(i))).mkString(" ")
+        val (g, w) = (gotDf.collect().sortBy(key), wantDf.collect().sortBy(key))
+        assert(g.length == w.length)
+        g.zip(w).foreach { case (a, b) =>
+          (0 until a.length).foreach { i =>
+            (a.get(i), b.get(i)) match {
+              case (null, null) =>
+              case (p: java.math.BigDecimal, q: java.math.BigDecimal) =>
+                assert(p.compareTo(q) == 0, s"col $i: $p vs $q")
+              case (p: java.lang.Double, q: java.lang.Double) =>
+                assert(p.isNaN && q.isNaN || math.abs(p - q) <=
+                  math.max(1e-12, 1e-9 * math.max(math.abs(p), math.abs(q))),
+                  s"col $i: $p vs $q")
+              case (p, q) => assert(p == q, s"col $i: $p vs $q")
+            }
+          }
+        }
+      }
+    }
+  }
+
+  test("integral/decimal percentile children beyond the double-exact " +
+      "range are rejected, not silently collapsed") {
+    typedLocal // force fixture
+    val e1 = intercept[IllegalArgumentException] {
+      typedLocal.sql(s"INCLUDE MERGE '${typedEp.root}' " +
+        "SELECT percentile(l * 100000, 0.5) AS p FROM nt")
+    }
+    assert(e1.getMessage.contains("double-representable"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      typedLocal.sql(s"INCLUDE MERGE '${typedEp.root}' " +
+        "SELECT median(CAST(d2 * 10000000 AS DECIMAL(38,6))) AS p FROM nt")
+    }
+    assert(e2.getMessage.contains("double-representable"), e2.getMessage)
+  }
+
   test("every rejection branch fires with its clear error") {
     fixture
     def rejects(select: String, fragment: String): Unit = {
@@ -386,8 +505,7 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     rejects("SELECT tag, count(*) AS n FROM mts GROUP BY 1", "ordinal")
     rejects("SELECT collect_list(v) AS l FROM mts",
       "not algebraically mergeable")
-    rejects("SELECT percentile(v, array(0.1, 0.9)) AS p FROM mts",
-      "scalar literal")
+    rejects("SELECT percentile(v, array()) AS p FROM mts", "non-empty")
     rejects("SELECT percentile(v, 0.5, 2) AS p FROM mts", "frequency")
     rejects("SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v DESC) " +
       "AS p FROM mts", "not supported")

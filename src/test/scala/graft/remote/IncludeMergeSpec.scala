@@ -347,8 +347,7 @@ class IncludeMergeSpec extends AnyFunSuite {
         "plain aggregate SELECT")
       rejects("SELECT tag, count(*) AS n FROM mts GROUP BY 1", "ordinal")
       rejects("SELECT collect_list(v) AS p FROM mts", "not algebraically mergeable")
-      rejects("SELECT percentile(v, array(0.25, 0.5)) AS p FROM mts",
-        "scalar literal")
+      rejects("SELECT percentile(v, array()) AS p FROM mts", "non-empty")
       rejects("SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v DESC) " +
         "AS p FROM mts", "not")
       rejects("SELECT tag, v FROM mts", "plain aggregate SELECT")
