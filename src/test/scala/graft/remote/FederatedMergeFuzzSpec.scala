@@ -176,11 +176,14 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     * is asserted against the local plan's — the guard that caught the
     * decimal sum/avg widening drift.
     */
-  private def assertEquivalent(q: String, nKeys: Int, endpoints: Int): Unit = {
+  private def assertEquivalent(q: String, nKeys: Int, endpoints: Int,
+      addresses: Seq[String] = Seq.empty): Unit = {
     fixture
-    val folders = Seq(ep1.root, ep2.root).take(endpoints)
+    val addrs =
+      (if (addresses.nonEmpty) addresses else Seq(ep1.root, ep2.root))
+        .take(endpoints)
     val gotDf = local.sql(
-      s"INCLUDE MERGE ${folders.map(f => s"'$f'").mkString(", ")} $q")
+      s"INCLUDE MERGE ${addrs.map(f => s"'$f'").mkString(", ")} $q")
     val combined = if (endpoints == 1) "__fm_c1" else "__fm_c2"
     val wantDf = spark.sql(q.replace("FROM mts", s"FROM $combined"))
     assert(gotDf.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
@@ -236,6 +239,51 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     // The generator must keep exercising the interactive rank-search path.
     assert(percentileSeeds >= 20,
       s"only $percentileSeeds of 200 seeds exercised percentiles")
+  }
+
+  test("55 TCP seeds: endpoints behind live RemoteServers — Arrow " +
+      "round-tripping of partial and probe frames under random fire") {
+    // The folder seeds keep the fuzz in-process; these replay the same
+    // generator with endpoint 1 behind a live RemoteServer (every partial
+    // frame, rank-search probe round and bounded fetch ships as Arrow IPC
+    // batches), so NaN runs, NULL partials, timestamps and empty groups
+    // are under random fire on the wire too — not just IncludeMergeSpec's
+    // fixed shapes. Endpoint 2 stays a folder: two-endpoint seeds then
+    // also mix transports in ONE statement. (Two in-JVM servers over
+    // DIFFERENT engines would race each other's view registration on the
+    // shared test session during the concurrent fan-out — a test-session
+    // artifact, not a transport property: production endpoints own their
+    // sessions.) Five extra sketch seeds push HLL sketch BINARIES through
+    // Arrow and must merge to the same estimate the folder path yields.
+    fixture
+    val server1 = new graft.remote.RemoteServer(ep1)
+    try {
+      val tcp = Seq(server1.address, ep2.root)
+      var percentileSeeds = 0
+      (1 to 50).foreach { seed =>
+        val (q, nKeys, endpoints, hasPct) = genQuery(seed)
+        if (hasPct) percentileSeeds += 1
+        withClue(s"tcp seed $seed: ") {
+          assertEquivalent(q, nKeys, endpoints, addresses = tcp)
+        }
+      }
+      assert(percentileSeeds >= 5,
+        s"only $percentileSeeds of 50 TCP seeds exercised the rank search")
+      (1 to 5).foreach { seed =>
+        val rng = new scala.util.Random(seed * 48611L + 3)
+        val child = Seq("v", "tag", "ts")(rng.nextInt(3))
+        val sel = s"SELECT tag, approx_count_distinct($child, 0.02) AS ad " +
+          "FROM mts GROUP BY tag"
+        val viaTcp = local.sql(s"INCLUDE MERGE '${server1.address}' $sel")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val viaFolder = local.sql(s"INCLUDE MERGE '${ep1.root}' $sel")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        withClue(s"sketch tcp seed $seed [$sel]: ") {
+          assert(viaTcp == viaFolder,
+            "sketch bytes must survive the Arrow transport losslessly")
+        }
+      }
+    } finally server1.close()
   }
 
   test("planted dropped-endpoint mutation is caught") {
