@@ -74,6 +74,83 @@ object ValueCounts {
     acc.count
   }
 
+  /** Distinct reconstructed values v with lower < v <= upper (both finite,
+    * [[sqlCompare]] total order) and their multiplicities, among points
+    * whose timestamp lies in [tsLo, tsHi] — the kernel behind the
+    * federated rank search's bounded fetch. Returns interleaved
+    * (value, count) pairs as doubles (counts are exact: a fetch interval
+    * holds at most the fetch-gap many points). -0.0 normalizes to 0.0,
+    * matching Spark's grouping-key normalization of the generic SQL
+    * fetch it replaces. Interior segments (stored bounds fully outside
+    * the interval) return empty with zero decode.
+    */
+  def valuesInRange(lower: Double, upper: Double, tsLo: Long, tsHi: Long,
+      mt: Byte, st: Long, et: Long, tsBytes: Array[Byte],
+      mn: Float, mx: Float, values: Array[Byte],
+      residuals: Array[Byte]): Array[Double] = {
+    require(!lower.isNaN && !upper.isNaN,
+      "valuesInRange needs finite-or-infinite, non-NaN bounds")
+    if (sqlCompare(lower, upper) >= 0) return Array.emptyDoubleArray
+    // NaN-ignoring stored bounds: every non-NaN value sits in [mn, mx];
+    // a hidden NaN fails the finite upper bound anyway, so the interval
+    // misses the whole segment when mx <= lower or mn > upper.
+    if (!mx.isNaN && sqlCompare(mx.toDouble, lower) <= 0)
+      return Array.emptyDoubleArray
+    if (!mn.isNaN && sqlCompare(mn.toDouble, upper) > 0)
+      return Array.emptyDoubleArray
+    val acc = new ValuesAcc(lower, upper)
+    traverse(tsLo, tsHi, mt, st, et, tsBytes, mn, mx, values, residuals, acc)
+    acc.result()
+  }
+
+  private final class ValuesAcc(lower: Double, upper: Double) extends Acc {
+    // Keyed by the value's float bits with -0.0 canonicalized to 0.0
+    // (Spark normalizes signed zero in grouping keys); NaN never enters
+    // (the finite upper bound excludes it under the total order).
+    private val counts = scala.collection.mutable.LongMap.empty[Long]
+
+    private def in(v: Float): Boolean = {
+      val d = v.toDouble
+      sqlCompare(d, lower) > 0 && sqlCompare(d, upper) <= 0
+    }
+
+    private def add(v: Float, n: Long): Unit = {
+      val canon = if (v == 0.0f) 0.0f else v
+      val key = java.lang.Float.floatToRawIntBits(canon).toLong
+      counts(key) = counts.getOrElse(key, 0L) + n
+    }
+
+    override def addConstant(v: Float, n: Int, at: Int): Unit =
+      if (in(v)) add(v, n.toLong)
+
+    override def addValue(v: Float, at: Int): Unit = if (in(v)) add(v, 1L)
+
+    override def addMonotone(eval: Int => Float, from: Int, until: Int): Unit = {
+      // Only the in-range index window is visited: the run is monotone,
+      // so (lower, upper] selects a contiguous slice located by the same
+      // binary searches the count kernels use.
+      val cLo = monotoneCountLE(lower, eval, from, until)
+      val cHi = monotoneCountLE(upper, eval, from, until)
+      val nonDecr = !(eval(from) > eval(until - 1))
+      val (a, b) =
+        if (nonDecr) (from + cLo, from + cHi)
+        else (until - cHi, until - cLo)
+      var i = a
+      while (i < b) { add(eval(i), 1L); i += 1 }
+    }
+
+    def result(): Array[Double] = {
+      val out = new Array[Double](counts.size * 2)
+      var i = 0
+      counts.foreach { case (bits, n) =>
+        out(i) = java.lang.Float.intBitsToFloat(bits.toInt).toDouble
+        out(i + 1) = n.toDouble
+        i += 2
+      }
+      out
+    }
+  }
+
   /** Number of points whose timestamp lies in [tsLo, tsHi] — timestamps
     * only, O(1) for regular segments.
     */

@@ -516,6 +516,52 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     try { java.time.ZoneId.of(id); true }
     catch { case _: java.time.DateTimeException => false }
 
+  /** The segment slice a federated rank search can probe natively: the
+    * plan must be the registered time-series view under an optional
+    * Filter whose condition is time/tag-only (no value bounds — those
+    * would change which points a probe counts). `NOT isnan(f)` conjuncts
+    * on fields accepted by `isnanDroppable` are dropped rather than
+    * rejected: NaN never satisfies `x <= t` under the SQL total order,
+    * so the probe counts are identical with or without the filter —
+    * the idiomatic NaN guard every exact-percentile statement carries
+    * must not knock the statement off the segment-native path. Returns
+    * (table metadata, startUs, endUs, tag equalities, tag IN-lists).
+    */
+  private[graft] def federatedProbeTarget(engine: Engine, plan: LogicalPlan,
+      isnanDroppable: String => Boolean)
+      : Option[(TableMetadata, Option[Long], Option[Long],
+        Map[String, String], Map[String, Seq[String]])] = {
+    val (cond, rel) = plan match {
+      case Filter(c, r) => (Some(c), r)
+      case r => (scala.None, r)
+    }
+    viewTable(engine, rel).flatMap { meta =>
+      cond match {
+        case scala.None =>
+          Some((meta, scala.None, scala.None,
+            Map.empty[String, String], Map.empty[String, Seq[String]]))
+        case Some(c) =>
+          val kept = splitConjunctivePredicates(c).filterNot {
+            case org.apache.spark.sql.catalyst.expressions.Not(
+              org.apache.spark.sql.catalyst.expressions.IsNaN(
+                a: AttributeReference)) => isnanDroppable(a.name)
+            case _ => false
+          }
+          val parsed =
+            if (kept.isEmpty)
+              Some((scala.None: Option[Long], scala.None: Option[Long],
+                Map.empty[String, String], Map.empty[String, Seq[String]],
+                scala.None: Option[ValueBound]))
+            else parseFilter(meta, kept.reduce(
+              org.apache.spark.sql.catalyst.expressions.And))
+          parsed.collect {
+            case (lo, hi, tagEq, tagIn, scala.None) =>
+              (meta, lo, hi, tagEq, tagIn)
+          }
+      }
+    }
+  }
+
   /** A condition that is NOTHING BUT a value-bound conjunction/disjunction
     * on one stored field — the only shape FILTER clauses and the
     * predicate-bearing aggregates (count_if/any/every) accept.

@@ -82,9 +82,12 @@ object FederatedAggregate {
 
   /** A candidate interval narrows by count-probes until it holds at most
     * this many points, then the distinct values inside ship in one bounded
-    * fetch. Bounds the fetch result per state per round.
+    * fetch. Bounds the fetch result per state per round. Production value
+    * 1024; a var so scale tooling (FederationScaleProbe) can lower it to
+    * force probe rounds over small per-group data instead of synthesizing
+    * 10^3 points per group × 10^5 groups.
     */
-  val QuantileFetchGap = 1024L
+  private[graft] var QuantileFetchGap = 1024L
 
   /** Probe fanout: thresholds per state per rank-search round (16-ary
     * bisection — interval shrinks 16× per round).
@@ -130,7 +133,8 @@ object FederatedAggregate {
     * same per-endpoint semantics plain INCLUDE gives the clause).
     */
   def decompose(spark: SparkSession, selectText: String,
-      analyzeSql: Option[String] = scala.None): Decomposed = {
+      analyzeSql: Option[String] = scala.None,
+      engine: Option[Engine] = scala.None): Decomposed = {
     val analyzed =
       spark.sql(analyzeSql.getOrElse(selectText)).queryExecution.analyzed
     val agg = analyzed match {
@@ -218,6 +222,8 @@ object FederatedAggregate {
     // Percentile calls discovered in the select list; merged via the
     // interactive rank search, not a single-round partial.
     val quantileSpecs = mutable.ArrayBuffer.empty[(String, QuantileSpec)]
+    // childSql -> analyzed child expression (for probe-path eligibility).
+    val quantileChildren = mutable.LinkedHashMap.empty[String, Expression]
 
     def quantileMerge(ae: AggregateExpression, alias: String,
         child: Expression, percentage: Expression,
@@ -266,6 +272,7 @@ object FederatedAggregate {
       pAlias(s"count($x)")
       pAlias(s"min(CAST($x AS DOUBLE))")
       pAlias(s"max(CAST($x AS DOUBLE))")
+      quantileChildren.getOrElseUpdate(x, child)
       quantileSpecs += alias -> QuantileSpec(x, ps, isArray, discrete,
         ae.dataType, child.dataType)
     }
@@ -388,6 +395,40 @@ object FederatedAggregate {
     val quantiles = quantileSpecs.toSeq
     val qChildren = quantiles.map(_._2.childSql).distinct
 
+    // Segment-native probe path: when the statement's FROM is a bare time
+    // series table, the WHERE is time/tag-only, every group key is a tag
+    // and the (single) percentile child is a stored field, the rank
+    // search's probe and fetch rounds ship a [[RankProbe]] statement the
+    // endpoint answers from segment metadata (interior segments settle
+    // with zero decode) instead of generic SQL that re-grids the FROM per
+    // round. Time travel stays generic — each endpoint resolves its own
+    // history, which the probe's pre-pruned slice cannot express.
+    val fastProbe: Option[RankProbe.Target] =
+      if (engine.isEmpty || analyzeSql.isDefined || quantiles.isEmpty ||
+        qChildren.size != 1) scala.None
+      else {
+        val fieldName = quantileChildren(qChildren.head) match {
+          case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            Some(a.name)
+          case _ => scala.None
+        }
+        val tagNames = groupings.map {
+          case (a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+            _) => Some(a.name)
+          case _ => scala.None
+        }
+        if (fieldName.isEmpty || tagNames.exists(_.isEmpty)) scala.None
+        else graft.plans.SegmentAggregateSqlRewrite
+          .federatedProbeTarget(engine.get, agg.child, _ == fieldName.get)
+          .flatMap { case (meta, lo, hi, tagEq, tagIn) =>
+            if (meta.fieldColumns.contains(fieldName.get) &&
+              tagNames.flatten.forall(meta.tagColumns.contains))
+              Some(RankProbe.Target(meta.name, fieldName.get, lo, hi,
+                tagEq, tagIn, tagNames.flatten.toSeq))
+            else scala.None
+          }
+      }
+
     val merge = (frames0: Seq[DataFrame], runAll: String => Seq[DataFrame]) => {
       val frames =
         if (plantDropFrameForTests && frames0.size > 1) frames0.init
@@ -410,7 +451,7 @@ object FederatedAggregate {
       val withQuantiles =
         if (quantiles.isEmpty) grouped
         else attachQuantiles(spark, grouped, groupings.size, groupExprSqls,
-          quantiles, qChildren, fromWhere, runAll)
+          quantiles, qChildren, fromWhere, runAll, fastProbe)
       withQuantiles.select(finalCols: _*)
     }
     Decomposed(partialSql, merge)
@@ -447,7 +488,8 @@ object FederatedAggregate {
       spark: SparkSession, grouped: DataFrame, nKeys: Int,
       groupExprSqls: Seq[String], quantiles: Seq[(String, QuantileSpec)],
       qChildren: Seq[String], fromWhere: String,
-      runAll: String => Seq[DataFrame]): DataFrame = {
+      runAll: String => Seq[DataFrame],
+      fastProbe: Option[RankProbe.Target]): DataFrame = {
     // The merged frame is answer-sized by definition — pin it as a local
     // relation so the stats collect and the final join don't re-run the
     // endpoint partials.
@@ -487,6 +529,16 @@ object FederatedAggregate {
         renderLiteral(r.get(idx(s"__g$i")), schema(idx(s"__g$i")).dataType)
       }.toSeq
     }
+    // Raw per-group key strings for the segment-native probe statements
+    // (fast-path group keys are tag columns, hence strings).
+    val keyStrs: Array[Array[String]] =
+      if (fastProbe.isEmpty) Array.empty
+      else groupedRows.map { r =>
+        (0 until nKeys).map { i =>
+          val ix = idx(s"__g$i")
+          if (r.isNullAt(ix)) null else r.getString(ix)
+        }.toArray
+      }
 
     // ---- Initialize one or two rank states per (group, call). ----
     // resolvedValueOf((groupIdx, cix, target)) is the located value.
@@ -605,18 +657,23 @@ object FederatedAggregate {
         // and hence the state count — is already driver-materialized, so
         // chunking changes round-trip count, never memory).
         val merged = fetches.grouped(StatesPerStatement).toSeq.flatMap { chunk =>
-          val rows = chunk.map { st =>
-            "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
-              Seq(st.cix.toString, renderDouble(st.lo), renderDouble(st.hi)))
-              .mkString(", ") + ")"
+          val sql = fastProbe match {
+            case Some(fp) => RankProbe.render(RankProbe.Request(fp,
+              fetch = true, nT = 2, chunk.map(st => RankProbe.State(
+                st.sid, keyStrs(st.groupIdx), Array(st.lo, st.hi)))))
+            case scala.None =>
+              val rows = chunk.map { st =>
+                "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
+                  Seq(st.cix.toString, renderDouble(st.lo),
+                    renderDouble(st.hi))).mkString(", ") + ")"
+              }
+              s"""SELECT __sid, __v, count(*) AS __c FROM (
+                 |  SELECT __probe.__sid AS __sid, __probe.__lo AS __lo,
+                 |         __probe.__hi AS __hi, $vExpr AS __v
+                 |  FROM ${onSql(probeCols, rows)}
+                 |) __j WHERE __v > __lo AND __v <= __hi
+                 |GROUP BY __sid, __v""".stripMargin
           }
-          val sql =
-            s"""SELECT __sid, __v, count(*) AS __c FROM (
-               |  SELECT __probe.__sid AS __sid, __probe.__lo AS __lo,
-               |         __probe.__hi AS __hi, $vExpr AS __v
-               |  FROM ${onSql(probeCols, rows)}
-               |) __j WHERE __v > __lo AND __v <= __hi
-               |GROUP BY __sid, __v""".stripMargin
           runAll(sql).reduce(_ unionByName _)
             .groupBy("__sid", "__v").agg(sum(col("__c")).as("__c"))
             .collect().toSeq
@@ -646,20 +703,25 @@ object FederatedAggregate {
         def thresholds(st: RankState): Seq[Double] =
           (1 to nT).map(m => st.lo + (st.hi - st.lo) * m / QuantileFan)
         val merged = probes.grouped(StatesPerStatement).toSeq.flatMap { chunk =>
-          val rows = chunk.map { st =>
-            "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
-              Seq(st.cix.toString) ++ thresholds(st).map(renderDouble))
-              .mkString(", ") + ")"
+          val sql = fastProbe match {
+            case Some(fp) => RankProbe.render(RankProbe.Request(fp,
+              fetch = false, nT = nT, chunk.map(st => RankProbe.State(
+                st.sid, keyStrs(st.groupIdx), thresholds(st).toArray))))
+            case scala.None =>
+              val rows = chunk.map { st =>
+                "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
+                  Seq(st.cix.toString) ++ thresholds(st).map(renderDouble))
+                  .mkString(", ") + ")"
+              }
+              s"""SELECT __sid, ${(1 to nT)
+                .map(m => s"count_if(__v <= __t$m) AS __c$m").mkString(", ")}
+                 |FROM (
+                 |  SELECT __probe.__sid AS __sid, ${(1 to nT)
+                .map(m => s"__probe.__t$m AS __t$m").mkString(", ")},
+                 |         $vExpr AS __v
+                 |  FROM ${onSql(probeCols, rows)}
+                 |) __j GROUP BY __sid""".stripMargin
           }
-          val sql =
-            s"""SELECT __sid, ${(1 to nT)
-              .map(m => s"count_if(__v <= __t$m) AS __c$m").mkString(", ")}
-               |FROM (
-               |  SELECT __probe.__sid AS __sid, ${(1 to nT)
-              .map(m => s"__probe.__t$m AS __t$m").mkString(", ")},
-               |         $vExpr AS __v
-               |  FROM ${onSql(probeCols, rows)}
-               |) __j GROUP BY __sid""".stripMargin
           val sumCols = (1 to nT).map(m => sum(col(s"__c$m")).as(s"__c$m"))
           runAll(sql).reduce(_ unionByName _)
             .groupBy("__sid")

@@ -913,6 +913,62 @@ case class SegmentCountAboveMultiDyn(
       newChildren(7), newChildren(8))
 }
 
+/** Distinct in-interval values with multiplicities of one segment —
+  * (lower, upper] under the SQL total order, as array<struct<v,c>>
+  * ([[graft.core.ValueCounts.valuesInRange]]): the kernel behind the
+  * federated rank search's bounded FETCH when the probe target is
+  * segment-native. Bounds arrive as expressions (per-state intervals of
+  * a broadcast-joined probe frame). Interpreted eval (CodegenFallback):
+  * the fetch runs once per rank-search statement over the boundary
+  * segments only — never in a per-round or per-point hot path.
+  */
+case class SegmentValuesInRange(
+    lower: Expression, upper: Expression, tsLo: Long, tsHi: Long,
+    modelTypeId: Expression, startTime: Expression, endTime: Expression,
+    timestamps: Expression, minValue: Expression, maxValue: Expression,
+    values: Expression, residuals: Expression)
+  extends Expression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(lower, upper,
+    modelTypeId, startTime, endTime, timestamps, minValue, maxValue,
+    values, residuals)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("v", DoubleType, nullable = false),
+      StructField("c", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val pairs = graft.core.ValueCounts.valuesInRange(
+      lower.eval(input).asInstanceOf[Double],
+      upper.eval(input).asInstanceOf[Double],
+      tsLo, tsHi,
+      modelTypeId.eval(input).asInstanceOf[Byte],
+      startTime.eval(input).asInstanceOf[Long],
+      endTime.eval(input).asInstanceOf[Long],
+      timestamps.eval(input).asInstanceOf[Array[Byte]],
+      minValue.eval(input).asInstanceOf[Float],
+      maxValue.eval(input).asInstanceOf[Float],
+      values.eval(input).asInstanceOf[Array[Byte]],
+      residuals.eval(input).asInstanceOf[Array[Byte]])
+    val rows = new Array[Any](pairs.length / 2)
+    var i = 0
+    while (i < rows.length) {
+      rows(i) = InternalRow(pairs(2 * i), pairs(2 * i + 1).toLong)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(newChildren(0), newChildren(1), tsLo, tsHi, newChildren(2),
+      newChildren(3), newChildren(4), newChildren(5), newChildren(6),
+      newChildren(7), newChildren(8), newChildren(9))
+}
+
 /** [[graft.core.ValueCounts.totalOrderKey]] as a codegen'd expression —
   * a float's position in the SQL total order's 32-bit keyspace, used by
   * the distributed exact-rank ladder to derive probe points inside the

@@ -27,6 +27,11 @@ object SqlExtensions {
       zorder: Boolean) extends Statement
   final case class Include(folders: Seq[String], select: String,
       merge: Boolean = false) extends Statement
+  /** A `GRAFT SEGMENT PROBE <base64>` rank-search round (see
+    * [[RankProbe]]); carries the raw text — the payload decodes lazily
+    * in the handler.
+    */
+  final case class SegmentProbe(sqlText: String) extends Statement
   final case class InsertInto(
       table: String, columns: Seq[String], sourceSql: String) extends Statement
   case object Passthrough extends Statement
@@ -59,6 +64,7 @@ object SqlExtensions {
     """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(\s*([A-Za-z_][A-Za-z0-9_]*(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*)?((?:SELECT|VALUES)\b.*)$""".r
 
   def parse(sqlText: String): Statement = sqlText match {
+    case t if RankProbe.matches(t) => SegmentProbe(t)
     case CreateTst(name, cols) =>
       CreateTimeSeriesTable(parseTimeSeriesColumns(name, cols))
     case CreateNormal(name, cols) => CreateNormalTable(name, cols)

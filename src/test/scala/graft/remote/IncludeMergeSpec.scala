@@ -175,13 +175,22 @@ class IncludeMergeSpec extends AnyFunSuite {
         assert(got(tag).getLong(3) == w.getLong(3), s"n($tag)")
       }
       // Every statement the remote saw is an aggregate shape (the partial,
-      // a count-probe, or a bounded in-interval fetch) — never raw points.
+      // a count-probe — generic SQL or the segment-native GRAFT SEGMENT
+      // PROBE form — or a bounded in-interval fetch) — never raw points.
       assert(statements.nonEmpty)
       statements.foreach { s =>
         val probeOrPartial = s.contains("__p0") ||
+          s.startsWith("GRAFT SEGMENT PROBE") ||
           (s.contains("__sid") && (s.contains("count_if") || s.contains("count(*)")))
         assert(probeOrPartial, s"unexpected remote statement shape: $s")
       }
+      // This statement's shape (bare field child, tag grouping, no WHERE)
+      // must take the segment-native probe path on every round.
+      assert(statements.exists(_.startsWith("GRAFT SEGMENT PROBE")),
+        "expected segment-native probe rounds")
+      assert(!statements.exists(s => s.contains("count_if") ||
+        (s.contains("__sid") && s.contains("count(*)"))),
+        "no generic re-gridding probe should ship for this shape")
     } finally server.close()
   }
 

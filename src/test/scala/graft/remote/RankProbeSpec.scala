@@ -1,0 +1,189 @@
+package graft.remote
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.DataGeneration
+import graft.tsdb.{Engine, RankProbe, SparkTestSession}
+
+/** The segment-native rank-search transport (`GRAFT SEGMENT PROBE`): the
+  * federated exact-percentile rounds must ship the kernel-answerable
+  * statement exactly when the shape allows it, fall back to generic SQL
+  * when it does not, and produce IDENTICAL answers either way — the probe
+  * path changes the round's cost (O(boundary segments) vs a full re-grid
+  * per endpoint per round), never its value.
+  */
+class RankProbeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("codec round-trips arbitrary targets and states exactly") {
+    val req = RankProbe.Request(
+      RankProbe.Target("mts", "v", Some(-3L), scala.None,
+        Map("tag" -> "naïve\n'quote'", "t2" -> ""),
+        Map("t3" -> Seq("日本語", "", "x")),
+        Seq("tag", "t2")),
+      fetch = false, nT = 3,
+      Seq(
+        RankProbe.State(1, Array("日本", null),
+          Array(0.0, -0.0, Double.MinPositiveValue)),
+        RankProbe.State(-7, Array(null, "b"),
+          Array(Double.MaxValue, -1.5e-300, 42.0))))
+    val text = RankProbe.render(req)
+    assert(RankProbe.matches(text))
+    val back = RankProbe.decode(text)
+    assert(back.target == req.target)
+    assert(back.fetch == req.fetch && back.nT == req.nT)
+    assert(back.states.length == req.states.length)
+    back.states.zip(req.states).foreach { case (a, b) =>
+      assert(a.sid == b.sid)
+      assert(a.keys.toSeq == b.keys.toSeq)
+      // Bit-exact doubles (signed zero included).
+      assert(a.xs.map(java.lang.Double.doubleToRawLongBits).toSeq ==
+        b.xs.map(java.lang.Double.doubleToRawLongBits).toSeq)
+    }
+    // Fetch frames carry (lo, hi] intervals regardless of nT.
+    val f = RankProbe.Request(req.target, fetch = true, nT = 15,
+      Seq(RankProbe.State(3, Array("a", "b"), Array(1.25, 2.5))))
+    assert(RankProbe.decode(RankProbe.render(f)).states.head.xs.toSeq ==
+      Seq(1.25, 2.5))
+  }
+
+  /** Engine with per-tag runs whose values straddle compressible (linear)
+    * and noisy stretches — interior AND boundary segments for any
+    * threshold — plus a NaN-only tag for the isnan-conjunct drop.
+    */
+  private def makeEngine(tags: Seq[String], n: Int): Engine = {
+    val engine = new Engine(spark,
+      Files.createTempDirectory("graft_rankprobe").toString)
+    engine.sql("CREATE TIME SERIES TABLE mts(ts TIMESTAMP, v FIELD, tag TAG)")
+    import spark.implicits._
+    tags.foreach { tag =>
+      val rng = new scala.util.Random(tag.hashCode * 31L + n)
+      val ts = DataGeneration.generateTimestamps(n, irregular = true, rng)
+      val vs = new Array[Float](n)
+      var i = 0
+      while (i < n) {
+        val run = math.min(n - i, 40 + rng.nextInt(40))
+        val vals =
+          if (tag == "nan" && rng.nextBoolean()) Array.fill(run)(Float.NaN)
+          else (rng.nextInt(3): @unchecked) match {
+            case 0 => DataGeneration.generateValues(run,
+              DataGeneration.Constant, None, rng)
+            case 1 => DataGeneration.generateValues(run,
+              DataGeneration.Linear, Some(0.2f), rng)
+            case 2 => DataGeneration.generateValues(run,
+              DataGeneration.RandomValues(-80f, 80f), None, rng)
+          }
+        System.arraycopy(vals, 0, vs, i, run)
+        i += run
+      }
+      engine.write("mts", ts.indices.map(i => (ts(i), vs(i), tag))
+        .toDF("ts", "v", "tag"))
+    }
+    engine
+  }
+
+  test("eligible shapes ship GRAFT SEGMENT PROBE rounds and stay exact " +
+      "under time ranges, tag IN-lists and the NaN-guard conjunct") {
+    // Group sizes must beat the bounded-fetch gap (1024) even inside the
+    // time range, or the search never probes — fetch-only rounds would
+    // vacuously pass the probe-shape assertions.
+    val local = makeEngine(Seq("a", "b", "nan"), 4000)
+    val remote = makeEngine(Seq("b", "c", "nan"), 3500)
+    val statements = mutable.ArrayBuffer.empty[String]
+    val server = new RemoteServer(remote, onStatement = statements += _)
+    try {
+      val (loUs, hiUs) = {
+        val r = local.readTable("mts")
+          .agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+          .collect().head
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (a + (b - a) / 4, a + 3 * (b - a) / 4)
+      }
+      def fmt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC).format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      val where = s"WHERE ts >= TIMESTAMP '${fmt(loUs)}' AND " +
+        s"ts <= TIMESTAMP '${fmt(hiUs)}' AND tag IN ('a', 'b', 'c', 'nan') " +
+        "AND NOT isnan(v)"
+      val q = "SELECT tag, percentile(v, array(0.1, 0.5, 0.99)) AS p, " +
+        s"percentile_disc(0.35) WITHIN GROUP (ORDER BY v) AS pd FROM mts $where GROUP BY tag"
+      val got = local.sql(s"INCLUDE MERGE '${server.address}' $q")
+        .collect().map(r => r.getString(0) -> r).toMap
+      local.readTable("mts").unionByName(remote.readTable("mts"))
+        .createOrReplaceTempView("__rp_combined")
+      val want = spark.sql(q.replace("FROM mts ", "FROM __rp_combined "))
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (tag, w) =>
+        val (gp, wp) = (got(tag).getSeq[Double](1), w.getSeq[Double](1))
+        assert(gp.length == wp.length, s"percentile array($tag)")
+        gp.zip(wp).foreach { case (g2, w2) =>
+          // Interpolated order statistics: the merge computes the convex
+          // combination in a different association than Spark's lerp.
+          assert(math.abs(g2 - w2) <= math.abs(w2) * 1e-12 + 1e-12,
+            s"percentile array($tag): $gp vs $wp")
+        }
+        // Discrete ranks are data values — exact on both paths.
+        assert(got(tag).getDouble(2) == w.getDouble(2), s"disc($tag) exact")
+      }
+      // Every interactive round shipped the segment-native statement; no
+      // generic re-gridding probe and no raw-point statement exists.
+      val probeStmts = statements.filter(RankProbe.matches)
+      assert(probeStmts.nonEmpty, s"expected probe rounds, got: $statements")
+      assert(!statements.exists(_.contains("count_if")),
+        s"no generic probe should ship for this shape: $statements")
+      // Both round kinds took the kernel path: probes and the fetch.
+      val decoded = probeStmts.map(RankProbe.decode)
+      assert(decoded.exists(!_.fetch) && decoded.exists(_.fetch),
+        "expected both probe and fetch rounds on the segment-native path")
+      val t = decoded.head.target
+      assert(t.table == "mts" && t.field == "v" && t.keyTags == Seq("tag"))
+      assert(t.startUs.contains(loUs) && t.endUs.contains(hiUs))
+      assert(t.tagIn.get("tag").exists(_.toSet ==
+        Set("a", "b", "c", "nan")))
+    } finally server.close()
+  }
+
+  test("ineligible shapes fall back to the generic SQL probe and stay " +
+      "exact: value-predicate WHERE, expression children, non-tag keys") {
+    val local = makeEngine(Seq("a", "b"), 2500)
+    val remote = makeEngine(Seq("b", "c"), 2000)
+    val statements = mutable.ArrayBuffer.empty[String]
+    val server = new RemoteServer(remote, onStatement = statements += _)
+    try {
+      local.readTable("mts").unionByName(remote.readTable("mts"))
+        .createOrReplaceTempView("__rp_combined2")
+      def check(q: String): Unit = {
+        statements.clear()
+        val got = local.sql(s"INCLUDE MERGE '${server.address}' $q").collect()
+        val want = spark.sql(q.replace("FROM mts", "FROM __rp_combined2"))
+          .collect()
+        assert(!statements.exists(RankProbe.matches),
+          s"shape must NOT take the segment-native path: $q\n$statements")
+        assert(statements.exists(_.contains("count_if")),
+          s"expected generic probe rounds for: $q")
+        val g = got.sortBy(r => String.valueOf(r.get(0)))
+        val w = want.sortBy(r => String.valueOf(r.get(0)))
+        assert(g.length == w.length, q)
+        g.zip(w).foreach { case (a, b) =>
+          assert(a.get(0) == b.get(0), s"$q\n$a vs $b")
+          val (x, y) = (a.getDouble(1), b.getDouble(1))
+          assert(math.abs(x - y) <= math.abs(y) * 1e-12 + 1e-12,
+            s"$q\n$a vs $b")
+        }
+      }
+      check("SELECT tag, percentile(v, 0.5) AS p FROM mts " +
+        "WHERE v > -20.0 GROUP BY tag")
+      check("SELECT tag, percentile(v * 2.0, 0.5) AS p FROM mts GROUP BY tag")
+      check("SELECT floor(v / 50.0) AS b, percentile(v, 0.5) AS p " +
+        "FROM mts GROUP BY floor(v / 50.0)")
+    } finally server.close()
+  }
+}
