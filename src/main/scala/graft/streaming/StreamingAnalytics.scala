@@ -140,11 +140,18 @@ object StreamingAnalytics {
       .select(col("doc_id"), col("ref_id"), col("jaccard"))
   }
 
-  /** [[screenStream]] with the index built (and persisted for the life of
-    * the query) from a raw corpus frame. For explicit index lifecycle
-    * (several queries over one corpus, unpersist on stop) build a
-    * [[ScreenIndex]] with [[screenIndex]] and pass it directly.
+  /** [[screenStream]] with the index built (and persisted) from a raw
+    * corpus frame. DEPRECATED: the index persists cache entries this
+    * overload exposes no handle to, so they can never be unpersisted —
+    * repeated query construction over the same corpus leaks session cache
+    * for the session's lifetime. Build a [[ScreenIndex]] with
+    * [[screenIndex]], pass it to the primary overload, and
+    * `unpersist()` it when the query stops (e.g. from a
+    * `StreamingQueryListener.onQueryTerminated`).
     */
+  @deprecated("builds a persisted ScreenIndex with no unpersist handle; " +
+    "use screenIndex(...).persist() and the primary overload, and " +
+    "unpersist() on query termination", "round 16")
   def screenStream(
       stream: DataFrame, idCol: String, textCol: String,
       corpus: DataFrame, refIdCol: String, refTextCol: String,

@@ -679,8 +679,13 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
 
     val stream = MemoryStream[(Long, String)]
     val docs = stream.toDF().toDF("doc_id", "text")
+    // Explicit index lifecycle (the convenience overload is deprecated:
+    // it persists an index no caller can ever unpersist).
+    val index = StreamingAnalytics.screenIndex(
+      corpus, "ref_id", "ref_text", numHashes = 64, bands = 16,
+      shingleK = 2).persist()
     val flagged = StreamingAnalytics.screenStream(
-      docs, "doc_id", "text", corpus, "ref_id", "ref_text",
+      docs, "doc_id", "text", index,
       threshold = 0.5, numHashes = 64, bands = 16, shingleK = 2)
 
     // Batch 1: an EXACT copy of ref 100 (collides in EVERY band — the
@@ -730,6 +735,7 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
       .map(p => (p._1, p._2, p._3)).toSeq.sorted
     assert(got.map(p => (p._1, p._2, p._3)).toSeq.sorted == batchPairs,
       s"stream ${got.toSeq} vs batch $batchPairs")
+    index.unpersist()
     corpus.unpersist()
   }
 }
