@@ -286,6 +286,32 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     } finally server1.close()
   }
 
+  test("30 probe-forced seeds: a lowered fetch gap makes every percentile " +
+      "seed run real bisection rounds on its own path, still exact") {
+    // The fixture's groups (a few hundred points) sit under the 1024
+    // fetch gap, so ordinary seeds resolve in one bounded fetch and the
+    // probe-round machinery (threshold rendering, chunking, per-round
+    // merge — on BOTH the generic SQL and GRAFT SEGMENT PROBE paths)
+    // only runs in dedicated specs. Lowering the gap forces 2+ real
+    // probe rounds per rank state under the same random fire.
+    fixture
+    val saved = FederatedAggregate.QuantileFetchGap
+    FederatedAggregate.QuantileFetchGap = 16L
+    try {
+      var pctSeeds = 0
+      (1 to 200).foreach { seed =>
+        val (q, nKeys, endpoints, hasPct) = genQuery(seed)
+        if (hasPct && pctSeeds < 30) {
+          pctSeeds += 1
+          withClue(s"probe-forced seed $seed: ") {
+            assertEquivalent(q, nKeys, endpoints)
+          }
+        }
+      }
+      assert(pctSeeds >= 30, s"generator yielded only $pctSeeds pct seeds")
+    } finally FederatedAggregate.QuantileFetchGap = saved
+  }
+
   test("planted dropped-endpoint mutation is caught") {
     // Simulates the wrong-partial-shape bug class: a merge that silently
     // loses one endpoint's partial frame. Seeds whose last endpoint holds
