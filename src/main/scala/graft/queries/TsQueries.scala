@@ -1650,6 +1650,39 @@ object TsQueries {
         round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.9), 4) AS p90
       FROM u GROUP BY 1 ORDER BY 1""")),
 
+    // Global (ungrouped) federated exact percentiles: the combined data
+    // is one group of ~1.2M points at sf0.1 — far past the bounded-fetch
+    // gap, so this is the shape where the interactive BISECTION actually
+    // runs at bench scale (the grouped queries' per-user groups are
+    // fetch-sized). The probe rounds take the segment-native path (bare
+    // field child, no keys, no WHERE): each round is one kernel pass over
+    // segment metadata per endpoint, interior segments settled with zero
+    // decode.
+    ("ts_include_percentile_global", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val server = new graft.remote.RemoteServer(engine)
+      try {
+        engine.sql(s"INCLUDE MERGE '${server.address}' " +
+          "SELECT percentile(value, array(0.01, 0.5, 0.999)) AS p, " +
+          "percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS pd, " +
+          "count(*) AS n FROM events_lossless")
+          .select(
+            round(element_at(col("p"), 1), 4).as("p01"),
+            round(element_at(col("p"), 2), 4).as("p50"),
+            round(element_at(col("p"), 3), 4).as("p999"),
+            col("pd").cast("double").as("pd25"),
+            col("n"))
+      } finally server.close()
+    }, Some("""
+      WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+      SELECT
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.01), 4) AS p01,
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.5), 4) AS p50,
+        round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.999), 4) AS p999,
+        CAST(quantile_disc(CAST(value AS FLOAT4), 0.25) AS DOUBLE) AS pd25,
+        CAST(count(*) AS BIGINT) AS n
+      FROM u""")),
+
     // Federated approximate DISTINCT: endpoints ship fixed-size
     // DataSketches HLL sketches (never values), merged locally with
     // hll_union_agg — the 100 TB shape for federated count-distinct. The

@@ -297,21 +297,65 @@ object FederatedAggregate {
         case m: Min => Some(min(col(pAlias(s"min(${sqlOf(m.child)})"))))
         case m: Max => Some(max(col(pAlias(s"max(${sqlOf(m.child)})"))))
         case a: Average =>
+          // Bit-exact local parity for ANY child type and session conf:
+          // substitute the merged global sum and count into the analyzed
+          // Average's OWN final expression (its evaluateExpression over
+          // the (sum, count) buffer attributes). Hand-mirroring the
+          // division is a trap — Spark's decimal Average divides through
+          // DecimalDivideWithOverflowCheck straight into the result type
+          // under ANSI and through a precision-ruled Divide otherwise,
+          // and the two round at different scales (the sf0.1 bench
+          // caught a sum-overflow from one wrong mirror, the typed fuzz
+          // a 1-ulp drift from another). The substituted tree also
+          // carries Spark's own empty-group NULL guard.
           val x = sqlOf(a.child)
-          val s = sum(col(pAlias(s"sum($x)")))
-          val n = sum(col(pAlias(s"count($x)")))
-          Some(a.child.dataType match {
-            case _: DecimalType =>
-              // Mirror Spark's Average over decimal exactly: divide
-              // sum.cast(resultType) by count.cast(DECIMAL(20,0)) — the
-              // division's precision rules then round at the same scale
-              // the local plan does. A double (or differently-typed
-              // decimal) division here drifts the last digits vs the
-              // same statement run locally. The final cast to ae.dataType
-              // happens for every merged column below.
-              s.cast(ae.dataType) / n.cast(DecimalType(20, 0))
-            case _ => s / n.cast("double")
-          })
+          a.child.dataType match {
+            case dt: DecimalType if dt.precision + 4 <= 15 =>
+              // Mirror the DecimalAggregates optimizer rule bit for bit:
+              // for precision <= 11 the LOCAL plan computes
+              // cast(avg(UnscaledValue(e)) / 10^s as decimal(p+4, s+4))
+              // — DOUBLE arithmetic end to end, whose last-digit rounding
+              // differs from a decimal division on exact-tie means (the
+              // typed fuzz caught a 1-ulp drift). Endpoints ship the
+              // unscaled sum as BIGINT (exact; it equals the local double
+              // accumulation wherever that accumulation is itself exact,
+              // i.e. below 2^53); the merge replays the same
+              // double-divide-then-cast chain.
+              val mult = java.math.BigInteger.TEN.pow(dt.scale)
+              val sumU = sum(col(pAlias(s"sum(CAST($x * $mult AS BIGINT))")))
+              val n = sum(col(pAlias(s"count($x)")))
+              Some((sumU.cast("double") / n.cast("double") /
+                lit(math.pow(10.0, dt.scale))).cast(ae.dataType))
+            case _ =>
+              // Bit-exact local parity for every other child type and
+              // session conf: substitute the merged global sum and count
+              // into the analyzed Average's OWN final expression (its
+              // evaluateExpression over the (sum, count) buffer
+              // attributes). Hand-mirroring the division is a trap —
+              // Spark's decimal Average divides through
+              // DecimalDivideWithOverflowCheck straight into the result
+              // type under ANSI and through a precision-ruled Divide
+              // otherwise, and the two round at different scales (the
+              // sf0.1 bench caught a sum-overflow from one wrong mirror).
+              // The substituted tree also carries Spark's own empty-group
+              // NULL guard.
+              val s = sum(col(pAlias(s"sum($x)")))
+              val n = sum(col(pAlias(s"count($x)")))
+              val sumAttr = a.aggBufferAttributes.find(_.name == "sum")
+                .getOrElse(fail(
+                  s"Average buffer shape changed: ${a.aggBufferAttributes}"))
+              val cntAttr = a.aggBufferAttributes.find(_.name == "count")
+                .getOrElse(fail(
+                  s"Average buffer shape changed: ${a.aggBufferAttributes}"))
+              Some(ColumnBridge.column(a.evaluateExpression.transform {
+                case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                    if ar.exprId == sumAttr.exprId =>
+                  ColumnBridge.expression(s.cast(sumAttr.dataType))
+                case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference
+                    if ar.exprId == cntAttr.exprId =>
+                  ColumnBridge.expression(n.cast(cntAttr.dataType))
+              }))
+          }
         case v: VariancePop =>
           Some(varianceMerge(v.child, pop = true, sq = false))
         case v: VarianceSamp =>

@@ -472,7 +472,7 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     val e = new Engine(spark,
       Files.createTempDirectory("graft_fm_typed").toString)
     e.sql("CREATE TABLE nt(g INT, i INT, l BIGINT, d1 DECIMAL(10,2), " +
-      "d2 DECIMAL(38,6), f FLOAT, x DOUBLE)")
+      "d2 DECIMAL(38,6), d3 DECIMAL(12,2), f FLOAT, x DOUBLE)")
     val rng = new scala.util.Random(seed * 40503L + 5)
     val rows = (0 until 400).map { _ =>
       Row(
@@ -483,12 +483,19 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
           (rng.nextInt(2000000) - 1000000).toLong), 2),
         new java.math.BigDecimal(java.math.BigInteger.valueOf(
           rng.nextLong() % 1000000000000L), 6),
+        // ~1e9-magnitude values: the combined SUM (~1.6e12) overflows
+        // avg(d3)'s DECIMAL(16,6) result range while the AVERAGE fits —
+        // the shape whose merge must divide like Spark's
+        // DecimalDivideWithOverflowCheck, not pre-cast the sum (the
+        // sf0.1 bench caught exactly this on ts_include_decimal_merge).
+        new java.math.BigDecimal(java.math.BigInteger.valueOf(
+          100000000000L + (rng.nextLong() % 100000000000L).abs), 2),
         rng.nextFloat() * 200f - 100f,
         rng.nextDouble() * 2000 - 1000)
     }
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       "g INT, i INT, l BIGINT, d1 DECIMAL(10,2), d2 DECIMAL(38,6), " +
-        "f FLOAT, x DOUBLE")
+        "d3 DECIMAL(12,2), f FLOAT, x DOUBLE")
     e.write("nt", spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), schema))
     e
@@ -506,6 +513,7 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
       val pool = Seq(
         "count(*)", "count(d1)", "sum(i)", "sum(l)", "sum(d1)", "sum(d2)",
         "sum(f)", "sum(x)", "avg(i)", "avg(l)", "avg(d1)", "avg(d2)",
+        "avg(d3)", "sum(d3)",
         "avg(x)", "min(d1)", "max(d2)", "min(l)", "max(i)",
         "var_samp(x)", "stddev_pop(i)",
         "percentile(d1, 0.5)", "percentile(l, 0.25)", "median(x)",
