@@ -1650,6 +1650,36 @@ object TsQueries {
         round(quantile_cont(CAST(CAST(value AS FLOAT4) AS DOUBLE), 0.9), 4) AS p90
       FROM u GROUP BY 1 ORDER BY 1""")),
 
+    // Multivariate federated exact percentiles: ONE statement carries
+    // percentile calls over BOTH stored fields of events_multi; the rank
+    // search batches both children's states through shared rounds, and
+    // on the segment-native path each round ships one probe statement
+    // per field (the segment slices differ by field_column). The
+    // generated column vf stays out — only stored fields rank-search.
+    ("ts_include_percentile_multi", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val server = new graft.remote.RemoteServer(engine)
+      try {
+        engine.sql(s"INCLUDE MERGE '${server.address}' " +
+          "SELECT user, percentile(value, 0.5) AS mv, " +
+          "percentile(value2, 0.9) AS mv2, count(*) AS n " +
+          "FROM events_multi GROUP BY user")
+          .select(col("user"), round(col("mv"), 4).as("mv"),
+            round(col("mv2"), 4).as("mv2"), col("n"))
+          .orderBy("user")
+      } finally server.close()
+    }, Some("""
+      WITH e AS (SELECT CAST(user_id AS VARCHAR) AS user,
+                        CAST(value AS FLOAT4) AS v,
+                        CAST(value AS FLOAT4) * CAST(2 AS FLOAT4) AS v2
+                 FROM events),
+      u AS (SELECT * FROM e UNION ALL SELECT * FROM e)
+      SELECT user,
+        round(quantile_cont(CAST(v AS DOUBLE), 0.5), 4) AS mv,
+        round(quantile_cont(CAST(v2 AS DOUBLE), 0.9), 4) AS mv2,
+        CAST(count(*) AS BIGINT) AS n
+      FROM u GROUP BY user ORDER BY user""")),
+
     // Global (ungrouped) federated exact percentiles: the combined data
     // is one group of ~1.2M points at sf0.1 — far past the bounded-fetch
     // gap, so this is the shape where the interactive BISECTION actually

@@ -441,36 +441,46 @@ object FederatedAggregate {
 
     // Segment-native probe path: when the statement's FROM is a bare time
     // series table, the WHERE is time/tag-only, every group key is a tag
-    // and the (single) percentile child is a stored field, the rank
-    // search's probe and fetch rounds ship a [[RankProbe]] statement the
-    // endpoint answers from segment metadata (interior segments settle
-    // with zero decode) instead of generic SQL that re-grids the FROM per
-    // round. Time travel stays generic — each endpoint resolves its own
-    // history, which the probe's pre-pruned slice cannot express.
-    val fastProbe: Option[RankProbe.Target] =
-      if (engine.isEmpty || analyzeSql.isDefined || quantiles.isEmpty ||
-        qChildren.size != 1) scala.None
+    // and every percentile child is a stored field, the rank search's
+    // probe and fetch rounds ship [[RankProbe]] statements (one per
+    // child field per chunk) the endpoint answers from segment metadata
+    // (interior segments settle with zero decode) instead of generic SQL
+    // that re-grids the FROM per round. Time travel stays generic — each
+    // endpoint resolves its own history, which the probe's pre-pruned
+    // slice cannot express. A `NOT isnan(f)` WHERE conjunct is droppable
+    // only for a SINGLE-child statement probing f itself (NaN never
+    // satisfies f <= t); with several children it filters the OTHER
+    // children's rows too, which the kernel cannot express — generic.
+    val fastProbe: Option[IndexedSeq[RankProbe.Target]] =
+      if (engine.isEmpty || analyzeSql.isDefined || quantiles.isEmpty)
+        scala.None
       else {
-        val fieldName = quantileChildren(qChildren.head) match {
+        val fieldNames = qChildren.map(c => quantileChildren(c) match {
           case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
             Some(a.name)
           case _ => scala.None
-        }
+        })
         val tagNames = groupings.map {
           case (a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
             _) => Some(a.name)
           case _ => scala.None
         }
-        if (fieldName.isEmpty || tagNames.exists(_.isEmpty)) scala.None
-        else graft.plans.SegmentAggregateSqlRewrite
-          .federatedProbeTarget(engine.get, agg.child, _ == fieldName.get)
-          .flatMap { case (meta, lo, hi, tagEq, tagIn) =>
-            if (meta.fieldColumns.contains(fieldName.get) &&
-              tagNames.flatten.forall(meta.tagColumns.contains))
-              Some(RankProbe.Target(meta.name, fieldName.get, lo, hi,
-                tagEq, tagIn, tagNames.flatten.toSeq))
-            else scala.None
-          }
+        if (fieldNames.exists(_.isEmpty) || tagNames.exists(_.isEmpty))
+          scala.None
+        else {
+          val fields = fieldNames.flatten
+          val isnanDroppable: String => Boolean =
+            f => fields.size == 1 && fields.head == f
+          graft.plans.SegmentAggregateSqlRewrite
+            .federatedProbeTarget(engine.get, agg.child, isnanDroppable)
+            .flatMap { case (meta, lo, hi, tagEq, tagIn) =>
+              if (fields.forall(meta.fieldColumns.contains) &&
+                tagNames.flatten.forall(meta.tagColumns.contains))
+                Some(fields.map(f => RankProbe.Target(meta.name, f, lo, hi,
+                  tagEq, tagIn, tagNames.flatten.toSeq)).toIndexedSeq)
+              else scala.None
+            }
+        }
       }
 
     val merge = (frames0: Seq[DataFrame], runAll: String => Seq[DataFrame]) => {
@@ -533,7 +543,14 @@ object FederatedAggregate {
       groupExprSqls: Seq[String], quantiles: Seq[(String, QuantileSpec)],
       qChildren: Seq[String], fromWhere: String,
       runAll: String => Seq[DataFrame],
-      fastProbe: Option[RankProbe.Target]): DataFrame = {
+      fastProbe: Option[IndexedSeq[RankProbe.Target]]): DataFrame = {
+    // Segment-native statements target ONE field each, so fast-path
+    // chunks group by the state's child first; generic chunks mix
+    // children (the cix rides inside the VALUES rows).
+    def chunksOf(pending: Seq[RankState]): Seq[Seq[RankState]] =
+      if (fastProbe.isEmpty) pending.grouped(StatesPerStatement).toSeq
+      else pending.groupBy(_.cix).toSeq.sortBy(_._1)
+        .flatMap(_._2.grouped(StatesPerStatement))
     // The merged frame is answer-sized by definition — pin it as a local
     // relation so the stats collect and the final join don't re-run the
     // endpoint partials.
@@ -700,9 +717,10 @@ object FederatedAggregate {
         // statements per round keep each one parse-bounded (the answer —
         // and hence the state count — is already driver-materialized, so
         // chunking changes round-trip count, never memory).
-        val merged = fetches.grouped(StatesPerStatement).toSeq.flatMap { chunk =>
+        val merged = chunksOf(fetches).flatMap { chunk =>
           val sql = fastProbe match {
-            case Some(fp) => RankProbe.render(RankProbe.Request(fp,
+            case Some(fp) => RankProbe.render(RankProbe.Request(
+              fp(chunk.head.cix),
               fetch = true, nT = 2, chunk.map(st => RankProbe.State(
                 st.sid, keyStrs(st.groupIdx), Array(st.lo, st.hi)))))
             case scala.None =>
@@ -746,9 +764,10 @@ object FederatedAggregate {
           (1 to nT).map(m => s"__t$m")
         def thresholds(st: RankState): Seq[Double] =
           (1 to nT).map(m => st.lo + (st.hi - st.lo) * m / QuantileFan)
-        val merged = probes.grouped(StatesPerStatement).toSeq.flatMap { chunk =>
+        val merged = chunksOf(probes).flatMap { chunk =>
           val sql = fastProbe match {
-            case Some(fp) => RankProbe.render(RankProbe.Request(fp,
+            case Some(fp) => RankProbe.render(RankProbe.Request(
+              fp(chunk.head.cix),
               fetch = false, nT = nT, chunk.map(st => RankProbe.State(
                 st.sid, keyStrs(st.groupIdx), thresholds(st).toArray))))
             case scala.None =>

@@ -151,6 +151,63 @@ class RankProbeSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("multi-child statements probe each stored field segment-natively; " +
+      "a NaN guard with several children forces the generic path") {
+    def twoField(tags: Seq[String], n: Int): Engine = {
+      val e = new Engine(spark,
+        Files.createTempDirectory("graft_rankprobe2").toString)
+      e.sql("CREATE TIME SERIES TABLE mts2(ts TIMESTAMP, v FIELD, " +
+        "w FIELD, tag TAG)")
+      import spark.implicits._
+      tags.foreach { tag =>
+        val rng = new scala.util.Random(tag.hashCode * 17L + n)
+        val ts = DataGeneration.generateTimestamps(n, irregular = false, rng)
+        val vs = DataGeneration.generateValues(n,
+          DataGeneration.RandomValues(-50f, 50f), None, rng)
+        val ws = DataGeneration.generateValues(n,
+          DataGeneration.RandomValues(100f, 900f), None, rng)
+        e.write("mts2", ts.indices.map(i => (ts(i), vs(i), ws(i), tag))
+          .toDF("ts", "v", "w", "tag"))
+      }
+      e
+    }
+    val local = twoField(Seq("a", "b"), 3000)
+    val remote = twoField(Seq("b", "c"), 2500)
+    val statements = mutable.ArrayBuffer.empty[String]
+    val server = new RemoteServer(remote, onStatement = statements += _)
+    try {
+      local.readTable("mts2").unionByName(remote.readTable("mts2"))
+        .createOrReplaceTempView("__rp_two")
+      val q = "SELECT tag, percentile(v, 0.5) AS pv, " +
+        "percentile(w, 0.8) AS pw FROM mts2 GROUP BY tag"
+      val got = local.sql(s"INCLUDE MERGE '${server.address}' $q")
+        .collect().map(r => r.getString(0) -> r).toMap
+      val want = spark.sql(q.replace("FROM mts2", "FROM __rp_two"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (tag, w) =>
+        Seq(1, 2).foreach { i =>
+          val (x, y) = (got(tag).getDouble(i), w.getDouble(i))
+          assert(math.abs(x - y) <= math.abs(y) * 1e-12 + 1e-12,
+            s"col $i($tag): $x vs $y")
+        }
+      }
+      val decoded = statements.filter(RankProbe.matches).map(RankProbe.decode)
+      assert(decoded.nonEmpty && !statements.exists(_.contains("count_if")),
+        s"expected only segment-native rounds: $statements")
+      assert(decoded.map(_.target.field).toSet == Set("v", "w"),
+        "both stored fields must be probed natively")
+      // NaN-guard conjunct + several children: dropping `NOT isnan(v)`
+      // would change which rows count toward w's probes — generic path.
+      statements.clear()
+      local.sql(s"INCLUDE MERGE '${server.address}' " +
+        "SELECT tag, percentile(v, 0.5) AS pv, percentile(w, 0.8) AS pw " +
+        "FROM mts2 WHERE NOT isnan(v) GROUP BY tag").collect()
+      assert(!statements.exists(RankProbe.matches),
+        s"multi-child NaN guard must not take the fast path: $statements")
+    } finally server.close()
+  }
+
   test("ineligible shapes fall back to the generic SQL probe and stay " +
       "exact: value-predicate WHERE, expression children, non-tag keys") {
     val local = makeEngine(Seq("a", "b"), 2500)
