@@ -111,6 +111,27 @@ object FederatedAggregate {
   private[graft] var plantDropFrameForTests = false
   private[graft] var plantRankBugForTests = false
 
+  /** Test/tooling-only: force the generic SQL probe rounds even for
+    * segment-native-eligible statements — the A/B switch behind
+    * tools.RankProbeAB's fast-vs-generic round-cost measurement. Never
+    * set in production code.
+    */
+  private[graft] var disableNativeProbeForTests = false
+
+  /** Combined (all-endpoint) point count below which an ELIGIBLE rank
+    * search still uses the generic SQL rounds: generic rounds re-grid the
+    * FROM per round (cost grows with data), segment-native rounds pay a
+    * per-statement constant (probe-frame broadcast, kernel join) — and
+    * below a few million points the re-grid is cheaper than the constant.
+    * Measured (tools.RankProbeAB, local[16]): at 1.2M combined points
+    * generic wins the global shape 1.8x and ties the grouped one; at 20M
+    * the native path wins 1.6x (global) and 4.1x (grouped) and is FLAT in
+    * data size. The decision is free — the partial round already returned
+    * the per-group counts. A var so specs and the A/B tool can pin either
+    * path.
+    */
+  private[graft] var NativeProbeMinPoints = 2000000L
+
   /** One percentile/median call: locate the order statistics of
     * `childSql` (per group) for percentages `ps` — one element for the
     * scalar form, several for `percentile(x, array(…))` (the result is
@@ -452,7 +473,8 @@ object FederatedAggregate {
     // satisfies f <= t); with several children it filters the OTHER
     // children's rows too, which the kernel cannot express — generic.
     val fastProbe: Option[IndexedSeq[RankProbe.Target]] =
-      if (engine.isEmpty || analyzeSql.isDefined || quantiles.isEmpty)
+      if (engine.isEmpty || analyzeSql.isDefined || quantiles.isEmpty ||
+        disableNativeProbeForTests)
         scala.None
       else {
         val fieldNames = qChildren.map(c => quantileChildren(c) match {
@@ -543,14 +565,7 @@ object FederatedAggregate {
       groupExprSqls: Seq[String], quantiles: Seq[(String, QuantileSpec)],
       qChildren: Seq[String], fromWhere: String,
       runAll: String => Seq[DataFrame],
-      fastProbe: Option[IndexedSeq[RankProbe.Target]]): DataFrame = {
-    // Segment-native statements target ONE field each, so fast-path
-    // chunks group by the state's child first; generic chunks mix
-    // children (the cix rides inside the VALUES rows).
-    def chunksOf(pending: Seq[RankState]): Seq[Seq[RankState]] =
-      if (fastProbe.isEmpty) pending.grouped(StatesPerStatement).toSeq
-      else pending.groupBy(_.cix).toSeq.sortBy(_._1)
-        .flatMap(_._2.grouped(StatesPerStatement))
+      fastProbe0: Option[IndexedSeq[RankProbe.Target]]): DataFrame = {
     // The merged frame is answer-sized by definition — pin it as a local
     // relation so the stats collect and the final join don't re-run the
     // endpoint partials.
@@ -559,6 +574,27 @@ object FederatedAggregate {
       java.util.Arrays.asList(groupedRows: _*), grouped.schema)
     val schema = grouped.schema
     def idx(name: String) = schema.fieldIndex(name)
+
+    // Size gate on the ELIGIBLE native path: below [[NativeProbeMinPoints]]
+    // combined points the generic re-grid per round is cheaper than the
+    // native rounds' per-statement constant (see the var's scaladoc for
+    // the measured crossover). The counts are already in hand from the
+    // partial round, so the decision costs nothing.
+    val fastProbe: Option[IndexedSeq[RankProbe.Target]] = fastProbe0.filter {
+      _ =>
+        qChildren.indices.exists { ci =>
+          groupedRows.iterator.map { r =>
+            if (r.isNullAt(idx(s"__qn$ci"))) 0L else r.getLong(idx(s"__qn$ci"))
+          }.sum >= NativeProbeMinPoints
+        }
+    }
+    // Segment-native statements target ONE field each, so fast-path
+    // chunks group by the state's child first; generic chunks mix
+    // children (the cix rides inside the VALUES rows).
+    def chunksOf(pending: Seq[RankState]): Seq[Seq[RankState]] =
+      if (fastProbe.isEmpty) pending.grouped(StatesPerStatement).toSeq
+      else pending.groupBy(_.cix).toSeq.sortBy(_._1)
+        .flatMap(_._2.grouped(StatesPerStatement))
 
     // The probe queries' shared FROM: group keys + each percentile child,
     // evaluated over the statement's own FROM/WHERE.

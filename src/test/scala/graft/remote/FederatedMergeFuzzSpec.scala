@@ -296,7 +296,11 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     // probe rounds per rank state under the same random fire.
     fixture
     val saved = FederatedAggregate.QuantileFetchGap
+    val savedGate = FederatedAggregate.NativeProbeMinPoints
     FederatedAggregate.QuantileFetchGap = 16L
+    // Gate open: the fixture sits below the production size gate, and
+    // these seeds must keep the SEGMENT-NATIVE rounds under random fire.
+    FederatedAggregate.NativeProbeMinPoints = 0L
     try {
       var pctSeeds = 0
       (1 to 200).foreach { seed =>
@@ -309,7 +313,10 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
         }
       }
       assert(pctSeeds >= 30, s"generator yielded only $pctSeeds pct seeds")
-    } finally FederatedAggregate.QuantileFetchGap = saved
+    } finally {
+      FederatedAggregate.QuantileFetchGap = saved
+      FederatedAggregate.NativeProbeMinPoints = savedGate
+    }
   }
 
   test("planted dropped-endpoint mutation is caught") {

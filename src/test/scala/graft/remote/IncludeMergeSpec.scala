@@ -158,6 +158,11 @@ class IncludeMergeSpec extends AnyFunSuite {
     val remote = makeEngine(Seq("b", "c"), 350)
     val statements = mutable.ArrayBuffer.empty[String]
     val server = new RemoteServer(remote, onStatement = statements += _)
+    // Gate open: the fixture sits below the production size gate
+    // (NativeProbeMinPoints), and this test asserts the segment-native
+    // round shapes.
+    val savedGate = FederatedAggregate.NativeProbeMinPoints
+    FederatedAggregate.NativeProbeMinPoints = 0L
     try {
       val got = local.sql(
         s"INCLUDE MERGE '${server.address}' " +
@@ -191,7 +196,10 @@ class IncludeMergeSpec extends AnyFunSuite {
       assert(!statements.exists(s => s.contains("count_if") ||
         (s.contains("__sid") && s.contains("count(*)"))),
         "no generic re-gridding probe should ship for this shape")
-    } finally server.close()
+    } finally {
+      FederatedAggregate.NativeProbeMinPoints = savedGate
+      server.close()
+    }
   }
 
   test("percentile_disc and percentile_cont merge exactly; all-equal and " +

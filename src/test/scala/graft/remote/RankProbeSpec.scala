@@ -20,6 +20,17 @@ import graft.tsdb.{Engine, RankProbe, SparkTestSession}
 class RankProbeSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
+  /** Pin the size gate open: these fixtures sit far below the production
+    * crossover (NativeProbeMinPoints), and the specs assert SHAPE
+    * eligibility/fallback, not the size heuristic.
+    */
+  private def withGateOpen[T](body: => T): T = {
+    val saved = graft.tsdb.FederatedAggregate.NativeProbeMinPoints
+    graft.tsdb.FederatedAggregate.NativeProbeMinPoints = 0L
+    try body
+    finally graft.tsdb.FederatedAggregate.NativeProbeMinPoints = saved
+  }
+
   test("codec round-trips arbitrary targets and states exactly") {
     val req = RankProbe.Request(
       RankProbe.Target("mts", "v", Some(-3L), scala.None,
@@ -89,6 +100,7 @@ class RankProbeSpec extends AnyFunSuite {
 
   test("eligible shapes ship GRAFT SEGMENT PROBE rounds and stay exact " +
       "under time ranges, tag IN-lists and the NaN-guard conjunct") {
+      withGateOpen {
     // Group sizes must beat the bounded-fetch gap (1024) even inside the
     // time range, or the search never probes — fetch-only rounds would
     // vacuously pass the probe-shape assertions.
@@ -149,10 +161,11 @@ class RankProbeSpec extends AnyFunSuite {
       assert(t.tagIn.get("tag").exists(_.toSet ==
         Set("a", "b", "c", "nan")))
     } finally server.close()
-  }
+  } }
 
   test("multi-child statements probe each stored field segment-natively; " +
       "a NaN guard with several children forces the generic path") {
+      withGateOpen {
     def twoField(tags: Seq[String], n: Int): Engine = {
       val e = new Engine(spark,
         Files.createTempDirectory("graft_rankprobe2").toString)
@@ -206,10 +219,11 @@ class RankProbeSpec extends AnyFunSuite {
       assert(!statements.exists(RankProbe.matches),
         s"multi-child NaN guard must not take the fast path: $statements")
     } finally server.close()
-  }
+  } }
 
   test("ineligible shapes fall back to the generic SQL probe and stay " +
       "exact: value-predicate WHERE, expression children, non-tag keys") {
+      withGateOpen {
     val local = makeEngine(Seq("a", "b"), 2500)
     val remote = makeEngine(Seq("b", "c"), 2000)
     val statements = mutable.ArrayBuffer.empty[String]
@@ -241,6 +255,25 @@ class RankProbeSpec extends AnyFunSuite {
       check("SELECT tag, percentile(v * 2.0, 0.5) AS p FROM mts GROUP BY tag")
       check("SELECT floor(v / 50.0) AS b, percentile(v, 0.5) AS p " +
         "FROM mts GROUP BY floor(v / 50.0)")
+    } finally server.close()
+  } }
+
+  test("below the size gate an eligible shape stays on the generic " +
+      "rounds — the native constant only pays for itself at scale") {
+    val local = makeEngine(Seq("a", "b"), 2500)
+    val remote = makeEngine(Seq("b", "c"), 2000)
+    val statements = mutable.ArrayBuffer.empty[String]
+    val server = new RemoteServer(remote, onStatement = statements += _)
+    try {
+      // Production gate (2M combined points) far above this fixture.
+      local.sql(s"INCLUDE MERGE '${server.address}' " +
+        "SELECT tag, percentile(v, 0.5) AS p FROM mts GROUP BY tag")
+        .collect()
+      assert(!statements.exists(RankProbe.matches),
+        s"sub-gate data must use generic rounds: $statements")
+      assert(statements.exists(s =>
+        s.contains("count_if") || s.contains("__v")),
+        s"expected generic probe/fetch rounds: $statements")
     } finally server.close()
   }
 }
