@@ -85,9 +85,12 @@ object FederatedAggregate {
     * fetch. Bounds the fetch result per state per round. Production value
     * 1024; a var so scale tooling (FederationScaleProbe) can lower it to
     * force probe rounds over small per-group data instead of synthesizing
-    * 10^3 points per group × 10^5 groups.
+    * 10^3 points per group × 10^5 groups. `@volatile` (like every
+    * test/tooling knob here): a test pinning it on one thread must not
+    * leave another thread's concurrent statement reading a stale value;
+    * tooling must always save/restore the prior value, never a constant.
     */
-  private[graft] var QuantileFetchGap = 1024L
+  @volatile private[graft] var QuantileFetchGap = 1024L
 
   /** Probe fanout: thresholds per state per rank-search round (16-ary
     * bisection — interval shrinks 16× per round).
@@ -108,29 +111,33 @@ object FederatedAggregate {
     * frame / shift every rank-search target by one. Never set in
     * production code.
     */
-  private[graft] var plantDropFrameForTests = false
-  private[graft] var plantRankBugForTests = false
+  @volatile private[graft] var plantDropFrameForTests = false
+  @volatile private[graft] var plantRankBugForTests = false
 
   /** Test/tooling-only: force the generic SQL probe rounds even for
     * segment-native-eligible statements — the A/B switch behind
     * tools.RankProbeAB's fast-vs-generic round-cost measurement. Never
     * set in production code.
     */
-  private[graft] var disableNativeProbeForTests = false
+  @volatile private[graft] var disableNativeProbeForTests = false
 
   /** Combined (all-endpoint) point count below which an ELIGIBLE rank
     * search still uses the generic SQL rounds: generic rounds re-grid the
     * FROM per round (cost grows with data), segment-native rounds pay a
     * per-statement constant (probe-frame broadcast, kernel join) — and
     * below a few million points the re-grid is cheaper than the constant.
-    * Measured (tools.RankProbeAB, local[16]): at 1.2M combined points
-    * generic wins the global shape 1.8x and ties the grouped one; at 20M
-    * the native path wins 1.6x (global) and 4.1x (grouped) and is FLAT in
-    * data size. The decision is free — the partial round already returned
-    * the per-group counts. A var so specs and the A/B tool can pin either
-    * path.
+    * Measured (tools.RankProbeAB, local[16], medians of 3 — same numbers
+    * as COVERAGE.md round 16): at 1.2M combined points the native rounds
+    * LOSE the global shape (3.7s vs 2.5s) and tie the grouped one; at 20M
+    * combined they win 1.8x (global, 5.2s vs 9.3s) and 3.3x (grouped,
+    * 3.7s vs 11.9s) and are FLAT across the 16x data step while generic
+    * grows linearly. The decision is free — the partial round already
+    * returned the per-group counts — and is taken PER CHILD: a tiny child
+    * in a multi-child statement keeps the generic rounds it measures
+    * faster on while a large sibling goes native. A var so specs and the
+    * A/B tool can pin either path.
     */
-  private[graft] var NativeProbeMinPoints = 2000000L
+  @volatile private[graft] var NativeProbeMinPoints = 2000000L
 
   /** One percentile/median call: locate the order statistics of
     * `childSql` (per group) for percentages `ps` — one element for the
@@ -690,8 +697,12 @@ object FederatedAggregate {
               Some(4503599627370496.0 * math.pow(10.0, -dt.scale)) // 2^52/10^s
             case _ => scala.None
           }
+          // `>=`, not `>`: lo0/hi0 already passed through CAST(x AS
+          // DOUBLE), so a value just past the limit (e.g. 2^53+1) rounds
+          // ONTO it and would slip a strict comparison — the exact
+          // collapse this guard exists to reject.
           dblSafeLimit.foreach { lim =>
-            if (math.abs(lo0) > lim || math.abs(hi0) > lim) fail(
+            if (math.abs(lo0) >= lim || math.abs(hi0) >= lim) fail(
               s"percentile over ${spec.childType.sql} values beyond the " +
                 s"exactly-double-representable range (|x| > $lim) cannot " +
                 "be rank-searched exactly; narrow the range in WHERE or " +

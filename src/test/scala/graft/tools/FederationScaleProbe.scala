@@ -67,6 +67,7 @@ object FederationScaleProbe {
       (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
     }
     val heapBefore = usedMb()
+    val savedGap = FederatedAggregate.QuantileFetchGap
     FederatedAggregate.QuantileFetchGap = 8L // force real bisection rounds
     try {
       val t0 = System.nanoTime()
@@ -111,7 +112,7 @@ object FederationScaleProbe {
         s"$k x$n" }.mkString(", ")}")
       println(s"[fed-scale] exact on all $groups groups: true")
     } finally {
-      FederatedAggregate.QuantileFetchGap = 1024L
+      FederatedAggregate.QuantileFetchGap = savedGap
       server.close()
       spark.stop()
     }

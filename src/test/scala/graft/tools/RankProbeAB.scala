@@ -55,16 +55,20 @@ object RankProbeAB {
           med: String => Double): Unit = {
         def native[T](body: => T): T = {
           // Pin the size gate open so the arm measures the NATIVE rounds
-          // even below the production crossover.
+          // even below the production crossover. Save/restore the PRIOR
+          // value — never a hard-coded constant — so the tool composes
+          // with anything else that pinned the gate in this JVM.
+          val saved = FederatedAggregate.NativeProbeMinPoints
           FederatedAggregate.NativeProbeMinPoints = 0L
           FederatedAggregate.disableNativeProbeForTests = false
           try body finally
-            FederatedAggregate.NativeProbeMinPoints = 2000000L
+            FederatedAggregate.NativeProbeMinPoints = saved
         }
         def generic[T](body: => T): T = {
+          val saved = FederatedAggregate.disableNativeProbeForTests
           FederatedAggregate.disableNativeProbeForTests = true
           try body finally
-            FederatedAggregate.disableNativeProbeForTests = false
+            FederatedAggregate.disableNativeProbeForTests = saved
         }
         // Values must be identical on both paths before timing means
         // anything.
