@@ -345,12 +345,19 @@ object FederatedAggregate {
               // — DOUBLE arithmetic end to end, whose last-digit rounding
               // differs from a decimal division on exact-tie means (the
               // typed fuzz caught a 1-ulp drift). Endpoints ship the
-              // unscaled sum as BIGINT (exact; it equals the local double
-              // accumulation wherever that accumulation is itself exact,
-              // i.e. below 2^53); the merge replays the same
-              // double-divide-then-cast chain.
+              // unscaled sum as DECIMAL(38,0) — exact at ANY row count,
+              // where a BIGINT sum wraps silently (non-ANSI) or throws
+              // (ANSI) past ~9.2e18 total unscaled, a DIFFERENT failure
+              // than the double path's graceful imprecision — and the
+              // merge casts the exact re-summed total to double once,
+              // then replays the same divide-then-cast chain. Equal to
+              // the local double accumulation wherever that accumulation
+              // is itself exact (total unscaled below 2^53); beyond it
+              // the divergence is bounded last-ulp imprecision on both
+              // sides, never overflow (overflow-fuzz seed pins this).
               val mult = java.math.BigInteger.TEN.pow(dt.scale)
-              val sumU = sum(col(pAlias(s"sum(CAST($x * $mult AS BIGINT))")))
+              val sumU = sum(col(pAlias(
+                s"sum(CAST($x * $mult AS DECIMAL(38,0)))")))
               val n = sum(col(pAlias(s"count($x)")))
               Some((sumU.cast("double") / n.cast("double") /
                 lit(math.pow(10.0, dt.scale))).cast(ae.dataType))

@@ -560,6 +560,55 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("decimal avg whose TOTAL unscaled sum exceeds 2^63 merges without " +
+      "overflow under BOTH ANSI settings") {
+    // 2 × 47M rows of the max-magnitude DECIMAL(11,0): each endpoint's
+    // unscaled sum (≈4.7e18) is BIGINT-safe but the merged total
+    // (≈9.4e18) is past Long.MaxValue — the shape where a BIGINT partial
+    // re-sum wraps silently (non-ANSI) or throws (ANSI). The
+    // DECIMAL(38,0) partial is exact at any row count; divergence from
+    // the local double-accumulating plan past 2^53 total unscaled is
+    // bounded imprecision, never overflow — so the merged average of a
+    // CONSTANT column must come back as exactly that constant (the one
+    // double rounding of the exact sum divides back out to < half a
+    // result-scale ulp) under ansi=true AND ansi=false, with the local
+    // plan's schema.
+    val n = 47000000L
+    val c = 99999999999L // max |unscaled| at DECIMAL(11,0)
+    def bigEngine(): Engine = {
+      val e = new Engine(spark,
+        Files.createTempDirectory("graft_fm_ovf").toString)
+      e.sql("CREATE TABLE ovf(d DECIMAL(11,0))")
+      e.write("ovf", spark.range(n).select(
+        lit(new java.math.BigDecimal(c)).cast("decimal(11,0)").as("d")))
+      e
+    }
+    val big1 = bigEngine()
+    val big2 = bigEngine()
+    val sel = "SELECT avg(d) AS a, count(d) AS nd FROM ovf"
+    // Local-plan schema via analysis only (no 94M-row local job).
+    big1.readTable("ovf").createOrReplaceTempView("__fm_ovf")
+    val wantSchema = spark.sql(sel.replace("FROM ovf", "FROM __fm_ovf"))
+      .schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val expected = new java.math.BigDecimal(c).setScale(4)
+    val savedAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    try {
+      Seq("true", "false").foreach { ansi =>
+        spark.conf.set("spark.sql.ansi.enabled", ansi)
+        val df = big1.sql(s"INCLUDE MERGE '${big2.root}' $sel")
+        withClue(s"ansi=$ansi: ") {
+          assert(df.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+            wantSchema, s"schema drift: ${df.schema.sql}")
+          val rows = df.collect()
+          assert(rows.length == 1)
+          assert(rows.head.getDecimal(0).compareTo(expected) == 0,
+            s"avg ${rows.head.getDecimal(0)} != $expected")
+          assert(rows.head.getLong(1) == 2 * n, s"count ${rows.head.getLong(1)}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", savedAnsi)
+  }
+
   test("integral/decimal percentile children beyond the double-exact " +
       "range are rejected, not silently collapsed") {
     typedLocal // force fixture
