@@ -1596,6 +1596,33 @@ object TsQueries {
         round(stddev_samp(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS sd
       FROM u GROUP BY 1 ORDER BY 1""")),
 
+    // Federated TOP-K (merge-then-post-process): HAVING / ORDER BY /
+    // LIMIT on an INCLUDE MERGE statement replay LOCALLY on the
+    // answer-sized merged frame — the endpoint sees only the bare
+    // partial aggregate (a per-endpoint HAVING/LIMIT would filter or
+    // truncate groups BEFORE the merge and return the wrong k). The
+    // ORDER BY is total (count DESC, then user), so the selected rows
+    // and their order are deterministic and DuckDB replays them exactly.
+    // The reference's federation (remote.rs row-union) cannot express
+    // a combined-data top-k at all.
+    ("ts_include_topk", (s: SparkSession, d: String) => {
+      val engine = engineFor(s, d)
+      val server = new graft.remote.RemoteServer(engine)
+      try {
+        engine.sql(s"INCLUDE MERGE '${server.address}' " +
+          "SELECT user, count(*) AS n, avg(value) AS av " +
+          "FROM events_lossless GROUP BY user " +
+          "HAVING count(*) > 100 ORDER BY n DESC, user LIMIT 10")
+          .select(col("user"), col("n"), round(col("av"), 4).as("av"))
+      } finally server.close()
+    }, Some("""
+      WITH u AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+      SELECT CAST(user_id AS VARCHAR) AS user,
+        CAST(count(*) AS BIGINT) AS n,
+        round(avg(CAST(CAST(value AS FLOAT4) AS DOUBLE)), 4) AS av
+      FROM u GROUP BY 1 HAVING count(*) > 100
+      ORDER BY n DESC, user LIMIT 10""")),
+
     // Federated EXACT percentiles: INCLUDE MERGE locates the combined
     // data's order statistics without moving points — the single partial
     // round ships per-group (count, min, max), then a batched 16-ary rank

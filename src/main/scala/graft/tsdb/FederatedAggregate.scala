@@ -4,12 +4,16 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending,
+  AttributeReference, Descending, Expression, ExprId, Literal,
+  NamedExpression, NullsFirst, NullsLast, SortOrder}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Average, Count, HyperLogLogPlusPlus, Max, Median, Min,
   Percentile, PercentileCont, PercentileDisc, StddevPop, StddevSamp, Sum,
   VariancePop, VarianceSamp}
-import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+  Filter => LogicalFilter, GlobalLimit, LocalLimit, LogicalPlan,
+  Offset => LogicalOffset, Project => LogicalProject, Sort => LogicalSort}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -61,11 +65,19 @@ import org.apache.spark.sql.types._
   *     O(states × fanout) scalars and rounds are O(log(span)) — typically
   *     2-4. Driver state is answer-sized (the merged groups themselves).
   *
+  *   - HAVING / ORDER BY / LIMIT / OFFSET on the merged statement: the
+  *     analyzed Filter/Sort/Limit/Offset/Project chain around the
+  *     Aggregate replays LOCALLY on the answer-sized merged frame — a
+  *     federated top-k (`… GROUP BY t ORDER BY n DESC LIMIT 10`) ships
+  *     the same partial query a bare aggregate does, and the endpoints
+  *     never see the trailing clauses (a per-endpoint LIMIT would
+  *     truncate groups before the merge).
+  *
   * Rejected (with a clear error): exact DISTINCT aggregates (use
-  * `approx_count_distinct`), FILTER clauses, HAVING / ORDER BY / LIMIT on
-  * the merged statement, ordinal GROUP BY, and non-decomposable functions —
-  * those semantics need the raw rows, so the caller should fall back to
-  * plain INCLUDE over a point query.
+  * `approx_count_distinct`), FILTER clauses, window functions and set
+  * operations over the aggregate, ordinal GROUP BY, and non-decomposable
+  * functions — those semantics need the raw rows, so the caller should
+  * fall back to plain INCLUDE over a point query.
   */
 object FederatedAggregate {
 
@@ -165,16 +177,70 @@ object FederatedAggregate {
       engine: Option[Engine] = scala.None): Decomposed = {
     val analyzed =
       spark.sql(analyzeSql.getOrElse(selectText)).queryExecution.analyzed
-    val agg = analyzed match {
-      case a: Aggregate => a
-      case other => fail(
-        "the statement must be a plain aggregate SELECT (no HAVING, " +
-          s"ORDER BY, LIMIT or set operation); got ${other.nodeName}. " +
-          "Use plain INCLUDE for row-union federation.")
+
+    // HAVING / ORDER BY / LIMIT / OFFSET on the merged statement are
+    // ANSWER-SIZED local post-processing: they apply to the merged groups
+    // (which ARE the statement's result rows) and need nothing from the
+    // endpoints, so the analyzed Filter/Sort/Limit/Offset/Project chain
+    // around the Aggregate is peeled off here (outermost first) and
+    // REPLAYED on the merged frame after the decompose — a federated
+    // top-k (`… GROUP BY t ORDER BY n DESC LIMIT 10`) ships exactly the
+    // same partial query a bare aggregate does. The analyzer has already
+    // pushed any HAVING/ORDER-only aggregate calls INTO the Aggregate's
+    // output (with a stripping Project on top), so the replay only ever
+    // references merged columns.
+    sealed trait PostOp
+    final case class PostFilter(cond: Expression) extends PostOp
+    final case class PostSort(order: Seq[SortOrder], global: Boolean)
+      extends PostOp
+    final case class PostLimit(n: Int) extends PostOp
+    final case class PostOffset(n: Int) extends PostOp
+    final case class PostProject(list: Seq[NamedExpression]) extends PostOp
+    def intOf(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, IntegerType) => v
+      case other => fail(s"$what must be an integer literal; got $other.")
     }
-    val (head, fromTail) = splitAtTopLevelFrom(selectText)
-    if (head.isEmpty || fromTail.isEmpty)
+    val postOps = mutable.ArrayBuffer.empty[PostOp] // outermost first
+    var aggOpt: Option[Aggregate] = scala.None
+    var cursor: LogicalPlan = analyzed
+    var pairedLocalLimits = 0
+    while (aggOpt.isEmpty) {
+      cursor match {
+        case a: Aggregate => aggOpt = Some(a)
+        case LogicalFilter(cond, child) =>
+          postOps += PostFilter(cond); cursor = child
+        case LogicalSort(order, global, child, _) =>
+          postOps += PostSort(order, global); cursor = child
+        case GlobalLimit(le, child) =>
+          postOps += PostLimit(intOf(le, "LIMIT"))
+          pairedLocalLimits += 1
+          cursor = child
+        case LocalLimit(_, child) if pairedLocalLimits > 0 =>
+          // The parser pairs every GlobalLimit with a LocalLimit
+          // (optionally around an Offset); the global one already
+          // replays the semantics.
+          pairedLocalLimits -= 1; cursor = child
+        case LogicalOffset(oe, child) =>
+          postOps += PostOffset(intOf(oe, "OFFSET")); cursor = child
+        case p: LogicalProject => postOps += PostProject(p.projectList)
+          cursor = p.child
+        case other => fail(
+          "the statement must be an aggregate SELECT (HAVING, ORDER BY, " +
+            "LIMIT and OFFSET replay locally on the merged result; set " +
+            s"operations and window functions do not merge); got " +
+            s"${other.nodeName}. Use plain INCLUDE for row-union " +
+            "federation.")
+      }
+    }
+    val agg = aggOpt.get
+
+    val (head, fromTail0) = splitAtTopLevelFrom(selectText)
+    if (head.isEmpty || fromTail0.isEmpty)
       fail("could not locate the statement's top-level FROM clause.")
+    // The partial and probe queries must not carry the statement's
+    // trailing clauses: a HAVING over partials would mis-filter and a
+    // per-endpoint ORDER/LIMIT would truncate groups BEFORE the merge.
+    val fromTail = stripTopLevelTrailers(fromTail0)
     rejectOrdinalGroupBy(fromTail)
     // FROM + WHERE only — the rank-search probe queries re-group by the
     // probe's own keys, so the original GROUP BY must not ride along.
@@ -458,9 +524,61 @@ object FederatedAggregate {
           case _ => e.mapChildren(rewrite)
         }
       }
-    val finalCols: Seq[Column] = agg.aggregateExpressions.map { ne =>
-      val body = ne match { case Alias(c, _) => c; case e => e }
-      ColumnBridge.column(rewrite(body)).as(ne.name)
+    // With post-ops the merged frame's columns are aliased POSITIONALLY
+    // (__o<i>): analyzer-added HAVING/ORDER-only aggregates carry
+    // auto-generated names that may collide, and the replay rewrites
+    // attribute references by exprId -> position anyway. The bare-
+    // aggregate path keeps the statement's own names directly.
+    val finalCols: Seq[Column] = agg.aggregateExpressions.zipWithIndex.map {
+      case (ne, i) =>
+        val body = ne match { case Alias(c, _) => c; case e => e }
+        ColumnBridge.column(rewrite(body))
+          .as(if (postOps.isEmpty) ne.name else s"__o$i")
+    }
+
+    /** Replay the peeled Filter/Sort/Limit/Offset/Project chain on the
+      * merged (answer-sized) frame, innermost first. `mapping` tracks
+      * which positional column each live attribute reference resolves to;
+      * every Project re-bases it, exactly like the plan it mirrors.
+      */
+    def replayPost(df0: DataFrame): DataFrame = {
+      var mapping: Map[ExprId, Int] = agg.aggregateExpressions.zipWithIndex
+        .map { case (ne, i) => ne.toAttribute.exprId -> i }.toMap
+      def ref(e: Expression): Column = {
+        val m = mapping
+        ColumnBridge.column(e.transform {
+          case ar: AttributeReference if m.contains(ar.exprId) =>
+            UnresolvedAttribute(s"__o${m(ar.exprId)}")
+        })
+      }
+      var df = df0
+      postOps.reverseIterator.foreach {
+        case PostFilter(cond) => df = df.where(ref(cond))
+        case PostSort(order, global) =>
+          val cols = order.map { so =>
+            val c = ref(so.child)
+            (so.direction, so.nullOrdering) match {
+              case (Ascending, NullsFirst) => c.asc_nulls_first
+              case (Ascending, NullsLast) => c.asc_nulls_last
+              case (Descending, NullsFirst) => c.desc_nulls_first
+              case (Descending, NullsLast) => c.desc_nulls_last
+            }
+          }
+          df = if (global) df.orderBy(cols: _*)
+            else df.sortWithinPartitions(cols: _*)
+        case PostLimit(n) => df = df.limit(n)
+        case PostOffset(n) => df = df.offset(n)
+        case PostProject(list) =>
+          df = df.select(list.zipWithIndex.map { case (ne, i) =>
+            val body = ne match { case Alias(c, _) => c; case e => e }
+            ref(body).as(s"__o$i")
+          }: _*)
+          mapping = list.zipWithIndex
+            .map { case (ne, i) => ne.toAttribute.exprId -> i }.toMap
+      }
+      // The statement's own output names, positionally (the outermost
+      // node's output is what the replayed frame now holds).
+      df.toDF(analyzed.output.map(_.name): _*)
     }
 
     val items =
@@ -542,7 +660,8 @@ object FederatedAggregate {
         if (quantiles.isEmpty) grouped
         else attachQuantiles(spark, grouped, groupings.size, groupExprSqls,
           quantiles, qChildren, fromWhere, runAll, fastProbe)
-      withQuantiles.select(finalCols: _*)
+      val merged = withQuantiles.select(finalCols: _*)
+      if (postOps.isEmpty) merged else replayPost(merged)
     }
     Decomposed(partialSql, merge)
   }
@@ -989,8 +1108,47 @@ object FederatedAggregate {
     (sql.trim, "")
   }
 
-  /** Drop the trailing top-level GROUP BY clause (HAVING/ORDER/LIMIT were
-    * rejected upstream, so the grouping list runs to the statement end).
+  /** Drop the statement's trailing top-level HAVING / ORDER BY / SORT BY /
+    * LIMIT / OFFSET clauses: they replay locally on the answer-sized
+    * merged frame, so they must not ride into the partial or probe
+    * queries (a HAVING over partials would mis-filter; a per-endpoint
+    * ORDER/LIMIT would truncate groups before the merge). Scans at paren
+    * depth 0 outside quotes/backticks, like the splitters below — a
+    * subquery's own trailing clauses sit inside parens and survive.
+    */
+  private[graft] def stripTopLevelTrailers(fromTail: String): String = {
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    def wordAt(idx: Int, w: String): Boolean =
+      fromTail.regionMatches(true, idx, w, 0, w.length) &&
+        (idx == 0 || !isWordChar(fromTail.charAt(idx - 1))) &&
+        (idx + w.length >= fromTail.length ||
+          !isWordChar(fromTail.charAt(idx + w.length)))
+    while (i < fromTail.length) {
+      val c = fromTail.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' | '`' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 &&
+            (wordAt(i, "HAVING") || wordAt(i, "LIMIT") ||
+              wordAt(i, "OFFSET") ||
+              ((wordAt(i, "ORDER") || wordAt(i, "SORT")) && fromTail
+                .substring(i).matches("(?is)^(ORDER|SORT)\\s+BY\\b.*"))) =>
+          return fromTail.substring(0, i).trim
+        case _ =>
+      }
+      i += 1
+    }
+    fromTail.trim
+  }
+
+  /** Drop the trailing top-level GROUP BY clause (HAVING/ORDER/LIMIT/
+    * OFFSET were stripped upstream, so the grouping list runs to the
+    * statement end).
     */
   private[graft] def stripTopLevelGroupBy(fromTail: String): String = {
     var depth = 0
@@ -1038,7 +1196,7 @@ object FederatedAggregate {
           val afterBy = rest.replaceFirst("(?is)^GROUP\\s+BY\\s*", "")
           if (afterBy.length < rest.length) {
             // Top-level comma split of the grouping list (it runs to the
-            // statement end: HAVING/ORDER/LIMIT were rejected upstream).
+            // statement end: HAVING/ORDER/LIMIT were stripped upstream).
             var d2 = 0; var q2: Char = 0; var start = 0; var j = 0
             val toks = mutable.ArrayBuffer.empty[String]
             while (j < afterBy.length) {

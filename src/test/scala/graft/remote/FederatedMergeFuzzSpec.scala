@@ -164,7 +164,35 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     val groupSql =
       if (groupings.isEmpty) ""
       else groupings.map(_._2).mkString(" GROUP BY ", ", ", "")
-    (s"SELECT $selectCols FROM mts$whereSql$groupSql",
+
+    // Answer-sized post-processing trailers: HAVING (also over aggregates
+    // the select list does NOT carry), total-order ORDER BY + LIMIT (all
+    // group expressions ride as tiebreaks so row selection is
+    // deterministic on both sides), and OFFSET pagination. These replay
+    // locally on the merged frame — the equivalence target is the SAME
+    // statement over the combined view, row ORDER included.
+    val aliases = aggs.map(_.split(" AS ").last)
+    // Tiebreaks reference the select-list ALIASES: a grouping expression
+    // like floor(v / 40.0) cannot re-resolve above a HAVING's stripping
+    // Project (Spark's own resolution rule), and the alias always can.
+    val keyTie = groupings.map(_._1.split(" AS ").last).mkString(", ")
+    def orderTrailer(withOffset: Boolean): String = {
+      val dir = if (rng.nextBoolean()) "DESC" else "ASC"
+      val tie = if (keyTie.isEmpty) "" else s", $keyTie"
+      s" ORDER BY ${pick(aliases)} $dir$tie LIMIT ${1 + rng.nextInt(6)}" +
+        (if (withOffset) s" OFFSET ${rng.nextInt(3)}" else "")
+    }
+    val trailer = rng.nextInt(10) match {
+      case 0 | 1 if groupings.nonEmpty =>
+        s" HAVING ${pick(Seq("count(*)", "count(v)", "min(v)"))} > " +
+          s"${5 + rng.nextInt(300)}"
+      case 2 | 3 => orderTrailer(withOffset = false)
+      case 4 if groupings.nonEmpty =>
+        s" HAVING count(*) > ${5 + rng.nextInt(150)}" +
+          orderTrailer(withOffset = true)
+      case _ => ""
+    }
+    (s"SELECT $selectCols FROM mts$whereSql$groupSql$trailer",
       groupings.length, endpoints, percentileSeed)
   }
 
@@ -193,8 +221,12 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     val want = wantDf.collect()
     def key(r: Row) =
       (0 until nKeys).map(i => String.valueOf(r.get(i))).mkString(" ")
-    val g = got.sortBy(key)
-    val w = want.sortBy(key)
+    // ORDER BY seeds carry a TOTAL order (every group expression rides as
+    // a tiebreak), so the replayed sort/limit/offset must reproduce the
+    // local statement's exact row ORDER — compare in order, no re-sort.
+    val ordered = q.contains(" ORDER BY ")
+    val g = if (ordered) got else got.sortBy(key)
+    val w = if (ordered) want else want.sortBy(key)
     assert(g.length == w.length, s"row count ${g.length} vs ${w.length}\n$q")
     g.zip(w).foreach { case (a, b) =>
       (0 until a.length).foreach { i =>
@@ -231,14 +263,23 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
   test("200 seeded random shapes: INCLUDE MERGE ≡ re-aggregation over the " +
       "combined endpoints' points") {
     var percentileSeeds = 0
+    var havingSeeds = 0
+    var orderSeeds = 0
     (1 to 200).foreach { seed =>
       val (q, nKeys, endpoints, hasPct) = genQuery(seed)
       if (hasPct) percentileSeeds += 1
+      if (q.contains(" HAVING ")) havingSeeds += 1
+      if (q.contains(" ORDER BY ")) orderSeeds += 1
       withClue(s"seed $seed: ") { assertEquivalent(q, nKeys, endpoints) }
     }
-    // The generator must keep exercising the interactive rank-search path.
+    // The generator must keep exercising the interactive rank-search path
+    // and the merge-then-post-process replay (HAVING / ORDER BY + LIMIT /
+    // OFFSET shapes, order-sensitive compare).
     assert(percentileSeeds >= 20,
       s"only $percentileSeeds of 200 seeds exercised percentiles")
+    assert(havingSeeds >= 10 && orderSeeds >= 20,
+      s"only $havingSeeds HAVING / $orderSeeds ORDER BY seeds of 200 " +
+        "exercised the post-processing replay")
   }
 
   test("55 TCP seeds: endpoints behind live RemoteServers — Arrow " +
@@ -635,11 +676,10 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     }
     rejects("SELECT count(DISTINCT tag) AS n FROM mts", "approx_count_distinct")
     rejects("SELECT sum(v) FILTER (WHERE v > 0) AS s FROM mts", "FILTER")
-    rejects("SELECT tag, count(*) AS n FROM mts GROUP BY tag HAVING count(*) > 9",
-      "plain aggregate SELECT")
-    rejects("SELECT tag, count(*) AS n FROM mts GROUP BY tag ORDER BY tag",
-      "plain aggregate SELECT")
-    rejects("SELECT count(*) AS n FROM mts LIMIT 1", "plain aggregate SELECT")
+    rejects("SELECT tag, rank() OVER (ORDER BY count(*)) AS r FROM mts " +
+      "GROUP BY tag", "window")
+    rejects("SELECT count(*) AS n FROM mts UNION ALL " +
+      "SELECT count(*) AS n FROM mts", "set operations")
     rejects("SELECT tag, count(*) AS n FROM mts GROUP BY 1", "ordinal")
     rejects("SELECT collect_list(v) AS l FROM mts",
       "not algebraically mergeable")
@@ -654,7 +694,7 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
       "numeric")
     rejects("SELECT approx_count_distinct(array(v)) AS n FROM mts",
       "sketch-mergeable")
-    rejects("SELECT tag FROM mts", "plain aggregate SELECT")
+    rejects("SELECT tag FROM mts", "aggregate SELECT")
     // NaN guard: tag "c" has NaN runs and the seed forgot the filter.
     val e = intercept[IllegalArgumentException] {
       local.sql(s"INCLUDE MERGE '${ep1.root}' " +

@@ -345,6 +345,82 @@ class IncludeMergeSpec extends AnyFunSuite {
     } finally { s1.close(); s2.close() }
   }
 
+  test("HAVING / ORDER BY / LIMIT replay on the merged frame: federated " +
+      "top-k ships the bare partial query and post-processes locally") {
+    val local = makeEngine(Seq("a", "b", "c", "d"), 320)
+    val remote = makeEngine(Seq("c", "d", "e", "f"), 280)
+    val statements = mutable.ArrayBuffer.empty[String]
+    val server = new RemoteServer(remote, onStatement = statements += _)
+    try {
+      val q = "SELECT tag, count(*) AS n, avg(v) AS av FROM mts " +
+        "GROUP BY tag HAVING count(*) > 290 ORDER BY n DESC, tag LIMIT 3"
+      val got = local.sql(s"INCLUDE MERGE '${server.address}' $q").collect()
+      // The endpoint saw ONE statement — the bare partial aggregate, no
+      // trailing clauses (a per-endpoint HAVING/LIMIT would filter or
+      // truncate groups BEFORE the merge and return the wrong k).
+      assert(statements.size == 1, s"expected one remote statement: $statements")
+      val shipped = statements.head.toUpperCase
+      assert(statements.head.contains("__p0") &&
+        !shipped.contains("HAVING") && !shipped.contains("ORDER BY") &&
+        !shipped.contains("LIMIT"),
+        s"trailing clauses must not ship: ${statements.head}")
+      combined(local, remote).createOrReplaceTempView("__im_topk")
+      val want = spark.sql(q.replace("FROM mts", "FROM __im_topk")).collect()
+      // ORDER BY is total (n DESC, tag) — compare IN ORDER.
+      assert(got.length == want.length && got.length == 3,
+        s"got ${got.toSeq} want ${want.toSeq}")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getString(0) == w.getString(0) && g.getLong(1) == w.getLong(1),
+          s"row order: ${got.toSeq} vs ${want.toSeq}")
+        assertClose(g.getDouble(2), w.getDouble(2), s"av(${g.getString(0)})")
+      }
+    } finally server.close()
+  }
+
+  test("HAVING over an aggregate NOT in the select list, OFFSET, and " +
+      "post-processed percentiles all replay on the merged frame") {
+    val local = makeEngine(Seq("a", "b", "c", "d"), 260)
+    val remote = makeEngine(Seq("c", "d", "e"), 240)
+    val server = new RemoteServer(remote)
+    try {
+      combined(local, remote).createOrReplaceTempView("__im_post")
+      def check(q: String, ordered: Boolean): Unit = {
+        val got = local.sql(s"INCLUDE MERGE '${server.address}' $q").collect()
+        val want = spark.sql(q.replace("FROM mts", "FROM __im_post")).collect()
+        val (g, w) =
+          if (ordered) (got, want)
+          else (got.sortBy(r => String.valueOf(r.get(0))),
+            want.sortBy(r => String.valueOf(r.get(0))))
+        assert(g.length == w.length, s"$q\n${g.toSeq}\nvs\n${w.toSeq}")
+        g.zip(w).foreach { case (a, b) =>
+          (0 until a.length).foreach { i =>
+            (a.get(i), b.get(i)) match {
+              case (x: java.lang.Double, y: java.lang.Double) =>
+                assertClose(x, y, s"$q col $i")
+              case (x, y) => assert(x == y, s"$q col $i: $x vs $y")
+            }
+          }
+        }
+      }
+      // HAVING references avg(v), which the select list does not carry:
+      // the analyzer adds it to the Aggregate and strips it with a
+      // Project — the replay must follow the same chain.
+      check("SELECT tag, count(*) AS n FROM mts GROUP BY tag " +
+        "HAVING avg(v) > -50.0", ordered = false)
+      // OFFSET pagination after a total ORDER BY.
+      check("SELECT tag, max(v) AS mx FROM mts GROUP BY tag " +
+        "ORDER BY tag LIMIT 3 OFFSET 2", ordered = true)
+      // The rank search composes with the replay: percentiles resolve
+      // first (interactive rounds), then the local sort/limit applies.
+      check("SELECT tag, percentile(v, 0.5) AS med FROM mts " +
+        "WHERE NOT isnan(v) GROUP BY tag ORDER BY med DESC, tag LIMIT 4",
+        ordered = true)
+      // Global aggregate with LIMIT (one row, trivially deterministic).
+      check("SELECT count(*) AS n, avg(v) AS av FROM mts LIMIT 1",
+        ordered = true)
+    } finally server.close()
+  }
+
   test("non-mergeable statements are rejected with clear errors") {
     val local = makeEngine(Seq("r"), 60)
     val remote = makeEngine(Seq("s"), 60)
@@ -358,16 +434,16 @@ class IncludeMergeSpec extends AnyFunSuite {
           s"for [$select] got: ${e.getMessage}")
       }
       rejects("SELECT count(DISTINCT v) AS n FROM mts", "approx_count_distinct")
-      rejects("SELECT tag, count(*) AS n FROM mts GROUP BY tag ORDER BY tag",
-        "plain aggregate SELECT")
-      rejects("SELECT tag, count(*) AS n FROM mts GROUP BY tag HAVING count(*) > 1",
-        "plain aggregate SELECT")
       rejects("SELECT tag, count(*) AS n FROM mts GROUP BY 1", "ordinal")
       rejects("SELECT collect_list(v) AS p FROM mts", "not algebraically mergeable")
       rejects("SELECT percentile(v, array()) AS p FROM mts", "non-empty")
       rejects("SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY v DESC) " +
         "AS p FROM mts", "not")
-      rejects("SELECT tag, v FROM mts", "plain aggregate SELECT")
+      rejects("SELECT tag, v FROM mts", "aggregate SELECT")
+      // Window functions over the aggregate need the full merged ROW SET
+      // per endpoint — not a local replay shape.
+      rejects("SELECT tag, rank() OVER (ORDER BY count(*)) AS r FROM mts " +
+        "GROUP BY tag", "window")
     } finally server.close()
   }
 
