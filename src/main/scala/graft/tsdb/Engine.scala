@@ -2928,13 +2928,40 @@ final class Engine(val spark: SparkSession, val root: String) {
     * ([[graft.core.ValueCounts.countAboveMulti]]'s bound classification),
     * so a round costs O(boundary segments) instead of the full grid the
     * generic SQL probe re-reconstructs — at 100 TB the difference between
-    * metadata rounds and a full scan per round per endpoint. Eligibility
-    * (bare stored-field child, tag-only group keys, time/tag-only WHERE)
-    * is decided by the DECOMPOSING engine ([[FederatedAggregate]]); this
-    * side only validates its catalog agrees.
+    * metadata rounds and a full scan per round per endpoint. A request
+    * carries one target per percentile child (a multi-field statement is
+    * ONE statement per chunk per round); each target runs its own kernel
+    * pass over its field's slice with that target's states, and the
+    * per-state rows union. `fetchLimit` > 0 bounds a fetch response to
+    * that many ascending (value, count) rows per state — the merge
+    * paginates on truncation. Eligibility (bare stored-field child,
+    * tag-only group keys, time/tag-only WHERE) is decided by the
+    * DECOMPOSING engine ([[FederatedAggregate]]); this side only
+    * validates its catalog agrees.
     */
   private[tsdb] def rankProbeAnswer(req: RankProbe.Request): DataFrame = {
-    val t = req.target
+    val parts = req.targets.indices.flatMap { ti =>
+      val states = req.states.filter(_.cix == ti)
+      if (states.isEmpty) scala.None
+      else Some(rankProbeAnswerOne(req.targets(ti), req.fetch, req.nT, states))
+    }
+    require(parts.nonEmpty, "GRAFT SEGMENT PROBE carried no states")
+    val all = parts.reduce(_ unionByName _)
+    if (!req.fetch || req.fetchLimit <= 0) all
+    else {
+      // Bounded fetch: at most fetchLimit ascending values per state.
+      // Runs AFTER the per-target aggregation, over the already-reduced
+      // (state, value, count) frame — bounds the wire, not the scan.
+      import org.apache.spark.sql.expressions.Window
+      all.withColumn("__rn", row_number()
+          .over(Window.partitionBy("__sid").orderBy("__v")))
+        .where(col("__rn") <= req.fetchLimit)
+        .drop("__rn")
+    }
+  }
+
+  private def rankProbeAnswerOne(t: RankProbe.Target, fetch: Boolean,
+      nT: Int, states: Seq[RankProbe.State]): DataFrame = {
     val meta = dataFolder.metadata(t.table)
     require(meta.isTimeSeries && meta.fieldColumns.contains(t.field) &&
       t.keyTags.forall(meta.tagColumns.contains),
@@ -2958,7 +2985,7 @@ final class Engine(val spark: SparkSession, val root: String) {
         t.keyTags.indices.map(i => StructField(s"__k$i", StringType)) :+
         StructField("__xs", ArrayType(DoubleType, containsNull = false),
           nullable = false))
-    val probeRows: Seq[org.apache.spark.sql.Row] = req.states.map(s =>
+    val probeRows: Seq[org.apache.spark.sql.Row] = states.map(s =>
       org.apache.spark.sql.Row.fromSeq(
         (s.sid: Any) +: s.keys.toSeq :+ s.xs.toSeq))
     val probeDf = spark.createDataFrame(
@@ -2978,8 +3005,8 @@ final class Engine(val spark: SparkSession, val root: String) {
         sum(when(col("min_value") > array_max(col("__xs")) ||
           col("max_value") <= array_min(col("__xs")), 0L).otherwise(1L)))
         .collect().head
-      System.err.println(s"[rank-probe] ${if (req.fetch) "fetch" else "probe"} " +
-        s"table=${t.table} states=${req.states.size} " +
+      System.err.println(s"[rank-probe] ${if (fetch) "fetch" else "probe"} " +
+        s"table=${t.table} field=${t.field} states=${states.size} " +
         s"joinedSegments=${r.getLong(0)} " +
         s"boundarySegments=${if (r.isNullAt(1)) 0L else r.getLong(1)}")
     }
@@ -2999,7 +3026,7 @@ final class Engine(val spark: SparkSession, val root: String) {
             .select(col("__sid") +: body(tsLo, tsHi): _*))
       }
 
-    if (!req.fetch) {
+    if (!fetch) {
       def arrOf(lo: Long, hi: Long) = ColumnBridge.column(
         SegmentCountAboveMultiDyn(lo, hi, attrOf("__xs"),
           attrOf("model_type_id"), attrOf("start_time"), attrOf("end_time"),
@@ -3014,9 +3041,9 @@ final class Engine(val spark: SparkSession, val root: String) {
       // total order, exactly like the generic `count_if(x <= t)`).
       val perSeg = partials((lo, hi) =>
         Seq(arrOf(lo, hi).as("__arr"), lenOf(lo, hi).as("__n")))
-        .select(col("__sid") +: (1 to req.nT).map(m =>
+        .select(col("__sid") +: (1 to nT).map(m =>
           (col("__n") - element_at(col("__arr"), m)).as(s"__c$m")): _*)
-      val sums = (1 to req.nT).map(m => sum(col(s"__c$m")).as(s"__c$m"))
+      val sums = (1 to nT).map(m => sum(col(s"__c$m")).as(s"__c$m"))
       perSeg.groupBy("__sid").agg(sums.head, sums.tail: _*)
     } else {
       def pairsOf(lo: Long, hi: Long) = ColumnBridge.column(

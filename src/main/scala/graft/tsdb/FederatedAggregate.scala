@@ -133,6 +133,13 @@ object FederatedAggregate {
     */
   @volatile private[graft] var disableNativeProbeForTests = false
 
+  /** Test-only: pin the rank-search round cap so specs can force the
+    * paginated-fetch safety valve without a 500-round fixture. Never set
+    * in production code.
+    */
+  @volatile private[graft] var capRoundsOverrideForTests: Option[Int] =
+    scala.None
+
   /** Combined (all-endpoint) point count below which an ELIGIBLE rank
     * search still uses the generic SQL rounds: generic rounds re-grid the
     * FROM per round (cost grows with data), segment-native rounds pay a
@@ -708,26 +715,36 @@ object FederatedAggregate {
     val schema = grouped.schema
     def idx(name: String) = schema.fieldIndex(name)
 
-    // Size gate on the ELIGIBLE native path: below [[NativeProbeMinPoints]]
-    // combined points the generic re-grid per round is cheaper than the
-    // native rounds' per-statement constant (see the var's scaladoc for
-    // the measured crossover). The counts are already in hand from the
+    // Size gate on the ELIGIBLE native path, decided PER CHILD: below
+    // [[NativeProbeMinPoints]] combined points the generic re-grid per
+    // round is cheaper than the native rounds' per-statement constant
+    // (see the var's scaladoc for the measured crossover), so a tiny
+    // child in a multi-child statement keeps the generic rounds while a
+    // large sibling goes native. The counts are already in hand from the
     // partial round, so the decision costs nothing.
-    val fastProbe: Option[IndexedSeq[RankProbe.Target]] = fastProbe0.filter {
-      _ =>
-        qChildren.indices.exists { ci =>
-          groupedRows.iterator.map { r =>
-            if (r.isNullAt(idx(s"__qn$ci"))) 0L else r.getLong(idx(s"__qn$ci"))
-          }.sum >= NativeProbeMinPoints
-        }
-    }
-    // Segment-native statements target ONE field each, so fast-path
-    // chunks group by the state's child first; generic chunks mix
-    // children (the cix rides inside the VALUES rows).
-    def chunksOf(pending: Seq[RankState]): Seq[Seq[RankState]] =
-      if (fastProbe.isEmpty) pending.grouped(StatesPerStatement).toSeq
-      else pending.groupBy(_.cix).toSeq.sortBy(_._1)
-        .flatMap(_._2.grouped(StatesPerStatement))
+    val nativeCix: Set[Int] =
+      if (fastProbe0.isEmpty) Set.empty
+      else qChildren.indices.filter { ci =>
+        groupedRows.iterator.map { r =>
+          if (r.isNullAt(idx(s"__qn$ci"))) 0L else r.getLong(idx(s"__qn$ci"))
+        }.sum >= NativeProbeMinPoints
+      }.toSet
+    val fastProbe: Option[IndexedSeq[RankProbe.Target]] =
+      fastProbe0.filter(_ => nativeCix.nonEmpty)
+    // A round's states split by transport (above-gate children native,
+    // the rest generic), then chunk at the per-statement state cap. A
+    // native chunk MIXES children — the request carries one target per
+    // child and each state names its own, so a multi-field statement
+    // ships ONE native statement per chunk per round, not one per field.
+    def chunksOf(pending: Seq[RankState]): Seq[(Seq[RankState], Boolean)] =
+      fastProbe match {
+        case scala.None =>
+          pending.grouped(StatesPerStatement).map((_, false)).toSeq
+        case Some(_) =>
+          val (nat, gen) = pending.partition(st => nativeCix(st.cix))
+          nat.grouped(StatesPerStatement).map((_, true)).toSeq ++
+            gen.grouped(StatesPerStatement).map((_, false)).toSeq
+      }
 
     // The probe queries' shared FROM: group keys + each percentile child,
     // evaluated over the statement's own FROM/WHERE.
@@ -859,12 +876,12 @@ object FederatedAggregate {
     // ulp-width fetch condition can fire, and extreme dynamic ranges
     // (1e308 spans narrowing onto subnormal values) legitimately need
     // ~520 of them. If the cap is still reached, the remaining states are
-    // FORCED into the bounded fetch instead of failing: a stalled
-    // interval means the values concentrate (counts no longer split), so
-    // the interval holds few DISTINCT values and the fetch stays small —
-    // the safety valve trades one larger fetch for an answer, never an
-    // abort.
-    val capRounds: Int = {
+    // FORCED into the fetch instead of failing — and that fetch is
+    // PAGINATED (see the fetch block), so a forced state whose interval
+    // still holds many distinct values stays wire-bounded per statement:
+    // the safety valve trades extra rounds for an answer, never an abort
+    // and never an unbounded result set.
+    val capRounds: Int = capRoundsOverrideForTests.getOrElse {
       val tiny = 64.0 * java.lang.Double.MIN_VALUE
       val worst = states.values.foldLeft(64.0) { (acc, st) =>
         val span = st.hi - st.lo
@@ -884,39 +901,86 @@ object FederatedAggregate {
         else pending.partition(_.fetchable)
 
       if (fetches.nonEmpty) {
+        // Forced fetches (round cap) may sit on intervals holding MANY
+        // distinct values (cHi-cLo >> gap): those fetches are PAGINATED —
+        // each endpoint returns at most QuantileFetchGap ascending values
+        // per state, the merge consumes every value it can prove complete
+        // across ALL endpoints (up to the smallest truncation point) and
+        // re-enters the next round with lo advanced. Per-statement fetch
+        // rows stay bounded even at the cap. Ordinary fetches (interval
+        // holds <= gap points combined) can never truncate, so the limit
+        // is attached only on forced rounds — the hot path's endpoint
+        // plan stays unchanged.
+        val limit = if (forceFetch) QuantileFetchGap else 0L
         val probeCols =
           Seq("__sid") ++ keyCols ++ Seq("__cix", "__lo", "__hi")
         // Statement text is O(states): past the chunk size, several
         // statements per round keep each one parse-bounded (the answer —
         // and hence the state count — is already driver-materialized, so
-        // chunking changes round-trip count, never memory).
-        val merged = chunksOf(fetches).flatMap { chunk =>
-          val sql = fastProbe match {
-            case Some(fp) => RankProbe.render(RankProbe.Request(
-              fp(chunk.head.cix),
-              fetch = true, nT = 2, chunk.map(st => RankProbe.State(
-                st.sid, keyStrs(st.groupIdx), Array(st.lo, st.hi)))))
-            case scala.None =>
+        // chunking changes round-trip count, never memory). Rows collect
+        // PER ENDPOINT: pagination needs each endpoint's own truncation
+        // point, so the frames are not pre-merged.
+        val byEndpoint =
+          mutable.ArrayBuffer.empty[mutable.ArrayBuffer[(Int, Double, Long)]]
+        chunksOf(fetches).foreach { case (chunk, native) =>
+          val sql =
+            if (native) RankProbe.render(RankProbe.Request(
+              fastProbe.get, fetch = true, nT = 2, fetchLimit = limit,
+              chunk.map(st => RankProbe.State(
+                st.sid, st.cix, keyStrs(st.groupIdx), Array(st.lo, st.hi)))))
+            else {
               val rows = chunk.map { st =>
                 "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
                   Seq(st.cix.toString, renderDouble(st.lo),
                     renderDouble(st.hi))).mkString(", ") + ")"
               }
-              s"""SELECT __sid, __v, count(*) AS __c FROM (
-                 |  SELECT __probe.__sid AS __sid, __probe.__lo AS __lo,
-                 |         __probe.__hi AS __hi, $vExpr AS __v
-                 |  FROM ${onSql(probeCols, rows)}
-                 |) __j WHERE __v > __lo AND __v <= __hi
-                 |GROUP BY __sid, __v""".stripMargin
+              val inner =
+                s"""SELECT __probe.__sid AS __sid, __probe.__lo AS __lo,
+                   |         __probe.__hi AS __hi, $vExpr AS __v
+                   |  FROM ${onSql(probeCols, rows)}""".stripMargin
+              if (limit <= 0)
+                s"""SELECT __sid, __v, count(*) AS __c FROM (
+                   |$inner
+                   |) __j WHERE __v > __lo AND __v <= __hi
+                   |GROUP BY __sid, __v""".stripMargin
+              else
+                s"""SELECT __sid, __v, __c FROM (
+                   |SELECT __sid, __v, count(*) AS __c, row_number() OVER (
+                   |  PARTITION BY __sid ORDER BY __v) AS __rn FROM (
+                   |$inner
+                   |) __j WHERE __v > __lo AND __v <= __hi
+                   |GROUP BY __sid, __v) WHERE __rn <= $limit""".stripMargin
+            }
+          val frames = runAll(sql)
+          while (byEndpoint.size < frames.size)
+            byEndpoint += mutable.ArrayBuffer.empty[(Int, Double, Long)]
+          frames.zipWithIndex.foreach { case (f, e) =>
+            byEndpoint(e) ++= f.collect().iterator.map { r =>
+              // Spark grouping folds -0.0 into 0.0; the driver-side merge
+              // maps must agree.
+              val v = r.getDouble(1)
+              (r.getInt(0), if (v == 0.0) 0.0 else v, r.getLong(2))
+            }
           }
-          runAll(sql).reduce(_ unionByName _)
-            .groupBy("__sid", "__v").agg(sum(col("__c")).as("__c"))
-            .collect().toSeq
         }
-        val bySid = merged.groupBy(_.getInt(0))
+        val bySidEp: Seq[Map[Int, Seq[(Double, Long)]]] =
+          byEndpoint.toSeq.map(_.toSeq.groupBy(_._1).map { case (sid, ts) =>
+            sid -> ts.map(t => (t._2, t._3)).sortBy(_._1)
+          })
         fetches.foreach { st =>
-          val vals = bySid.getOrElse(st.sid, Seq.empty[Row])
-            .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+          val perEp: Seq[Seq[(Double, Long)]] =
+            bySidEp.map(_.getOrElse(st.sid, Seq.empty))
+          // Counts merge completely only up to the smallest truncation
+          // point: an endpoint that returned exactly `limit` rows may
+          // hold more values above its last one.
+          val completeV: Double =
+            if (limit <= 0) Double.PositiveInfinity
+            else perEp.map(rs =>
+              if (rs.length >= limit) rs.last._1
+              else Double.PositiveInfinity).min
+          val vals = perEp.flatten.filter(_._1 <= completeV)
+            .groupBy(_._1).map { case (v, ts) => (v, ts.map(_._2).sum) }
+            .toSeq.sortBy(_._1)
           var cum = st.cLo
           var i = 0
           while (!st.done && i < vals.length) {
@@ -924,10 +988,17 @@ object FederatedAggregate {
             if (cum >= st.target) { st.value = vals(i)._1; st.done = true }
             i += 1
           }
-          if (!st.done) throw new IllegalStateException(
-            s"federated percentile fetch lost rank ${st.target} in " +
-              s"(${st.lo}, ${st.hi}] (cum=$cum) — endpoint data changed " +
-              "between rounds?")
+          if (!st.done) {
+            if (completeV.isPosInfinity) throw new IllegalStateException(
+              s"federated percentile fetch lost rank ${st.target} in " +
+                s"(${st.lo}, ${st.hi}] (cum=$cum) — endpoint data changed " +
+                "between rounds?")
+            // Truncated: the proven prefix is consumed; the next round
+            // fetches (completeV, hi] — at least `limit` distinct values
+            // retire per round, so pagination terminates.
+            st.lo = completeV
+            st.cLo = cum
+          }
         }
       }
 
@@ -937,13 +1008,14 @@ object FederatedAggregate {
           (1 to nT).map(m => s"__t$m")
         def thresholds(st: RankState): Seq[Double] =
           (1 to nT).map(m => st.lo + (st.hi - st.lo) * m / QuantileFan)
-        val merged = chunksOf(probes).flatMap { chunk =>
-          val sql = fastProbe match {
-            case Some(fp) => RankProbe.render(RankProbe.Request(
-              fp(chunk.head.cix),
-              fetch = false, nT = nT, chunk.map(st => RankProbe.State(
-                st.sid, keyStrs(st.groupIdx), thresholds(st).toArray))))
-            case scala.None =>
+        val merged = chunksOf(probes).flatMap { case (chunk, native) =>
+          val sql =
+            if (native) RankProbe.render(RankProbe.Request(
+              fastProbe.get, fetch = false, nT = nT, fetchLimit = 0L,
+              chunk.map(st => RankProbe.State(
+                st.sid, st.cix, keyStrs(st.groupIdx),
+                thresholds(st).toArray))))
+            else {
               val rows = chunk.map { st =>
                 "(" + (Seq(st.sid.toString) ++ keyLits(st.groupIdx) ++
                   Seq(st.cix.toString) ++ thresholds(st).map(renderDouble))
@@ -957,7 +1029,7 @@ object FederatedAggregate {
                  |         $vExpr AS __v
                  |  FROM ${onSql(probeCols, rows)}
                  |) __j GROUP BY __sid""".stripMargin
-          }
+            }
           val sumCols = (1 to nT).map(m => sum(col(s"__c$m")).as(s"__c$m"))
           runAll(sql).reduce(_ unionByName _)
             .groupBy("__sid")

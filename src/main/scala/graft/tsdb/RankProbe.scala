@@ -23,6 +23,16 @@ import java.util.Base64
   * economics (modelardb_storage parquet pruning) applied to the
   * interactive federation rounds.
   *
+  * A request carries ONE Target per percentile child (the targets differ
+  * only in the probed field; each state names its child by index), so a
+  * multi-field statement ships ONE statement per chunk per round — the
+  * endpoint runs one kernel pass per field over that field's segment
+  * slice and unions the per-state rows. `fetchLimit` > 0 bounds a fetch
+  * response to that many (value, count) rows PER STATE per endpoint
+  * (ascending value order): the merge detects the truncation and
+  * paginates — the forced-fetch safety valve at the round cap stays
+  * wire-bounded even over an interval holding many distinct values.
+  *
   * The payload is a versioned binary frame (DataOutputStream primitives,
   * Base64-armored into the statement text): endpoints of this library
   * decode it exactly; strings are length-prefixed UTF-8, so arbitrary tag
@@ -34,10 +44,11 @@ import java.util.Base64
 object RankProbe {
 
   val Prefix = "GRAFT SEGMENT PROBE "
-  private val Version = 1
+  private val Version = 2
 
-  /** The statement-constant part: which segment slice to probe. `keyTags`
-    * is the GROUP BY tag list in grouping order — state keys align to it.
+  /** The per-child statement-constant part: which segment slice to probe.
+    * `keyTags` is the GROUP BY tag list in grouping order — state keys
+    * align to it (identical across a request's targets).
     */
   final case class Target(
       table: String, field: String,
@@ -45,14 +56,17 @@ object RankProbe {
       tagEq: Map[String, String], tagIn: Map[String, Seq[String]],
       keyTags: Seq[String])
 
-  /** One rank state's slice of a round: its group-key values (aligned to
+  /** One rank state's slice of a round: which target it probes (`cix`
+    * indexes `Request.targets`), its group-key values (aligned to
     * `Target.keyTags`, null allowed) and either `nT` probe thresholds or
     * the (lo, hi] fetch interval in `xs`.
     */
-  final case class State(sid: Int, keys: Array[String], xs: Array[Double])
+  final case class State(
+      sid: Int, cix: Int, keys: Array[String], xs: Array[Double])
 
   final case class Request(
-      target: Target, fetch: Boolean, nT: Int, states: Seq[State])
+      targets: IndexedSeq[Target], fetch: Boolean, nT: Int,
+      fetchLimit: Long, states: Seq[State])
 
   def render(req: Request): String =
     Prefix + Base64.getEncoder.encodeToString(encode(req))
@@ -81,27 +95,33 @@ object RankProbe {
         new String(b, java.nio.charset.StandardCharsets.UTF_8)
       }
     }
-    val table = readStr()
-    val field = readStr()
-    val startUs = readOptLong()
-    val endUs = readOptLong()
-    val tagEq = (0 until in.readInt()).map(_ => (readStr(), readStr())).toMap
-    val tagIn = (0 until in.readInt()).map { _ =>
-      val t = readStr()
-      (t, (0 until in.readInt()).map(_ => readStr()))
-    }.toMap
-    val keyTags = (0 until in.readInt()).map(_ => readStr())
+    def readTarget(): Target = {
+      val table = readStr()
+      val field = readStr()
+      val startUs = readOptLong()
+      val endUs = readOptLong()
+      val tagEq = (0 until in.readInt()).map(_ => (readStr(), readStr())).toMap
+      val tagIn = (0 until in.readInt()).map { _ =>
+        val t = readStr()
+        (t, (0 until in.readInt()).map(_ => readStr()))
+      }.toMap
+      val keyTags = (0 until in.readInt()).map(_ => readStr())
+      Target(table, field, startUs, endUs, tagEq, tagIn, keyTags)
+    }
+    val targets = IndexedSeq.fill(in.readInt())(readTarget())
+    val nKeys = if (targets.isEmpty) 0 else targets.head.keyTags.size
     val fetch = in.readBoolean()
     val nT = in.readInt()
+    val fetchLimit = in.readLong()
     val width = if (fetch) 2 else nT
     val states = (0 until in.readInt()).map { _ =>
       val sid = in.readInt()
-      val keys = Array.fill(keyTags.size)(readStr())
+      val cix = in.readInt()
+      val keys = Array.fill(nKeys)(readStr())
       val xs = Array.fill(width)(in.readDouble())
-      State(sid, keys, xs)
+      State(sid, cix, keys, xs)
     }
-    Request(Target(table, field, startUs, endUs, tagEq, tagIn, keyTags),
-      fetch, nT, states)
+    Request(targets, fetch, nT, fetchLimit, states)
   }
 
   private def encode(req: Request): Array[Byte] = {
@@ -117,29 +137,37 @@ object RankProbe {
         val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         out.writeInt(b.length); out.write(b)
       }
-    val t = req.target
-    writeStr(t.table)
-    writeStr(t.field)
-    writeOptLong(t.startUs)
-    writeOptLong(t.endUs)
-    out.writeInt(t.tagEq.size)
-    t.tagEq.toSeq.sortBy(_._1).foreach { case (k, v) =>
-      writeStr(k); writeStr(v)
+    require(req.targets.nonEmpty, "a probe request names at least one target")
+    val nKeys = req.targets.head.keyTags.size
+    require(req.targets.forall(_.keyTags.size == nKeys),
+      "targets must share the statement's group-key tags")
+    out.writeInt(req.targets.size)
+    req.targets.foreach { t =>
+      writeStr(t.table)
+      writeStr(t.field)
+      writeOptLong(t.startUs)
+      writeOptLong(t.endUs)
+      out.writeInt(t.tagEq.size)
+      t.tagEq.toSeq.sortBy(_._1).foreach { case (k, v) =>
+        writeStr(k); writeStr(v)
+      }
+      out.writeInt(t.tagIn.size)
+      t.tagIn.toSeq.sortBy(_._1).foreach { case (k, vs) =>
+        writeStr(k); out.writeInt(vs.size); vs.foreach(writeStr)
+      }
+      out.writeInt(t.keyTags.size)
+      t.keyTags.foreach(writeStr)
     }
-    out.writeInt(t.tagIn.size)
-    t.tagIn.toSeq.sortBy(_._1).foreach { case (k, vs) =>
-      writeStr(k); out.writeInt(vs.size); vs.foreach(writeStr)
-    }
-    out.writeInt(t.keyTags.size)
-    t.keyTags.foreach(writeStr)
     out.writeBoolean(req.fetch)
     out.writeInt(req.nT)
+    out.writeLong(req.fetchLimit)
     val width = if (req.fetch) 2 else req.nT
     out.writeInt(req.states.size)
     req.states.foreach { s =>
-      require(s.keys.length == t.keyTags.size && s.xs.length == width,
-        "malformed probe state")
+      require(s.keys.length == nKeys && s.xs.length == width &&
+        s.cix >= 0 && s.cix < req.targets.size, "malformed probe state")
       out.writeInt(s.sid)
+      out.writeInt(s.cix)
       s.keys.foreach(writeStr)
       s.xs.foreach(out.writeDouble)
     }

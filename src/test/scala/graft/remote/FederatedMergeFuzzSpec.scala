@@ -512,6 +512,93 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("forced fetch at the round cap is PAGINATED: per-statement fetch " +
+      "rows stay bounded over a wide-gap interval, exactness unchanged") {
+    // Cap pinned to 0 forces every state straight into the fetch with its
+    // FULL (min, max] interval — 1,200 combined distinct values against a
+    // fetch gap of 16 — the shape the old safety valve answered with one
+    // unbounded result set. Now each fetch statement carries a per-state
+    // row_number cap; the merge consumes the prefix proven complete
+    // across endpoints and pages until the rank resolves. Asserted on
+    // BOTH transports: generic SQL (normal table over TCP, statement text
+    // carries the cap) and segment-native (TS table, frame carries
+    // fetchLimit).
+    val savedGap = FederatedAggregate.QuantileFetchGap
+    val savedCap = FederatedAggregate.capRoundsOverrideForTests
+    val savedGate = FederatedAggregate.NativeProbeMinPoints
+    FederatedAggregate.QuantileFetchGap = 16L
+    FederatedAggregate.capRoundsOverrideForTests = Some(0)
+    FederatedAggregate.NativeProbeMinPoints = 0L
+    try {
+      // ---- Generic path: normal tables behind a live RemoteServer. ----
+      def wide(offset: Double): Engine = {
+        val e = new Engine(spark,
+          Files.createTempDirectory("graft_fm_page").toString)
+        e.sql("CREATE TABLE pg(x DOUBLE)")
+        import spark.implicits._
+        e.write("pg", (0 until 600).map(i => i * 1.0 + offset).toDF("x"))
+        e
+      }
+      val local = wide(0.0)
+      val remote = wide(0.5)
+      val statements = scala.collection.mutable.ArrayBuffer.empty[String]
+      val server = new RemoteServer(remote, onStatement = statements += _)
+      try {
+        val got = local.sql(s"INCLUDE MERGE '${server.address}' " +
+          "SELECT percentile(x, 0.5) AS med, " +
+          "percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS pd " +
+          "FROM pg").collect().head
+        local.readTable("pg").unionByName(remote.readTable("pg"))
+          .createOrReplaceTempView("__fm_page")
+        val want = spark.sql("SELECT percentile(x, 0.5) AS med, " +
+          "percentile_disc(0.25) WITHIN GROUP (ORDER BY x) AS pd " +
+          "FROM __fm_page").collect().head
+        assert(got.getDouble(0) == want.getDouble(0), "median exact")
+        assert(got.getDouble(1) == want.getDouble(1), "disc exact")
+        val fetchStmts = statements.filter(_.contains("__rn <= 16"))
+        assert(fetchStmts.size > 5,
+          s"expected many bounded paginated fetch rounds, got " +
+            s"${fetchStmts.size} of ${statements.size} statements")
+        assert(!statements.exists(s => s.contains("__v") &&
+          s.contains("GROUP BY __sid, __v") && !s.contains("__rn")),
+          "every forced fetch statement must carry the per-state cap")
+      } finally server.close()
+
+      // ---- Native path: TS tables, frame-carried fetchLimit. ----
+      def tsWide(tags: Seq[String], n: Int): Engine =
+        makeEngine(tags, n, nanTag = scala.None)
+      val tsLocal = tsWide(Seq("p", "q"), 400)
+      val tsRemote = tsWide(Seq("q", "r"), 300)
+      val stmts2 = scala.collection.mutable.ArrayBuffer.empty[String]
+      val server2 = new RemoteServer(tsRemote, onStatement = stmts2 += _)
+      try {
+        val got = tsLocal.sql(s"INCLUDE MERGE '${server2.address}' " +
+          "SELECT tag, percentile(v, 0.9) AS p90 FROM mts GROUP BY tag")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        tsLocal.readTable("mts").unionByName(tsRemote.readTable("mts"))
+          .createOrReplaceTempView("__fm_page_ts")
+        val want = spark.sql("SELECT tag, percentile(v, 0.9) AS p90 " +
+          "FROM __fm_page_ts GROUP BY tag")
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(got.keySet == want.keySet)
+        want.foreach { case (t, w) => assert(got(t) == w, s"p90($t)") }
+        val native = stmts2.filter(graft.tsdb.RankProbe.matches)
+          .map(graft.tsdb.RankProbe.decode)
+        assert(native.nonEmpty && native.forall(_.fetch),
+          "cap=0 must force fetch-only native rounds")
+        assert(native.forall(_.fetchLimit == 16L),
+          s"native forced fetches must carry the cap: " +
+            s"${native.map(_.fetchLimit)}")
+        assert(native.size > 2,
+          s"expected paginated native rounds, got ${native.size}")
+      } finally server2.close()
+    } finally {
+      FederatedAggregate.QuantileFetchGap = savedGap
+      FederatedAggregate.capRoundsOverrideForTests = savedCap
+      FederatedAggregate.NativeProbeMinPoints = savedGate
+    }
+  }
+
   // Two normal-table endpoints with INT/BIGINT/DECIMAL/FLOAT/DOUBLE
   // columns: the typed seeds assert the merged SCHEMA equals the local
   // plan's (sum/avg over decimal must not widen) and values match

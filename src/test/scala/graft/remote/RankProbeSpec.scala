@@ -32,35 +32,42 @@ class RankProbeSpec extends AnyFunSuite {
   }
 
   test("codec round-trips arbitrary targets and states exactly") {
+    val t0 = RankProbe.Target("mts", "v", Some(-3L), scala.None,
+      Map("tag" -> "naïve\n'quote'", "t2" -> ""),
+      Map("t3" -> Seq("日本語", "", "x")),
+      Seq("tag", "t2"))
+    // Multi-target request: one target per percentile child, states name
+    // theirs by index.
     val req = RankProbe.Request(
-      RankProbe.Target("mts", "v", Some(-3L), scala.None,
-        Map("tag" -> "naïve\n'quote'", "t2" -> ""),
-        Map("t3" -> Seq("日本語", "", "x")),
-        Seq("tag", "t2")),
-      fetch = false, nT = 3,
+      IndexedSeq(t0, t0.copy(field = "w")),
+      fetch = false, nT = 3, fetchLimit = 0L,
       Seq(
-        RankProbe.State(1, Array("日本", null),
+        RankProbe.State(1, 0, Array("日本", null),
           Array(0.0, -0.0, Double.MinPositiveValue)),
-        RankProbe.State(-7, Array(null, "b"),
+        RankProbe.State(-7, 1, Array(null, "b"),
           Array(Double.MaxValue, -1.5e-300, 42.0))))
     val text = RankProbe.render(req)
     assert(RankProbe.matches(text))
     val back = RankProbe.decode(text)
-    assert(back.target == req.target)
-    assert(back.fetch == req.fetch && back.nT == req.nT)
+    assert(back.targets == req.targets)
+    assert(back.fetch == req.fetch && back.nT == req.nT &&
+      back.fetchLimit == req.fetchLimit)
     assert(back.states.length == req.states.length)
     back.states.zip(req.states).foreach { case (a, b) =>
-      assert(a.sid == b.sid)
+      assert(a.sid == b.sid && a.cix == b.cix)
       assert(a.keys.toSeq == b.keys.toSeq)
       // Bit-exact doubles (signed zero included).
       assert(a.xs.map(java.lang.Double.doubleToRawLongBits).toSeq ==
         b.xs.map(java.lang.Double.doubleToRawLongBits).toSeq)
     }
-    // Fetch frames carry (lo, hi] intervals regardless of nT.
-    val f = RankProbe.Request(req.target, fetch = true, nT = 15,
-      Seq(RankProbe.State(3, Array("a", "b"), Array(1.25, 2.5))))
-    assert(RankProbe.decode(RankProbe.render(f)).states.head.xs.toSeq ==
-      Seq(1.25, 2.5))
+    // Fetch frames carry (lo, hi] intervals regardless of nT, plus the
+    // per-state pagination limit.
+    val f = RankProbe.Request(IndexedSeq(t0), fetch = true, nT = 15,
+      fetchLimit = 1024L,
+      Seq(RankProbe.State(3, 0, Array("a", "b"), Array(1.25, 2.5))))
+    val fBack = RankProbe.decode(RankProbe.render(f))
+    assert(fBack.states.head.xs.toSeq == Seq(1.25, 2.5))
+    assert(fBack.fetchLimit == 1024L)
   }
 
   /** Engine with per-tag runs whose values straddle compressible (linear)
@@ -155,7 +162,7 @@ class RankProbeSpec extends AnyFunSuite {
       val decoded = probeStmts.map(RankProbe.decode)
       assert(decoded.exists(!_.fetch) && decoded.exists(_.fetch),
         "expected both probe and fetch rounds on the segment-native path")
-      val t = decoded.head.target
+      val t = decoded.head.targets.head
       assert(t.table == "mts" && t.field == "v" && t.keyTags == Seq("tag"))
       assert(t.startUs.contains(loUs) && t.endUs.contains(hiUs))
       assert(t.tagIn.get("tag").exists(_.toSet ==
@@ -208,8 +215,17 @@ class RankProbeSpec extends AnyFunSuite {
       val decoded = statements.filter(RankProbe.matches).map(RankProbe.decode)
       assert(decoded.nonEmpty && !statements.exists(_.contains("count_if")),
         s"expected only segment-native rounds: $statements")
-      assert(decoded.map(_.target.field).toSet == Set("v", "w"),
+      assert(decoded.flatMap(_.targets.map(_.field)).toSet == Set("v", "w"),
         "both stored fields must be probed natively")
+      // BATCHED multi-child rounds: one statement answers every child per
+      // chunk — each request carries both targets, and the first probe
+      // round's states span both children in ONE statement (no
+      // per-field statement fan-out).
+      assert(decoded.forall(_.targets.map(_.field) == Seq("v", "w")),
+        "every native statement must carry one target per child")
+      assert(decoded.exists(r => !r.fetch &&
+        r.states.map(_.cix).toSet == Set(0, 1)),
+        "a probe round must batch both children's states in one statement")
       // NaN-guard conjunct + several children: dropping `NOT isnan(v)`
       // would change which rows count toward w's probes — generic path.
       statements.clear()
