@@ -447,6 +447,28 @@ class IncludeMergeSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("trailer strip cuts only TOP-LEVEL clauses: subquery ORDER BY / " +
+      "LIMIT and quoted keywords survive into the partial") {
+    val strip = FederatedAggregate.stripTopLevelTrailers _
+    assert(strip("FROM mts GROUP BY tag HAVING count(*) > 2 " +
+      "ORDER BY 2 DESC LIMIT 10") == "FROM mts GROUP BY tag")
+    assert(strip("FROM mts ORDER BY tag") == "FROM mts")
+    assert(strip("FROM mts LIMIT 5 OFFSET 2") == "FROM mts")
+    // Subquery trailers sit inside parens — keep them.
+    val sub = "FROM (SELECT * FROM mts ORDER BY v LIMIT 3) t GROUP BY tag"
+    assert(strip(sub) == sub)
+    // Quoted/backticked keyword lookalikes are content, not clauses.
+    val quoted = "FROM mts WHERE tag <> 'order by limit having' GROUP BY tag"
+    assert(strip(quoted) == quoted)
+    val ticked = "FROM mts WHERE `limit` > 1"
+    assert(strip(ticked) == ticked)
+    // Identifier PREFIXES of keywords are not word matches.
+    val prefix = "FROM mts WHERE limits > 1 AND ordering <> 'x'"
+    assert(strip(prefix) == prefix)
+    // No trailer at all: unchanged.
+    assert(strip("FROM mts GROUP BY tag") == "FROM mts GROUP BY tag")
+  }
+
   test("partial split survives FROM-like tokens inside expressions") {
     val (head, tail) = FederatedAggregate.splitAtTopLevelFrom(
       "SELECT extract(YEAR FROM ts_us) AS y, count(*) AS n " +
