@@ -421,6 +421,31 @@ class IncludeMergeSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("time travel composes with the post-processing replay: top-k over " +
+      "each endpoint's own VERSION AS OF snapshot") {
+    // The analysis text rewrites the travel clause to local snapshot
+    // views while the PARTIAL keeps the original clause — the trailer
+    // strip must not disturb either side.
+    val local = makeEngine(Seq("a", "b", "c"), 150)
+    val remote = makeEngine(Seq("d", "e"), 130)
+    val server = new RemoteServer(remote)
+    try {
+      val got = local.sql(s"INCLUDE MERGE '${server.address}' " +
+        "SELECT tag, count(*) AS n FROM mts VERSION AS OF 1 " +
+        "GROUP BY tag HAVING count(*) > 10 ORDER BY n DESC, tag LIMIT 2")
+        .collect()
+      local.readTableVersion("mts", 1)
+        .unionByName(remote.readTableVersion("mts", 1))
+        .createOrReplaceTempView("__im_travel_topk")
+      val want = spark.sql("SELECT tag, count(*) AS n FROM __im_travel_topk " +
+        "GROUP BY tag HAVING count(*) > 10 ORDER BY n DESC, tag LIMIT 2")
+        .collect()
+      assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        want.map(r => (r.getString(0), r.getLong(1))).toSeq,
+        s"${got.toSeq} vs ${want.toSeq}")
+    } finally server.close()
+  }
+
   test("non-mergeable statements are rejected with clear errors") {
     val local = makeEngine(Seq("r"), 60)
     val remote = makeEngine(Seq("s"), 60)
