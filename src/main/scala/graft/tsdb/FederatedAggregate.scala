@@ -203,10 +203,16 @@ object FederatedAggregate {
     final case class PostLimit(n: Int) extends PostOp
     final case class PostOffset(n: Int) extends PostOp
     final case class PostProject(list: Seq[NamedExpression]) extends PostOp
-    def intOf(e: Expression, what: String): Int = e match {
-      case Literal(v: Int, IntegerType) => v
-      case other => fail(s"$what must be an integer literal; got $other.")
-    }
+    // The analyzer leaves a foldable LIMIT/OFFSET (e.g. `LIMIT 5+5`)
+    // unfolded — constant folding is the optimizer's job — so evaluate
+    // rather than pattern-match a bare literal.
+    def intOf(e: Expression, what: String): Int =
+      if (!e.foldable) fail(s"$what must be a constant; got $e.")
+      else e.eval() match {
+        case i: Int => i
+        case l: Long if l == l.toInt => l.toInt
+        case other => fail(s"$what must be an integer constant; got $other.")
+      }
     val postOps = mutable.ArrayBuffer.empty[PostOp] // outermost first
     var aggOpt: Option[Aggregate] = scala.None
     var cursor: LogicalPlan = analyzed
