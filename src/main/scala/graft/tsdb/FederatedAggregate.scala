@@ -246,6 +246,19 @@ object FederatedAggregate {
       }
     }
     val agg = aggOpt.get
+    // GROUPING SETS / CUBE / ROLLUP analyze to an Aggregate over Expand
+    // whose grouping list carries the internal spark_grouping_id — the
+    // partial rewrite cannot re-express that per endpoint (and each
+    // super-aggregate row IS re-derivable from the merged base groups
+    // locally anyway). Reject clearly instead of letting the endpoint
+    // fail resolution.
+    agg.child match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Expand => fail(
+        "GROUPING SETS / CUBE / ROLLUP do not decompose into per-endpoint " +
+          "partials; merge the base GROUP BY and roll up locally, or use " +
+          "plain INCLUDE.")
+      case _ =>
+    }
 
     val (head, fromTail0) = splitAtTopLevelFrom(selectText)
     if (head.isEmpty || fromTail0.isEmpty)

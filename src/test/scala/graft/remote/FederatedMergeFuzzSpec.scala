@@ -767,6 +767,10 @@ class FederatedMergeFuzzSpec extends AnyFunSuite {
       "GROUP BY tag", "window")
     rejects("SELECT count(*) AS n FROM mts UNION ALL " +
       "SELECT count(*) AS n FROM mts", "set operations")
+    rejects("SELECT tag, count(*) AS n FROM mts GROUP BY ROLLUP(tag)",
+      "GROUPING SETS")
+    rejects("SELECT tag, count(*) AS n FROM mts GROUP BY CUBE(tag)",
+      "GROUPING SETS")
     rejects("SELECT tag, count(*) AS n FROM mts GROUP BY 1", "ordinal")
     rejects("SELECT collect_list(v) AS l FROM mts",
       "not algebraically mergeable")
