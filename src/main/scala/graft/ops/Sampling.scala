@@ -191,7 +191,73 @@ object Sampling {
     val score = col(scoreCol).cast("double")
     val rankable = score.isNotNull && !isnan(score)
     if (budget <= 0L) return df.where(lit(false))
+    budgetCutoff(df, scoreCol, costCol, idCol, budget) match {
+      case BudgetAll => df.where(rankable)
+      case BudgetNone => df.where(lit(false))
+      case BudgetAt(s, i) =>
+        df.where(rankable && (score > s ||
+          (score === s && col(idCol).cast("long") <= i)))
+    }
+  }
 
+  /** [[selectByBudget]] when the caller only needs the NARROW selection
+    * (`idCol` BIGINT, `scoreCol` DOUBLE, `costCol` BIGINT): the kept rows
+    * are read straight off the already-shuffled narrow frame — the
+    * payload table is scanned ONCE (for the narrow projection) instead of
+    * twice, which matters when the score/cost columns are expensive
+    * derived expressions (text quality metrics, token counts). Values are
+    * identical to filtering [[selectByBudget]]'s result down to the three
+    * columns.
+    */
+  def selectByBudgetNarrow(df: DataFrame, scoreCol: String, costCol: String,
+      idCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(scoreCol,
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField(costCol,
+        org.apache.spark.sql.types.LongType)))
+    if (budget <= 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val (ranged, cut) = budgetCutoffRanged(df, scoreCol, costCol, idCol, budget)
+    val kept = cut match {
+      case BudgetNone => spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+      case BudgetAll => ranged
+      case BudgetAt(s, i) =>
+        // The shuffled frame is globally ordered (score desc, id asc), so
+        // the kept set is a prefix: everything strictly above the cutoff
+        // row plus the cutoff row itself.
+        ranged.mapPartitions(_.filter(r =>
+          r.getDouble(0) > s || (r.getDouble(0) == s && r.getLong(2) <= i)))
+    }
+    spark.createDataFrame(
+      kept.map(r => org.apache.spark.sql.Row(r.getLong(2), r.getDouble(0),
+        r.getLong(1))),
+      outSchema)
+  }
+
+  private sealed trait BudgetCut
+  private case object BudgetAll extends BudgetCut
+  private case object BudgetNone extends BudgetCut
+  private final case class BudgetAt(score: Double, id: Long) extends BudgetCut
+
+  private def budgetCutoff(df: DataFrame, scoreCol: String, costCol: String,
+      idCol: String, budget: Long): BudgetCut =
+    budgetCutoffRanged(df, scoreCol, costCol, idCol, budget)._2
+
+  /** Shared cutoff machinery: shuffle the narrow (score, cost, id)
+    * projection once by range, locate the budget-crossing row with two
+    * bounded jobs over the SAME shuffle (RDD-level reuse skips the
+    * completed map stage), and return the shuffled RDD plus the cutoff.
+    */
+  private def budgetCutoffRanged(df: DataFrame, scoreCol: String,
+      costCol: String, idCol: String, budget: Long)
+      : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], BudgetCut) = {
+    val score = col(scoreCol).cast("double")
+    val rankable = score.isNotNull && !isnan(score)
     val narrow = df.where(rankable).select(
       score.as("__s"), coalesce(col(costCol).cast("long"), lit(0L)).as("__c"),
       col(idCol).cast("long").as("__i"))
@@ -211,7 +277,7 @@ object Sampling {
       }
       .collect().sortBy(_._1).map(_._2) // bounded: one Long per partition
     val grandTotal = totals.sum
-    if (grandTotal <= budget) return df.where(rankable)
+    if (grandTotal <= budget) return (rdd, BudgetAll)
 
     // The budget crosses inside partition k (ranges are globally ordered).
     var k = 0
@@ -235,10 +301,8 @@ object Sampling {
       }
       .collect() // exactly one row: the last kept (score, id)
     cutoff.headOption match {
-      case Some((s, i)) =>
-        df.where(rankable && (score > s ||
-          (score === s && col(idCol).cast("long") <= i)))
-      case None => df.where(lit(false)) // crossing partition empty: nothing fits
+      case Some((s, i)) => (rdd, BudgetAt(s, i))
+      case None => (rdd, BudgetNone) // crossing partition empty: nothing fits
     }
   }
 }

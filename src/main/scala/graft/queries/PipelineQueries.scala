@@ -529,15 +529,19 @@ object PipelineQueries {
     // global 15k-token budget is exhausted (ties broken by doc_id; the
     // budget-crossing document is included). The payload is never
     // shuffled — a narrow (score, cost, id) projection locates the exact
-    // cutoff row and the selection collapses to a pushed-down scan
-    // predicate. The oracle replays the rule as a QUALIFY running sum.
+    // cutoff row, and because this query's OUTPUT is exactly that narrow
+    // projection, the kept rows are read straight off the already-shuffled
+    // narrow frame (selectByBudgetNarrow): the text is scanned and the
+    // quality/token expressions evaluated ONCE, not re-run in a second
+    // filtered scan. The oracle replays the rule as a QUALIFY running sum.
     ("pipeline_token_budget", (s: SparkSession, d: String) => {
       val docs = table(s, d, "documents")
         .withColumn("quality", TextAnalysis.qualityScore(col("text")))
         .withColumn("n_tokens",
           TextAnalysis.tokenCount(col("text")).cast("long"))
       graft.ops.Sampling
-        .selectByBudget(docs, "quality", "n_tokens", "doc_id", budget = 15000L)
+        .selectByBudgetNarrow(docs, "quality", "n_tokens", "doc_id",
+          budget = 15000L)
         .select(col("doc_id"), col("quality"), col("n_tokens"))
         .orderBy("doc_id")
     }, Some(tokenBudgetOracle)),

@@ -536,6 +536,15 @@ final class Engine(val spark: SparkSession, val root: String) {
     val aggColNames = agg.columns.filterNot(groupByTags.contains)
       .filterNot(_ == "bucket").toSeq
 
+    // The bucketed frame feeds BOTH the span derivation and the dense
+    // join, and the two branches each compute the segment aggregation
+    // (they prune different columns, so exchange reuse cannot dedupe
+    // them). Deliberately left that way — r17 A/B: a localCheckpoint that
+    // shares the frame also ERASES its stats (LogicalRDD reports the
+    // default size), the spans side stops broadcasting, and the dense
+    // join degrades to a shuffle join — measured SLOWER end to end
+    // (ts_resample_interp 3.1 s → 4.3–4.8 s for both the lazy and eager
+    // forms) than paying the duplicated metadata-sized aggregation.
     val withB = agg.withColumn("__b", unix_micros(col("bucket"))).drop("bucket")
     val spans = withB.groupBy(keys: _*)
       .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
@@ -1812,7 +1821,12 @@ final class Engine(val spark: SparkSession, val root: String) {
     // references this round's state twice, so without lineage truncation
     // the logical plan doubles per round and the driver OOMs building
     // plan strings around round ~25. Checkpoint blocks are reclaimed by
-    // the ContextCleaner when the round's Dataset is GC'd.
+    // the ContextCleaner when the round's Dataset is GC'd. EAGER,
+    // deliberately: a lazy mark only finalizes when an action runs on the
+    // checkpointed Dataset itself — the count below acts on a FILTERED
+    // derivation, so under the lazy form the lineage never truncates and
+    // every round recomputes its whole history (measured: ts_quantile_by
+    // 3.5 s → 5.1 s).
     var state = debugPhase("state0")(state0.localCheckpoint(true))
     var act = state.where(col("res").isNull).count()
     def bisect(maxRounds: Int): Unit = {
@@ -2816,17 +2830,32 @@ final class Engine(val spark: SparkSession, val root: String) {
         // (the partial and any percentile rank-search probes) reuses them.
         lazy val folderEngines =
           scala.collection.mutable.LinkedHashMap.empty[String, Engine]
-        def runAll(text: String): Seq[DataFrame] = {
-          // TCP endpoints fan out CONCURRENTLY and are awaited before any
-          // local catalog work: a round over N remotes costs
-          // max(endpoint latency), not the sum. RemoteClient.sql drains
-          // the socket eagerly and builds a local relation, so the
-          // futures never touch this session's catalog; the local query
-          // and folder endpoints (which re-register session views) run
-          // AFTER the await, on the caller thread — an endpoint server
-          // embedded in THIS session (the test shape) would otherwise
-          // race the local view registration.
+        /** One statement on every endpoint. The LOCAL endpoint analyzes
+          * FIRST, on the caller thread — Engine.sql registers this
+          * session's views and resolves the statement against them before
+          * any endpoint can touch the shared catalog (an endpoint server
+          * embedded in THIS session — the test shape — re-registers its
+          * own views when it executes; folder endpoints do the same on
+          * the caller thread below). With `pin` set, the analyzed local
+          * plan then EXECUTES on the fan-out pool, overlapping the remote
+          * endpoints' work: a merge round costs max(local, remotes)
+          * instead of remotes-then-local. Only the MERGE path pins — its
+          * statements (partials, probes, bounded fetches) are answer-
+          * sized by construction, so the materialized local relation is
+          * bounded; plain INCLUDE's local half can be an unbounded row
+          * union and stays lazy.
+          */
+        def runEndpoints(text: String, pin: Boolean): Seq[DataFrame] = {
           import scala.concurrent.{Await, Future}
+          val local = sql(text)
+          val localF =
+            if (pin) Some(Future {
+              spark.createDataFrame(local.collectAsList(), local.schema)
+            }(Engine.federationEc))
+            else scala.None
+          // TCP endpoints fan out CONCURRENTLY: RemoteClient.sql drains
+          // the socket eagerly and builds a local relation, so the
+          // futures never touch this session's catalog.
           val remoteFutures = addresses.map { addr =>
             graft.remote.RemoteClient.parseAddress(addr).map(a => Future(
               graft.remote.RemoteClient.sql(spark, a, text))(
@@ -2834,7 +2863,6 @@ final class Engine(val spark: SparkSession, val root: String) {
           }
           val drained = remoteFutures.map(_.map(f =>
             Await.result(f, scala.concurrent.duration.Duration.Inf)))
-          val local = sql(text)
           val remotes = addresses.zip(drained).map {
             case (_, Some(df)) => df
             case (addr, scala.None) =>
@@ -2844,8 +2872,12 @@ final class Engine(val spark: SparkSession, val root: String) {
               forceRegisterViews() // restore local views
               df
           }
-          local +: remotes
+          val localOut = localF.fold(local)(f =>
+            Await.result(f, scala.concurrent.duration.Duration.Inf))
+          localOut +: remotes
         }
+        def runAll(text: String): Seq[DataFrame] =
+          runEndpoints(text, pin = true)
         if (merge) {
           forceRegisterViews()
           // Time travel composes with MERGE: bind LOCAL snapshot views so
@@ -2872,7 +2904,7 @@ final class Engine(val spark: SparkSession, val root: String) {
             engine = Some(this))
           d.merge(runAll(d.partialSql), runAll)
         } else {
-          val frames = runAll(select)
+          val frames = runEndpoints(select, pin = false)
           frames.tail.foldLeft(frames.head)(_ unionAll _)
         }
       case SqlExtensions.InsertInto(tableName, columnList, source) =>

@@ -910,6 +910,20 @@ object FederatedAggregate {
       }
       math.min(600.0, worst).toInt
     }
+    // INTERVAL DEDUP: states of the same (group, child) sharing the same
+    // current interval — a median's two bracketing ranks, every element
+    // of a percentile array before their brackets diverge — would ship
+    // IDENTICAL probe thresholds / fetch ranges and receive identical
+    // counts (cLo/cHi are functions of (group, child, lo, hi) alone). One
+    // representative per interval class ships; every member consumes the
+    // representative's response and diverges naturally on its own target.
+    // This cuts both the statement text (the VALUES parse cost dominates
+    // grouped statements at thousands of states) and the endpoint's
+    // joined-row volume by the ranks-per-group factor.
+    def intervalClasses(sts: Seq[RankState]): Seq[Seq[RankState]] =
+      sts.groupBy(st => (st.groupIdx, st.cix, st.lo, st.hi))
+        .values.toSeq.map(_.sortBy(_.sid)).sortBy(_.head.sid)
+
     var rounds = 0
     while (states.values.exists(!_.done)) {
       rounds += 1
@@ -941,7 +955,8 @@ object FederatedAggregate {
         // point, so the frames are not pre-merged.
         val byEndpoint =
           mutable.ArrayBuffer.empty[mutable.ArrayBuffer[(Int, Double, Long)]]
-        chunksOf(fetches).foreach { case (chunk, native) =>
+        val fetchClasses = intervalClasses(fetches)
+        chunksOf(fetchClasses.map(_.head)).foreach { case (chunk, native) =>
           val sql =
             if (native) RankProbe.render(RankProbe.Request(
               fastProbe.get, fetch = true, nT = 2, fetchLimit = limit,
@@ -986,9 +1001,10 @@ object FederatedAggregate {
           byEndpoint.toSeq.map(_.toSeq.groupBy(_._1).map { case (sid, ts) =>
             sid -> ts.map(t => (t._2, t._3)).sortBy(_._1)
           })
-        fetches.foreach { st =>
+        fetchClasses.foreach { cls =>
+          val rep = cls.head
           val perEp: Seq[Seq[(Double, Long)]] =
-            bySidEp.map(_.getOrElse(st.sid, Seq.empty))
+            bySidEp.map(_.getOrElse(rep.sid, Seq.empty))
           // Counts merge completely only up to the smallest truncation
           // point: an endpoint that returned exactly `limit` rows may
           // hold more values above its last one.
@@ -1000,34 +1016,46 @@ object FederatedAggregate {
           val vals = perEp.flatten.filter(_._1 <= completeV)
             .groupBy(_._1).map { case (v, ts) => (v, ts.map(_._2).sum) }
             .toSeq.sortBy(_._1)
-          var cum = st.cLo
-          var i = 0
-          while (!st.done && i < vals.length) {
-            cum += vals(i)._2
-            if (cum >= st.target) { st.value = vals(i)._1; st.done = true }
-            i += 1
-          }
-          if (!st.done) {
-            if (completeV.isPosInfinity) throw new IllegalStateException(
-              s"federated percentile fetch lost rank ${st.target} in " +
-                s"(${st.lo}, ${st.hi}] (cum=$cum) — endpoint data changed " +
-                "between rounds?")
-            // Truncated: the proven prefix is consumed; the next round
-            // fetches (completeV, hi] — at least `limit` distinct values
-            // retire per round, so pagination terminates.
-            st.lo = completeV
-            st.cLo = cum
+          cls.foreach { st =>
+            var cum = st.cLo
+            var i = 0
+            while (!st.done && i < vals.length) {
+              cum += vals(i)._2
+              if (cum >= st.target) { st.value = vals(i)._1; st.done = true }
+              i += 1
+            }
+            if (!st.done) {
+              if (completeV.isPosInfinity) throw new IllegalStateException(
+                s"federated percentile fetch lost rank ${st.target} in " +
+                  s"(${st.lo}, ${st.hi}] (cum=$cum) — endpoint data changed " +
+                  "between rounds?")
+              // Truncated: the proven prefix is consumed; the next round
+              // fetches (completeV, hi] — at least `limit` distinct values
+              // retire per round, so pagination terminates.
+              st.lo = completeV
+              st.cLo = cum
+            }
           }
         }
       }
 
       if (probes.nonEmpty) {
-        val nT = QuantileFan - 1
+        val probeClasses = intervalClasses(probes)
+        // Fixed 16-ary fan, deliberately: widening it when few states are
+        // active was MEASURED SLOWER (r17 A/B) — each generic probe
+        // threshold is one count_if AGGREGATE column in the shipped
+        // statement, so a 256-ary round compiles a 255-buffer aggregate
+        // (past codegen's comfort zone) and per-round cost grows ~fan
+        // while rounds shrink only ~1/log(fan):
+        // ts_include_percentile_global 3.1 s → 9.8 s, decimal merge
+        // 2.8 s → 5.8 s under an adaptive 256 fan.
+        val fan = QuantileFan
+        val nT = fan - 1
         val probeCols = Seq("__sid") ++ keyCols ++ Seq("__cix") ++
           (1 to nT).map(m => s"__t$m")
         def thresholds(st: RankState): Seq[Double] =
-          (1 to nT).map(m => st.lo + (st.hi - st.lo) * m / QuantileFan)
-        val merged = chunksOf(probes).flatMap { case (chunk, native) =>
+          (1 to nT).map(m => st.lo + (st.hi - st.lo) * m / fan)
+        val merged = chunksOf(probeClasses.map(_.head)).flatMap { case (chunk, native) =>
           val sql =
             if (native) RankProbe.render(RankProbe.Request(
               fastProbe.get, fetch = false, nT = nT, fetchLimit = 0L,
@@ -1056,21 +1084,24 @@ object FederatedAggregate {
             .collect().toSeq
         }
         val bySid = merged.map(r => r.getInt(0) -> r).toMap
-        probes.foreach { st =>
-          val ts = thresholds(st)
-          val row = bySid.getOrElse(st.sid, null)
-          def cnt(m: Int): Long =
-            if (m == 0) st.cLo
-            else if (m == QuantileFan) st.cHi
-            else if (row == null || row.isNullAt(m)) 0L
-            else row.getLong(m)
-          def thr(m: Int): Double =
-            if (m == 0) st.lo else if (m == QuantileFan) st.hi else ts(m - 1)
-          var m = 1
-          while (m <= QuantileFan && cnt(m) < st.target) m += 1
-          require(m <= QuantileFan, s"probe lost rank ${st.target}")
-          st.lo = thr(m - 1); st.cLo = cnt(m - 1)
-          st.hi = thr(m); st.cHi = cnt(m)
+        probeClasses.foreach { cls =>
+          val rep = cls.head
+          val ts = thresholds(rep)
+          val row = bySid.getOrElse(rep.sid, null)
+          cls.foreach { st =>
+            def cnt(m: Int): Long =
+              if (m == 0) st.cLo
+              else if (m == fan) st.cHi
+              else if (row == null || row.isNullAt(m)) 0L
+              else row.getLong(m)
+            def thr(m: Int): Double =
+              if (m == 0) st.lo else if (m == fan) st.hi else ts(m - 1)
+            var m = 1
+            while (m <= fan && cnt(m) < st.target) m += 1
+            require(m <= fan, s"probe lost rank ${st.target}")
+            st.lo = thr(m - 1); st.cLo = cnt(m - 1)
+            st.hi = thr(m); st.cHi = cnt(m)
+          }
         }
       }
     }

@@ -456,6 +456,20 @@ class OpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!selected.contains(900001L) && !selected.contains(900002L))
     assert(selected.size == docs.count())
+    // The narrow variant returns the SAME (id, score, cost) rows as
+    // filtering the payload variant — including the all-kept, none-kept,
+    // and mid-partition-cutoff budgets — without re-scanning the payload.
+    for (budget <- Seq(0L, 1L, 500L, 5000L, 20000L, total)) {
+      val wide = Sampling
+        .selectByBudget(scored, "quality", "cost", "doc_id", budget)
+        .select($"doc_id".cast("long"), $"quality".cast("double"),
+          $"cost".cast("long"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      val nar = Sampling
+        .selectByBudgetNarrow(scored, "quality", "cost", "doc_id", budget)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(nar == wide, s"narrow/wide mismatch at budget $budget")
+    }
   }
 
   test("pii detection counts and redaction on planted identifiers") {

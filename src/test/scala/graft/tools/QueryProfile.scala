@@ -69,7 +69,7 @@ object QueryProfile {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      spark.sparkContext.listenerBus.waitUntilEmpty(10000)
+      Thread.sleep(500) // let the listener bus drain
       spark.sparkContext.removeSparkListener(listener)
       println(f"== $name: wall=$wall%.3f s, jobs=${jobWall.size}, " +
         f"stages=$stages, tasks=$tasks, taskTime=${taskTimeMs / 1000.0}%.2f s")
