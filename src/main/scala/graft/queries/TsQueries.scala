@@ -164,19 +164,35 @@ object TsQueries {
     val events = table(spark, sfDir, "events")
       .select(eventsTsMicros.as("ts"), col("value").cast("float").as("value"),
         col("user_id").cast("string").as("user"))
+    // DDL stays serial (it mutates the folder catalog); the three WRITES
+    // are independent per-table pipelines (separate directories, separate
+    // manifests) and overlap on a small pool — guide §2.6: one table's
+    // compression kernel back-fills the executor tail of another's
+    // parquet write + footer-stat + manifest-commit phase, which is
+    // mostly driver/FS latency. Measured (ts_ingest, sf0.1, local[32]):
+    // 2.78 s serial → see OPTIMIZATION_r17.md. Failures propagate via
+    // Future.get, so a torn build still never writes the _BUILT marker.
     engine.sql(
       "CREATE TIME SERIES TABLE events_lossless(ts TIMESTAMP, value FIELD, user TAG)")
-    engine.write("events_lossless", events)
     engine.sql(
       "CREATE TIME SERIES TABLE events_lossy(ts TIMESTAMP, value FIELD(1.0%), user TAG)")
-    engine.write("events_lossy", events)
     // vf is GENERATED (never stored): a linear map of value with a
     // power-of-two scale and exactly-representable shift, so float and
     // double evaluation orders round identically — cross-engine exact.
     engine.sql("CREATE TIME SERIES TABLE events_multi(" +
       "ts TIMESTAMP, value FIELD, value2 FIELD, " +
       "vf FIELD AS (value * 0.5 - 8.0), user TAG)")
-    engine.write("events_multi", events.withColumn("value2", col("value") * 2.0f))
+    val writes: Seq[() => Unit] = Seq(
+      () => engine.write("events_lossless", events),
+      () => engine.write("events_lossy", events),
+      () => engine.write("events_multi",
+        events.withColumn("value2", col("value") * 2.0f)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
+    try {
+      writes.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = w()
+      })).foreach(_.get())
+    } finally pool.shutdown()
     // End-of-build marker checked by engineFor: written only after every
     // table committed, so a torn build is rebuilt, never trusted.
     java.nio.file.Files.write(
@@ -1787,8 +1803,21 @@ object TsQueries {
             col("o_orderstatus").as("status")))
         e
       }
-      val eLocal = half(even = true)
-      val eRemote = half(even = false)
+      // The two endpoint builds are independent (separate folders,
+      // separate engines); overlap them — guide §2.6 — so the timed body
+      // pays max(build, build), not the sum. The INCLUDE MERGE below
+      // stays serial.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val (eLocal, eRemote) =
+        try {
+          val fL = pool.submit(new java.util.concurrent.Callable[Engine] {
+            def call(): Engine = half(even = true)
+          })
+          val fR = pool.submit(new java.util.concurrent.Callable[Engine] {
+            def call(): Engine = half(even = false)
+          })
+          (fL.get(), fR.get())
+        } finally pool.shutdown()
       eLocal.sql(s"INCLUDE MERGE '${eRemote.root}' " +
         "SELECT status, count(*) AS n, sum(price) AS s, avg(price) AS a, " +
         "min(price) AS mn, max(price) AS mx, " +

@@ -1430,21 +1430,33 @@ final class Engine(val spark: SparkSession, val root: String) {
         active(k) = (bLo, bHi, bHi == fullHi)
       }
     }
+    val qDebug = sys.env.contains("SPARK_GRAFT_LADDER_DEBUG")
     def bisect(maxRounds: Int): Unit = {
       var rounds = 0
       while (active.nonEmpty && rounds < maxRounds) {
         rounds += 1
+        if (qDebug) System.err.println(s"[quantile] round $rounds: " +
+          active.toSeq.sortBy(_._1).map { case (k, (lo, hi, c)) =>
+            s"k=$k span=${hi - lo}${if (c) "" else " unconfirmed"}"
+          }.mkString(", "))
         // 16-way ladder per quantile per round: each probe element is a
         // metadata-cheap threshold count, so widening the fan costs one
         // expression, not one job — the interval shrinks ~8x per round.
+        // An UNCONFIRMED bracket probes its hi edge AND the interior fan
+        // in the same round (extra thresholds are free in the shared
+        // multi-count job): when the edge holds — the overwhelmingly
+        // common case — the interior flags narrow immediately instead of
+        // burning a whole round on the edge alone (one round of ~5 saved,
+        // i.e. one full metadata pass at any scale); when it fails, the
+        // interior flags are simply discarded with the bracket.
         val fan = 16L
         val plan: Seq[(Long, Seq[Long])] = active.toSeq.sortBy(_._1).map {
-          case (k, (_, hi, false)) => (k, Seq(hi))
-          case (k, (lo, hi, true)) =>
+          case (k, (lo, hi, confirmed)) =>
             val m = math.min(fan, hi - lo)
             val pts = (1L to m).map(j => lo + (hi - lo) * j / (m + 1))
               .distinct.filter(p => p >= lo && p < hi)
-            (k, if (pts.isEmpty) Seq(lo) else pts)
+            val interior = if (pts.isEmpty) Seq(lo) else pts
+            (k, if (confirmed) interior else interior :+ hi)
         }
         val flat = plan.flatMap { case (k, ps) => ps.map(p => (k, p)) }
         val counts = probes(flat.map(p => floatFromKey(p._2).toDouble))
@@ -1453,14 +1465,15 @@ final class Engine(val spark: SparkSession, val root: String) {
         }.toMap
         plan.foreach { case (k, ps) =>
           val (lo, hi, confirmed) = active(k)
-          if (!confirmed) {
-            if (pOf((k, ps.head))) active(k) = (lo, hi, true)
-            else active(k) = (hi + 1, fullHi, true)
-          } else {
-            // Monotone flags: a false prefix then a true suffix.
-            val flags = ps.map(p => pOf((k, p)))
-            val newHi = ps.zip(flags).find(_._2).map(_._1).getOrElse(hi)
-            val newLo = ps.zip(flags).takeWhile(!_._2).lastOption
+          if (!confirmed && !pOf((k, hi)))
+            active(k) = (hi + 1, fullHi, true) // bracket edge lied: widen
+          else {
+            // Monotone flags over the interior points (all < hi): a false
+            // prefix then a true suffix.
+            val interior = if (confirmed) ps else ps.init
+            val flags = interior.map(p => pOf((k, p)))
+            val newHi = interior.zip(flags).find(_._2).map(_._1).getOrElse(hi)
+            val newLo = interior.zip(flags).takeWhile(!_._2).lastOption
               .map(_._1 + 1).getOrElse(lo)
             active(k) = (newLo, newHi, true)
           }
