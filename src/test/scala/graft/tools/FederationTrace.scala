@@ -28,6 +28,7 @@ object FederationTrace {
     val statements = Seq(
       "SELECT user, percentile(value, 0.5) AS med, percentile(value, 0.9) AS p90, count(*) AS n FROM events_lossless GROUP BY user",
       "SELECT user, percentile(value, array(0.25, 0.5, 0.9)) AS p FROM events_lossless GROUP BY user",
+      "SELECT user, percentile(value, 0.5) AS mv, percentile(value2, 0.9) AS mv2, count(*) AS n FROM events_multi GROUP BY user",
       "SELECT percentile(value, array(0.01, 0.5, 0.999)) AS p, percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS pd, count(*) AS n FROM events_lossless")
 
     statements.foreach { sel =>
