@@ -536,22 +536,31 @@ final class Engine(val spark: SparkSession, val root: String) {
     val aggColNames = agg.columns.filterNot(groupByTags.contains)
       .filterNot(_ == "bucket").toSeq
 
-    // The bucketed frame feeds BOTH the span derivation and the dense
-    // join, and the two branches each compute the segment aggregation
-    // (they prune different columns, so exchange reuse cannot dedupe
-    // them). Deliberately left that way — r17 A/B: a localCheckpoint that
-    // shares the frame also ERASES its stats (LogicalRDD reports the
-    // default size), the spans side stops broadcasting, and the dense
-    // join degrades to a shuffle join — measured SLOWER end to end
-    // (ts_resample_interp 3.1 s → 4.3–4.8 s for both the lazy and eager
-    // forms) than paying the duplicated metadata-sized aggregation.
+    // Densify WITHOUT a spans/grid/left-join: the old shape fed the
+    // bucketed frame into BOTH a span derivation and a dense join, and the
+    // two branches each recomputed the whole segment aggregation (they
+    // prune different columns, so exchange reuse cannot dedupe them; a
+    // shared localCheckpoint erases stats and demoted the join — r17 A/B,
+    // 3.1 s → 4.3–4.8 s). Instead, each observed bucket emits ITSELF plus
+    // its trailing gap buckets up to (exclusive) the group's next observed
+    // bucket, read off one lead() window. The union of those half-open
+    // runs is exactly the old [min, max] grid — the last observed bucket
+    // contributes only itself — with observed rows keeping their values
+    // and generated gap rows NULL, exactly the left join's output. ONE
+    // aggregation subtree, no join, and the lead() window shares its
+    // hash(keys) exchange with the fill windows below.
+    import org.apache.spark.sql.expressions.Window
     val withB = agg.withColumn("__b", unix_micros(col("bucket"))).drop("bucket")
-    val spans = withB.groupBy(keys: _*)
-      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
-    val grid = spans.select(
-      (keys :+ explode(sequence(col("__lo"), col("__hi"), lit(bucketUs)))
-        .as("__b")): _*)
-    val dense = grid.join(withB, groupByTags :+ "__b", "left")
+    val wLead = Window.partitionBy(keys: _*).orderBy(col("__b"))
+    val withNext = withB.withColumn("__next",
+      coalesce(lead(col("__b"), 1).over(wLead), col("__b") + lit(bucketUs)))
+    val exploded = withNext.select(
+      (keys :+ posexplode(sequence(col("__b"),
+        col("__next") - lit(bucketUs), lit(bucketUs)))
+        .as(Seq("__pos", "__gb"))) ++ aggColNames.map(col): _*)
+    val dense = exploded.select(
+      (keys :+ col("__gb").as("__b")) ++
+        aggColNames.map(c => when(col("__pos") === 0, col(c)).as(c)): _*)
 
     val filled = fill match {
       case FillPolicy.Nulls => dense
@@ -566,16 +575,25 @@ final class Engine(val spark: SparkSession, val root: String) {
         import org.apache.spark.sql.types.{DoubleType, FloatType}
         val wPrev = Window.partitionBy(keys: _*).orderBy(col("__b"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wNext = Window.partitionBy(keys: _*).orderBy(col("__b"))
-          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        // "Next observation" as a CUMULATIVE frame over the REVERSED
+        // order: first_value over [currentRow, unboundedFollowing] makes
+        // Spark recompute the frame's aggregate from scratch per row
+        // (UnboundedFollowingWindowFunctionFrame is O(rows²) per series),
+        // while last_value over [unboundedPreceding, currentRow] under
+        // ORDER BY __b DESC is the identical value maintained
+        // incrementally — O(rows), one extra in-partition sort, no
+        // extra exchange. At 100 TB series depth the quadratic frame is
+        // the difference between a window pass and a stalled task.
+        val wNext = Window.partitionBy(keys: _*).orderBy(col("__b").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         aggColNames.foldLeft(dense) { (df, c) =>
           df.schema(c).dataType match {
             case FloatType | DoubleType =>
               val obsB = when(col(c).isNotNull, col("__b"))
               val pv = last(col(c).cast(DoubleType), ignoreNulls = true).over(wPrev)
               val pb = last(obsB, ignoreNulls = true).over(wPrev)
-              val nv = first(col(c).cast(DoubleType), ignoreNulls = true).over(wNext)
-              val nb = first(obsB, ignoreNulls = true).over(wNext)
+              val nv = last(col(c).cast(DoubleType), ignoreNulls = true).over(wNext)
+              val nb = last(obsB, ignoreNulls = true).over(wNext)
               val interp = pv + (nv - pv) * (col("__b") - pb) / (nb - pb)
               df.withColumn(c, coalesce(col(c), interp.cast(df.schema(c).dataType)))
             // Integral aggregates (counts) have no meaningful fractional
@@ -1439,9 +1457,16 @@ final class Engine(val spark: SparkSession, val root: String) {
           active.toSeq.sortBy(_._1).map { case (k, (lo, hi, c)) =>
             s"k=$k span=${hi - lo}${if (c) "" else " unconfirmed"}"
           }.mkString(", "))
-        // 16-way ladder per quantile per round: each probe element is a
-        // metadata-cheap threshold count, so widening the fan costs one
-        // expression, not one job — the interval shrinks ~8x per round.
+        // 16-way ladder per quantile per round: each probe element is one
+        // slot of the shared [[SegmentCountAboveMulti]] ARRAY kernel, so
+        // widening the fan grows an array literal, not the job count —
+        // but an r18 A/B measured NO win from widening anyway
+        // (ts_quantile isolated-JVM medians: fan 16 → 1.96/1.95 s,
+        // 32 → 1.70/1.99 s, 64 → 2.14 s, 128 → 2.51/2.60 s): the rounds
+        // saved are ~0.1 s metadata jobs while the first round's probe
+        // job grows with the threshold-array width (0.16 s at 16 → 0.68 s
+        // at 128, QueryProfile), so per-round cost grows ~linearly in fan
+        // against a ~1/log(fan) round saving. 16 stands.
         // An UNCONFIRMED bracket probes its hi edge AND the interior fan
         // in the same round (extra thresholds are free in the shared
         // multi-count job): when the edge holds — the overwhelmingly
@@ -1593,6 +1618,32 @@ final class Engine(val spark: SparkSession, val root: String) {
     * O(groups) driver materialization is the final answer collect the
     * callers consume.
     */
+  /** Eager localCheckpoint that counts the rows whose `nullCol` is NULL
+    * DURING the materializing job itself — one Spark job per ladder round
+    * instead of two (Dataset.localCheckpoint(true) runs an internal
+    * count() to materialize, then the caller's active-row count was a
+    * SECOND job over the checkpointed blocks). The count comes back
+    * through runJob's per-partition results (exact under task retries,
+    * unlike an accumulator); the partitions are cached by this same job
+    * under the local-checkpoint storage level, so the returned frame's
+    * lineage is truncated exactly as Dataset.localCheckpoint(true)'s is.
+    */
+  private def localCheckpointCountingNulls(
+      df: DataFrame, nullCol: String): (DataFrame, Long) = {
+    val schema = df.schema
+    val ix = schema.fieldIndex(nullCol)
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val counts = spark.sparkContext.runJob(rdd,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var n = 0L
+        while (it.hasNext) { if (it.next().isNullAt(ix)) n += 1 }
+        n
+      })
+    (org.apache.spark.sql.graft.PlanBridge.ofInternalRows(spark, rdd, schema),
+      counts.sum)
+  }
+
   private[graft] def exactRanksBy(table: String, field: String,
       rankSpecs: Seq[(Double, Boolean)], groupByTags: Seq[String],
       startTime: Option[java.time.Instant] = scala.None,
@@ -1839,9 +1890,11 @@ final class Engine(val spark: SparkSession, val root: String) {
     // checkpointed Dataset itself — the count below acts on a FILTERED
     // derivation, so under the lazy form the lineage never truncates and
     // every round recomputes its whole history (measured: ts_quantile_by
-    // 3.5 s → 5.1 s).
-    var state = debugPhase("state0")(state0.localCheckpoint(true))
-    var act = state.where(col("res").isNull).count()
+    // 3.5 s → 5.1 s). The active-row count rides the materializing job
+    // itself ([[localCheckpointCountingNulls]]) — one job per round, not
+    // checkpoint-count + count.
+    var (state, act) = debugPhase("state0")(
+      localCheckpointCountingNulls(state0, "res"))
     def bisect(maxRounds: Int): Unit = {
       var r = 0
       while (act > 0 && r < maxRounds) {
@@ -1877,10 +1930,9 @@ final class Engine(val spark: SparkSession, val root: String) {
             (col("__lo2") >= col("__hi2") && col("__minT").isNotNull &&
               col("__maxF").isNotNull &&
               col("__maxF") + 1L === col("__minT")).as("prov")): _*)
-        val next = state.where(col("res").isNotNull)
-          .unionByName(updActive)
-          .localCheckpoint(true)
-        act = next.where(col("res").isNull).count()
+        val (next, nextAct) = localCheckpointCountingNulls(
+          state.where(col("res").isNotNull).unionByName(updActive), "res")
+        act = nextAct
         state = next
         if (ladderDebug) System.err.println(
           s"[ladder] round $r: active=$act " +
@@ -1913,16 +1965,17 @@ final class Engine(val spark: SparkSession, val root: String) {
         (col("__keyAns") > lit(fullLo) && col("__pPrev")))
         .select(keys ++ Seq(col("k"), lit(true).as("__bad")): _*)
       if (bad.limit(1).count() > 0) {
-        state = state.join(bad, keyNames :+ "k", "left")
-          .select(keys ++ Seq(col("k"), col("__r"), col("n"),
-            when(col("__bad"), lit(null).cast("float")).otherwise(col("res"))
-              .as("res"),
-            when(col("__bad"), lit(fullLo)).otherwise(col("lo")).as("lo"),
-            when(col("__bad"), lit(fullHi)).otherwise(col("hi")).as("hi"),
-            when(col("__bad"), lit(false)).otherwise(col("prov"))
-              .as("prov")): _*)
-          .localCheckpoint(true)
-        act = state.where(col("res").isNull).count()
+        val (redo, redoAct) = localCheckpointCountingNulls(
+          state.join(bad, keyNames :+ "k", "left")
+            .select(keys ++ Seq(col("k"), col("__r"), col("n"),
+              when(col("__bad"), lit(null).cast("float")).otherwise(col("res"))
+                .as("res"),
+              when(col("__bad"), lit(fullLo)).otherwise(col("lo")).as("lo"),
+              when(col("__bad"), lit(fullHi)).otherwise(col("hi")).as("hi"),
+              when(col("__bad"), lit(false)).otherwise(col("prov"))
+                .as("prov")): _*), "res")
+        state = redo
+        act = redoAct
         bisect(64)
       }
     }

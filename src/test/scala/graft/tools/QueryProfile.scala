@@ -34,6 +34,9 @@ object QueryProfile {
 
     val jobs = mutable.ArrayBuffer.empty[(Int, Long, String)] // id, t0, desc
     val jobWall = mutable.ArrayBuffer.empty[(Int, Double, String)]
+    val stageToJob = mutable.Map.empty[Int, Int]
+    val jobTaskMs = mutable.Map.empty[Int, Long].withDefaultValue(0L)
+    val jobTasks = mutable.Map.empty[Int, Int].withDefaultValue(0)
     var stages = 0
     var tasks = 0L
     var taskTimeMs = 0L
@@ -43,6 +46,7 @@ object QueryProfile {
           jobs += ((js.jobId, System.nanoTime(),
             Option(js.properties.getProperty("spark.job.description"))
               .getOrElse("")))
+          js.stageIds.foreach(sid => stageToJob(sid) = js.jobId)
         }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         jobs.synchronized {
@@ -55,7 +59,13 @@ object QueryProfile {
       override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
         jobs.synchronized {
           tasks += 1
-          if (te.taskInfo != null) taskTimeMs += te.taskInfo.duration
+          if (te.taskInfo != null) {
+            taskTimeMs += te.taskInfo.duration
+            stageToJob.get(te.stageId).foreach { j =>
+              jobTaskMs(j) += te.taskInfo.duration
+              jobTasks(j) += 1
+            }
+          }
         }
     }
 
@@ -65,6 +75,7 @@ object QueryProfile {
       // warmup (also builds the disk-cached engine tables on first use)
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       jobs.clear(); jobWall.clear(); stages = 0; tasks = 0L; taskTimeMs = 0L
+      stageToJob.clear(); jobTaskMs.clear(); jobTasks.clear()
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -74,7 +85,8 @@ object QueryProfile {
       println(f"== $name: wall=$wall%.3f s, jobs=${jobWall.size}, " +
         f"stages=$stages, tasks=$tasks, taskTime=${taskTimeMs / 1000.0}%.2f s")
       jobWall.sortBy(-_._2).take(40).foreach { case (id, w, d) =>
-        println(f"   job#$id%-4d $w%7.3f s  ${d.take(110)}")
+        println(f"   job#$id%-4d $w%7.3f s  tasks=${jobTasks(id)}%-3d " +
+          f"taskTime=${jobTaskMs(id) / 1000.0}%6.2f s  ${d.take(90)}")
       }
     }
     spark.stop()
