@@ -449,6 +449,45 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     * explode-based plan shape and never reach here; non-zero start offsets
     * are declined (the bucketed plan floors at the epoch).
     */
+  /** Placeholder attribute both sides of the memoized comparison are
+    * normalized onto: Spark's TimeWindowing lowering of
+    * `window(ts, w, w, 0)` is a pure function of (w, session timezone)
+    * MODULO the ts attribute itself, so the reference struct analyzed
+    * once over a one-column dummy relation serves every later execution.
+    */
+  private val windowTsPlaceholder = AttributeReference(
+    "__graft_window_ts", TimestampType, nullable = true)(ExprId(0))
+
+  /** (width, session timezone) -> the analyzer's tumbling-window struct
+    * with its ts attribute normalized to [[windowTsPlaceholder]]. */
+  private val windowRefCache = new java.util.concurrent.ConcurrentHashMap[
+    (Long, String), Option[Expression]]()
+
+  /** Test-only observability: how often [[windowWidth]] fell through to
+    * the full re-analysis over the real source. A genuine tumbling window
+    * must take the memoized fast path after the first execution.
+    */
+  private[plans] val windowWidthSlowPathCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def windowRefStruct(
+      engine: Engine, w: Long): Option[Expression] = {
+    val tz = engine.spark.sessionState.conf.sessionLocalTimeZone
+    windowRefCache.computeIfAbsent((w, tz), _ => {
+      val dummy = engine.spark.sql(
+        s"SELECT CAST(NULL AS TIMESTAMP) AS ${windowTsPlaceholder.name}")
+      val ref = dummy.select(window(col(windowTsPlaceholder.name),
+          s"$w microseconds", s"$w microseconds", "0 microseconds"))
+        .queryExecution.analyzed
+      ref.collectFirst {
+        case Project(pl, _) if pl.exists(_.isInstanceOf[Alias]) =>
+          pl.collectFirst { case Alias(c: CreateNamedStruct, _) => c }
+      }.flatten.map(_.transform {
+        case _: AttributeReference => windowTsPlaceholder
+      })
+    })
+  }
+
   private def windowWidth(
       engine: Engine, meta: TableMetadata, source: LogicalPlan,
       al: Alias): Option[Long] = {
@@ -460,16 +499,48 @@ object SegmentAggregateSqlRewrite extends PredicateHelper {
     }.distinct
     (widths, offsets) match {
       case (Seq(w), Seq(0L)) if w > 0 =>
-        val ref = org.apache.spark.sql.graft.PlanBridge
-          .ofRows(engine.spark, source)
-          .select(window(col(meta.timestampColumn),
-            s"$w microseconds", s"$w microseconds", "0 microseconds"))
-          .queryExecution.analyzed
-        val refStruct = ref.collectFirst {
-          case Project(pl, _) if pl.exists(_.isInstanceOf[Alias]) =>
-            pl.collectFirst { case Alias(c: CreateNamedStruct, _) => c }
-        }.flatten
-        if (refStruct.exists(al.child.semanticEquals)) Some(w) else scala.None
+        // FAST PATH (memoized): the candidate struct must reference the
+        // source's timestamp attribute and nothing else; normalized onto
+        // the placeholder it must match the cached reference struct for
+        // (w, session tz). This proves exactly what the slow path proves
+        // — the struct IS Spark's own tumbling-window arithmetic over ts
+        // — without re-analyzing a window() projection over the full
+        // source subtree on every execution (QueryProfile measured that
+        // re-analysis as the bulk of ts_sql_window_exceedance's ~0.4 s
+        // driver gap).
+        val resolver = engine.spark.sessionState.conf.resolver
+        val tsAttr = source.output.collectFirst {
+          case a: AttributeReference
+              if resolver(a.name, meta.timestampColumn) &&
+                a.dataType == TimestampType => a
+        }
+        val memoHit = tsAttr.exists { ts =>
+          al.child.references.forall(_.exprId == ts.exprId) &&
+            windowRefStruct(engine, w).exists { refNorm =>
+              refNorm.semanticEquals(al.child.transform {
+                case a: AttributeReference if a.exprId == ts.exprId =>
+                  windowTsPlaceholder
+              })
+            }
+        }
+        if (memoHit) Some(w)
+        else {
+          // SLOW PATH (the decider): prove against the real source. The
+          // memo can only accept faster, never reject — any normalized
+          // mismatch falls through to the original full re-analysis.
+          windowWidthSlowPathCount.incrementAndGet()
+          val ref = org.apache.spark.sql.graft.PlanBridge
+            .ofRows(engine.spark, source)
+            .select(window(col(meta.timestampColumn),
+              s"$w microseconds", s"$w microseconds", "0 microseconds"))
+            .queryExecution.analyzed
+          val refStruct = ref.collectFirst {
+            case Project(pl, _) if pl.exists(_.isInstanceOf[Alias]) =>
+              pl.collectFirst { case Alias(c: CreateNamedStruct, _) => c }
+          }.flatten
+          if (refStruct.exists(al.child.semanticEquals)) Some(w)
+          else scala.None
+        }
       case _ => scala.None
     }
   }

@@ -630,7 +630,19 @@ object FederatedAggregate {
     // only for a SINGLE-child statement probing f itself (NaN never
     // satisfies f <= t); with several children it filters the OTHER
     // children's rows too, which the kernel cannot express — generic.
-    val fastProbe: Option[IndexedSeq[RankProbe.Target]] =
+    // Paired with the targets: the effective per-child point gate. The
+    // 2M-point crossover was measured on a SINGLE-field table; a generic
+    // probe statement over a MULTI-field table re-grids through the
+    // multivariate zip (one extra shuffle-assembly of ALL stored fields
+    // per statement per endpoint — the all-fields-non-null row-drop
+    // semantics make the zip unprunable), so the generic rounds cost a
+    // multiple more per point and the crossover sits far lower. Measured
+    // (tools.RankProbeAB, sf0.1, ~1.2M combined points per child): the
+    // multi-field shape is native-faster already (1.79 s vs 2.21 s,
+    // 1.23×) where the single-field global shape still favors generic
+    // (0.95×). Gate/4 places the measured point comfortably native while
+    // keeping truly tiny multi-field tables on the generic rounds.
+    val fastProbe: Option[(IndexedSeq[RankProbe.Target], Long)] =
       if (engine.isEmpty || analyzeSql.isDefined || quantiles.isEmpty ||
         disableNativeProbeForTests)
         scala.None
@@ -656,8 +668,10 @@ object FederatedAggregate {
             .flatMap { case (meta, lo, hi, tagEq, tagIn) =>
               if (fields.forall(meta.fieldColumns.contains) &&
                 tagNames.flatten.forall(meta.tagColumns.contains))
-                Some(fields.map(f => RankProbe.Target(meta.name, f, lo, hi,
-                  tagEq, tagIn, tagNames.flatten.toSeq)).toIndexedSeq)
+                Some((fields.map(f => RankProbe.Target(meta.name, f, lo, hi,
+                  tagEq, tagIn, tagNames.flatten.toSeq)).toIndexedSeq,
+                  if (meta.fieldColumns.size > 1) NativeProbeMinPoints / 4
+                  else NativeProbeMinPoints))
               else scala.None
             }
         }
@@ -724,7 +738,7 @@ object FederatedAggregate {
       groupExprSqls: Seq[String], quantiles: Seq[(String, QuantileSpec)],
       qChildren: Seq[String], fromWhere: String,
       runAll: String => Seq[DataFrame],
-      fastProbe0: Option[IndexedSeq[RankProbe.Target]]): DataFrame = {
+      fastProbe0: Option[(IndexedSeq[RankProbe.Target], Long)]): DataFrame = {
     // The merged frame is answer-sized by definition — pin it as a local
     // relation so the stats collect and the final join don't re-run the
     // endpoint partials.
@@ -735,21 +749,25 @@ object FederatedAggregate {
     def idx(name: String) = schema.fieldIndex(name)
 
     // Size gate on the ELIGIBLE native path, decided PER CHILD: below
-    // [[NativeProbeMinPoints]] combined points the generic re-grid per
-    // round is cheaper than the native rounds' per-statement constant
-    // (see the var's scaladoc for the measured crossover), so a tiny
-    // child in a multi-child statement keeps the generic rounds while a
-    // large sibling goes native. The counts are already in hand from the
-    // partial round, so the decision costs nothing.
+    // the gate paired with the targets ([[NativeProbeMinPoints]], divided
+    // by 4 for multi-field tables whose generic rounds pay the
+    // multivariate zip — measured crossovers in both scaladocs) the
+    // generic re-grid per round is cheaper than the native rounds'
+    // per-statement constant, so a tiny child in a multi-child statement
+    // keeps the generic rounds while a large sibling goes native. The
+    // counts are already in hand from the partial round, so the decision
+    // costs nothing.
     val nativeCix: Set[Int] =
-      if (fastProbe0.isEmpty) Set.empty
-      else qChildren.indices.filter { ci =>
-        groupedRows.iterator.map { r =>
-          if (r.isNullAt(idx(s"__qn$ci"))) 0L else r.getLong(idx(s"__qn$ci"))
-        }.sum >= NativeProbeMinPoints
-      }.toSet
+      fastProbe0 match {
+        case scala.None => Set.empty
+        case Some((_, gate)) => qChildren.indices.filter { ci =>
+          groupedRows.iterator.map { r =>
+            if (r.isNullAt(idx(s"__qn$ci"))) 0L else r.getLong(idx(s"__qn$ci"))
+          }.sum >= gate
+        }.toSet
+      }
     val fastProbe: Option[IndexedSeq[RankProbe.Target]] =
-      fastProbe0.filter(_ => nativeCix.nonEmpty)
+      fastProbe0.map(_._1).filter(_ => nativeCix.nonEmpty)
     // A round's states split by transport (above-gate children native,
     // the rest generic), then chunk at the per-statement state cap. A
     // native chunk MIXES children — the request carries one target per

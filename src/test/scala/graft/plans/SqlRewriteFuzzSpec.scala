@@ -212,6 +212,37 @@ class SqlRewriteFuzzSpec extends AnyFunSuite {
     assert(spliced >= 60, s"only $spliced of 200 seeds spliced")
   }
 
+  test("tumbling-window proof is memoized after the first execution") {
+    val sql = "SELECT window.start AS ws, count(*) AS n, max(v) AS mx " +
+      "FROM fz WHERE v > 10.0 GROUP BY window(ts, '1 day') ORDER BY ws"
+    val first = engine.sql(sql).collect()
+    val slowAfterFirst =
+      SegmentAggregateSqlRewrite.windowWidthSlowPathCount.get()
+    val second = engine.sql(sql).collect()
+    // Same (width, tz): the second execution must prove the window struct
+    // off the memoized reference, never re-analyzing over the source.
+    assert(SegmentAggregateSqlRewrite.windowWidthSlowPathCount.get() ==
+      slowAfterFirst, "second execution re-ran the full window re-analysis")
+    assert(second.toSeq == first.toSeq)
+    // And the memo proves the same thing the slow path proves: the
+    // spliced result still matches the gridded reference.
+    val expect = spark.sql(
+      "SELECT window.start AS ws, count(*) AS n, max(v) AS mx FROM fz_raw " +
+        "WHERE v > CAST(10.0 AS FLOAT) GROUP BY window(ts, '1 day') " +
+        "ORDER BY ws").collect()
+    assert(second.toSeq == expect.toSeq)
+    // A hand-written struct is NOT a tumbling window: it must keep
+    // declining (correct answer through the gridded plan), memo or not.
+    val spoof = engine.sql(
+      "SELECT w.s AS h, COUNT(*) AS n FROM " +
+        "(SELECT named_struct('s', date_trunc('HOUR', ts)) AS w, v FROM fz) " +
+        "GROUP BY w ORDER BY h")
+    val spoofExpect = spark.sql(
+      "SELECT date_trunc('HOUR', ts) AS h, COUNT(*) AS n FROM fz_raw " +
+        "GROUP BY 1 ORDER BY 1").collect()
+    assert(spoof.collect().toSeq == spoofExpect.toSeq)
+  }
+
   test("planted wrong-accept mutation is caught by the harness") {
     // Extend every accepted shape's end bound by one second inside
     // build(): with irregular ~150µs steps that pulls thousands of extra

@@ -39,7 +39,15 @@ object RankProbeAB {
         "global" -> ("SELECT percentile(value, array(0.01, 0.5, 0.999)) " +
           "AS p, count(*) AS n FROM events_lossless"),
         "grouped" -> ("SELECT user, percentile(value, 0.5) AS med, " +
-          "percentile(value, 0.9) AS p90 FROM events_lossless GROUP BY user"))
+          "percentile(value, 0.9) AS p90 FROM events_lossless GROUP BY user"),
+        // MULTI-FIELD FROM: every generic round re-grids events_multi
+        // through the multivariate zip (one shuffle per statement per
+        // endpoint), so the native-vs-generic crossover sits far below
+        // the single-field table's — this shape calibrates the
+        // multi-field gate.
+        "multi" -> ("SELECT user, percentile(value, 0.5) AS mv, " +
+          "percentile(value2, 0.9) AS mv2, count(*) AS n " +
+          "FROM events_multi GROUP BY user"))
       def runOnce(sel: String): Array[org.apache.spark.sql.Row] =
         engine.sql(s"INCLUDE MERGE '${server.address}' $sel").collect()
       def median3(sel: String): Double = {
