@@ -189,7 +189,12 @@ object Sampling {
   def selectByBudget(df: DataFrame, scoreCol: String, costCol: String,
       idCol: String, budget: Long): DataFrame = {
     val score = col(scoreCol).cast("double")
-    val rankable = score.isNotNull && !isnan(score)
+    // A row without a rankable (score, id) pair cannot be ordered by the
+    // (score desc, id asc) tie-break: null/NaN scores AND null (or
+    // non-castable) ids are excluded up front — identically here and in
+    // the narrow variant, which share the cutoff machinery.
+    val rankable = score.isNotNull && !isnan(score) &&
+      col(idCol).cast("long").isNotNull
     if (budget <= 0L) return df.where(lit(false))
     budgetCutoff(df, scoreCol, costCol, idCol, budget) match {
       case BudgetAll => df.where(rankable)
@@ -235,7 +240,7 @@ object Sampling {
     }
     spark.createDataFrame(
       kept.map(r => org.apache.spark.sql.Row(r.getLong(2), r.getDouble(0),
-        r.getLong(1))),
+        if (r.isNullAt(1)) null else r.getLong(1))),
       outSchema)
   }
 
@@ -257,9 +262,12 @@ object Sampling {
       costCol: String, idCol: String, budget: Long)
       : (org.apache.spark.rdd.RDD[org.apache.spark.sql.Row], BudgetCut) = {
     val score = col(scoreCol).cast("double")
-    val rankable = score.isNotNull && !isnan(score)
+    val rankable = score.isNotNull && !isnan(score) &&
+      col(idCol).cast("long").isNotNull
+    // Cost stays NULLABLE (null sums as 0 below, and the narrow output
+    // must surface the original null, as the wide variant's rows do).
     val narrow = df.where(rankable).select(
-      score.as("__s"), coalesce(col(costCol).cast("long"), lit(0L)).as("__c"),
+      score.as("__s"), col(costCol).cast("long").as("__c"),
       col(idCol).cast("long").as("__i"))
     val p = math.max(1, narrow.sparkSession.sessionState.conf.numShufflePartitions)
     val ranged = narrow
@@ -272,7 +280,7 @@ object Sampling {
     val totals = rdd
       .mapPartitionsWithIndex { (i, it) =>
         var t = 0L
-        it.foreach(r => t += r.getLong(1))
+        it.foreach(r => t += (if (r.isNullAt(1)) 0L else r.getLong(1)))
         Iterator.single((i, t))
       }
       .collect().sortBy(_._1).map(_._2) // bounded: one Long per partition
@@ -294,7 +302,7 @@ object Sampling {
           while (it.hasNext && run < budget) {
             val r = it.next()
             last = Some((r.getDouble(0), r.getLong(2)))
-            run += r.getLong(1)
+            run += (if (r.isNullAt(1)) 0L else r.getLong(1))
           }
           last.iterator
         }

@@ -189,10 +189,24 @@ object TsQueries {
         events.withColumn("value2", col("value") * 2.0f)))
     val pool = java.util.concurrent.Executors.newFixedThreadPool(writes.size)
     try {
-      writes.map(w => pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit = w()
-      })).foreach(_.get())
-    } finally pool.shutdown()
+      val futures = writes.map(w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = w()
+        }))
+      // Drain EVERY future before propagating the first failure: a plain
+      // fail-fast foreach(_.get()) would leave sibling writes still
+      // appending to their table directories while the caller already
+      // treats the build as torn — and a rebuild of the same folder could
+      // race the orphaned writer.
+      val errors = futures.flatMap(f =>
+        try { f.get(); scala.None }
+        catch { case e: java.util.concurrent.ExecutionException =>
+          Some(Option(e.getCause).getOrElse(e)) })
+      errors.headOption.foreach(throw _)
+    } finally {
+      pool.shutdown()
+      pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+    }
     // End-of-build marker checked by engineFor: written only after every
     // table committed, so a torn build is rebuilt, never trusted.
     java.nio.file.Files.write(

@@ -2916,7 +2916,19 @@ final class Engine(val spark: SparkSession, val root: String) {
           val local = sql(text)
           val localF =
             if (pin) Some(Future {
-              spark.createDataFrame(local.collectAsList(), local.schema)
+              // The pin materializes O(groups × states) on the driver —
+              // answer-sized for every merge statement, and hard-bounded
+              // by spark.driver.maxResultSize. If a pathological group
+              // cardinality ever trips that bound, degrade to the LAZY
+              // analyzed frame (identical results, loses only this
+              // round's local/remote overlap) instead of failing the
+              // statement.
+              try spark.createDataFrame(local.collectAsList(), local.schema)
+              catch {
+                case e: org.apache.spark.SparkException
+                    if e.getMessage != null &&
+                      e.getMessage.contains("maxResultSize") => local
+              }
             }(Engine.federationEc))
             else scala.None
           // TCP endpoints fan out CONCURRENTLY: RemoteClient.sql drains

@@ -940,7 +940,18 @@ object FederatedAggregate {
     // joined-row volume by the ranks-per-group factor.
     def intervalClasses(sts: Seq[RankState]): Seq[Seq[RankState]] =
       sts.groupBy(st => (st.groupIdx, st.cix, st.lo, st.hi))
-        .values.toSeq.map(_.sortBy(_.sid)).sortBy(_.head.sid)
+        .values.toSeq.map { cls =>
+          // The dedup is sound only because cLo/cHi are functions of
+          // (group, child, lo, hi) alone — every member must agree with
+          // the representative whose response it will consume. Cheap
+          // O(states) guard so a future change to per-state count
+          // advancement fails loudly instead of silently misranking.
+          val rep = cls.head
+          require(cls.forall(st => st.cLo == rep.cLo && st.cHi == rep.cHi),
+            "interval-dedup invariant violated: states sharing " +
+              "(group, child, lo, hi) disagree on cLo/cHi")
+          cls.sortBy(_.sid)
+        }.sortBy(_.head.sid)
 
     var rounds = 0
     while (states.values.exists(!_.done)) {

@@ -470,6 +470,34 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
       assert(nar == wide, s"narrow/wide mismatch at budget $budget")
     }
+
+    // Null id and null cost: a null (or non-castable) id is unrankable
+    // and dropped by BOTH variants; a null cost sums as 0 for the budget
+    // and surfaces as NULL in both outputs.
+    val withNulls = scored.select($"doc_id", $"quality", $"cost")
+      .unionByName(Seq(
+        (null.asInstanceOf[java.lang.Long], 99.0, java.lang.Long.valueOf(5L)),
+        (java.lang.Long.valueOf(910001L), 98.0,
+          null.asInstanceOf[java.lang.Long]))
+        .toDF("doc_id", "quality", "cost"))
+    for (budget <- Seq(1L, 500L, total)) {
+      val wide = Sampling
+        .selectByBudget(withNulls, "quality", "cost", "doc_id", budget)
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      val nar = Sampling
+        .selectByBudgetNarrow(withNulls, "quality", "cost", "doc_id", budget)
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          if (r.isNullAt(2)) null else r.getLong(2))).toSet
+      assert(nar == wide, s"narrow/wide null mismatch at budget $budget")
+      // The null-id row (score 99.0) is unrankable in both variants.
+      assert(!wide.exists(_._2 == 99.0))
+      if (budget >= 500L) {
+        // The null-cost row is rankable (its cost budgets as 0) and must
+        // carry its NULL cost through both outputs.
+        assert(wide.contains((910001L, 98.0, null)))
+      }
+    }
   }
 
   test("pii detection counts and redaction on planted identifiers") {
