@@ -165,16 +165,21 @@ object Dedup {
   def clusterDuplicates(
       pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     // The pair list is usually the OUTPUT of an expensive candidate
-    // pipeline (LSH join + verification); it feeds both the edge set and
-    // the node list, so cache it and pin both with ONE materializing job —
-    // otherwise the node list, consumed only by the final cluster join,
-    // replays the whole pair pipeline a second time.
-    val input = pairs.cache()
+    // pipeline (LSH join + verification) and it sits at the BASE of every
+    // round's plan: a cache() pins the data but leaves the pipeline's
+    // multi-MB logical plan under every round's analysis — QueryProfile
+    // measured ~60% of dedup_cluster's wall as driver time BETWEEN jobs,
+    // re-analyzing that base each round. An EAGER localCheckpoint
+    // materializes the same single pass AND truncates the lineage to a
+    // LogicalRDD, so each round (and the node list, consumed only by the
+    // final cluster join) plans over O(round) nodes instead of
+    // O(candidate pipeline). Blocks are reclaimed by the ContextCleaner
+    // when the frame is GC'd.
+    val input = pairs.localCheckpoint(true)
     val nodes = input.select(col("id_a").as("id"))
       .unionByName(input.select(col("id_b").as("id")))
       .distinct()
       .cache()
-    nodes.count()
     // Canonical larger->smaller orientation; self-loops dropped.
     val init = input
       .select(greatest(col("id_a"), col("id_b")).as("u"),
@@ -186,9 +191,10 @@ object Dedup {
     // The previous round's cached frames stay pinned until the CURRENT
     // round's aggregate job has materialized this round's inputs — caches
     // are lazy, and unpersisting a parent before its child materializes
-    // silently recomputes the whole lineage chain. `input` itself retires
-    // after round 1 materializes the initial edge set off it.
-    var retired: Seq[DataFrame] = Seq(input)
+    // silently recomputes the whole lineage chain. (`input` is a local
+    // checkpoint, not a cache — its blocks outlive the loop and are
+    // reclaimed by the ContextCleaner, so it never enters `retired`.)
+    var retired: Seq[DataFrame] = Seq.empty
     var iteration = 0
     var converged = false
     while (iteration < maxIterations && !converged) {
