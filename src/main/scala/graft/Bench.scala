@@ -46,7 +46,7 @@ object Bench {
   private def fmt(v: Double): String =
     if (v < 0) "-1.0" else f"$v%.3f"
 
-  private def jsonLine(results: Seq[(String, Double)],
+  private[graft] def jsonLine(results: Seq[(String, Double)],
       spreads: Map[String, (Double, Double)] = Map.empty): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

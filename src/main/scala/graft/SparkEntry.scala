@@ -4,7 +4,7 @@ import scala.collection.immutable.ListMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, RelationalQueries, TsQueries}
+import graft.queries.{PipelineQueries, RelationalQueries, ScaleQueries, TsQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +16,8 @@ import graft.queries.{PipelineQueries, RelationalQueries, TsQueries}
 object SparkEntry {
 
   private val all: Seq[(String, (SparkSession, String) => DataFrame, Option[String])] =
-    RelationalQueries.queries ++ TsQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ TsQueries.queries ++
+      PipelineQueries.queries ++ ScaleQueries.queries // additions-only (r18)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
