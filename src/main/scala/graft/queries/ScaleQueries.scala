@@ -20,10 +20,12 @@ import graft.ops.{Multimodal, TextAnalysis}
   * branch — wall stayed fixed-cost-bound and the ratio ≈ 1 at both core
   * counts, hence the row multiplier. Inner factors are calibrated from a
   * measured c32 sweep (q1 512× = 15.9 s, text_tokens 2048× = 73.8 s, ...)
-  * down to ~2-4 s wall at c32. Measured c8/c32 at the final factors:
-  * q1 2.3×, text_tokens 1.6×, text_quality 1.4×, events/multimodal ≈ 1
-  * (their per-row kernels are memory-bandwidth-bound at this size, so
-  * extra cores buy little — itself a scaling signal worth recording).
+  * down to ~2-4 s wall at c32. Measured c8/c32 at the final factors
+  * (ranges across this box's documented clean/degraded windows):
+  * q1 1.7-2.3×, text_quality 1.4-2.0×, text_tokens 1.25-1.6×,
+  * events/multimodal ≈ 1 (their per-row kernels are memory-bandwidth-
+  * bound at this size, so extra cores buy little — itself a scaling
+  * signal worth recording).
   *
   * Correctness-gate discipline: replication-safe aggregates ONLY — exact
   * DECIMAL/BIGINT sums and counts (scale by exactly the replication
@@ -111,11 +113,11 @@ object ScaleQueries {
         CAST(max(length(text)) AS INTEGER) AS max_chars
       FROM ${dup("documents", 16)}""")),
 
-    // Quality scoring over documents×512: the stopword/alpha-ratio metric
+    // Quality scoring over documents×256: the stopword/alpha-ratio metric
     // every corpus clean runs first; the >= 0.5 keep-threshold is the one
     // pipeline_clean already proves cross-engine-stable.
     ("scale16_text_quality", (s: SparkSession, d: String) => {
-      replicate(table(s, d, "documents"), 16)
+      replicate(table(s, d, "documents"), 8)
         .agg(count(lit(1)).as("n"),
           count(when(TextAnalysis.qualityScore(col("text")) >= 0.5, 1))
             .as("n_kept"))
@@ -129,7 +131,7 @@ object ScaleQueries {
           len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
             w -> list_contains([$en], w))) AS sw_hits,
           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
-        FROM ${dup("documents", 16)}),
+        FROM ${dup("documents", 8)}),
       q AS (
         SELECT floor(least(CAST(n_tokens AS DOUBLE) / 32.0, 1.0) *
           (0.5 + least((floor(CAST(sw_hits AS DOUBLE) / greatest(n_tokens, 1)
