@@ -16,10 +16,16 @@ object TextAnalysis {
       .otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword-boundary token count: words, numbers, and individual
-    * punctuation marks each count as one token.
+    * punctuation marks each count as one token. One allocation-free
+    * codegen'd byte pass ([[BpeTokenCount]]) — count-identical to
+    * `size(regexp_extract_all(text, "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))`,
+    * which materializes every token substring just to take the array's
+    * size (measured memory-bound, see the kernel's scaladoc).
     */
-  def regexTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+  def regexTokenCount(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(BpeTokenCount(ColumnBridge.expression(text)))
+  }
 
   /** Tiny per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately small: language ID at corpus scale wants a

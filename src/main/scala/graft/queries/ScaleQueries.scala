@@ -96,20 +96,25 @@ object ScaleQueries {
 
     // Tokenization over documents×512 (~2.6M docs at sf0.1): per-row
     // tokenizer compute (the LLM-pipeline hot loop), exact BIGINT sums.
-    // (regexTokenCount is deliberately NOT in this row: an A/B at 1024×
-    // measured it memory/regex-engine-bound — 35 s wall at BOTH 8 and 32
-    // cores — so it carries no parallel-scaling signal; the 1× base row
-    // text_tokens still covers it.)
+    // This row is what exposed the old size(regexp_extract_all(...))
+    // spelling of regexTokenCount as memory-bound (35 s wall at BOTH 8
+    // and 32 cores at 1024× — it materialized every token substring just
+    // to count them); the allocation-free [[BpeTokenCount]] kernel that
+    // replaced it rides here, count-identical by spec.
     ("scale16_text_tokens", (s: SparkSession, d: String) => {
       replicate(table(s, d, "documents"), 16)
         .agg(count(lit(1)).as("n"),
           sum(TextAnalysis.tokenCount(col("text")).cast("long"))
             .as("sum_tokens"),
+          sum(TextAnalysis.regexTokenCount(col("text")).cast("long"))
+            .as("sum_bpe_tokens"),
           max(length(col("text"))).as("max_chars"))
     }, Some(s"""
       SELECT count(*) AS n,
         CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
           w -> w <> ''))) AS BIGINT) AS sum_tokens,
+        CAST(sum(len(regexp_extract_all(text,
+          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_bpe_tokens,
         CAST(max(length(text)) AS INTEGER) AS max_chars
       FROM ${dup("documents", 16)}""")),
 

@@ -62,6 +62,39 @@ class SignatureExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_token_count ≡ size(regexp_extract_all(...)) on real and adversarial text") {
+    // Real corpus text through EXECUTION (generated-code path) plus the
+    // edge shapes the byte scanner must get right: empty, whitespace-only
+    // (every Java-regex \s class member), letter/digit/punct run
+    // boundaries, BMP non-ASCII, and supplementary characters (Java regex
+    // matches by CODE POINT, so one emoji is ONE token).
+    val adversarial = Seq(
+      "", " ", " \t\n\f\r ", "abc", "ABCdef", "123", "abc123def",
+      "a1b2c3", "!!!", "a!b?c", "hello, world! 42 times...",
+      "naïve café", "日本語テキスト", "mixed 日本 text 123!",
+      "emoji 😀 pair", "😀😁",
+      "tab\tsep\nlines\r\n", "x" * 5000, ("ab1!" * 1000))
+      .toDF("text")
+    val both = docs.select($"text").unionByName(adversarial)
+      .select($"text",
+        TextAnalysis.regexTokenCount($"text").as("kernel"),
+        size(regexp_extract_all($"text",
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("regex"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"bpe_token_count mismatch on ${r.getString(0).take(60)}")
+    }
+    // NULL input: both spellings are NULL.
+    val nulls = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.regexTokenCount($"text").as("k"),
+        size(regexp_extract_all($"text",
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("r"))
+      .collect().head
+    assert(nulls.isNullAt(0) == nulls.isNullAt(1))
+  }
+
   test("jaccard and simhash chunks match the kernels through execution") {
     val pairs = Seq(
       (Seq("a b", "b c", "c d"), Seq("b c", "c d", "d e")),
